@@ -1,0 +1,672 @@
+"""Relational declared queries (SURVEY.md §2.D, §7.3) + DuckDB oracle twins.
+
+Design rules (shared with every other query module):
+  - Every aggregate over DOUBLE goes through exact DECIMAL arithmetic
+    (e02_spark.num) so Spark and DuckDB produce bit-identical doubles.
+  - Every computed column is aliased identically on both sides (the driver
+    sorts columns by name before value-hashing).
+  - Dates/timestamps in output are emitted as strings (CAST ... AS STRING
+    formats identically in Spark and DuckDB for date / whole-second ts).
+  - Top-k queries carry explicit deterministic tie-break keys.
+
+Scale notes are attached per query: what the plan does at 100 TB / 1000
+executors, and why the chosen shape avoids pathological shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..num import DEC8, davg, dec, dsum, dsum_expr
+from ..ops.range_join import time_proximity_pairs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (flagship; TPC-H Q1 shape: scan -> filter -> agg)
+# Scale: single shuffle on a 6-value grouping key; partial aggregation
+# (map-side combine) reduces 100 TB of lineitem to KBs before the exchange.
+# Filter + column pruning push into the parquet scan.
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_factor = (F.lit(1.0) - F.col("l_discount")).cast(DEC8)
+    charge_factor = ((F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))).cast(DEC8)
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(dec("l_extendedprice") * disc_factor, "sum_disc_price"),
+            dsum_expr(dec("l_extendedprice") * charge_factor, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(18,8))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST((CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax)
+                  AS DECIMAL(18,8))), 4) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — inner equi-join orders x customer (shuffle join on o_custkey).
+# Scale: both sides hash-partition on the key; AQE picks sort-merge vs
+# shuffled-hash and handles skewed customers.
+# --------------------------------------------------------------------------
+def q05_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+    )
+
+
+_Q05_SQL = """
+SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — broadcast-join star dims (supplier -> nation -> region).
+# Scale: region/nation are constant-size; F.broadcast keeps the fact side
+# shuffle-free — the join is map-side at any scale.
+# --------------------------------------------------------------------------
+def q06_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal", "total_acctbal"),
+        )
+    )
+
+
+_Q06_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — left outer join with null handling (customers with zero orders kept).
+# --------------------------------------------------------------------------
+def q07_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+_Q07_SQL = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — left-semi / left-anti (EXISTS / NOT EXISTS).
+# --------------------------------------------------------------------------
+def q08_semi_anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    open_orders = o.where(F.col("o_orderstatus") == "O")
+    fin_orders = o.where(F.col("o_orderstatus") == "F")
+    with_open = (
+        c.join(open_orders, c.c_custkey == open_orders.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_open_order").alias("category"), "n")
+    )
+    no_fin = (
+        c.join(fin_orders, c.c_custkey == fin_orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("no_finished_order").alias("category"), "n")
+    )
+    return with_open.unionAll(no_fin)
+
+
+_Q08_SQL = """
+SELECT 'with_open_order' AS category, COUNT(*) AS n FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT 'no_finished_order' AS category, COUNT(*) AS n FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — interval/range join: pairs of events within 1 second of each other.
+# Scale: implemented via time-bucketing (ops/range_join.py) — an equi-join
+# on floor(ts) buckets instead of an O(n^2) theta join. The oracle uses the
+# naive BETWEEN predicate (DuckDB IEJoin); results are identical.
+# --------------------------------------------------------------------------
+def q09_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    pairs = time_proximity_pairs(e, ts_col="ts", id_col="event_id", tolerance_sec=1)
+    return (
+        pairs.groupBy(
+            F.col("a_event_type").alias("type_a"),
+            F.col("b_event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_Q09_SQL = """
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+GROUP BY a.event_type, b.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — as-of join: for each purchase event, the latest prior 'view' event
+# of the same user. Implemented with the union+window formulation (one
+# shuffle on user_id, no range explosion) — the scalable as-of pattern.
+# --------------------------------------------------------------------------
+def q10_asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_view_id",
+        F.last(F.when(F.col("is_view") == 1, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("is_view") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return enriched.where(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "last_view_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts"))
+        .cast("bigint")
+        .alias("secs_since_view"),
+    )
+
+
+_Q10_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events WHERE event_type IN ('view', 'purchase')
+), w AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, is_view DESC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id,
+    LAST_VALUE(CASE WHEN is_view = 1 THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, is_view DESC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM tagged
+)
+SELECT event_id AS purchase_id, user_id, last_view_id,
+  CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('second', last_view_ts)) AS BIGINT) AS secs_since_view
+FROM w WHERE is_purchase = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — ROLLUP grouping sets.
+# --------------------------------------------------------------------------
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+_Q11_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — exact COUNT(DISTINCT) (expand-based distinct aggregation).
+# --------------------------------------------------------------------------
+def q12_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — window ranking: top-3 orders by totalprice per market segment,
+# deterministic tie-break on o_orderkey.
+# --------------------------------------------------------------------------
+def q13_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+_Q13_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM j
+)
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM r WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — window frames: daily revenue, 7-day moving average, running total,
+# lag. Note: the day-grain series is small at any fact scale, so the
+# unpartitioned window is fine (pre-aggregation happened first).
+# --------------------------------------------------------------------------
+def q14_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(dec("o_totalprice")).alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wlag = Window.orderBy("day")
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        (F.sum("rev").over(w7).cast("double") / F.count(F.lit(1)).over(w7)).alias("moving_avg_7d"),
+        F.sum("rev").over(wrun).cast("double").alias("running_total"),
+        F.lag("rev").over(wlag).cast("double").alias("prev_day_revenue"),
+    )
+
+
+_Q14_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg_7d,
+  CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  CAST(LAG(rev) OVER (ORDER BY day) AS DOUBLE) AS prev_day_revenue
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — set operations: INTERSECT / EXCEPT / UNION-distinct.
+# --------------------------------------------------------------------------
+def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_c.intersect(fin_c).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("category"), "n"
+    )
+    open_only = open_c.exceptAll(fin_c).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("open_only").alias("category"), "n"
+    )
+    either = open_c.union(fin_c).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("either").alias("category"), "n"
+    )
+    return both.unionAll(open_only).unionAll(either)
+
+
+_Q15_SQL = """
+WITH o_open AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     o_fin  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'both' AS category, COUNT(*) AS n FROM (SELECT * FROM o_open INTERSECT SELECT * FROM o_fin)
+UNION ALL
+SELECT 'open_only' AS category, COUNT(*) AS n FROM (SELECT * FROM o_open EXCEPT SELECT * FROM o_fin)
+UNION ALL
+SELECT 'either' AS category, COUNT(*) AS n FROM (SELECT * FROM o_open UNION SELECT * FROM o_fin)
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — scalar string functions over part.
+# --------------------------------------------------------------------------
+def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%e%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("bigint").alias("brand_num"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("name_snake"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.trim(F.lower("p_type")).alias("type_lower"),
+    )
+
+
+_Q16_SQL = """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  substring(p_name, 1, 5) AS name_prefix,
+  CAST(length(p_name) AS BIGINT) AS name_len,
+  concat_ws('/', p_brand, p_type) AS brand_type,
+  CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
+  regexp_replace(p_name, '\\s+', '_', 'g') AS name_snake,
+  string_split(p_name, ' ')[1] AS first_word,
+  trim(lower(p_type)) AS type_lower
+FROM part WHERE p_name LIKE '%e%'
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — JSON extraction from events.props.
+# --------------------------------------------------------------------------
+def q22_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — date part rollup over order dates.
+# --------------------------------------------------------------------------
+def q23_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+_Q23_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q24 — tumbling 1-hour window aggregation over the events stream (batch
+# twin of the Structured Streaming job in streaming/jobs.py; E10).
+# --------------------------------------------------------------------------
+def q24_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("string").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_Q24_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — sessionization (30-minute inactivity gap) via lag + cumulative sum;
+# batch twin of session_window (E12). One shuffle on user_id.
+# --------------------------------------------------------------------------
+def q25_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag(sec).over(worder).isNull() | ((sec - F.lag(sec).over(worder)) > 1800), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(worder.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+    )
+
+
+_Q25_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(epoch(date_trunc('second', ts))) OVER w IS NULL
+           OR epoch(date_trunc('second', ts))
+              - LAG(epoch(date_trunc('second', ts))) OVER w > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_ev FROM t GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_ev) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — pivot event types to columns.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+def q30_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+_Q30_SQL = """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — approximate distinct (HLL). Rows-only check: HLL sketches differ
+# across engines by design.
+# --------------------------------------------------------------------------
+def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — deterministic-seed sampling. Rows-only: sampling algorithms differ
+# across engines by design.
+# --------------------------------------------------------------------------
+def q33_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q05_join_orders_customer": q05_join_orders_customer,
+    "q06_broadcast_dims": q06_broadcast_dims,
+    "q07_outer_join_nulls": q07_outer_join_nulls,
+    "q08_semi_anti_exists": q08_semi_anti_exists,
+    "q09_interval_join_pairs": q09_interval_join_pairs,
+    "q10_asof_latest_view": q10_asof_latest_view,
+    "q11_rollup": q11_rollup,
+    "q12_distinct_exact": q12_distinct_exact,
+    "q13_topk_per_group": q13_topk_per_group,
+    "q14_moving_window": q14_moving_window,
+    "q15_set_ops": q15_set_ops,
+    "q16_string_funcs": q16_string_funcs,
+    "q22_json_props": q22_json_props,
+    "q23_date_rollup": q23_date_rollup,
+    "q24_tumbling_hourly": q24_tumbling_hourly,
+    "q25_session_gap": q25_session_gap,
+    "q30_pivot_event_types": q30_pivot_event_types,
+    "q32_approx_distinct": q32_approx_distinct,
+    "q33_sample": q33_sample,
+}
+
+ORACLE = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q05_join_orders_customer": _Q05_SQL,
+    "q06_broadcast_dims": _Q06_SQL,
+    "q07_outer_join_nulls": _Q07_SQL,
+    "q08_semi_anti_exists": _Q08_SQL,
+    "q09_interval_join_pairs": _Q09_SQL,
+    "q10_asof_latest_view": _Q10_SQL,
+    "q11_rollup": _Q11_SQL,
+    "q12_distinct_exact": _Q12_SQL,
+    "q13_topk_per_group": _Q13_SQL,
+    "q14_moving_window": _Q14_SQL,
+    "q15_set_ops": _Q15_SQL,
+    "q16_string_funcs": _Q16_SQL,
+    "q22_json_props": _Q22_SQL,
+    "q23_date_rollup": _Q23_SQL,
+    "q24_tumbling_hourly": _Q24_SQL,
+    "q25_session_gap": _Q25_SQL,
+    "q30_pivot_event_types": _Q30_SQL,
+    # q32, q33: rows-only by design (approx sketch / engine-specific sampling)
+}

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Defaults chosen for correctness-determinism and scale-readiness:
+  - AQE on (runtime re-plan: skew joins, partition coalescing, broadcast
+    conversion) — on a real cluster this is the main lever that keeps the
+    same code efficient from sf0.001 to 100 TB.
+  - spark.sql.session.timeZone=UTC so timestamp collection is deterministic
+    and matches the DuckDB oracle (naive UTC).
+  - shuffle.partitions defaults to the local core count; on a cluster this
+    should be ~2-3x total executor cores (AQE coalesces the excess).
+  - Arrow enabled: vectorized toPandas / pandas_udf transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "e02-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable knobs to an externally provided session.
+
+    The driver hands us its own SparkSession for entry()/queries(); static
+    conf (master, memory) is fixed by then, but these still apply.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static in some deployments
+    return spark
