@@ -1,7 +1,320 @@
-"""Dependency-graph / owner-mapping / review-gate declared queries
-(SURVEY.md §2.A/B). Filled in M3."""
+"""Declared queries for the dependency-scanner / owner-mapping / review-gate
+subsystems (SURVEY.md §2.A/B, q16-q21 skeleton).
+
+Inputs are the reference-parity fixtures (e02_spark/fixtures.py) — the
+oracle twins embed the IDENTICAL rows as VALUES CTEs, so both engines see
+byte-identical data. Array-valued results are emitted as comma/space-joined
+strings (stable to hash across engines).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict[str, str] = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from ..depgraph.owners import codefacilitators
+from ..depgraph.review_gate import gate_status
+from ..depgraph.scanner import (
+    CALL_RE,
+    dependency_graph,
+    flatten_one_hop,
+    in_scan_roots,
+)
+
+# Shared oracle CTE fragments -------------------------------------------------
+
+_SCOPED = """
+scoped AS (
+  SELECT * FROM sql_files
+  WHERE path LIKE 'replicator/source/%'
+     OR path LIKE 'deployer/patch/%'
+     OR path LIKE 'superset/datasets/kimball/%'
+     OR path LIKE 'superset_objects/datasets/%'
+)"""
+
+_DEFS = """
+defs AS (
+  SELECT lower(regexp_extract(bn, '^r_\\d+\\.\\d+(?:\\.\\d+)?_f_([a-zA-Z_]+)\\.sql', 1)) AS func_name,
+         path AS def_path
+  FROM (
+    SELECT path, string_split(path, '/')[-1] AS bn FROM sql_files
+    WHERE path LIKE 'deployer/patch/DWH/kimball/%'
+      AND length(path) = length('deployer/patch/DWH/kimball') + 1 + length(string_split(path, '/')[-1])
+  )
+  WHERE regexp_extract(bn, '^r_\\d+\\.\\d+(?:\\.\\d+)?_f_([a-zA-Z_]+)\\.sql', 1) <> ''
+)"""
+
+_CALLS = """
+calls AS (
+  SELECT DISTINCT caller_path, callee FROM (
+    SELECT path AS caller_path,
+           unnest(regexp_extract_all(lower(content), 'kimball\\.([a-z_]+)\\s*\\(', 1)) AS callee
+    FROM scoped
+  )
+)"""
+
+_CLASSIFIED = """
+known AS (
+  SELECT c.callee, c.caller_path
+  FROM calls c JOIN defs d ON c.callee = d.func_name
+  WHERE c.caller_path <> d.def_path
+),
+classified AS (
+  SELECT k.callee, k.caller_path, d2.func_name AS caller_func
+  FROM known k LEFT JOIN defs d2 ON k.caller_path = d2.def_path
+)"""
+
+_FLAT = """
+file_edges AS (
+  SELECT callee, caller_path AS file FROM classified WHERE caller_func IS NULL
+),
+func_edges AS (
+  SELECT callee, caller_func FROM classified WHERE caller_func IS NOT NULL
+),
+all_files AS (
+  SELECT callee, file FROM file_edges
+  UNION
+  SELECT fe.callee, f2.file
+  FROM func_edges fe JOIN file_edges f2 ON f2.callee = fe.caller_func
+),
+flat AS (
+  SELECT d.func_name, d.def_path, a.files AS files
+  FROM defs d LEFT JOIN (
+    SELECT callee, list_sort(list(DISTINCT file)) AS files FROM all_files GROUP BY callee
+  ) a ON a.callee = d.func_name
+)"""
+
+_OWNER_TEAMS = """
+owner_teams AS (
+  SELECT tier, pattern, regexp_replace(team_raw, '^@', '') AS team FROM (
+    SELECT tier, toks[1] AS pattern, unnest(toks[2:]) AS team_raw FROM (
+      SELECT tier, regexp_split_to_array(trim(line), '\\s+') AS toks
+      FROM owner_lines
+      WHERE trim(line) <> '' AND NOT starts_with(trim(line), '#')
+    )
+  )
+)"""
+
+_PY_REGEX = "'^' || replace(replace(o.pattern, '/', chr(92) || '/'), '*', '[^/]*') || '$'"
+_JS_REGEX = (
+    "'^' || replace(replace(replace(o.pattern, '/', chr(92) || '/'),"
+    " '*', '[^/]*'), '?', '[^/]') || '$'"
+)
+
+
+def _fx(spark: SparkSession, name: str) -> DataFrame:
+    return fixtures.spark_df(spark, name)
+
+
+# --------------------------------------------------------------------------
+# q17 — raw call-site extraction: regex extract-all + explode (B2).
+# --------------------------------------------------------------------------
+def q17_extract_explode_callsites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _fx(spark, "sql_files")
+    calls = in_scan_roots(files).select(
+        "path",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("content")), F.lit(CALL_RE), F.lit(1))
+        ).alias("callee"),
+    )
+    return calls.groupBy("callee").agg(
+        F.count(F.lit(1)).alias("n_callsites"),
+        F.countDistinct("path").alias("n_files"),
+    )
+
+
+_Q17_SQL = f"""
+WITH {{sql_files}},
+{_SCOPED}
+SELECT callee, COUNT(*) AS n_callsites, COUNT(DISTINCT caller_path) AS n_files
+FROM (
+  SELECT path AS caller_path,
+         unnest(regexp_extract_all(lower(content), 'kimball\\.([a-z_]+)\\s*\\(', 1)) AS callee
+  FROM scoped
+)
+GROUP BY callee
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — the raw dependency graph: known-callee semi-join, self-skip,
+# caller classification, set aggregation (B3-B6).
+# --------------------------------------------------------------------------
+def q18_collect_set_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _fx(spark, "sql_files")
+    return dependency_graph(files).select(
+        "func_name",
+        "def_path",
+        F.concat_ws(",", "used_in_files").alias("used_in_files"),
+        F.concat_ws(",", "used_in_functions").alias("used_in_functions"),
+    )
+
+
+_Q18_SQL = f"""
+WITH {{sql_files}},
+{_SCOPED},
+{_DEFS},
+{_CALLS},
+{_CLASSIFIED}
+SELECT d.func_name, d.def_path,
+  coalesce(array_to_string(u.files, ','), '') AS used_in_files,
+  coalesce(array_to_string(u.funcs, ','), '') AS used_in_functions
+FROM defs d LEFT JOIN (
+  SELECT callee,
+    list_sort(list(DISTINCT caller_path) FILTER (WHERE caller_func IS NULL)) AS files,
+    list_sort(list(DISTINCT caller_func) FILTER (WHERE caller_func IS NOT NULL)) AS funcs
+  FROM classified GROUP BY callee
+) u ON u.callee = d.func_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — one-hop closure ("flattening", B7) — exactly one hop, like the
+# reference; a depth-3 chain does NOT propagate end-to-end.
+# --------------------------------------------------------------------------
+def q20_one_hop_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _fx(spark, "sql_files")
+    return flatten_one_hop(files).select(
+        "func_name", "def_path", F.concat_ws(",", "files").alias("files")
+    )
+
+
+_Q20_SQL = f"""
+WITH {{sql_files}},
+{_SCOPED},
+{_DEFS},
+{_CALLS},
+{_CLASSIFIED},
+{_FLAT}
+SELECT func_name, def_path, coalesce(array_to_string(files, ','), '') AS files FROM flat
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — CODEFACILITATORS derivation: MARTOWNERS glob join (Python
+# translator, unescaped-dot quirk) over flattened dep files (B8-B10, B17).
+# --------------------------------------------------------------------------
+def q19_glob_owner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _fx(spark, "sql_files")
+    lines = _fx(spark, "owner_lines")
+    flat = flatten_one_hop(files)
+    return codefacilitators(flat, lines).select(
+        "func_name", "def_path", F.concat_ws(" ", "teams").alias("teams")
+    )
+
+
+_Q19_SQL = f"""
+WITH {{sql_files}},
+{{owner_lines}},
+{_SCOPED},
+{_DEFS},
+{_CALLS},
+{_CLASSIFIED},
+{_FLAT},
+{_OWNER_TEAMS},
+dep_files AS (
+  SELECT func_name, def_path, unnest(files) AS dep_file FROM flat
+),
+matched AS (
+  SELECT f.func_name, f.def_path, o.team
+  FROM dep_files f, owner_teams o
+  WHERE o.tier = 'martowners'
+    AND regexp_matches(f.dep_file, {_PY_REGEX})
+)
+SELECT func_name, def_path,
+  array_to_string(list_sort(list(DISTINCT team)), ' ') AS teams
+FROM matched GROUP BY func_name, def_path
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — review gate: keep-latest dedup (B11), APPROVED filter (B12),
+# JS glob tier requirements (B8/B9/B16), existential team approval (B13),
+# bool_and conjunction (B14) with vacuous truth, 3-stage CASE (B15).
+# --------------------------------------------------------------------------
+def q21_team_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gate_status(
+        _fx(spark, "pr_files"),
+        _fx(spark, "reviews"),
+        _fx(spark, "team_members"),
+        _fx(spark, "owner_lines"),
+    )
+
+
+_Q21_SQL = f"""
+WITH {{pr_files}},
+{{reviews}},
+{{team_members}},
+{{owner_lines}},
+{_OWNER_TEAMS},
+approvals AS (
+  SELECT pr, "user" FROM (
+    SELECT pr, "user", state,
+           row_number() OVER (PARTITION BY pr, "user" ORDER BY ts DESC) AS rn
+    FROM reviews
+  ) WHERE rn = 1 AND state = 'APPROVED'
+),
+reqs AS (
+  SELECT DISTINCT p.pr, o.tier, o.team
+  FROM pr_files p, owner_teams o
+  WHERE o.tier IN ('codeowners', 'facilitators', 'techteam')
+    AND (o.pattern = '*' OR regexp_matches(p.path, {_JS_REGEX}))
+),
+hit AS (
+  SELECT DISTINCT r.pr, r.tier, r.team
+  FROM reqs r
+  JOIN approvals a ON a.pr = r.pr
+  JOIN team_members m ON m.team = r.team AND m."user" = a."user" AND m.active
+),
+per_team AS (
+  SELECT r.pr, r.tier, r.team, (h.team IS NOT NULL) AS approved
+  FROM reqs r LEFT JOIN hit h
+    ON h.pr = r.pr AND h.tier = r.tier AND h.team = r.team
+),
+per_tier AS (
+  SELECT pr, tier, bool_and(approved) AS ok FROM per_team GROUP BY pr, tier
+),
+prs AS (SELECT DISTINCT pr FROM pr_files)
+SELECT prs.pr,
+  coalesce(c.ok, TRUE) AS codeowners_approved,
+  coalesce(f.ok, TRUE) AS facilitators_approved,
+  coalesce(t.ok, TRUE) AS tech_approved,
+  CASE
+    WHEN coalesce(c.ok, TRUE) AND coalesce(f.ok, TRUE) AND coalesce(t.ok, TRUE) THEN 'done'
+    WHEN coalesce(c.ok, TRUE) AND coalesce(f.ok, TRUE) THEN 'tech'
+    WHEN coalesce(c.ok, TRUE) THEN 'facilitators'
+    ELSE 'owners'
+  END AS stage
+FROM prs
+LEFT JOIN (SELECT pr, ok FROM per_tier WHERE tier = 'codeowners') c ON c.pr = prs.pr
+LEFT JOIN (SELECT pr, ok FROM per_tier WHERE tier = 'facilitators') f ON f.pr = prs.pr
+LEFT JOIN (SELECT pr, ok FROM per_tier WHERE tier = 'techteam') t ON t.pr = prs.pr
+"""
+
+
+def _render(sql: str) -> str:
+    return sql.format(
+        sql_files=fixtures.sql_values_cte("sql_files"),
+        owner_lines=fixtures.sql_values_cte("owner_lines"),
+        pr_files=fixtures.sql_values_cte("pr_files"),
+        reviews=fixtures.sql_values_cte("reviews"),
+        team_members=fixtures.sql_values_cte("team_members"),
+    )
+
+
+QUERIES = {
+    "q17_extract_explode_callsites": q17_extract_explode_callsites,
+    "q18_collect_set_deps": q18_collect_set_deps,
+    "q19_glob_owner_join": q19_glob_owner_join,
+    "q20_one_hop_closure": q20_one_hop_closure,
+    "q21_team_gate": q21_team_gate,
+}
+
+ORACLE = {
+    "q17_extract_explode_callsites": _render(_Q17_SQL),
+    "q18_collect_set_deps": _render(_Q18_SQL),
+    "q19_glob_owner_join": _render(_Q19_SQL),
+    "q20_one_hop_closure": _render(_Q20_SQL),
+    "q21_team_gate": _render(_Q21_SQL),
+}

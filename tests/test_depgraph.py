@@ -1,0 +1,186 @@
+"""Reference-parity tests for the depgraph subsystem.
+
+Ports the reference's three scanner tests
+(/root/reference/.github/tests/test_scan_dependencies.py:31-162) onto the
+DataFrame implementation, plus pins for every documented quirk:
+one-hop flattening (depth-3 does NOT propagate), self-reference skip,
+out-of-roots exclusion, prefix-only filename match, glob unescaped-dot,
+literal-'*' match-all, JS '?' handling, keep-latest dedup, vacuous-true
+empty tiers, and the generalized fixpoint (non-parity) variant.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from e02_spark import fixtures
+from e02_spark.depgraph.owners import codefacilitators, match_files_js, parse_owner_lines
+from e02_spark.depgraph.review_gate import gate_status, latest_reviews
+from e02_spark.depgraph.scanner import (
+    dependency_graph,
+    flatten_fixpoint,
+    flatten_one_hop,
+    scan_function_defs,
+)
+
+KDIR = "deployer/patch/DWH/kimball"
+
+
+def _files_df(spark, rows):
+    return spark.createDataFrame(rows, schema="path STRING, content STRING")
+
+
+def _graph(spark, rows):
+    return {
+        r["func_name"]: r
+        for r in dependency_graph(_files_df(spark, rows)).collect()
+    }
+
+
+# --- reference test 1: direct file→function dependency (:31-64) -----------
+def test_dependency_searching(spark):
+    rows = [
+        (f"{KDIR}/r_1.1_f_test_func.sql", "CREATE FUNCTION ${kimball}.TEST_FUNC()"),
+        ("replicator/source/usage.sql", "SELECT KIMBALL.test_func(1) FROM t"),
+    ]
+    g = _graph(spark, rows)
+    assert g["test_func"]["used_in_files"] == ["replicator/source/usage.sql"]
+    assert g["test_func"]["used_in_functions"] == []
+
+
+# --- reference test 2: function→function edge (:66-97) --------------------
+def test_function_to_function_dependency(spark):
+    rows = [
+        (f"{KDIR}/r_1.1_f_inner_func.sql", "CREATE FUNCTION inner"),
+        (f"{KDIR}/r_1.2_f_outer_func.sql", "RETURN KIMBALL.inner_func(1)"),
+    ]
+    g = _graph(spark, rows)
+    assert g["inner_func"]["used_in_functions"] == ["outer_func"]
+    assert g["inner_func"]["used_in_files"] == []
+
+
+# --- reference test 3: depth-2 flattening (:99-162) -----------------------
+def test_transitive_dependency_flattening(spark):
+    rows = [
+        (f"{KDIR}/r_1.1_f_base_func.sql", "CREATE FUNCTION base"),
+        (f"{KDIR}/r_1.2_f_wrapper_func.sql", "RETURN KIMBALL.base_func(1)"),
+        ("replicator/source/end_view.sql", "SELECT KIMBALL.wrapper_func(1)"),
+    ]
+    flat = {
+        r["func_name"]: r["files"]
+        for r in flatten_one_hop(_files_df(spark, rows)).collect()
+    }
+    assert flat["wrapper_func"] == ["replicator/source/end_view.sql"]
+    # base_func inherits the file of its direct caller (one hop)
+    assert flat["base_func"] == ["replicator/source/end_view.sql"]
+
+
+# --- quirk pin: depth-3 does NOT propagate (one hop, not fixpoint) --------
+def test_depth3_one_hop_parity(spark):
+    rows = [
+        (f"{KDIR}/r_1.1_f_base_func.sql", "CREATE FUNCTION base"),
+        (f"{KDIR}/r_1.2_f_middle_func.sql", "RETURN KIMBALL.base_func(1)"),
+        (f"{KDIR}/r_1.3_f_top_func.sql", "RETURN KIMBALL.middle_func(1)"),
+        ("replicator/source/end_view.sql", "SELECT KIMBALL.top_func(1)"),
+    ]
+    df = _files_df(spark, rows)
+    flat = {r["func_name"]: r["files"] for r in flatten_one_hop(df).collect()}
+    assert flat["top_func"] == ["replicator/source/end_view.sql"]
+    assert flat["middle_func"] == ["replicator/source/end_view.sql"]
+    assert flat["base_func"] == []  # one hop only — exactly the reference
+    # ...while the generalized fixpoint variant DOES propagate:
+    fix = {r["func_name"]: r["files"] for r in flatten_fixpoint(df).collect()}
+    assert fix["base_func"] == ["replicator/source/end_view.sql"]
+
+
+def test_self_reference_and_roots_and_prefix_quirks(spark):
+    g = _graph(spark, fixtures.SQL_FILES)
+    # self-referencing definition file is skipped
+    assert g["recursive_func"]["used_in_files"] == []
+    assert g["recursive_func"]["used_in_functions"] == []
+    # other/outside_scanned_roots.sql calls base_func but is ignored
+    assert "other/outside_scanned_roots.sql" not in g["base_func"]["used_in_files"]
+    # re.match prefix quirk: r_9.001_f_weird.sqlish.sql defines 'weird'
+    defs = {
+        r["func_name"]
+        for r in scan_function_defs(
+            _files_df(spark, fixtures.SQL_FILES)
+        ).collect()
+    }
+    assert "weird" in defs
+
+
+def test_glob_translator_quirks(spark):
+    files = spark.createDataFrame(
+        [
+            ("deployer/patch/DWH/kimball/r_4X001_v_report.sql",),  # dot matches X
+            ("README.md",),
+            ("a/b/c.txt",),
+        ],
+        schema="path STRING",
+    )
+    patterns = spark.createDataFrame(
+        [
+            ("t", "deployer/patch/DWH/kimball/r_4.*v_*.sql", "dot-quirk"),
+            ("t", "*", "match-all"),
+            ("t", "R?ADME.md", "js-qmark"),
+        ],
+        schema="tier STRING, pattern STRING, team STRING",
+    )
+    got = {
+        (r["path"], r["team"])
+        for r in match_files_js(files, patterns).select("path", "team").collect()
+    }
+    # unescaped '.' matched the literal X
+    assert ("deployer/patch/DWH/kimball/r_4X001_v_report.sql", "dot-quirk") in got
+    # literal '*' matches everything, even paths with slashes
+    assert ("a/b/c.txt", "match-all") in got
+    # JS translator: '?' -> [^/]
+    assert ("README.md", "js-qmark") in got
+
+
+def test_owner_line_parsing_skips_comments_blanks(spark):
+    parsed = parse_owner_lines(fixtures.spark_df(spark, "owner_lines"))
+    pats = [r["pattern"] for r in parsed.collect()]
+    assert "#" not in "".join(pats)
+    assert "" not in pats
+
+
+def test_keep_latest_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alice", "APPROVED", datetime(2024, 1, 1, 10)),
+            (1, "alice", "CHANGES_REQUESTED", datetime(2024, 1, 1, 12)),
+            (1, "bob", "APPROVED", datetime(2024, 1, 1, 11)),
+        ],
+        schema="pr BIGINT, user STRING, state STRING, ts TIMESTAMP",
+    )
+    latest = {r["user"]: r["state"] for r in latest_reviews(df).collect()}
+    assert latest == {"alice": "CHANGES_REQUESTED", "bob": "APPROVED"}
+
+
+def test_gate_stages_cover_all_four(spark):
+    status = gate_status(
+        fixtures.spark_df(spark, "pr_files"),
+        fixtures.spark_df(spark, "reviews"),
+        fixtures.spark_df(spark, "team_members"),
+        fixtures.spark_df(spark, "owner_lines"),
+    )
+    stages = {r["pr"]: r["stage"] for r in status.collect()}
+    assert stages[1] == "done"
+    assert stages[2] == "owners"
+    assert stages[4] == "facilitators"
+    assert stages[5] == "tech"
+
+
+def test_codefacilitators_drops_unmatched(spark):
+    files = fixtures.spark_df(spark, "sql_files")
+    lines = fixtures.spark_df(spark, "owner_lines")
+    result = codefacilitators(flatten_one_hop(files), lines)
+    funcs = {r["func_name"] for r in result.collect()}
+    # 'weird' and 'recursive_func' have no dep files matching MARTOWNERS
+    assert "weird" not in funcs
+    assert "recursive_func" not in funcs
+    assert "utm_campaign_to_product" in funcs
