@@ -216,6 +216,26 @@ UTM_ROWS = [
 UTM_ROWS_SCHEMA = "utm_source STRING, utm_medium STRING, utm_campaign STRING, utm_content STRING"
 
 # ---------------------------------------------------------------------------
+# B8. media(media_id, kind, width, height, payload) — multimodal binary
+# columns: opaque payloads with typed metadata (SURVEY.md §2.E E9). The
+# payloads are deterministic byte patterns standing in for image/audio
+# bytes; decode itself is stubbed (ops/multimodal.py) but the Spark-side
+# plumbing (binary column, schema, batching) is real.
+# ---------------------------------------------------------------------------
+def _fake_payload(seed: int, n: int) -> bytes:
+    return bytes((seed * 7 + j * 13) % 256 for j in range(n))
+
+
+MEDIA = [
+    (1, "image", 640, 480, _fake_payload(1, 64)),
+    (2, "image", 1024, 768, _fake_payload(2, 96)),
+    (3, "audio", 0, 0, _fake_payload(3, 128)),
+    (4, "image", 320, 240, _fake_payload(4, 32)),
+    (5, "video", 1920, 1080, _fake_payload(5, 256)),
+]
+MEDIA_SCHEMA = "media_id BIGINT, kind STRING, width BIGINT, height BIGINT, payload BINARY"
+
+# ---------------------------------------------------------------------------
 # B7. lexicon(token, polarity) — tokens drawn from the documents vocabulary
 # ---------------------------------------------------------------------------
 LEXICON = [
@@ -237,6 +257,7 @@ _FIXTURES: dict[str, tuple[list[tuple], str]] = {
     "pr_files": (PR_FILES, PR_FILES_SCHEMA),
     "utm_rows": (UTM_ROWS, UTM_ROWS_SCHEMA),
     "lexicon": (LEXICON, LEXICON_SCHEMA),
+    "media": (MEDIA, MEDIA_SCHEMA),
 }
 
 
@@ -256,6 +277,8 @@ def _sql_literal(v) -> str:
         return f"CAST({v} AS BIGINT)"
     if isinstance(v, float):
         return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, (bytes, bytearray)):
+        return "'" + "".join(f"\\x{b:02X}" for b in v) + "'::BLOB"
     if isinstance(v, datetime):
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
     return "'" + str(v).replace("'", "''") + "'"

@@ -1,0 +1,159 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Everything is hash-deterministic (md5) and built from JVM-side primitives,
+so each variant has a DuckDB oracle twin. Scale design per operator is
+noted inline — the common theme: never materialize O(n^2) pairs; generate
+bounded candidate sets (LSH bands, sign buckets, df-capped inverted index)
+and verify exactly only within candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine, sign_lsh_bucket
+from .text import minhash_signature, shingles
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key (lowest order_col) — deterministic
+    keep-first via window (B11 pattern). One shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = 4, bands: int = 2, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    shingle → k md5-minhashes → `bands` bands of k/bands hashes → bucket
+    join on (band_idx, band_key) → candidate pairs → exact Jaccard over the
+    candidates only → filter >= threshold.
+
+    Scale: the band bucket join shuffles on band_key (high cardinality);
+    candidate verification joins shingle sets only for candidate pairs —
+    work is O(candidates * shingles/doc), never O(n^2).
+    """
+    sh = shingles(documents).cache()
+    sig = minhash_signature(sh, k=k)
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        hs = [f"h{b * rows_per_band + j + 1}" for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *hs).alias("band_key"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+    a = banded.select(
+        F.col("doc_id").alias("da"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("db"), "band_idx", "band_key"
+    )
+    candidates = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("da"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        candidates.join(sha, "da").join(shb, ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
+    szb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(sza, "da")
+        .join(szb, "db")
+        .select(
+            "da",
+            "db",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("da", "db", "jaccard")
+
+
+def ngram_jaccard_topk(
+    documents: DataFrame, n: int = 3, topk: int = 20, max_df: int = 100
+) -> DataFrame:
+    """Exact top-k most-similar document pairs by n-gram Jaccard, via a
+    df-capped inverted index (shingles occurring in more than max_df docs
+    are skipped for candidate generation — at scale this bounds the pair
+    blow-up from stop-shingles; exact Jaccard still uses ALL shingles)."""
+    sh = shingles(documents, n=n).cache()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    a = rare.select(F.col("doc_id").alias("da"), "shingle")
+    b = rare.select(F.col("doc_id").alias("db"), "shingle")
+    candidates = (
+        a.join(b, "shingle").where(F.col("da") < F.col("db")).select("da", "db").distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("da"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        candidates.join(sha, "da")
+        .join(shb, ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sza = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
+    szb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    scored = (
+        inter.join(sza, "da")
+        .join(szb, "db")
+        .select(
+            "da",
+            "db",
+            F.col("inter").cast("bigint").alias("inter"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("da").asc(), F.col("db").asc()
+    ).limit(topk)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, bucket_bits: int = 4
+) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-LSH blocking + exact cosine
+    verification within buckets. Recall < 1 by design (pairs straddling a
+    sign hyperplane are missed) — the oracle replicates the same blocking,
+    so results are exactly comparable."""
+    bucketed = embeddings.select(
+        "vec_id", "embedding", sign_lsh_bucket("embedding", bucket_bits).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").where(F.col("va") < F.col("vb"))
+    scored = pairs.select("va", "vb", cosine("ea", "eb").alias("cosine"))
+    return scored.where(F.col("cosine") >= threshold)

@@ -1,0 +1,166 @@
+"""Vector similarity operators over ARRAY<FLOAT> embedding columns.
+
+Determinism design: dot products and squared norms are computed in EXACT
+decimal arithmetic (each float cast to DECIMAL(18,9); products DECIMAL(37,18);
+sums exact), rounded to scale 6 (small mantissa → the decimal→double cast is
+a single correctly-rounded IEEE division on both Spark and DuckDB), and only
+then combined with sqrt/division in double — every engine computes identical
+IEEE operations on identical inputs, so cosine scores are bit-equal without
+any tolerance. See e02_spark/num.py for the general rule.
+
+Spark side uses higher-order array functions (zip_with/aggregate) — JVM-side,
+no UDF, no row explosion. The DuckDB oracle twins use a lateral
+generate_series expansion (helpers below emit that SQL).
+
+Scale path: brute-force top-k is a map-side score + global top-k (the
+orderBy(k).limit collapses to TakeOrderedAndProject — no full sort). The
+LSH/IVF variants bound candidate sets; see sign_lsh_bucket / ivf_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64  # driver embeddings are 64-dim (TESTDATA.md / FIXTURES.md)
+
+
+def _dot_dec(a: str, b: str) -> Column:
+    """Exact decimal dot product of two float-array columns (JVM-side).
+
+    Components are FLOOR-quantized to integer micro-units (floor(x * 1e6))
+    — floor is tie-free: both engines compute the identical IEEE double
+    x*1e6 and floor it identically (a ROUND step would diverge on exact
+    half-way values because the engines use different half rules). The dot
+    product is then exact BIGINT arithmetic (|sum| <= dim * (2e6)^2 << 2^63)
+    and the final BIGINT→double cast is exact (< 2^53)."""
+    return F.expr(
+        f"""aggregate(
+              zip_with({a}, {b},
+                (x, y) -> cast(floor(cast(x as double) * 1000000d) as bigint)
+                        * cast(floor(cast(y as double) * 1000000d) as bigint)),
+              cast(0 as bigint),
+              (acc, v) -> acc + v)"""
+    ).cast("double")
+
+
+def cosine(a: str, b: str) -> Column:
+    """Bit-deterministic cosine similarity between two array columns."""
+    return _dot_dec(a, b) / (
+        F.sqrt(_dot_dec(a, a)) * F.sqrt(_dot_dec(b, b))
+    )
+
+
+def duck_dot_sql(a: str, b: str, series_alias: str = "t") -> str:
+    """DuckDB twin of _dot_dec: exact decimal dot product via a lateral
+    generate_series — requires `{series_alias}(i)` joined as
+    `CROSS JOIN generate_series(1, 64) AS {series_alias}(i)` and GROUP BY
+    of the surrounding query."""
+    i = f"{series_alias}.i"
+    return (
+        f"CAST(SUM(CAST(FLOOR(CAST({a}[{i}] AS DOUBLE) * 1000000) AS BIGINT)"
+        f" * CAST(FLOOR(CAST({b}[{i}] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
+    )
+
+
+def sign_lsh_bucket(vec: str, bits: int = 8) -> Column:
+    """Random-hyperplane-style LSH bucket: the sign pattern of the first
+    `bits` components (axis-aligned hyperplanes — deterministic, identical
+    across engines). Vectors in the same bucket are near-dup candidates;
+    at scale this turns an O(n^2) similarity join into per-bucket joins."""
+    terms = [
+        F.when(F.element_at(F.col(vec), i + 1) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def duck_sign_lsh_sql(vec: str, bits: int = 8) -> str:
+    parts = [
+        f"(CASE WHEN {vec}[{i + 1}] > 0.0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def topk_bruteforce(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against one stored vector. The broadcasted
+    1-row query side keeps this a map-only scan + TakeOrdered."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine("embedding", "qv").alias("cosine"))
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def knn_pairs_per_group(
+    embeddings: DataFrame, group_col: str = "label", k: int = 3
+) -> DataFrame:
+    """Top-k most-similar vector pairs within each group (k-NN join
+    restricted to a partition key — the scalable 'blocked' form)."""
+    a = embeddings.select(
+        F.col(group_col).alias("grp"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = embeddings.select(
+        F.col(group_col).alias("grp"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, "grp").where(F.col("va") < F.col("vb"))
+    scored = pairs.select("grp", "va", "vb", cosine("ea", "eb").alias("cosine"))
+    w = Window.partitionBy("grp").orderBy(
+        F.col("cosine").desc(), F.col("va").asc(), F.col("vb").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select(F.col("grp").alias(group_col), "rk", "va", "vb", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_vec_id: int, n_centroids: int = 8, k: int = 5
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic 'trained' centroids (the
+    first n_centroids stored vectors), nearest-centroid assignment, probe
+    only the query's cell. At scale: centroids broadcast, assignment is a
+    map-side argmax, and the probe reads one partition of a
+    centroid-partitioned table instead of the full corpus."""
+    centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "embedding", "cid", cosine("embedding", "cv").alias("c_cos")
+        )
+        .withColumn("arn", F.row_number().over(assign_w))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = assigned.where(F.col("vec_id") == query_vec_id).select(
+        F.col("cid").alias("qcid"), F.col("embedding").alias("qv")
+    )
+    probe = (
+        assigned.crossJoin(F.broadcast(q))
+        .where((F.col("cid") == F.col("qcid")) & (F.col("vec_id") != query_vec_id))
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("centroid_id"),
+            cosine("embedding", "qv").alias("cosine"),
+        )
+    )
+    return probe.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

@@ -1,6 +1,570 @@
-"""LLM-data-pipeline declared queries (SURVEY.md §2.E). Filled in M4."""
+"""LLM-data-pipeline declared queries (SURVEY.md §2.E + driver north-star):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force, per-group kNN, IVF), and text analysis
+(token counts, sentiment, language-ID, quality scoring, fingerprinting).
+
+Every query here is oracle-checked — the hash functions are md5 (identical
+hex in Spark and DuckDB) and all floating-point scores derive from exact
+integer/decimal arithmetic (see ops/similarity.py docstring).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict[str, str] = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from ..io import load_table
+from ..num import dec
+from ..ops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_topk,
+)
+from ..ops.similarity import (
+    duck_dot_sql,
+    duck_sign_lsh_sql,
+    ivf_topk,
+    knn_pairs_per_group,
+    topk_bruteforce,
+)
+from ..ops.text import (
+    DUCK_SIMHASH_SQL,
+    STOPWORDS,
+    quality_metrics,
+    simhash32,
+    tokens,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Shared DuckDB fragments ----------------------------------------------------
+
+_DUCK_TOKENS = """
+doc_tokens AS (
+  SELECT doc_id, unnest(string_split(text, chr(32))) AS token FROM documents
+)"""
+
+_DUCK_SHINGLES = """
+doc_shingles AS (
+  SELECT DISTINCT doc_id,
+    t[i] || chr(32) || t[i+1] || chr(32) || t[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
+       generate_series(1, 2000) AS g(i)
+  WHERE i + 2 <= len(t)
+)"""
+
+
+# --------------------------------------------------------------------------
+# q26 — exact dedup (E1): duplicate the corpus, dedup on text keeping the
+# lowest doc_id, report before/after per source.
+# --------------------------------------------------------------------------
+def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.unionByName(d)
+    kept = exact_dedup(corpus, ["text"], "doc_id")
+    before = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_after"))
+    return before.join(after, "source")
+
+
+_Q26_SQL = """
+WITH corpus AS (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM corpus
+  ) WHERE rn = 1
+)
+SELECT b.source, b.n_before, a.n_after
+FROM (SELECT source, COUNT(*) AS n_before FROM corpus GROUP BY source) b
+JOIN (SELECT source, COUNT(*) AS n_after FROM kept GROUP BY source) a
+  ON a.source = b.source
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 — brute-force cosine top-k against a stored query vector (E3/E4).
+# --------------------------------------------------------------------------
+def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_bruteforce(e, query_vec_id=0, k=10)
+
+
+_Q27_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+comp AS (
+  SELECT e.vec_id,
+    {duck_dot_sql('e.embedding', 'q.qv')} AS dot,
+    {duck_dot_sql('e.embedding', 'e.embedding')} AS n2a,
+    {duck_dot_sql('q.qv', 'q.qv')} AS n2b
+  FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, dot / (sqrt(n2a) * sqrt(n2b)) AS cosine
+FROM comp ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — token counts: top-20 tokens by occurrence (E6/E7).
+# --------------------------------------------------------------------------
+def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tokens(d)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_Q28_SQL = f"""
+WITH {_DUCK_TOKENS}
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM doc_tokens GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — lexicon sentiment scoring (E8): broadcast lexicon join.
+# --------------------------------------------------------------------------
+def q29_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    lex = F.broadcast(fixtures.spark_df(spark, "lexicon"))
+    scored = tokens(d).join(lex, "token").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (F.sum(dec("polarity")).cast("double") / F.count(F.lit(1))).alias("score"),
+    )
+    out = d.select("doc_id").join(scored, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+        "score",
+        F.when(F.col("score") > 0.05, "positive")
+        .when(F.col("score") < -0.05, "negative")
+        .when(F.col("score").isNotNull(), "neutral")
+        .otherwise("unscored")
+        .alias("label"),
+    )
+
+
+def _q29_sql() -> str:
+    lex = fixtures.sql_values_cte("lexicon")
+    return f"""
+WITH {lex},
+{_DUCK_TOKENS},
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_scored,
+    CAST(SUM(CAST(polarity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS score
+  FROM doc_tokens JOIN lexicon USING (token)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_scored, 0) AS n_scored, s.score,
+  CASE WHEN s.score > 0.05 THEN 'positive'
+       WHEN s.score < -0.05 THEN 'negative'
+       WHEN s.score IS NOT NULL THEN 'neutral'
+       ELSE 'unscored' END AS label
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 — MinHash + LSH near-dup detection (E2), exact-Jaccard verified.
+# --------------------------------------------------------------------------
+def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8)
+
+
+_Q31_SQL = f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    min(md5('1:' || shingle)) AS h1, min(md5('2:' || shingle)) AS h2,
+    min(md5('3:' || shingle)) AS h3, min(md5('4:' || shingle)) AS h4
+  FROM doc_shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, h1 || '|' || h2 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, h3 || '|' || h4 AS band_key FROM sig
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS inter
+  FROM candidates c
+  JOIN doc_shingles sa ON sa.doc_id = c.da
+  JOIN doc_shingles sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+  GROUP BY c.da, c.db
+)
+SELECT i.da, i.db,
+  CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.da
+JOIN sizes zb ON zb.doc_id = i.db
+WHERE CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — SimHash near-dup buckets: pairs sharing a 16-bit simhash.
+# --------------------------------------------------------------------------
+def q34_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = simhash32(shingles(d))
+    a = sh.select(F.col("doc_id").alias("da"), "simhash")
+    b = sh.select(F.col("doc_id").alias("db"), "simhash")
+    return a.join(b, "simhash").where(F.col("da") < F.col("db")).select(
+        "da", "db", "simhash"
+    )
+
+
+_Q34_SQL = f"""
+WITH {_DUCK_SHINGLES},
+{DUCK_SIMHASH_SQL}
+SELECT a.doc_id AS da, b.doc_id AS db, a.simhash
+FROM simhashes a JOIN simhashes b
+  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 — exact n-gram Jaccard top-20 pairs via df-capped inverted index.
+# --------------------------------------------------------------------------
+def q35_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_topk(d, n=3, topk=20, max_df=100)
+
+
+_Q35_SQL = f"""
+WITH {_DUCK_SHINGLES},
+df_counts AS (SELECT shingle, COUNT(*) AS df FROM doc_shingles GROUP BY shingle),
+rare AS (
+  SELECT s.doc_id, s.shingle FROM doc_shingles s
+  JOIN df_counts d ON d.shingle = s.shingle AND d.df <= 100
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS inter
+  FROM candidates c
+  JOIN doc_shingles sa ON sa.doc_id = c.da
+  JOIN doc_shingles sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+  GROUP BY c.da, c.db
+)
+SELECT i.da, i.db, CAST(i.inter AS BIGINT) AS inter,
+  CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.da
+JOIN sizes zb ON zb.doc_id = i.db
+ORDER BY jaccard DESC, da ASC, db ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — language-ID heuristic: stopword ratio (the driver corpus shares one
+# vocabulary across lang labels, so this reports the confusion matrix of
+# the heuristic — the operator, not the labels, is what's exercised).
+# --------------------------------------------------------------------------
+def q36_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(d)
+    ratios = t.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("token").isin(STOPWORDS), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("stop_ratio")
+    )
+    pred = d.join(ratios, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("stop_ratio") >= 0.12, "en").otherwise("unk").alias("predicted"),
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_Q36_SQL = f"""
+WITH {_DUCK_TOKENS},
+ratios AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN token IN ('a', 'the') THEN 1 ELSE 0 END) AS DOUBLE)
+      / COUNT(*) AS stop_ratio
+  FROM doc_tokens GROUP BY doc_id
+)
+SELECT d.lang,
+  CASE WHEN r.stop_ratio >= 0.12 THEN 'en' ELSE 'unk' END AS predicted,
+  COUNT(*) AS n_docs
+FROM documents d JOIN ratios r ON r.doc_id = d.doc_id
+GROUP BY lang, predicted
+"""
+
+
+# --------------------------------------------------------------------------
+# q37 — document quality scoring: exact-integer-derived signals.
+# --------------------------------------------------------------------------
+def q37_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    m = quality_metrics(d)
+    score = (
+        F.lit(0.4) * F.col("distinct_ratio")
+        + F.lit(0.3) * (F.lit(1.0) - F.col("stop_ratio"))
+        + F.lit(0.3) * F.least(F.col("avg_token_len") / F.lit(5.0), F.lit(1.0))
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        F.when(score >= 0.75, "high")
+        .when(score >= 0.6, "medium")
+        .otherwise("low")
+        .alias("band"),
+    )
+
+
+_Q37_SQL = f"""
+WITH {_DUCK_TOKENS},
+m AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS distinct_ratio,
+    CAST(SUM(CASE WHEN token IN ('a', 'the') THEN 1 ELSE 0 END) AS DOUBLE)
+      / COUNT(*) AS stop_ratio,
+    CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len
+  FROM doc_tokens GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  0.4 * distinct_ratio + 0.3 * (1.0 - stop_ratio)
+    + 0.3 * least(avg_token_len / 5.0, 1.0) AS score,
+  CASE WHEN 0.4 * distinct_ratio + 0.3 * (1.0 - stop_ratio)
+            + 0.3 * least(avg_token_len / 5.0, 1.0) >= 0.75 THEN 'high'
+       WHEN 0.4 * distinct_ratio + 0.3 * (1.0 - stop_ratio)
+            + 0.3 * least(avg_token_len / 5.0, 1.0) >= 0.6 THEN 'medium'
+       ELSE 'low' END AS band
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# q38 — document fingerprinting: md5-MinHash signature digest.
+# --------------------------------------------------------------------------
+def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import minhash_signature, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d)
+    sig = minhash_signature(sh, k=4)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return sig.join(sizes, "doc_id").select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "h1", "h2", "h3", "h4")).alias("fingerprint"),
+        "n_shingles",
+    )
+
+
+_Q38_SQL = f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    min(md5('1:' || shingle)) AS h1, min(md5('2:' || shingle)) AS h2,
+    min(md5('3:' || shingle)) AS h3, min(md5('4:' || shingle)) AS h4,
+    COUNT(*) AS n_shingles
+  FROM doc_shingles GROUP BY doc_id
+)
+SELECT doc_id, md5(h1 || '|' || h2 || '|' || h3 || '|' || h4) AS fingerprint,
+       n_shingles
+FROM sig
+"""
+
+
+# --------------------------------------------------------------------------
+# q39 — embedding-cosine near-dup via sign-LSH blocking + exact verify.
+# --------------------------------------------------------------------------
+def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.35, bucket_bits=4)
+
+
+_Q39_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {duck_sign_lsh_sql('embedding', 4)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS va, a.embedding AS ea, b.vec_id AS vb, b.embedding AS eb
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+comp AS (
+  SELECT va, vb,
+    {duck_dot_sql('ea', 'eb')} AS dot,
+    {duck_dot_sql('ea', 'ea')} AS n2a,
+    {duck_dot_sql('eb', 'eb')} AS n2b
+  FROM pairs CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY va, vb
+)
+SELECT va, vb, dot / (sqrt(n2a) * sqrt(n2b)) AS cosine
+FROM comp WHERE dot / (sqrt(n2a) * sqrt(n2b)) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# q40 — per-group kNN join: top-3 most similar pairs per embedding label.
+# --------------------------------------------------------------------------
+def q40_knn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_pairs_per_group(e, group_col="label", k=3)
+
+
+_Q40_SQL = f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS va, a.embedding AS ea,
+         b.vec_id AS vb, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+comp AS (
+  SELECT label, va, vb,
+    {duck_dot_sql('ea', 'eb')} AS dot,
+    {duck_dot_sql('ea', 'ea')} AS n2a,
+    {duck_dot_sql('eb', 'eb')} AS n2b
+  FROM pairs CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY label, va, vb
+),
+ranked AS (
+  SELECT label, va, vb, dot / (sqrt(n2a) * sqrt(n2b)) AS cosine,
+    row_number() OVER (PARTITION BY label
+                       ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, va ASC, vb ASC) AS rk
+  FROM comp
+)
+SELECT label, CAST(rk AS BIGINT) AS rk, va, vb, cosine
+FROM ranked WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q42 — IVF-style approximate nearest neighbor (deterministic centroids).
+# --------------------------------------------------------------------------
+def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=0, n_centroids=8, k=5)
+
+
+_Q42_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+assign_comp AS (
+  SELECT e.vec_id, c.cid,
+    {duck_dot_sql('e.embedding', 'c.cv')} AS dot,
+    {duck_dot_sql('e.embedding', 'e.embedding')} AS n2a,
+    {duck_dot_sql('c.cv', 'c.cv')} AS n2b
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, cid ASC) AS arn
+    FROM assign_comp
+  ) WHERE arn = 1
+),
+q AS (
+  SELECT a.cid AS qcid, e.embedding AS qv
+  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id = 0
+),
+probe AS (
+  SELECT e.vec_id, a.cid,
+    {duck_dot_sql('e.embedding', 'q.qv')} AS dot,
+    {duck_dot_sql('e.embedding', 'e.embedding')} AS n2a,
+    {duck_dot_sql('q.qv', 'q.qv')} AS n2b
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  CROSS JOIN q
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE a.cid = (SELECT qcid FROM q) AND e.vec_id <> 0
+  GROUP BY e.vec_id, a.cid
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+       dot / (sqrt(n2a) * sqrt(n2b)) AS cosine
+FROM probe ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q41 — multimodal binary columns: metadata + content-identity projection
+# (E9). Codec decode itself is stubbed (ops/multimodal.py); the binary
+# plumbing (BINARY column, base64 identity, metadata pruning) is real.
+# --------------------------------------------------------------------------
+def q41_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.multimodal import media_summary
+
+    return media_summary(fixtures.spark_df(spark, "media"))
+
+
+def _q41_sql() -> str:
+    media = fixtures.sql_values_cte("media")
+    return f"""
+WITH {media}
+SELECT media_id, kind,
+  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+  substring(base64(payload), 1, 24) AS b64_prefix,
+  CASE WHEN height > 0 THEN CAST(width AS DOUBLE) / height ELSE NULL END AS aspect
+FROM media
+"""
+
+
+QUERIES = {
+    "q26_exact_dedup": q26_exact_dedup,
+    "q41_multimodal_summary": q41_multimodal_summary,
+    "q27_cosine_topk": q27_cosine_topk,
+    "q28_token_counts": q28_token_counts,
+    "q29_sentiment_lexicon": q29_sentiment_lexicon,
+    "q31_minhash_lsh_neardup": q31_minhash_lsh_neardup,
+    "q34_simhash_neardup": q34_simhash_neardup,
+    "q35_ngram_jaccard_topk": q35_ngram_jaccard_topk,
+    "q36_lang_id": q36_lang_id,
+    "q37_quality_score": q37_quality_score,
+    "q38_fingerprint": q38_fingerprint,
+    "q39_embedding_neardup": q39_embedding_neardup,
+    "q40_knn_per_group": q40_knn_per_group,
+    "q42_ann_ivf": q42_ann_ivf,
+}
+
+ORACLE = {
+    "q26_exact_dedup": _Q26_SQL,
+    "q41_multimodal_summary": _q41_sql(),
+    "q27_cosine_topk": _Q27_SQL,
+    "q28_token_counts": _Q28_SQL,
+    "q29_sentiment_lexicon": _q29_sql(),
+    "q31_minhash_lsh_neardup": _Q31_SQL,
+    "q34_simhash_neardup": _Q34_SQL,
+    "q35_ngram_jaccard_topk": _Q35_SQL,
+    "q36_lang_id": _Q36_SQL,
+    "q37_quality_score": _Q37_SQL,
+    "q38_fingerprint": _Q38_SQL,
+    "q39_embedding_neardup": _Q39_SQL,
+    "q40_knn_per_group": _Q40_SQL,
+    "q42_ann_ivf": _Q42_SQL,
+}

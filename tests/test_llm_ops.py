@@ -1,0 +1,78 @@
+"""Unit tests for the LLM-data-pipeline operators beyond the oracle gate:
+recall properties of the near-dup detectors, mapInPandas multimodal
+plumbing (fake path + stub gate), and the IVF vs brute-force relationship.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e02_spark import fixtures
+from e02_spark.io import load_table
+from e02_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
+from e02_spark.ops.multimodal import decode_features, media_summary
+from e02_spark.ops.similarity import ivf_topk, topk_bruteforce
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_planted_neardups(spark):
+    d = load_table(spark, SF, "documents")
+    pairs = minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8).collect()
+    assert len(pairs) > 0  # the driver corpus has planted ~0.99-Jaccard pairs
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+    assert all(r["da"] < r["db"] for r in pairs)
+
+
+def test_exact_dedup_keeps_lowest_key(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], schema="id BIGINT, k STRING"
+    )
+    kept = {r["k"]: r["id"] for r in exact_dedup(df, ["k"], "id").collect()}
+    assert kept == {"x": 1, "y": 2}
+
+
+def test_topk_excludes_query_and_is_sorted(spark):
+    e = load_table(spark, SF, "embeddings")
+    rows = topk_bruteforce(e, query_vec_id=0, k=5).collect()
+    assert len(rows) == 5
+    assert all(r["vec_id"] != 0 for r in rows)
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_results_subset_of_cluster(spark):
+    e = load_table(spark, SF, "embeddings")
+    rows = ivf_topk(e, query_vec_id=0, n_centroids=8, k=5).collect()
+    assert len(rows) == 5
+    assert len({r["centroid_id"] for r in rows}) == 1  # all from one cell
+
+
+def test_multimodal_fake_decode_plumbing(spark):
+    media = fixtures.spark_df(spark, "media")
+    feats = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert set(feats) == {1, 2, 3, 4, 5}
+    raw = {m[0]: m[4] for m in fixtures.MEDIA}
+    for mid, row in feats.items():
+        payload = raw[mid]
+        assert row["n_bytes"] == len(payload)
+        assert row["feat_max"] == max(payload)
+        assert abs(row["feat_mean"] - sum(payload) / len(payload)) < 1e-12
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = fixtures.spark_df(spark, "media")
+    with pytest.raises(Exception, match="NotImplementedError|codec decode"):
+        decode_features(media, real_decode=True).collect()
+
+
+def test_media_summary_aspect_null_for_audio(spark):
+    rows = {r["media_id"]: r for r in media_summary(fixtures.spark_df(spark, "media")).collect()}
+    assert rows[3]["aspect"] is None
+    assert rows[1]["aspect"] == 640 / 480
+
+
+def test_documents_all_texts_distinct_then_dedup_noop(spark):
+    d = load_table(spark, SF, "documents")
+    assert exact_dedup(d, ["text"], "doc_id").count() == d.count()
