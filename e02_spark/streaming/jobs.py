@@ -1,0 +1,138 @@
+"""Streaming jobs over the events stream and the review-event stream.
+
+Each job's aggregation logic is the SAME expression tree as its
+oracle-checked batch twin (q24 tumbling, q25 sessions, B11/B15 gate) —
+streaming adds only watermarks/output-mode/state plumbing. That keeps the
+correctness surface batch-tested while the streaming path stays thin
+(SURVEY.md §7.4 item 6).
+
+Scale: file-source streams shard by file; state stores (dedup, session
+windows, the gate's per-PR state) are keyed by high-cardinality keys and
+sized by the watermark horizon, so state is bounded regardless of total
+stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events.parquet stores ts as TIMESTAMP(NANOS) → read as LONG (see io.py)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of event parquet files dropped into events_dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """E10+E13: 1-hour tumbling counts with a 10-minute watermark (late
+    events beyond the watermark are dropped). Same agg as batch q24."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )
+
+
+def sliding_quarter_hour(events: DataFrame) -> DataFrame:
+    """E11: 1-hour windows sliding every 15 minutes."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """E14: drop duplicate event_ids within the watermark horizon."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """E12 (streaming form): native session_window with a 30-minute gap —
+    the batch twin (q25, lag+cumsum) is the oracle-checked semantics."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+# --- E15: the review gate as a stateful stream -----------------------------
+
+GATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pr", LongType()),
+        StructField("n_approvers", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+GATE_STATE_SCHEMA = StructType([StructField("state_json", StringType())])
+
+
+def _gate_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-PR state: {user: (ts_iso, review_state)} — Map-overwrite
+    keep-latest exactly like the reference (pr-review-flow.yml:100-103);
+    emits the current approver count after each batch."""
+    import json
+
+    latest: dict[str, Any] = json.loads(state.get[0]) if state.exists else {}
+    last_ts = None
+    for pdf in pdfs:
+        for row in pdf.sort_values("ts").itertuples():
+            prev = latest.get(row.user)
+            ts_iso = row.ts.isoformat()
+            if prev is None or prev[0] <= ts_iso:
+                latest[row.user] = (ts_iso, row.state)
+            last_ts = row.ts if last_ts is None or row.ts > last_ts else last_ts
+    state.update((json.dumps(latest),))
+    n_approved = sum(1 for v in latest.values() if v[1] == "APPROVED")
+    yield pd.DataFrame(
+        {"pr": [key[0]], "n_approvers": [n_approved], "last_ts": [last_ts]}
+    )
+
+
+def review_gate_stream(reviews: DataFrame) -> DataFrame:
+    """E15: applyInPandasWithState over review events keyed by PR."""
+    return reviews.groupBy("pr").applyInPandasWithState(
+        _gate_fn,
+        outputStructType=GATE_OUTPUT_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

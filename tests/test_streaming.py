@@ -1,0 +1,129 @@
+"""Streaming smoke tests (E10-E15): run each job with availableNow over a
+staged copy of events.parquet (file source), memory sink, and check the
+results against the batch twin where one exists.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from e02_spark.io import load_table
+from e02_spark.streaming.jobs import (
+    read_events_stream,
+    review_gate_stream,
+    session_windows,
+    sliding_quarter_hour,
+    stream_dedup,
+    tumbling_hourly,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run(df, name=None):
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "n_approvers" not in df.columns else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_tumbling_hourly_matches_batch(spark, events_dir):
+    name = _run(tumbling_hourly(read_events_stream(spark, events_dir)))
+    got = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = load_table(spark, SF, "events").groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    expected = {
+        (r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    # append mode only emits windows the watermark has closed: the final
+    # window (holding the max event time) stays open at end-of-stream
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    closed = {
+        k: v
+        for k, v in expected.items()
+        if k[0] < max_ts.replace(minute=0, second=0, microsecond=0)
+    }
+    assert set(closed.items()) <= set(got.items())
+    assert set(got.items()) <= set(expected.items())
+
+
+def test_sliding_window_smoke(spark, events_dir):
+    name = _run(sliding_quarter_hour(read_events_stream(spark, events_dir)))
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) > 0
+    # each event lands in 4 sliding windows -> ~4x event count, minus the
+    # tail windows the watermark never closed in append mode
+    total = sum(r["n_events"] for r in rows)
+    assert 3.9 * 1000 <= total <= 4 * 1000
+
+
+def test_stream_dedup_smoke(spark, events_dir, tmp_path):
+    # stage the same file twice -> every event_id duplicated
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", dup_dir / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", dup_dir / "b.parquet")
+    name = _run(stream_dedup(read_events_stream(spark, str(dup_dir))))
+    n = spark.sql(f"SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM {name}").collect()[0]
+    assert n["total"] == 1000  # duplicates dropped
+    assert n["n"] == 1000
+
+
+def test_session_window_smoke(spark, events_dir):
+    name = _run(session_windows(read_events_stream(spark, events_dir)))
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # append mode withholds each user's final (unclosed) session
+    assert 0 < sum(r["n_events"] for r in rows) <= 1000
+    # closed session counts per user are bounded by the batch twin (q25),
+    # short by at most the one open tail session
+    from e02_spark.queries.relational import q25_session_gap
+
+    batch = {r["user_id"]: r["n_sessions"] for r in q25_session_gap(spark, SF).collect()}
+    stream_counts: dict[int, int] = {}
+    for r in rows:
+        stream_counts[r["user_id"]] = stream_counts.get(r["user_id"], 0) + 1
+    for user, n in stream_counts.items():
+        assert batch[user] - 1 <= n <= batch[user]
+
+
+def test_review_gate_stateful_stream(spark, tmp_path):
+    from e02_spark import fixtures
+
+    rdir = tmp_path / "reviews"
+    rdir.mkdir()
+    fixtures.spark_df(spark, "reviews").coalesce(1).write.mode("overwrite").parquet(
+        str(rdir / "batch1")
+    )
+    stream = (
+        spark.readStream.schema("pr BIGINT, user STRING, state STRING, ts TIMESTAMP")
+        .parquet(str(rdir / "batch1"))
+    )
+    name = _run(review_gate_stream(stream))
+    got = {r["pr"]: r["n_approvers"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # pr2: alice approved then requested changes -> only erin remains approver
+    assert got[2] == 1
+    # pr5: alice + heidi + carol approved
+    assert got[5] == 3
+    assert got[1] == 1
