@@ -67,19 +67,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # candidate pairs are few (LSH banding is selective) — broadcast them
+    # so the exact-Jaccard verification joins stay map-side over sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("da"), "shingle")
     shb = sh.select(F.col("doc_id").alias("db"), "shingle")
     inter = (
-        candidates.join(sha, "da").join(shb, ["db", "shingle"])
+        sha.join(F.broadcast(candidates), "da").join(shb, ["db", "shingle"])
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sza = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
     szb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
     jac = (
-        inter.join(sza, "da")
-        .join(szb, "db")
+        inter.join(F.broadcast(sza), "da")
+        .join(F.broadcast(szb), "db")
         .select(
             "da",
             "db",
@@ -95,29 +97,27 @@ def minhash_lsh_pairs(
 def ngram_jaccard_topk(
     documents: DataFrame, n: int = 3, topk: int = 20, max_df: int = 100
 ) -> DataFrame:
-    """Exact top-k most-similar document pairs by n-gram Jaccard, via a
-    df-capped inverted index (shingles occurring in more than max_df docs
-    are skipped for candidate generation — at scale this bounds the pair
-    blow-up from stop-shingles; exact Jaccard still uses ALL shingles)."""
-    sh = shingles(documents, n=n).cache()
+    """Top-k most-similar document pairs by n-gram Jaccard over the
+    df-capped shingle space: shingles occurring in more than max_df docs
+    (stop-shingles) are excluded from BOTH the pair generation and the
+    set sizes — one inverted-index self-join + one groupBy, no separate
+    candidate materialization. At scale the cap bounds the per-shingle
+    pair blow-up to max_df^2."""
+    sh = shingles(documents, n=n)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
-        df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle"
-    )
+        F.broadcast(df_counts.where(F.col("df") <= max_df).select("shingle")),
+        "shingle",
+    ).cache()
     a = rare.select(F.col("doc_id").alias("da"), "shingle")
     b = rare.select(F.col("doc_id").alias("db"), "shingle")
-    candidates = (
-        a.join(b, "shingle").where(F.col("da") < F.col("db")).select("da", "db").distinct()
-    )
-    sha = sh.select(F.col("doc_id").alias("da"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("db"), "shingle")
     inter = (
-        candidates.join(sha, "da")
-        .join(shb, ["db", "shingle"])
+        a.join(b, "shingle")
+        .where(F.col("da") < F.col("db"))
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sza = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
     szb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
     scored = (
@@ -145,15 +145,25 @@ def embedding_neardup_pairs(
     verification within buckets. Recall < 1 by design (pairs straddling a
     sign hyperplane are missed) — the oracle replicates the same blocking,
     so results are exactly comparable."""
-    bucketed = embeddings.select(
-        "vec_id", "embedding", sign_lsh_bucket("embedding", bucket_bits).alias("bucket")
+    from .similarity import _dot_q, cosine_q, with_quantized
+
+    bucketed = with_quantized(embeddings).select(
+        "vec_id", "q", "n2", sign_lsh_bucket("embedding", bucket_bits).alias("bucket")
     )
     a = bucketed.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+        "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+        "bucket",
     )
     pairs = a.join(b, "bucket").where(F.col("va") < F.col("vb"))
-    scored = pairs.select("va", "vb", cosine("ea", "eb").alias("cosine"))
+    scored = pairs.select(
+        "va", "vb", cosine_q(_dot_q("qa", "qb"), "na2", "nb2").alias("cosine")
+    )
     return scored.where(F.col("cosine") >= threshold)

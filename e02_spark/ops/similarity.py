@@ -51,6 +51,39 @@ def cosine(a: str, b: str) -> Column:
     )
 
 
+def quantize(vec: str) -> Column:
+    """Floor-quantized integer view of a float array (see _dot_dec)."""
+    return F.expr(
+        f"transform({vec}, x -> cast(floor(cast(x as double) * 1000000d) as bigint))"
+    )
+
+
+def _dot_q(a: str, b: str) -> Column:
+    """Dot product of two pre-quantized BIGINT arrays — exact, and ~3x
+    cheaper per pair than _dot_dec because the cast/floor per element
+    happened once per vector, not once per pair."""
+    return F.expr(
+        f"""aggregate(zip_with({a}, {b}, (x, y) -> x * y),
+                      cast(0 as bigint), (acc, v) -> acc + v)"""
+    ).cast("double")
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach `q` (quantized vector) and `n2` (its squared norm) — computed
+    ONCE per vector so pairwise ops only do one zip_with per pair. This is
+    the map-side precompute that makes the pair joins scale: per-pair work
+    drops from 3 dot products to 1."""
+    return df.withColumn("q", quantize(vec_col)).withColumn(
+        "n2", _dot_q("q", "q")
+    )
+
+
+def cosine_q(dot: Column, n2a: Column | str, n2b: Column | str) -> Column:
+    n2a = F.col(n2a) if isinstance(n2a, str) else n2a
+    n2b = F.col(n2b) if isinstance(n2b, str) else n2b
+    return dot / (F.sqrt(n2a) * F.sqrt(n2b))
+
+
 def duck_dot_sql(a: str, b: str, series_alias: str = "t") -> str:
     """DuckDB twin of _dot_dec: exact decimal dot product via a lateral
     generate_series — requires `{series_alias}(i)` joined as
@@ -90,13 +123,16 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k by cosine against one stored vector. The broadcasted
     1-row query side keeps this a map-only scan + TakeOrdered."""
-    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qv")
+    qd = with_quantized(embeddings)
+    q = qd.where(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
     scored = (
-        embeddings.where(F.col("vec_id") != query_vec_id)
+        qd.where(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", cosine("embedding", "qv").alias("cosine"))
+        .select(
+            "vec_id", cosine_q(_dot_q("q", "qq"), "n2", "qn2").alias("cosine")
+        )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
@@ -106,18 +142,23 @@ def knn_pairs_per_group(
 ) -> DataFrame:
     """Top-k most-similar vector pairs within each group (k-NN join
     restricted to a partition key — the scalable 'blocked' form)."""
-    a = embeddings.select(
+    qd = with_quantized(embeddings)
+    a = qd.select(
         F.col(group_col).alias("grp"),
         F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
     )
-    b = embeddings.select(
+    b = qd.select(
         F.col(group_col).alias("grp"),
         F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
     )
     pairs = a.join(b, "grp").where(F.col("va") < F.col("vb"))
-    scored = pairs.select("grp", "va", "vb", cosine("ea", "eb").alias("cosine"))
+    scored = pairs.select(
+        "grp", "va", "vb", cosine_q(_dot_q("qa", "qb"), "na2", "nb2").alias("cosine")
+    )
     w = Window.partitionBy("grp").orderBy(
         F.col("cosine").desc(), F.col("va").asc(), F.col("vb").asc()
     )
@@ -136,31 +177,36 @@ def ivf_topk(
     only the query's cell. At scale: centroids broadcast, assignment is a
     map-side argmax, and the probe reads one partition of a
     centroid-partitioned table instead of the full corpus."""
-    centroids = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    qd = with_quantized(embeddings)
+    centroids = qd.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
     )
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("cid").asc()
     )
     assigned = (
-        embeddings.crossJoin(F.broadcast(centroids))
+        qd.crossJoin(F.broadcast(centroids))
         .select(
-            "vec_id", "embedding", "cid", cosine("embedding", "cv").alias("c_cos")
+            "vec_id",
+            "q",
+            "n2",
+            "cid",
+            cosine_q(_dot_q("q", "cq"), "n2", "cn2").alias("c_cos"),
         )
         .withColumn("arn", F.row_number().over(assign_w))
         .where(F.col("arn") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "q", "n2", "cid")
     )
-    q = assigned.where(F.col("vec_id") == query_vec_id).select(
-        F.col("cid").alias("qcid"), F.col("embedding").alias("qv")
+    qrow = assigned.where(F.col("vec_id") == query_vec_id).select(
+        F.col("cid").alias("qcid"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
     probe = (
-        assigned.crossJoin(F.broadcast(q))
+        assigned.crossJoin(F.broadcast(qrow))
         .where((F.col("cid") == F.col("qcid")) & (F.col("vec_id") != query_vec_id))
         .select(
             "vec_id",
             F.col("cid").cast("bigint").alias("centroid_id"),
-            cosine("embedding", "qv").alias("cosine"),
+            cosine_q(_dot_q("q", "qq"), "n2", "qn2").alias("cosine"),
         )
     )
     return probe.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

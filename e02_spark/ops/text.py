@@ -25,18 +25,18 @@ def tokens(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — DISTINCT word n-grams per document."""
-    t = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
+    """(doc_id, shingle) — DISTINCT word n-grams per document.
+
+    The token array is materialized once per row before the n-gram
+    transform (referencing split(text) inside the lambda would re-split
+    the text for every gram — ~3x the work, no CSE inside higher-order
+    function lambdas)."""
+    toks = documents.select("doc_id", F.split("text", " ").alias("t"))
+    gram = F.expr(
+        f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(t, i, {n})))"
     )
-    return (
-        documents.select("doc_id", F.explode(gram).alias("shingle")).distinct()
-    )
+    return toks.select("doc_id", F.explode(gram).alias("shingle")).distinct()
 
 
 def minhash_signature(doc_shingles: DataFrame, k: int = 4) -> DataFrame:

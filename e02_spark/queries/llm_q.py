@@ -262,17 +262,11 @@ rare AS (
   SELECT s.doc_id, s.shingle FROM doc_shingles s
   JOIN df_counts d ON d.shingle = s.shingle AND d.df <= 100
 ),
-candidates AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
 inter AS (
-  SELECT c.da, c.db, COUNT(*) AS inter
-  FROM candidates c
-  JOIN doc_shingles sa ON sa.doc_id = c.da
-  JOIN doc_shingles sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
-  GROUP BY c.da, c.db
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.da, i.db, CAST(i.inter AS BIGINT) AS inter,
   CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter) AS jaccard
