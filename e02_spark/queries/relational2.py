@@ -1,0 +1,313 @@
+"""Coverage-extension declared queries (SURVEY.md §2.D rows not yet
+exercised by relational.py): subqueries (D27), CTE + UNPIVOT (D28/D29),
+math/rank/null-ordering functions (D14/D17/D22), pandas UDF (D31),
+generator/UDTF-style explode (D32), map + from_json functions (D24/D25),
+TF-IDF (E7), full outer join (D5).
+
+Determinism notes: transcendental functions (ln) are NOT bit-identical
+across libm implementations — every ln here is round(...,6)ed, which was
+measured to agree 400/400 across engines (raw doubles disagreed 378/400).
+sqrt IS IEEE-correctly-rounded everywhere, so it stays raw.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q43 — subqueries: uncorrelated scalar, IN, correlated EXISTS (D27).
+# Catalyst decorrelates the EXISTS into a left-semi join.
+# --------------------------------------------------------------------------
+_Q43_BODY = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                          / COUNT(*) FROM customer)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey >= 0)
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q43_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q43_BODY)
+
+
+# --------------------------------------------------------------------------
+# q44 — CTE chain + UNPIVOT (pivot inverse); NULL cells dropped on both
+# sides (Spark UNPIVOT default EXCLUDE NULLS mirrored by the oracle's
+# WHERE revenue IS NOT NULL).
+# --------------------------------------------------------------------------
+_Q44_SPARK = """
+WITH seg AS (
+  SELECT c_mktsegment, o_orderstatus, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+agg AS (
+  SELECT c_mktsegment,
+    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_open,
+    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_finished,
+    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_pending
+  FROM seg GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, status, revenue
+FROM agg UNPIVOT (revenue FOR status IN (rev_open AS `O`, rev_finished AS `F`, rev_pending AS `P`))
+"""
+
+_Q44_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment, o_orderstatus, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+agg AS (
+  SELECT c_mktsegment,
+    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_open,
+    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_finished,
+    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_pending
+  FROM seg GROUP BY c_mktsegment
+),
+unp AS (
+  SELECT c_mktsegment, 'O' AS status, rev_open AS revenue FROM agg
+  UNION ALL SELECT c_mktsegment, 'F', rev_finished FROM agg
+  UNION ALL SELECT c_mktsegment, 'P', rev_pending FROM agg
+)
+SELECT * FROM unp WHERE revenue IS NOT NULL
+"""
+
+
+def q44_cte_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q44_SPARK)
+
+
+# --------------------------------------------------------------------------
+# q45 — math functions + dense_rank/ntile + nulls-last ordering.
+# --------------------------------------------------------------------------
+_Q45_BODY = """
+SELECT p_partkey,
+  sqrt(p_retailprice) AS sqrt_price,
+  round(ln(p_retailprice), 6) AS ln_price,
+  CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_floor,
+  CAST(greatest(p_size, 10) AS BIGINT) AS size_hi,
+  CAST(least(p_size, 40) AS BIGINT) AS size_lo,
+  CAST(dense_rank() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank,
+  CAST(ntile(4) OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS quartile,
+  CAST(row_number() OVER (PARTITION BY p_type
+       ORDER BY nullif(p_size, 25) ASC NULLS LAST, p_partkey) AS BIGINT) AS nn_rank
+FROM part
+"""
+
+
+def q45_math_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q45_BODY)
+
+
+# --------------------------------------------------------------------------
+# q46 — vectorized pandas UDF (D31, Arrow batches): per-row net price.
+# The UDF does plain float64 arithmetic, so the oracle's DOUBLE expression
+# is bit-identical.
+# --------------------------------------------------------------------------
+def _net_price_udf():
+    # created lazily: the decorator parses the DDL return type, which
+    # needs an active SparkContext (breaks plain module import otherwise)
+    @pandas_udf("double")
+    def _net_price(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    return _net_price
+
+
+def q46_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _net_price = _net_price_udf()
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _net_price("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+        )
+    )
+
+
+_Q46_SQL = """
+SELECT l_orderkey, l_linenumber,
+  l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                  * (CAST(1.0 AS DOUBLE) + l_tax) AS net_price
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q47 — generator / UDTF-style table function (D32): each order explodes
+# into the 3 month-buckets it is "active" in.
+# --------------------------------------------------------------------------
+def q47_month_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    months = F.expr(
+        "sequence(date_trunc('month', o_orderdate),"
+        " date_trunc('month', o_orderdate) + interval 2 month, interval 1 month)"
+    )
+    return (
+        o.select(F.explode(months).alias("month"))
+        .groupBy(F.col("month").cast("date").cast("string").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_active_orders"))
+    )
+
+
+_Q47_SQL = """
+SELECT CAST(CAST(m AS DATE) AS VARCHAR) AS month, COUNT(*) AS n_active_orders
+FROM (
+  SELECT unnest(generate_series(date_trunc('month', o_orderdate),
+                                date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+                                INTERVAL 1 MONTH)) AS m
+  FROM orders
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q48 — from_json into a MAP + map functions (D24/D25).
+# --------------------------------------------------------------------------
+def q48_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select(
+            "event_type",
+            m.alias("m"),
+        )
+        .select(
+            "event_type",
+            F.element_at(F.col("m"), "k").alias("k_val"),
+            F.size(F.map_keys(F.col("m"))).cast("bigint").alias("n_keys"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k_val").alias("sum_k"),
+            F.max("n_keys").alias("max_keys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q48_SQL = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_keys,
+  COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q49 — TF-IDF top terms (E7): tf exact int, idf = round(ln((N+1)/(df+1)),6).
+# --------------------------------------------------------------------------
+def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(d)
+    n_docs = d.count()  # tiny scalar; deterministic
+    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = t.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)), 6
+    )
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id", "token", (F.col("tf") * idf).alias("tfidf")
+    )
+    return scored.orderBy(
+        F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc()
+    ).limit(20)
+
+
+_Q49_SQL = """
+WITH doc_tokens AS (
+  SELECT doc_id, unnest(string_split(text, chr(32))) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM doc_tokens GROUP BY doc_id, token),
+df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM doc_tokens) GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+  tf.tf * round(ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id ASC, token ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q50 — full outer join (D5): event users vs customers.
+# --------------------------------------------------------------------------
+def q50_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    users = e.select(F.col("user_id").alias("uid")).distinct()
+    custs = c.select(F.col("c_custkey").alias("ck"))
+    j = users.join(custs, users.uid == custs.ck, "full_outer")
+    return (
+        j.select(
+            F.when(F.col("uid").isNull(), "customer_only")
+            .when(F.col("ck").isNull(), "events_only")
+            .otherwise("both")
+            .alias("side")
+        )
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q50_SQL = """
+WITH users AS (SELECT DISTINCT user_id AS uid FROM events),
+custs AS (SELECT c_custkey AS ck FROM customer)
+SELECT CASE WHEN uid IS NULL THEN 'customer_only'
+            WHEN ck IS NULL THEN 'events_only'
+            ELSE 'both' END AS side, COUNT(*) AS n
+FROM users FULL OUTER JOIN custs ON uid = ck
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q43_subqueries": q43_subqueries,
+    "q44_cte_unpivot": q44_cte_unpivot,
+    "q45_math_rank_funcs": q45_math_rank_funcs,
+    "q46_pandas_udf": q46_pandas_udf,
+    "q47_month_generator": q47_month_generator,
+    "q48_json_map_funcs": q48_json_map_funcs,
+    "q49_tfidf_top_terms": q49_tfidf_top_terms,
+    "q50_full_outer": q50_full_outer,
+}
+
+ORACLE = {
+    "q43_subqueries": _Q43_BODY,
+    "q44_cte_unpivot": _Q44_SQL,
+    "q45_math_rank_funcs": _Q45_BODY,
+    "q46_pandas_udf": _Q46_SQL,
+    "q47_month_generator": _Q47_SQL,
+    "q48_json_map_funcs": _Q48_SQL,
+    "q49_tfidf_top_terms": _Q49_SQL,
+    "q50_full_outer": _Q50_SQL,
+}
