@@ -81,12 +81,21 @@ PATCH_FILES: list[tuple[str, str]] = [
 ]
 
 
+_DEPLOYED: set[str] = set()
+
+
 def deploy(spark: SparkSession, database: str = "kimball") -> None:
-    """Apply the patch files in version order with ${} substitution."""
+    """Apply the patch files in version order with ${} substitution.
+    Idempotent (CREATE OR REPLACE) and cached per session so repeated
+    query invocations skip the DDL round-trips."""
+    key = f"{spark.sparkContext.applicationId}:{database}"
+    if key in _DEPLOYED:
+        return
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for _name, template in sorted(PATCH_FILES, key=lambda t: t[0]):
         sql = template.replace("${kimball}", database).replace("${KIMBALL}", database)
         spark.sql(sql)
+    _DEPLOYED.add(key)
 
 
 def deploy_views(spark: SparkSession, database: str = "kimball") -> None:

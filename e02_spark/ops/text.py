@@ -40,13 +40,17 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signature(doc_shingles: DataFrame, k: int = 4) -> DataFrame:
-    """(doc_id, h1..hk) — md5-seeded MinHash signature over the shingle set.
+    """(doc_id, h1..hk) — MinHash signature over the shingle set.
 
-    h_s = min(md5('<s>:' || shingle)): md5 with a seed prefix approximates
-    an independent random permutation per seed; identical in both engines.
+    One md5 per shingle, split into k disjoint 8-hex-char (32-bit) slices;
+    each slice behaves as an independent hash for the min-permutation
+    (standard single-hash MinHash trick — k times fewer digest
+    computations than seeded re-hashing). Identical hex in both engines.
     """
+    assert k <= 4  # 32 hex chars / 8 per slice
+    h = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        F.min(F.substring(h, 1 + 8 * (s - 1), 8)).alias(f"h{s}")
         for s in range(1, k + 1)
     ]
     return doc_shingles.groupBy("doc_id").agg(*aggs)
@@ -56,7 +60,8 @@ def duck_minhash_sql(k: int = 4) -> str:
     """DuckDB twin of minhash_signature: SELECT-list aggregate fragments
     (use over a (doc_id, shingle) relation, GROUP BY doc_id)."""
     return ", ".join(
-        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(1, k + 1)
+        f"min(substring(md5(shingle), {1 + 8 * (s - 1)}, 8)) AS h{s}"
+        for s in range(1, k + 1)
     )
 
 
@@ -67,23 +72,26 @@ def simhash32(doc_features: DataFrame, feature_col: str = "shingle") -> DataFram
     md5(feature)'s first 8 hex nibbles votes +1/-1; the sign of each
     bit-position sum forms the fingerprint."""
     feats = doc_features.select("doc_id", F.col(feature_col).alias("f")).distinct()
+    # ONE md5 + ONE hex->int conv per feature (the digest work is
+    # O(features), not O(features * bits)); bit votes via integer div by a
+    # constant-folded power-of-two column, so the whole pipeline stays in
+    # codegen — no pow()/locate() in any per-bit expression.
+    h32 = F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("bigint")
+    bit_powers = F.array(
+        *[F.lit(1 << (31 - b)).cast("bigint") for b in range(32)]
+    )
     per_bit = (
-        feats.select(
-            "doc_id", "f", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
-        )
-        # 1-based hex char of md5 holding this bit, its nibble value, the bit
-        .withColumn("_nc", F.expr("substring(md5(f), CAST(bit div 4 AS INT) + 1, 1)"))
-        .withColumn("_nv", F.expr("locate(_nc, '0123456789abcdef') - 1"))
-        .withColumn(
-            "vote",
-            F.expr("((_nv div CAST(pow(2, 3 - (bit % 4)) AS INT)) % 2) * 2 - 1"),
+        feats.withColumn("h32", h32)
+        .select("doc_id", "h32", F.explode(bit_powers).alias("pw"))
+        .select(
+            "doc_id",
+            "pw",
+            (F.expr("(h32 div pw) % 2") * 2 - 1).alias("vote"),
         )
     )
-    bit_sums = per_bit.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    bit_sums = per_bit.groupBy("doc_id", "pw").agg(F.sum("vote").alias("v"))
     return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN CAST(pow(2, 31 - bit) AS BIGINT) ELSE 0 END")
-        )
+        F.sum(F.when(F.col("v") > 0, F.col("pw")).otherwise(0))
         .cast("bigint")
         .alias("simhash")
     )
@@ -91,15 +99,19 @@ def simhash32(doc_features: DataFrame, feature_col: str = "shingle") -> DataFram
 
 # DuckDB twin of simhash32 — expects a doc_shingles(doc_id, shingle) CTE.
 DUCK_SIMHASH_SQL = """
+h32s AS (
+  SELECT doc_id, shingle,
+    SUM(CAST(strpos('0123456789abcdef', substring(md5(shingle), i, 1)) - 1 AS BIGINT)
+        * CAST(pow(16, 8 - i) AS BIGINT)) AS h32
+  FROM (SELECT DISTINCT doc_id, shingle FROM doc_shingles)
+  CROSS JOIN generate_series(1, 8) AS t(i)
+  GROUP BY doc_id, shingle
+),
 per_bit AS (
   SELECT doc_id, bit,
-    SUM(CASE WHEN (
-      (strpos('0123456789abcdef',
-              substring(md5(shingle), CAST(bit // 4 AS INT) + 1, 1)) - 1)
-      // CAST(pow(2, 3 - (bit % 4)) AS INT)) % 2 = 1
-      THEN 1 ELSE -1 END) AS v
-  FROM (SELECT DISTINCT doc_id, shingle FROM doc_shingles)
-  CROSS JOIN generate_series(0, 31) AS bt(bit)
+    SUM(CASE WHEN (h32 // CAST(pow(2, 31 - bit) AS BIGINT)) % 2 = 1
+        THEN 1 ELSE -1 END) AS v
+  FROM h32s CROSS JOIN generate_series(0, 31) AS bt(bit)
   GROUP BY doc_id, bit
 ),
 simhashes AS (

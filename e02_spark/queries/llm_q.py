@@ -32,6 +32,7 @@ from ..ops.similarity import (
 from ..ops.text import (
     DUCK_SIMHASH_SQL,
     STOPWORDS,
+    duck_minhash_sql,
     quality_metrics,
     simhash32,
     tokens,
@@ -191,9 +192,7 @@ def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q31_SQL = f"""
 WITH {_DUCK_SHINGLES},
 sig AS (
-  SELECT doc_id,
-    min(md5('1:' || shingle)) AS h1, min(md5('2:' || shingle)) AS h2,
-    min(md5('3:' || shingle)) AS h3, min(md5('4:' || shingle)) AS h4
+  SELECT doc_id, {duck_minhash_sql(4)}
   FROM doc_shingles GROUP BY doc_id
 ),
 banded AS (
@@ -379,9 +378,7 @@ def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q38_SQL = f"""
 WITH {_DUCK_SHINGLES},
 sig AS (
-  SELECT doc_id,
-    min(md5('1:' || shingle)) AS h1, min(md5('2:' || shingle)) AS h2,
-    min(md5('3:' || shingle)) AS h3, min(md5('4:' || shingle)) AS h4,
+  SELECT doc_id, {duck_minhash_sql(4)},
     COUNT(*) AS n_shingles
   FROM doc_shingles GROUP BY doc_id
 )
