@@ -290,8 +290,36 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q51 — HAVING (D13) + lead/first_value window analytics (D15): monthly
+# revenue kept only above a threshold, with next-month lookahead and the
+# year's first month value.
+# --------------------------------------------------------------------------
+_Q51_BODY = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 10
+)
+SELECT yr, mo, revenue, n_orders,
+  LEAD(revenue) OVER (PARTITION BY yr ORDER BY mo) AS next_month_revenue,
+  FIRST_VALUE(revenue) OVER (PARTITION BY yr ORDER BY mo) AS first_month_revenue
+FROM monthly
+"""
+
+
+def q51_having_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q51_BODY)
+
+
 QUERIES = {
     "q43_subqueries": q43_subqueries,
+    "q51_having_lead": q51_having_lead,
     "q44_cte_unpivot": q44_cte_unpivot,
     "q45_math_rank_funcs": q45_math_rank_funcs,
     "q46_pandas_udf": q46_pandas_udf,
@@ -303,6 +331,7 @@ QUERIES = {
 
 ORACLE = {
     "q43_subqueries": _Q43_BODY,
+    "q51_having_lead": _Q51_BODY,
     "q44_cte_unpivot": _Q44_SQL,
     "q45_math_rank_funcs": _Q45_BODY,
     "q46_pandas_udf": _Q46_SQL,
