@@ -526,9 +526,74 @@ FROM media
 """
 
 
+# --------------------------------------------------------------------------
+# q52 — Spark ML MinHashLSH near-dup (E2's Spark-ML path): shingle sets →
+# HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin. Rows-only:
+# Spark ML's hash seeds have no DuckDB twin; the md5-based q31 is the
+# oracle-checked variant and tests assert the two agree on planted dups.
+# --------------------------------------------------------------------------
+def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..ops.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    docs = (
+        shingles(d)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+            F.col("jaccard_dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — real Python UDTF (D32, Spark 4 table function): tokenize with
+# positions, applied as a LATERAL table function.
+# --------------------------------------------------------------------------
+def q53_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token STRING, pos BIGINT")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i
+
+    spark.udtf.register("tokenize", Tokenize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """SELECT doc_id, t.token, t.pos
+           FROM documents, LATERAL tokenize(text) AS t
+           WHERE doc_id < 5"""
+    )
+
+
+_Q53_SQL = """
+SELECT doc_id, t[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+FROM (SELECT doc_id, string_split(text, chr(32)) AS t
+      FROM documents WHERE doc_id < 5),
+     generate_series(1, 2000) AS g(i)
+WHERE i <= len(t)
+"""
+
+
 QUERIES = {
     "q26_exact_dedup": q26_exact_dedup,
     "q41_multimodal_summary": q41_multimodal_summary,
+    "q52_ml_minhash_lsh": q52_ml_minhash_lsh,
+    "q53_python_udtf": q53_python_udtf,
     "q27_cosine_topk": q27_cosine_topk,
     "q28_token_counts": q28_token_counts,
     "q29_sentiment_lexicon": q29_sentiment_lexicon,
@@ -546,6 +611,8 @@ QUERIES = {
 ORACLE = {
     "q26_exact_dedup": _Q26_SQL,
     "q41_multimodal_summary": _q41_sql(),
+    # q52: rows-only (Spark ML hash seeds are engine-specific)
+    "q53_python_udtf": _Q53_SQL,
     "q27_cosine_topk": _Q27_SQL,
     "q28_token_counts": _Q28_SQL,
     "q29_sentiment_lexicon": _q29_sql(),

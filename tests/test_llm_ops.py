@@ -73,6 +73,20 @@ def test_media_summary_aspect_null_for_audio(spark):
     assert rows[1]["aspect"] == 640 / 480
 
 
+def test_ml_minhash_agrees_with_md5_minhash(spark):
+    from e02_spark.queries.llm_q import q31_minhash_lsh_neardup, q52_ml_minhash_lsh
+
+    md5_pairs = {
+        (r["da"], r["db"]) for r in q31_minhash_lsh_neardup(spark, SF).collect()
+    }
+    ml_pairs = {(r["da"], r["db"]) for r in q52_ml_minhash_lsh(spark, SF).collect()}
+    # both detectors must find the planted near-dups; the md5 variant is
+    # exact-verified at >=0.8 Jaccard, so it must be a subset of the ML
+    # join's 0.4-distance (>=0.6 similarity) candidates
+    assert md5_pairs, "no planted near-dups found"
+    assert md5_pairs <= ml_pairs
+
+
 def test_documents_all_texts_distinct_then_dedup_noop(spark):
     d = load_table(spark, SF, "documents")
     assert exact_dedup(d, ["text"], "doc_id").count() == d.count()
