@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine, sign_lsh_bucket
+from .similarity import sign_lsh_bucket
 from .text import minhash_signature, shingles
 
 

@@ -90,3 +90,45 @@ def test_ml_minhash_agrees_with_md5_minhash(spark):
 def test_documents_all_texts_distinct_then_dedup_noop(spark):
     d = load_table(spark, SF, "documents")
     assert exact_dedup(d, ["text"], "doc_id").count() == d.count()
+
+
+def test_cosine_helper_matches_quantized_path(spark):
+    from e02_spark.ops.similarity import cosine
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    direct = {
+        r["vec_id"]: r["c"]
+        for r in e.crossJoin(q).select("vec_id", cosine("embedding", "qv").alias("c")).collect()
+    }
+    via_topk = {r["vec_id"]: r["cosine"] for r in topk_bruteforce(e, 0, k=5).collect()}
+    for vid, c in via_topk.items():
+        assert direct[vid] == c  # same integer-quantized math, bit-equal
+
+
+def test_interval_overlap_join(spark):
+    from datetime import datetime
+
+    from e02_spark.ops.range_join import interval_overlap_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 2, 0)),
+            (2, datetime(2024, 1, 1, 3, 0), datetime(2024, 1, 1, 3, 30)),
+        ],
+        schema="iid BIGINT, start TIMESTAMP, end TIMESTAMP",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 1, 0)),   # inside interval 1
+            (11, datetime(2024, 1, 1, 2, 0)),   # boundary: end inclusive
+            (12, datetime(2024, 1, 1, 2, 30)),  # in neither
+            (13, datetime(2024, 1, 1, 3, 15)),  # inside interval 2
+        ],
+        schema="pid BIGINT, ts TIMESTAMP",
+    )
+    got = {
+        (r["iid"], r["pid"])
+        for r in interval_overlap_join(intervals, points, "start", "end", "ts").collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 13)}
