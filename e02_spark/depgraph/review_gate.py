@@ -33,9 +33,14 @@ TIERS = ["codeowners", "facilitators", "techteam"]
 
 
 def latest_reviews(reviews: DataFrame) -> DataFrame:
-    """Keep-latest per (pr, user); ties broken by ts desc (Map overwrite
-    keeps the last submission; API order is ts order)."""
-    w = Window.partitionBy("pr", "user").orderBy(F.col("ts").desc())
+    """Keep-latest per (pr, user); primary order ts desc (Map overwrite
+    keeps the last submission; API order is ts order). Exact-equal
+    timestamps have no reference-defined order — we break the tie
+    deterministically by state desc so repeated runs (and the oracle twin)
+    agree."""
+    w = Window.partitionBy("pr", "user").orderBy(
+        F.col("ts").desc(), F.col("state").desc()
+    )
     return (
         reviews.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

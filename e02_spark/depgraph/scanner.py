@@ -39,8 +39,10 @@ SCAN_ROOTS = [
 
 FUNCTIONS_DIR = "deployer/patch/DWH/kimball"
 
-# re.match → anchor at start; no $ so trailing text after .sql is tolerated
-FUNC_DEF_RE = r"^r_\d+\.\d+(?:\.\d+)?_f_([a-zA-Z_]+)\.sql"
+# re.match → anchor at start; no $ so trailing text after .sql is tolerated.
+# (?i) mirrors the reference's re.IGNORECASE on the WHOLE pattern
+# (scan_dependencies.py:32-34): 'R_1.1_F_FOO.sql' is a valid def file.
+FUNC_DEF_RE = r"(?i)^r_\d+\.\d+(?:\.\d+)?_f_([a-zA-Z_]+)\.sql"
 CALL_RE = r"kimball\.([a-z_]+)\s*\("
 
 
@@ -52,11 +54,13 @@ def scan_function_defs(sql_files: DataFrame) -> DataFrame:
     """
     basename = F.element_at(F.split(F.col("path"), "/"), -1)
     in_dir = F.col("path").startswith(FUNCTIONS_DIR + "/")
-    # non-recursive glob: the path is exactly <dir>/<basename>
+    # non-recursive glob: the path is exactly <dir>/<basename>; the glob's
+    # "*.sql" extension match is case-SENSITIVE (pathlib on Linux) even
+    # though the filename regex is IGNORECASE
     direct_child = (
         F.length("path")
         == F.length(F.lit(FUNCTIONS_DIR)) + 1 + F.length(basename)
-    )
+    ) & F.col("path").endswith(".sql")
     name = F.lower(F.regexp_extract(basename, FUNC_DEF_RE, 1))
     return (
         sql_files.where(in_dir & direct_child)
@@ -71,7 +75,8 @@ def in_scan_roots(sql_files: DataFrame) -> DataFrame:
     for root in SCAN_ROOTS:
         c = F.col("path").startswith(root + "/")
         cond = c if cond is None else (cond | c)
-    return sql_files.where(cond)
+    # rglob("*.sql") — case-sensitive extension, like the reference
+    return sql_files.where(cond & F.col("path").endswith(".sql"))
 
 
 def extract_call_edges(sql_files: DataFrame, functions: DataFrame) -> DataFrame:

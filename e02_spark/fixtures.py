@@ -280,7 +280,10 @@ def _sql_literal(v) -> str:
     if isinstance(v, (bytes, bytearray)):
         return "'" + "".join(f"\\x{b:02X}" for b in v) + "'::BLOB"
     if isinstance(v, datetime):
-        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+        # keep microseconds when present — spark_df() does, and the two
+        # renderings must stay byte-equivalent
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if v.microsecond else "%Y-%m-%d %H:%M:%S"
+        return f"TIMESTAMP '{v.strftime(fmt)}'"
     return "'" + str(v).replace("'", "''") + "'"
 
 

@@ -41,6 +41,12 @@ def minhash_lsh_pairs(
     candidate verification joins shingle sets only for candidate pairs —
     work is O(candidates * shingles/doc), never O(n^2).
     """
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of k ({k}): "
+            "otherwise band keys silently drop hashes (or, with empty "
+            "bands, every document collides with every other)"
+        )
     sh = shingles(documents).cache()
     sig = minhash_signature(sh, k=k)
     rows_per_band = k // bands
@@ -79,9 +85,11 @@ def minhash_lsh_pairs(
     )
     sza = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
     szb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    # NOTE: sizes is one row per document (huge at scale) — never broadcast
+    # it; `inter` is candidate-sized, so AQE broadcasts THAT side instead
     jac = (
-        inter.join(F.broadcast(sza), "da")
-        .join(F.broadcast(szb), "db")
+        inter.join(sza, "da")
+        .join(szb, "db")
         .select(
             "da",
             "db",

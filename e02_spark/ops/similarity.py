@@ -1,12 +1,12 @@
 """Vector similarity operators over ARRAY<FLOAT> embedding columns.
 
-Determinism design: dot products and squared norms are computed in EXACT
-decimal arithmetic (each float cast to DECIMAL(18,9); products DECIMAL(37,18);
-sums exact), rounded to scale 6 (small mantissa → the decimal→double cast is
-a single correctly-rounded IEEE division on both Spark and DuckDB), and only
-then combined with sqrt/division in double — every engine computes identical
-IEEE operations on identical inputs, so cosine scores are bit-equal without
-any tolerance. See e02_spark/num.py for the general rule.
+Determinism design: every component is FLOOR-quantized to integer
+micro-units (floor(x * 1e6) as BIGINT — floor is tie-free, unlike any
+ROUND whose half-way rule differs between engines), dot products and
+squared norms are exact BIGINT sums, and the final BIGINT→double cast is
+exact (< 2^53). sqrt and division are IEEE-correctly-rounded everywhere,
+so cosine scores are bit-equal across Spark and DuckDB without any
+tolerance. See e02_spark/num.py for the general rules.
 
 Spark side uses higher-order array functions (zip_with/aggregate) — JVM-side,
 no UDF, no row explosion. The DuckDB oracle twins use a lateral
@@ -26,7 +26,8 @@ DIM = 64  # driver embeddings are 64-dim (TESTDATA.md / FIXTURES.md)
 
 
 def _dot_dec(a: str, b: str) -> Column:
-    """Exact decimal dot product of two float-array columns (JVM-side).
+    """Exact quantized-integer dot product of two float-array columns
+    (JVM-side).
 
     Components are FLOOR-quantized to integer micro-units (floor(x * 1e6))
     — floor is tie-free: both engines compute the identical IEEE double

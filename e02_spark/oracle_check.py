@@ -71,8 +71,12 @@ def _values_equal(a, b) -> bool:
 def compare_query(spark, name: str, sf_dir: str, query_fn, sql: str | None) -> CompareResult:
     sdf = query_fn(spark, sf_dir).toPandas()
     if sql is None:
-        return CompareResult(name, ok=True, rows_spark=len(sdf), rows_oracle=None,
-                             issues=["rows-only (no oracle)"] if len(sdf) == 0 else [])
+        # mirror the driver's weaker rows-only check: zero rows is a FAIL
+        ok = len(sdf) > 0
+        return CompareResult(
+            name, ok=ok, rows_spark=len(sdf), rows_oracle=None,
+            issues=[] if ok else ["rows-only query returned 0 rows"],
+        )
     con = duck_connection(sf_dir)
     try:
         odf = con.execute(sql).fetchdf()

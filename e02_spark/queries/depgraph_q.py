@@ -27,22 +27,24 @@ from ..depgraph.scanner import (
 _SCOPED = """
 scoped AS (
   SELECT * FROM sql_files
-  WHERE path LIKE 'replicator/source/%'
+  WHERE (path LIKE 'replicator/source/%'
      OR path LIKE 'deployer/patch/%'
      OR path LIKE 'superset/datasets/kimball/%'
-     OR path LIKE 'superset_objects/datasets/%'
+     OR path LIKE 'superset_objects/datasets/%')
+    AND path LIKE '%.sql'
 )"""
 
 _DEFS = """
 defs AS (
-  SELECT lower(regexp_extract(bn, '^r_\\d+\\.\\d+(?:\\.\\d+)?_f_([a-zA-Z_]+)\\.sql', 1)) AS func_name,
+  SELECT lower(regexp_extract(bn, '(?i)^r_\\d+\\.\\d+(?:\\.\\d+)?_f_([a-zA-Z_]+)\\.sql', 1)) AS func_name,
          path AS def_path
   FROM (
     SELECT path, string_split(path, '/')[-1] AS bn FROM sql_files
     WHERE path LIKE 'deployer/patch/DWH/kimball/%'
+      AND path LIKE '%.sql'
       AND length(path) = length('deployer/patch/DWH/kimball') + 1 + length(string_split(path, '/')[-1])
   )
-  WHERE regexp_extract(bn, '^r_\\d+\\.\\d+(?:\\.\\d+)?_f_([a-zA-Z_]+)\\.sql', 1) <> ''
+  WHERE regexp_extract(bn, '(?i)^r_\\d+\\.\\d+(?:\\.\\d+)?_f_([a-zA-Z_]+)\\.sql', 1) <> ''
 )"""
 
 _CALLS = """
@@ -251,7 +253,8 @@ WITH {{pr_files}},
 approvals AS (
   SELECT pr, "user" FROM (
     SELECT pr, "user", state,
-           row_number() OVER (PARTITION BY pr, "user" ORDER BY ts DESC) AS rn
+           row_number() OVER (PARTITION BY pr, "user"
+                              ORDER BY ts DESC, state DESC) AS rn
     FROM reviews
   ) WHERE rn = 1 AND state = 'APPROVED'
 ),

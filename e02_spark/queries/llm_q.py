@@ -54,9 +54,10 @@ _DUCK_SHINGLES = """
 doc_shingles AS (
   SELECT DISTINCT doc_id,
     t[i] || chr(32) || t[i+1] || chr(32) || t[i+2] AS shingle
-  FROM (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
-       generate_series(1, 2000) AS g(i)
-  WHERE i + 2 <= len(t)
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+    FROM (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents)
+  )
 )"""
 
 
@@ -582,10 +583,11 @@ def q53_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q53_SQL = """
 SELECT doc_id, t[i] AS token, CAST(i - 1 AS BIGINT) AS pos
-FROM (SELECT doc_id, string_split(text, chr(32)) AS t
-      FROM documents WHERE doc_id < 5),
-     generate_series(1, 2000) AS g(i)
-WHERE i <= len(t)
+FROM (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+  FROM (SELECT doc_id, string_split(text, chr(32)) AS t
+        FROM documents WHERE doc_id < 5)
+)
 """
 
 

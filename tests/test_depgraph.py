@@ -112,6 +112,24 @@ def test_self_reference_and_roots_and_prefix_quirks(spark):
     assert "weird" in defs
 
 
+def test_uppercase_def_filename_matches(spark):
+    # the reference's def regex is IGNORECASE on the WHOLE pattern
+    # (scan_dependencies.py:32-34) but the *.sql glob extension is
+    # case-sensitive: R_..._F_FOO.sql matches, ....SQL does not
+    rows = [
+        (f"{KDIR}/R_1.1_F_FOO.sql", "CREATE FUNCTION foo"),
+        (f"{KDIR}/R_1.2_F_BAR.SQL", "CREATE FUNCTION bar"),
+        ("replicator/source/u.sql", "SELECT KIMBALL.foo(1), KIMBALL.bar(1)"),
+    ]
+    defs = {
+        r["func_name"]
+        for r in scan_function_defs(_files_df(spark, rows)).collect()
+    }
+    assert defs == {"foo"}
+    g = _graph(spark, rows)
+    assert g["foo"]["used_in_files"] == ["replicator/source/u.sql"]
+
+
 def test_glob_translator_quirks(spark):
     files = spark.createDataFrame(
         [
