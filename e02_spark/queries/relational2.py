@@ -317,9 +317,46 @@ def q51_having_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q51_BODY)
 
 
+# --------------------------------------------------------------------------
+# q54 — sliding-window aggregation batch twin (E11): 1-hour windows every
+# 15 minutes; each event lands in exactly 4 windows. The streaming form is
+# streaming/jobs.sliding_quarter_hour; the oracle expands the 4 window
+# starts per event explicitly.
+# --------------------------------------------------------------------------
+def q54_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..num import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_Q54_SQL = """
+SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - to_minutes(CAST(k.k * 15 AS BIGINT)) AS ws
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+GROUP BY ws, event_type
+"""
+
+
 QUERIES = {
     "q43_subqueries": q43_subqueries,
     "q51_having_lead": q51_having_lead,
+    "q54_sliding_window": q54_sliding_window,
     "q44_cte_unpivot": q44_cte_unpivot,
     "q45_math_rank_funcs": q45_math_rank_funcs,
     "q46_pandas_udf": q46_pandas_udf,
@@ -332,6 +369,7 @@ QUERIES = {
 ORACLE = {
     "q43_subqueries": _Q43_BODY,
     "q51_having_lead": _Q51_BODY,
+    "q54_sliding_window": _Q54_SQL,
     "q44_cte_unpivot": _Q44_SQL,
     "q45_math_rank_funcs": _Q45_BODY,
     "q46_pandas_udf": _Q46_SQL,
