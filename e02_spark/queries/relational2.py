@@ -353,10 +353,100 @@ GROUP BY ws, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q55 — exact percentiles (continuous interpolation): Spark `percentile`
+# and DuckDB `quantile_cont` both use the type-7 (n-1)*p linear
+# interpolation on the sorted values, so results are bit-identical.
+# --------------------------------------------------------------------------
+def q55_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+_Q55_SQL = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS median_price,
+  quantile_cont(o_totalprice, 0.9) AS p90_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q56 — moment statistics (variance/stddev/correlation) computed from
+# EXACT decimal power sums: the built-in stddev/corr are single-pass
+# co-moment updates whose partial-aggregation order varies run-to-run, so
+# they can never hash-match across engines; the textbook power-sum
+# formulas over exact sums are bit-deterministic.
+# --------------------------------------------------------------------------
+def q56_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # floor-quantized integer units (tie-free, like ops/similarity): power
+    # sums accumulate as DECIMAL(38,0) — scale 0 means the decimal→double
+    # cast is a SINGLE correctly-rounded int→double conversion on both
+    # engines even when the sum exceeds 2^53. Units rescale in double.
+    l = _t(spark, sf_dir, "lineitem")
+    xq = F.expr("cast(floor(cast(l_quantity as double) * 10000d) as decimal(19,0))")
+    yq = F.expr("cast(floor(cast(l_extendedprice as double) * 100d) as decimal(19,0))")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).cast("double").alias("sx"),
+        F.sum(yq).cast("double").alias("sy"),
+        F.sum(xq * xq).cast("double").alias("sxx"),
+        F.sum(yq * yq).cast("double").alias("syy"),
+        F.sum(xq * yq).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - 1))
+    var_y = (n * F.col("syy") - F.col("sy") * F.col("sy")) / (n * (n - 1))
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (n * (n - 1))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n / F.lit(10000.0)).alias("mean_qty"),
+        (F.sqrt(var_x) / F.lit(10000.0)).alias("stddev_qty"),
+        (F.sqrt(var_y) / F.lit(100.0)).alias("stddev_price"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )
+
+
+_Q56_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+    CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 10000) AS DECIMAL(19,0)) AS xq,
+    CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100) AS DECIMAL(19,0)) AS yq
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(xq) AS DOUBLE) AS sx,
+    CAST(SUM(yq) AS DOUBLE) AS sy,
+    CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+    CAST(SUM(yq * yq) AS DOUBLE) AS syy,
+    CAST(SUM(xq * yq) AS DOUBLE) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  sx / CAST(n AS DOUBLE) / 10000.0 AS mean_qty,
+  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 10000.0 AS stddev_qty,
+  sqrt((CAST(n AS DOUBLE) * syy - sy * sy) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0 AS stddev_price,
+  ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+    / (sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+       * sqrt((CAST(n AS DOUBLE) * syy - sy * sy) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))) AS corr_qty_price
+FROM s
+"""
+
+
 QUERIES = {
     "q43_subqueries": q43_subqueries,
     "q51_having_lead": q51_having_lead,
     "q54_sliding_window": q54_sliding_window,
+    "q55_percentiles": q55_percentiles,
+    "q56_moment_stats": q56_moment_stats,
     "q44_cte_unpivot": q44_cte_unpivot,
     "q45_math_rank_funcs": q45_math_rank_funcs,
     "q46_pandas_udf": q46_pandas_udf,
@@ -370,6 +460,8 @@ ORACLE = {
     "q43_subqueries": _Q43_BODY,
     "q51_having_lead": _Q51_BODY,
     "q54_sliding_window": _Q54_SQL,
+    "q55_percentiles": _Q55_SQL,
+    "q56_moment_stats": _Q56_SQL,
     "q44_cte_unpivot": _Q44_SQL,
     "q45_math_rank_funcs": _Q45_BODY,
     "q46_pandas_udf": _Q46_SQL,
