@@ -108,6 +108,57 @@ def test_session_window_smoke(spark, events_dir):
         assert batch[user] - 1 <= n <= batch[user]
 
 
+def test_file_sink_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once file sink: restart from the checkpoint must process
+    only NEW input files — no duplicates, no loss."""
+    import shutil as _sh
+
+    e = load_table(spark, SF, "events")
+    stage = tmp_path / "stage"
+    (
+        e.where("event_id % 2 = 0").coalesce(1)
+        .write.parquet(str(stage / "a"))
+    )
+    (
+        e.where("event_id % 2 = 1").coalesce(1)
+        .write.parquet(str(stage / "b"))
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def stage_file(sub):
+        src = next((stage / sub).glob("*.parquet"))
+        _sh.copy(src, in_dir / f"{sub}.parquet")
+
+    stage_file("a")
+    run_once()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 500
+
+    stage_file("b")
+    run_once()  # restart from checkpoint: must process only file b
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 1000
+    assert final.select("event_id").distinct().count() == 1000
+
+
 def test_review_gate_stateful_stream(spark, tmp_path):
     from e02_spark import fixtures
 
