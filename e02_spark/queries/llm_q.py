@@ -505,6 +505,45 @@ FROM probe ORDER BY cosine DESC, vec_id LIMIT 5
 
 
 # --------------------------------------------------------------------------
+# q57 — BPE-ish regex token counting (driver north-star: "token counting
+# (whitespace + a BPE-ish regex)"): GPT-2-style pattern classes — runs of
+# letters, runs of digits, single non-alnum-non-space symbols — counted
+# per document alongside the whitespace count. Pattern stays in the
+# RE2/Java-regex common subset.
+# --------------------------------------------------------------------------
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q57_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0))
+            )
+        )
+        .cast("bigint")
+        .alias("n_distinct_bpe"),
+    )
+
+
+_Q57_SQL = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, chr(32))) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT) AS n_distinct_bpe
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # q41 — multimodal binary columns: metadata + content-identity projection
 # (E9). Codec decode itself is stubbed (ops/multimodal.py); the binary
 # plumbing (BINARY column, base64 identity, metadata pruning) is real.
@@ -594,6 +633,7 @@ FROM (
 QUERIES = {
     "q26_exact_dedup": q26_exact_dedup,
     "q41_multimodal_summary": q41_multimodal_summary,
+    "q57_bpe_token_counts": q57_bpe_token_counts,
     "q52_ml_minhash_lsh": q52_ml_minhash_lsh,
     "q53_python_udtf": q53_python_udtf,
     "q27_cosine_topk": q27_cosine_topk,
@@ -615,6 +655,7 @@ ORACLE = {
     "q41_multimodal_summary": _q41_sql(),
     # q52: rows-only (Spark ML hash seeds are engine-specific)
     "q53_python_udtf": _Q53_SQL,
+    "q57_bpe_token_counts": _Q57_SQL,
     "q27_cosine_topk": _Q27_SQL,
     "q28_token_counts": _Q28_SQL,
     "q29_sentiment_lexicon": _q29_sql(),
