@@ -193,6 +193,22 @@ def test_gate_stages_cover_all_four(spark):
     assert stages[5] == "tech"
 
 
+def test_kimball_deploy_version_order_and_composition(spark):
+    # C10: patch files apply in lexicographic version order, so the
+    # composing UDF (r_3...) resolves the earlier one (r_2...); C2/C9:
+    # the deployed UDF-over-UDF works with ${} substitution applied
+    from e02_spark.kimball.mart import PATCH_FILES, deploy
+
+    names = [n for n, _ in sorted(PATCH_FILES, key=lambda t: t[0])]
+    assert names == sorted(names)
+    assert names[0].startswith("r_2.") and names[1].startswith("r_3.")
+    deploy(spark, database="kimball_ordertest")
+    got = spark.sql(
+        "SELECT kimball_ordertest.utm_campaign_to_product('mfo_promo') AS p"
+    ).collect()[0]["p"]
+    assert got == "Микрокредиты"
+
+
 def test_codefacilitators_drops_unmatched(spark):
     files = fixtures.spark_df(spark, "sql_files")
     lines = fixtures.spark_df(spark, "owner_lines")
