@@ -67,3 +67,35 @@ def salted_collect_set(
     return phase1.groupBy(*key_cols).agg(
         F.sort_array(F.array_distinct(F.flatten(F.collect_list("_part")))).alias(alias)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's rows uniformly, replicate
+    the small side once per salt value, join on (key…, salt). The hot key's
+    rows spread over n_salts reducers instead of one. Result is row-for-row
+    identical to big.join(small, on, how).
+
+    Use when AQE's skew-join split can't kick in (e.g. the skewed side is
+    already partitioned by the join key from a prior stage, or the join is
+    sort-merge over a pre-shuffled cache). Cost: small side is materialized
+    n_salts times — keep n_salts * |small| well under shuffle partition
+    size. `how` may be "inner" or "left" (left = big side preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
+    # salt by hash of ALL big-side columns (NOT the join keys — a key-only
+    # hash would put every hot-key row in the same bucket, defeating the
+    # point) so results stay deterministic run-to-run.
+    big_s = big.withColumn(
+        "_salt", (F.abs(F.hash(*[F.col(c) for c in big.columns])) % n_salts)
+    )
+    small_s = small.withColumn("_salt", F.explode(salt_vals))
+    joined = big_s.join(small_s, [*on, "_salt"], how)
+    return joined.drop("_salt")

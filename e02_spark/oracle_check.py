@@ -130,11 +130,12 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> list[CompareRe
 
 
 def main() -> int:
+    import os
     import sys
 
     from .session import get_spark
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     only = sys.argv[1:] or None
     spark = get_spark("oracle-check")
     results = run_all(spark, sf_dir, only)

@@ -17,18 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import depgraph_q, kimball_q, llm_q, relational, relational2
+    from . import depgraph_q, kimball_q, llm_q, relational, relational2, relational3
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, relational2, kimball_q, depgraph_q, llm_q):
+    for mod in (relational, relational2, relational3, kimball_q, depgraph_q, llm_q):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import depgraph_q, kimball_q, llm_q, relational, relational2
+    from . import depgraph_q, kimball_q, llm_q, relational, relational2, relational3
 
     out: dict[str, str] = {}
-    for mod in (relational, relational2, kimball_q, depgraph_q, llm_q):
+    for mod in (relational, relational2, relational3, kimball_q, depgraph_q, llm_q):
         out.update(mod.ORACLE)
     return out

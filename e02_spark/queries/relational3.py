@@ -1,0 +1,305 @@
+"""Coverage batch 3: multi-level aggregation (GROUPING SETS + grouping()),
+ordered string aggregation, rank-distribution windows (percent_rank /
+cume_dist + windowed histogram counts), RANGE window frames, near-dup
+CLUSTERING (connected components over the MinHash pair graph — the step
+that turns pair detection into actual deduplication), max_by/min_by
+argmax aggregation, a CSV sink→source round-trip, and a skew-salted join.
+
+Reference analogs: the reference's owner aggregation groups at one level
+only (`generate_codefacilitators.py:38-44`); GROUPING SETS is the
+warehouse-native generalization. Its dependency flattening
+(`scan_dependencies.py:152-176`) is one-hop label propagation; connected
+components here is the same shape run to fixpoint, distributed.
+
+All determinism rules from num.py apply: decimal-accumulated sums, BIGINT
+integer outputs, unique tie-break keys in every window ORDER BY.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, register_views
+from ..ops.dedup import minhash_lsh_pairs
+from ..ops.graph import connected_components
+from ..ops.skew import salted_join
+from .llm_q import _Q31_SQL
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q58 — GROUPING SETS with grouping() markers (D12 generalization).
+# grouping() returns 0/1 identically on both engines; combined manually
+# into a level id (grouping_id()'s bit order is engine-defined, so we
+# build the mask explicitly from single-column grouping() calls).
+# --------------------------------------------------------------------------
+_Q58_BODY = """
+SELECT
+  o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS level_id,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q58_BODY)
+
+
+# --------------------------------------------------------------------------
+# q59 — ordered string aggregation (listagg/string_agg semantics).
+# Spark side: array_join(sort_array(collect_set(...))) — deterministic at
+# any parallelism because the sort happens after the set union. Oracle:
+# string_agg(DISTINCT ... ORDER BY ...). Identical strings by construction.
+# --------------------------------------------------------------------------
+def q59_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.min("c_name").alias("first_name"),
+            F.max("c_name").alias("last_name"),
+        )
+    )
+
+
+_Q59_SQL = """
+SELECT n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+  MIN(c_name) AS first_name,
+  MAX(c_name) AS last_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q60 — rank-distribution windows: percent_rank + cume_dist (exact — one
+# IEEE division each, no accumulation), plus a windowed histogram count
+# (COUNT over a (partition, bin) window). Unique tie-break key
+# (p_retailprice, p_partkey) makes every rank deterministic.
+# --------------------------------------------------------------------------
+_Q60_BODY = """
+SELECT p_size, p_partkey,
+  CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bin,
+  percent_rank() OVER w AS pr,
+  cume_dist()    OVER w AS cd,
+  CAST(COUNT(*) OVER (PARTITION BY p_size, CAST(FLOOR(p_retailprice / 100) AS BIGINT)) AS BIGINT) AS bin_n
+FROM part
+WHERE p_size <= 5
+WINDOW w AS (PARTITION BY p_size ORDER BY p_retailprice, p_partkey)
+"""
+
+
+def q60_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q60_BODY)
+
+
+# --------------------------------------------------------------------------
+# q61 — RANGE window frames (value-based, not row-based): for each
+# quantity, how many lineitems fall within 5 units below it, and their
+# price mass. Peer rows (same qty) share a frame, so the result is
+# aggregated to DISTINCT (flag, qty) — deterministic regardless of
+# physical row order. Decimal window sum keeps the price mass exact.
+# --------------------------------------------------------------------------
+_Q61_BODY = """
+SELECT DISTINCT l_returnflag,
+  CAST(l_quantity AS BIGINT) AS qty,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_within_5,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS price_within_5
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q61_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q61_BODY)
+
+
+# --------------------------------------------------------------------------
+# q62 — near-dup clustering: MinHash pair graph (same parameters as q31)
+# → distributed connected components → cluster id = min doc_id in the
+# component, keep = cluster representative. This is the operator that
+# actually DEDUPLICATES a corpus at 100 TB: pair detection alone (q31)
+# leaves "which copy do we keep" unanswered. Oracle: recursive CTE
+# transitive closure over the identical pair SQL.
+# --------------------------------------------------------------------------
+def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8).select("da", "db")
+    cc = connected_components(edges, src="da", dst="db")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("keep"),
+        )
+    )
+
+
+_Q62_SQL = f"""
+WITH RECURSIVE pairs AS ({_Q31_SQL}),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+),
+walk(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.node
+),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY node),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id AS keep
+FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q63 — argmax/argmin aggregation: max_by/min_by with a composite
+# (value, unique-key) ordering struct so ties are impossible. Oracle uses
+# the window formulation (arg_max's composite-key support differs across
+# engines; the RESULTS are what must match, not the plan).
+# --------------------------------------------------------------------------
+def q63_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey")).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("richest"),
+        F.min_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("poorest"),
+    )
+
+
+_Q63_SQL = """
+WITH ranked AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_name,
+    row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+    row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin,
+    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
+SELECT nationkey, CAST(MAX(n) AS BIGINT) AS n_customers,
+  MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+  MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest
+FROM ranked GROUP BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q64 — CSV sink → CSV source round-trip (completes the source/sink
+# matrix: parquet/JSON/text/binaryFile are covered elsewhere). Doubles
+# survive exactly: Spark writes shortest-uniquely-identifying decimal
+# strings, which parse back to the identical bits. The aggregate proves
+# fidelity against the parquet-direct oracle.
+# --------------------------------------------------------------------------
+def q64_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="e02_csv_roundtrip_") + "/supplier"
+    sup.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    ).option("header", True).csv(path)
+    return back.groupBy(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.min("s_name").alias("first_supplier"),
+    )
+
+
+_Q64_SQL = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+  MIN(s_name) AS first_supplier
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q65 — skew-salted join: lineitem ⋈ part through ops/skew.salted_join
+# (row-hash salt on the fact side, ×8 replicated dimension). Row-for-row
+# identical to the plain join — the oracle IS the plain join — while the
+# hot key's rows spread over 8 reducers. Aggregated to brand revenue.
+# --------------------------------------------------------------------------
+def q65_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p, on=["p_partkey"], n_salts=8)
+    rev = F.round(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")),
+        4,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+_Q65_SQL = """
+SELECT p_brand,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 4))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+QUERIES = {
+    "q58_grouping_sets": q58_grouping_sets,
+    "q59_string_agg": q59_string_agg,
+    "q60_rank_distribution": q60_rank_distribution,
+    "q61_range_frame": q61_range_frame,
+    "q62_dedup_clusters": q62_dedup_clusters,
+    "q63_argmax": q63_argmax,
+    "q64_csv_roundtrip": q64_csv_roundtrip,
+    "q65_salted_join_revenue": q65_salted_join_revenue,
+}
+
+ORACLE = {
+    "q58_grouping_sets": _Q58_BODY,
+    "q59_string_agg": _Q59_SQL,
+    "q60_rank_distribution": _Q60_BODY,
+    "q61_range_frame": _Q61_BODY,
+    "q62_dedup_clusters": _Q62_SQL,
+    "q63_argmax": _Q63_SQL,
+    "q64_csv_roundtrip": _Q64_SQL,
+    "q65_salted_join_revenue": _Q65_SQL,
+}
