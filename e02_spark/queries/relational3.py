@@ -115,10 +115,29 @@ def q60_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q61 — RANGE window frames (value-based, not row-based): for each
 # quantity, how many lineitems fall within 5 units below it, and their
-# price mass. Peer rows (same qty) share a frame, so the result is
-# aggregated to DISTINCT (flag, qty) — deterministic regardless of
-# physical row order. Decimal window sum keeps the price mass exact.
+# price mass. Peer rows (same qty) share a frame, so the Spark side
+# PRE-AGGREGATES to one row per (flag, qty) and range-windows over the
+# partials — the window scans ~150 grouped rows instead of every
+# lineitem (at 100 TB the difference between a broadcastable window and
+# an impossible one). SUM over per-qty decimal partials is exact, so the
+# result is bit-identical to the oracle's direct row-level window.
 # --------------------------------------------------------------------------
+_Q61_SPARK = """
+WITH per_qty AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+    COUNT(*) AS n,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS price
+  FROM lineitem
+  GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+)
+SELECT l_returnflag, qty,
+  CAST(SUM(n) OVER w AS BIGINT) AS n_within_5,
+  CAST(SUM(price) OVER w AS DOUBLE) AS price_within_5
+FROM per_qty
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY qty
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
 _Q61_BODY = """
 SELECT DISTINCT l_returnflag,
   CAST(l_quantity AS BIGINT) AS qty,
@@ -132,7 +151,7 @@ WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
 
 def q61_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_Q61_BODY)
+    return spark.sql(_Q61_SPARK)
 
 
 # --------------------------------------------------------------------------
@@ -282,6 +301,133 @@ GROUP BY p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# q66 — time-series gap-fill + forward-fill: daily revenue per order
+# priority on a dense date grid (sequence/generate_series), missing days
+# get n_orders=0 and the last known revenue carried forward
+# (last_value IGNORE NULLS). The grid is dimensions × days — tiny — and
+# the daily pre-aggregation is the only scan of the fact table, so the
+# pattern holds at 100 TB. Dates emitted as strings (format-identical
+# across engines).
+# --------------------------------------------------------------------------
+_Q66_SPARK = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+grid AS (
+  SELECT p.o_orderpriority, explode(sequence(b.dmin, b.dmax, interval 1 day)) AS d
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p CROSS JOIN bounds b
+)
+SELECT g.o_orderpriority, CAST(g.d AS STRING) AS day,
+  COALESCE(dl.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+  CAST(last_value(dl.rev) IGNORE NULLS OVER
+       (PARTITION BY g.o_orderpriority ORDER BY g.d) AS DOUBLE) AS rev_ffill
+FROM grid g LEFT JOIN daily dl
+  ON dl.o_orderpriority = g.o_orderpriority AND dl.d = g.d
+"""
+
+_Q66_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+grid AS (
+  SELECT p.o_orderpriority, CAST(unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p CROSS JOIN bounds b
+)
+SELECT g.o_orderpriority, CAST(g.d AS VARCHAR) AS day,
+  COALESCE(dl.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+  CAST(last_value(dl.rev IGNORE NULLS) OVER
+       (PARTITION BY g.o_orderpriority ORDER BY g.d) AS DOUBLE) AS rev_ffill
+FROM grid g LEFT JOIN daily dl
+  ON dl.o_orderpriority = g.o_orderpriority AND dl.d = g.d
+"""
+
+
+def q66_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q66_SPARK)
+
+
+# --------------------------------------------------------------------------
+# q67 — SCD Type 2 dimension build (the Kimball-mart operation the
+# reference's warehouse implies but leaves to the deployer): collapse each
+# user's event_type stream into change intervals with effective_from/to,
+# version numbers, and an is_current flag. Timestamps compared and
+# emitted as integer microseconds (events.ts is nanos-parquet; both
+# engines floor to micros — determinism rule 7). (ts, event_id) is the
+# unique ordering key.
+# --------------------------------------------------------------------------
+def _q67_body(ts_us: str) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, {ts_us} AS ts_us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts_us, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+  FROM ev
+),
+changes AS (
+  SELECT * FROM flagged WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+  ts_us AS effective_from_us,
+  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS effective_to_us,
+  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version
+FROM changes
+"""
+
+
+def q67_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q67_body("unix_micros(ts)"))
+
+
+_Q67_SQL = _q67_body("epoch_us(ts)")
+
+
+# --------------------------------------------------------------------------
+# q68 — view→click attribution: every (view, click) pair by the same user
+# with the click inside (view_ts, view_ts + 10 min]. Batch twin of the
+# stream-stream join streaming/jobs.py::view_click_attribution (the
+# streaming test asserts set-equality against this). Time bounds compared
+# in integer microseconds on both engines.
+# --------------------------------------------------------------------------
+def _q68_body(ts_us: str) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, {ts_us} AS v_us
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, {ts_us} AS c_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, v.view_id, c.click_id, c.c_us - v.v_us AS gap_us
+FROM v JOIN c
+  ON v.user_id = c.user_id
+ AND c.c_us > v.v_us
+ AND c.c_us <= v.v_us + 600000000
+"""
+
+
+def q68_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q68_body("unix_micros(ts)"))
+
+
+_Q68_SQL = _q68_body("epoch_us(ts)")
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -291,6 +437,9 @@ QUERIES = {
     "q63_argmax": q63_argmax,
     "q64_csv_roundtrip": q64_csv_roundtrip,
     "q65_salted_join_revenue": q65_salted_join_revenue,
+    "q66_gapfill_ffill": q66_gapfill_ffill,
+    "q67_scd2": q67_scd2,
+    "q68_view_click_attribution": q68_view_click_attribution,
 }
 
 ORACLE = {
@@ -302,4 +451,7 @@ ORACLE = {
     "q63_argmax": _Q63_SQL,
     "q64_csv_roundtrip": _Q64_SQL,
     "q65_salted_join_revenue": _Q65_SQL,
+    "q66_gapfill_ffill": _Q66_SQL,
+    "q67_scd2": _Q67_SQL,
+    "q68_view_click_attribution": _Q68_SQL,
 }

@@ -136,3 +136,49 @@ def review_gate_stream(reviews: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def view_click_attribution(events: DataFrame) -> DataFrame:
+    """E16: stream-stream join — attribute each click to the view(s) by the
+    same user in the preceding 10 minutes.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both sides, so Spark can expire join state: a buffered view is
+    dropped once the click-side watermark passes v_ts + 10 minutes. State
+    is therefore O(events within the horizon), not O(stream length) —
+    the property that makes stream-stream joins viable at 100 TB/day.
+
+    Batch twin: queries/relational3.py::q68_view_click_attribution
+    (oracle-checked); the streaming test asserts set-equality vs it.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts > v_ts "
+            "AND c_ts <= v_ts + interval 10 minutes"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )

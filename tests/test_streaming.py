@@ -18,6 +18,7 @@ from e02_spark.streaming.jobs import (
     review_gate_stream,
     session_windows,
     sliding_quarter_hour,
+    view_click_attribution,
     stream_dedup,
     tumbling_hourly,
 )
@@ -178,3 +179,21 @@ def test_review_gate_stateful_stream(spark, tmp_path):
     # pr5: alice + heidi + carol approved
     assert got[5] == 3
     assert got[1] == 1
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """E16: the watermarked stream-stream join emits exactly the pairs the
+    oracle-checked batch twin (q68) computes."""
+    from e02_spark.queries.relational3 import q68_view_click_attribution
+
+    name = _run(view_click_attribution(read_events_stream(spark, events_dir)))
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.gap_us)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.user_id, r.view_id, r.click_id, r.gap_us)
+        for r in q68_view_click_attribution(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "expected at least one view->click pair in sf0.001 events"
