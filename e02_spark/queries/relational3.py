@@ -428,6 +428,48 @@ def q68_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q68_SQL = _q68_body("epoch_us(ts)")
 
 
+# --------------------------------------------------------------------------
+# q69 — per-label embedding centroids, one row per (label, dimension):
+# posexplode the vector column, floor-quantize each component to integer
+# micro-units (determinism rule: integer sums are exact at ANY
+# parallelism — a double sum would drift with partitioning), aggregate,
+# and divide once at the end. This is the "average embedding per class"
+# primitive of clustering/IVF training; at 100 TB it is a single
+# shuffle keyed on (label, dim) with map-side partial sums.
+# --------------------------------------------------------------------------
+def q69_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1e6).cast("bigint").alias("q"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        (F.sum("q").cast("double") / F.count("*").cast("double") / F.lit(1e6))
+        .alias("centroid"),
+    )
+
+
+_Q69_SQL = """
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label,
+    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT label, dim,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(q) AS BIGINT) AS sum_q,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS centroid
+FROM ex GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -440,6 +482,7 @@ QUERIES = {
     "q66_gapfill_ffill": q66_gapfill_ffill,
     "q67_scd2": q67_scd2,
     "q68_view_click_attribution": q68_view_click_attribution,
+    "q69_embedding_centroids": q69_embedding_centroids,
 }
 
 ORACLE = {
@@ -454,4 +497,5 @@ ORACLE = {
     "q66_gapfill_ffill": _Q66_SQL,
     "q67_scd2": _Q67_SQL,
     "q68_view_click_attribution": _Q68_SQL,
+    "q69_embedding_centroids": _Q69_SQL,
 }

@@ -6,6 +6,8 @@ plan is a scale bug; these pin the good plans.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from e02_spark.ops.bucketing import (
     colocated_join_revenue,
     join_has_no_shuffle,
@@ -54,3 +56,60 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert join_has_no_shuffle(df), _plan(df)
     rows = {r["o_orderpriority"]: r["n_items"] for r in df.collect()}
     assert sum(rows.values()) == 6000  # every lineitem joined exactly once
+
+
+def test_q61_aggregates_before_window(spark):
+    """q61 must range-window over per-qty partials, not raw lineitem rows:
+    the plan has a HashAggregate BELOW the Window operator."""
+    from e02_spark.queries.relational3 import q61_range_frame
+
+    plan = _plan(q61_range_frame(spark, SF))
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], plan  # agg feeds the window
+    # and no row-level DISTINCT on top (the pre-agg replaced it)
+    assert plan.count("Window") == 1
+
+
+def test_q65_salted_join_is_hash_join(spark):
+    """The salted join must stay an equi hash join on (key, salt) — never
+    a nested-loop/cartesian fallback."""
+    from e02_spark.queries.relational3 import q65_salted_join_revenue
+
+    plan = _plan(q65_salted_join_revenue(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q69_partial_aggregation_before_shuffle(spark):
+    """Centroid sums must combine map-side: partial_sum/partial_count in
+    the plan below the exchange (Spark's two-phase hash aggregation)."""
+    from e02_spark.queries.relational3 import q69_embedding_centroids
+
+    plan = _plan(q69_embedding_centroids(spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned parquet sink + partition-pruned scan: a
+    filter on the partition column must reach the scan as a
+    PartitionFilter and read only the matching directory."""
+    orders = load_table(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+
+    back = spark.read.parquet(out).where(F.col("o_year") == 1995)
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters")[1][:200], plan
+    got_years = {r.o_year for r in back.select("o_year").distinct().collect()}
+    assert got_years == {1995}
+    # the pruned read returns exactly the 1995 directory's rows (and the
+    # dataset really is multi-partition, so pruning is doing work)
+    import glob
+
+    assert len(glob.glob(out + "/o_year=*")) > 1
+    only_1995 = spark.read.parquet(out + "/o_year=1995")
+    assert back.count() == only_1995.count() > 0
