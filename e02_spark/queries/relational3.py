@@ -470,6 +470,43 @@ FROM ex GROUP BY label, dim
 """
 
 
+# --------------------------------------------------------------------------
+# q70 — VARIANT semi-structured ingestion (Spark 4's native path for JSON
+# columns, superseding string get_json_object re-parsing per access —
+# q22 covers the legacy path): parse events.props ONCE into a variant,
+# then typed variant_get extraction feeding a relational aggregate. At
+# 100 TB the variant binary encoding is columnar-shredded and avoids
+# re-tokenizing JSON text per expression. Oracle: DuckDB JSON extraction
+# (DuckDB has no variant; the RESULTS are the contract).
+# --------------------------------------------------------------------------
+def q70_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type", F.try_variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+_Q70_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(MAX(k) AS BIGINT) AS max_k
+FROM v GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -483,6 +520,7 @@ QUERIES = {
     "q67_scd2": q67_scd2,
     "q68_view_click_attribution": q68_view_click_attribution,
     "q69_embedding_centroids": q69_embedding_centroids,
+    "q70_variant_props": q70_variant_props,
 }
 
 ORACLE = {
@@ -498,4 +536,5 @@ ORACLE = {
     "q67_scd2": _Q67_SQL,
     "q68_view_click_attribution": _Q68_SQL,
     "q69_embedding_centroids": _Q69_SQL,
+    "q70_variant_props": _Q70_SQL,
 }

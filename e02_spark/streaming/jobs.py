@@ -182,3 +182,58 @@ def view_click_attribution(events: DataFrame) -> DataFrame:
         "click_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
+
+
+def incremental_event_counts(events: DataFrame, state_dir: str):
+    """E17: incremental view maintenance — a foreachBatch sink that keeps a
+    per-event_type aggregate table up to date as micro-batches arrive.
+
+    Each batch is pre-aggregated (map-side partials: the batch shuffle is
+    on event_type only), merged with the persisted state by re-aggregation,
+    and atomically swapped in. Counts and decimal-exact value sums are
+    algebraic, so merge-by-re-aggregation is exact regardless of how rows
+    split across batches — the invariant the test asserts (final state ==
+    one-shot batch aggregate).
+
+    The parquet-overwrite swap (materialize → overwrite) stands in for a
+    transactional table format; on a real cluster this merge is a Delta/
+    Iceberg MERGE INTO, same dataflow.
+
+    Returns the started StreamingQuery.
+    """
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        agg = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        try:
+            existing = spark.read.parquet(state_dir)
+            merged = (
+                existing.unionByName(agg)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("value_sum")
+                    .cast("decimal(18,4)")
+                    .alias("value_sum"),
+                )
+            )
+        except Exception:
+            merged = agg.select(
+                "event_type",
+                "n_events",
+                F.col("value_sum").cast("decimal(18,4)").alias("value_sum"),
+            )
+        # localCheckpoint materializes the merge (executor-side, no driver
+        # collect) before we overwrite the directory it was read from
+        merged.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -197,3 +197,48 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     }
     assert got == want
     assert want, "expected at least one view->click pair in sf0.001 events"
+
+
+def test_incremental_aggregate_matches_batch(spark, tmp_path):
+    """E17: the foreachBatch-maintained state table, fed the events in two
+    micro-batches, converges to the one-shot batch aggregate exactly."""
+    from e02_spark.streaming.jobs import incremental_event_counts
+
+    # stage events as TWO files so availableNow + maxFilesPerTrigger=4
+    # still yields a deterministic multi-file feed (one file per half)
+    ev = load_table(spark, SF, "events")
+    a, b = ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1)
+    feed = tmp_path / "feed"
+    a.coalesce(1).write.mode("overwrite").parquet(str(feed / "h0"))
+    b.coalesce(1).write.mode("overwrite").parquet(str(feed / "h1"))
+    import glob as _glob
+    import shutil as _shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(_glob.glob(str(feed / "h*" / "*.parquet")))):
+        _shutil.copy(f, flat / f"part-{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    state_dir = str(tmp_path / "state")
+    q = incremental_event_counts(stream, state_dir)
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.n_events, r.value_sum)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        (r.event_type, r.n_events, r.value_sum)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want
