@@ -306,12 +306,83 @@ def _render(sql: str) -> str:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# q72 — FULL transitive closure via native recursive CTE (Spark 4's
+# WITH RECURSIVE vs DuckDB's): generalizes q20's strictly-one-hop
+# reference semantics (scan_dependencies.py:152-176) to arbitrary call
+# depth. Cross-checked three ways — this SQL recursion on both engines,
+# and the iterative DataFrame fixpoint (scanner.flatten_fixpoint) pinned
+# equal in tests. UNION ALL recursion + final DISTINCT aggregation (the
+# call graph is acyclic; the reference's only cycle, a self-call, is
+# dropped by the self-reference filter both here and in the reference).
+# --------------------------------------------------------------------------
+def q72_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..depgraph.scanner import extract_call_edges, scan_function_defs
+
+    files = _fx(spark, "sql_files")
+    functions = scan_function_defs(files)
+    edges = extract_call_edges(files, functions)
+    edges.where(F.col("caller_kind") == "file").select(
+        "callee", F.col("caller_path").alias("file")
+    ).createOrReplaceTempView("q72_file_edges")
+    edges.where(F.col("caller_kind") == "function").select(
+        "callee", "caller_func"
+    ).createOrReplaceTempView("q72_func_edges")
+    functions.createOrReplaceTempView("q72_defs")
+    return spark.sql("""
+      WITH RECURSIVE reach(callee, file) AS (
+        SELECT callee, file FROM q72_file_edges
+        UNION ALL
+        SELECT fe.callee, r.file
+        FROM q72_func_edges fe JOIN reach r ON r.callee = fe.caller_func
+      ),
+      agg AS (
+        SELECT callee, array_sort(collect_set(file)) AS files
+        FROM reach GROUP BY callee
+      )
+      SELECT d.func_name, d.def_path,
+        coalesce(array_join(a.files, ','), '') AS files
+      FROM q72_defs d LEFT JOIN agg a ON a.callee = d.func_name
+    """)
+
+
+_Q72_SQL = f"""
+WITH RECURSIVE {{sql_files}},
+{_SCOPED},
+{_DEFS},
+{_CALLS},
+{_CLASSIFIED},
+file_edges AS (
+  SELECT callee, caller_path AS file FROM classified WHERE caller_func IS NULL
+),
+func_edges AS (
+  SELECT callee, caller_func FROM classified WHERE caller_func IS NOT NULL
+),
+reach(callee, file) AS (
+  SELECT callee, file FROM file_edges
+  UNION ALL
+  SELECT fe.callee, r.file
+  FROM func_edges fe JOIN reach r ON r.callee = fe.caller_func
+),
+agg AS (
+  SELECT callee, list_sort(list(DISTINCT file)) AS files
+  FROM reach GROUP BY callee
+)
+SELECT d.func_name, d.def_path,
+  coalesce(array_to_string(a.files, ','), '') AS files
+FROM defs d LEFT JOIN agg a ON a.callee = d.func_name
+"""
+
+
 QUERIES = {
     "q17_extract_explode_callsites": q17_extract_explode_callsites,
     "q18_collect_set_deps": q18_collect_set_deps,
     "q19_glob_owner_join": q19_glob_owner_join,
     "q20_one_hop_closure": q20_one_hop_closure,
     "q21_team_gate": q21_team_gate,
+    "q72_recursive_closure": q72_recursive_closure,
 }
 
 ORACLE = {
@@ -320,4 +391,5 @@ ORACLE = {
     "q19_glob_owner_join": _render(_Q19_SQL),
     "q20_one_hop_closure": _render(_Q20_SQL),
     "q21_team_gate": _render(_Q21_SQL),
+    "q72_recursive_closure": _render(_Q72_SQL),
 }

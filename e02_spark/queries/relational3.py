@@ -507,6 +507,50 @@ FROM v GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q71 — LATERAL correlated subquery join (per-nation top-2 customers by
+# balance): the correlated ORDER BY ... LIMIT runs once per outer row.
+# Catalyst rewrites it to a ranked window under the hood; the surface is
+# the SQL-standard LATERAL, identical text on both engines.
+# --------------------------------------------------------------------------
+_Q71_BODY = """
+SELECT n.n_name, l.c_name, l.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) l
+"""
+
+
+def q71_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q71_BODY)
+
+
+# --------------------------------------------------------------------------
+# q73 — edit-distance fuzzy matching (the string-side near-dup primitive,
+# complementing shingle/minhash): candidate pairs blocked on
+# (p_brand, p_size) — never an unblocked O(n²) cross join — then exact
+# levenshtein ≤ 4 verification. Levenshtein is pure integer DP, identical
+# across engines.
+# --------------------------------------------------------------------------
+_Q73_BODY = """
+SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+def q73_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q73_BODY)
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -521,6 +565,8 @@ QUERIES = {
     "q68_view_click_attribution": q68_view_click_attribution,
     "q69_embedding_centroids": q69_embedding_centroids,
     "q70_variant_props": q70_variant_props,
+    "q71_lateral_topn": q71_lateral_topn,
+    "q73_fuzzy_name_pairs": q73_fuzzy_name_pairs,
 }
 
 ORACLE = {
@@ -537,4 +583,6 @@ ORACLE = {
     "q68_view_click_attribution": _Q68_SQL,
     "q69_embedding_centroids": _Q69_SQL,
     "q70_variant_props": _Q70_SQL,
+    "q71_lateral_topn": _Q71_BODY,
+    "q73_fuzzy_name_pairs": _Q73_BODY,
 }

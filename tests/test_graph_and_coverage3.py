@@ -164,3 +164,25 @@ def test_q62_keep_flags_are_cluster_minima(spark):
         keeps = [m for m in members if m.keep]
         assert len(keeps) == 1 and keeps[0].doc_id == cid
         assert all(m.cluster_size == len(members) for m in members)
+
+
+# --------------------------------------------------------------------------
+# q72: native recursive CTE == iterative DataFrame fixpoint
+# --------------------------------------------------------------------------
+def test_recursive_cte_matches_iterative_fixpoint(spark):
+    from pyspark.sql import functions as F
+
+    from e02_spark import fixtures
+    from e02_spark.depgraph.scanner import flatten_fixpoint
+    from e02_spark.queries.depgraph_q import q72_recursive_closure
+
+    files = fixtures.spark_df(spark, "sql_files")
+    want = {
+        (r.func_name, r.def_path, ",".join(r.files))
+        for r in flatten_fixpoint(files).collect()
+    }
+    got = {
+        (r.func_name, r.def_path, r.files)
+        for r in q72_recursive_closure(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
