@@ -186,3 +186,28 @@ def test_recursive_cte_matches_iterative_fixpoint(spark):
         for r in q72_recursive_closure(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# robustness: PERMISSIVE JSON parsing quarantines corrupt rows, job survives
+# --------------------------------------------------------------------------
+def test_permissive_json_quarantines_corrupt_rows(spark):
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": 2}',), ("{not json",), ("",), (None,)],
+        "props STRING",
+    )
+    parsed = raw.select(
+        F.from_json(
+            "props",
+            "k BIGINT, _corrupt_record STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+        "props",
+    ).select("props", "j.k", F.col("j._corrupt_record").alias("bad"))
+    rows = parsed.collect()
+    ok = {r.k for r in rows if r.k is not None}
+    bad = {r.props for r in rows if r.bad is not None}
+    assert ok == {1, 2}
+    assert "{not json" in bad  # quarantined, not a job failure

@@ -113,3 +113,14 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert len(glob.glob(out + "/o_year=*")) > 1
     only_1995 = spark.read.parquet(out + "/o_year=1995")
     assert back.count() == only_1995.count() > 0
+
+
+def test_q73_blocked_fuzzy_join_is_hash_join(spark):
+    """The levenshtein pair search must join on the (brand, size) block
+    key — an equi hash/merge join — with the distance predicate applied
+    post-join, never a nested-loop over all part pairs."""
+    from e02_spark.queries.relational3 import q73_fuzzy_name_pairs
+
+    plan = _plan(q73_fuzzy_name_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -33,12 +33,12 @@ def events_dir(tmp_path_factory):
     return str(d)
 
 
-def _run(df, name=None):
+def _run(df, name=None, outputMode=None):
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if "n_approvers" not in df.columns else "update")
+        .outputMode(outputMode or ("append" if "n_approvers" not in df.columns else "update"))
         .trigger(availableNow=True)
         .start()
     )
@@ -240,5 +240,31 @@ def test_incremental_aggregate_matches_batch(spark, tmp_path):
             F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
         )
         .collect()
+    }
+    assert got == want
+
+
+def test_stream_static_enrichment_join(spark, events_dir):
+    """Stream-static join: the event stream enriched against a static
+    dimension (broadcast per micro-batch, no stream state needed)."""
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "acquisition"),
+         ("error", "ops")],
+        "event_type STRING, category STRING",
+    )
+    enriched = (
+        read_events_stream(spark, events_dir)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = _run(enriched, outputMode="complete")
+    got = {(r.category, r.n) for r in spark.table(name).collect()}
+    ev = load_table(spark, SF, "events")
+    want = {
+        (r.category, r.n)
+        for r in ev.join(dim, "event_type").groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
