@@ -92,9 +92,11 @@ def salted_join(
     salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
     # salt by hash of ALL big-side columns (NOT the join keys — a key-only
     # hash would put every hot-key row in the same bucket, defeating the
-    # point) so results stay deterministic run-to-run.
+    # point) so results stay deterministic run-to-run. pmod, not abs(..)%:
+    # abs(Integer.MIN_VALUE) overflows negative and a negative salt would
+    # silently drop that row from the inner join.
     big_s = big.withColumn(
-        "_salt", (F.abs(F.hash(*[F.col(c) for c in big.columns])) % n_salts)
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )
     small_s = small.withColumn("_salt", F.explode(salt_vals))
     joined = big_s.join(small_s, [*on, "_salt"], how)
