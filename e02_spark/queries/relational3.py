@@ -551,6 +551,54 @@ def q73_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q73_BODY)
 
 
+# --------------------------------------------------------------------------
+# q74 — data-quality expectations over lineitem (ops/quality): all
+# row-level rules counted in ONE aggregation pass; the key-uniqueness
+# rule is the only extra shuffle. The ingest-gate primitive of a
+# training-data pipeline.
+# --------------------------------------------------------------------------
+def q74_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.quality import expect, expect_unique
+
+    li = _t(spark, sf_dir, "lineitem")
+    rowrules = expect(li, [
+        ("qty_in_range", F.col("l_quantity").between(1, 50)),
+        ("discount_in_range", F.col("l_discount").between(0, 0.1)),
+        ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ("flag_in_set", F.col("l_returnflag").isin("A", "N", "R")),
+        ("price_positive", F.col("l_extendedprice") > 0),
+    ])
+    uniq = expect_unique(li, ["l_orderkey", "l_linenumber"], "orderline_key_unique")
+    return rowrules.unionByName(uniq)
+
+
+_Q74_SQL = """
+SELECT 'qty_in_range' AS rule,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'discount_in_range',
+  CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'shipdate_not_null',
+  CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'flag_in_set',
+  CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orderline_key_unique',
+  CAST(COALESCE(SUM(n), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'price_positive',
+  CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+"""
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -567,6 +615,7 @@ QUERIES = {
     "q70_variant_props": q70_variant_props,
     "q71_lateral_topn": q71_lateral_topn,
     "q73_fuzzy_name_pairs": q73_fuzzy_name_pairs,
+    "q74_data_quality": q74_data_quality,
 }
 
 ORACLE = {
@@ -585,4 +634,5 @@ ORACLE = {
     "q70_variant_props": _Q70_SQL,
     "q71_lateral_topn": _Q71_BODY,
     "q73_fuzzy_name_pairs": _Q73_BODY,
+    "q74_data_quality": _Q74_SQL,
 }

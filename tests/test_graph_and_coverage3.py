@@ -211,3 +211,32 @@ def test_permissive_json_quarantines_corrupt_rows(spark):
     bad = {r.props for r in rows if r.bad is not None}
     assert ok == {1, 2}
     assert "{not json" in bad  # quarantined, not a job failure
+
+
+# --------------------------------------------------------------------------
+# ops/quality: planted violations are counted exactly, in one pass
+# --------------------------------------------------------------------------
+def test_quality_expectations_count_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from e02_spark.ops.quality import expect, expect_unique
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (1, 99.0)],
+        "k INT, v DOUBLE",
+    )
+    got = {
+        (r.rule, r.violations)
+        for r in expect(df, [
+            ("v_positive", F.col("v") > 0),        # -5.0 and NULL violate
+            ("v_not_null", F.col("v").isNotNull()), # NULL violates
+            ("k_small", F.col("k") < 100),          # none violate
+        ]).collect()
+    }
+    assert got == {("v_positive", 2), ("v_not_null", 1), ("k_small", 0)}
+
+    uniq = expect_unique(df, ["k"], "k_unique").collect()[0]
+    assert (uniq.rule, uniq.violations) == ("k_unique", 2)  # both k=1 rows
+
+    clean = expect_unique(df.where("k > 1"), ["k"], "k_unique").collect()[0]
+    assert clean.violations == 0
