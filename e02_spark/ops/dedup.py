@@ -28,14 +28,12 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
-def minhash_lsh_pairs(
-    documents: DataFrame, k: int = 4, bands: int = 2, threshold: float = 0.8
+def _candidate_intersections(
+    documents: DataFrame, k: int, bands: int
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
-
-    shingle → k md5-minhashes → `bands` bands of k/bands hashes → bucket
-    join on (band_idx, band_key) → candidate pairs → exact Jaccard over the
-    candidates only → filter >= threshold.
+    """Shared LSH front half of minhash_lsh_pairs / containment_pairs:
+    shingle → k md5-minhashes → banded bucket join → candidate pairs →
+    exact shingle-set intersections. Returns (da, db, inter, na, nb).
 
     Scale: the band bucket join shuffles on band_key (high cardinality);
     candidate verification joins shingle sets only for candidate pairs —
@@ -87,19 +85,45 @@ def minhash_lsh_pairs(
     szb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
     # NOTE: sizes is one row per document (huge at scale) — never broadcast
     # it; `inter` is candidate-sized, so AQE broadcasts THAT side instead
-    jac = (
-        inter.join(sza, "da")
-        .join(szb, "db")
-        .select(
-            "da",
-            "db",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).alias("jaccard"),
-        )
+    return inter.join(sza, "da").join(szb, "db")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = 4, bands: int = 2, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
+    over the LSH candidates only (see _candidate_intersections)."""
+    ci = _candidate_intersections(documents, k, bands)
+    jac = ci.select(
+        "da",
+        "db",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= threshold).select("da", "db", "jaccard")
+
+
+def containment_pairs(
+    documents: DataFrame, k: int = 4, bands: int = 2, threshold: float = 0.9
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set CONTAINMENT
+    max(|A∩B|/|A|, |A∩B|/|B|) over the LSH candidates. Catches
+    subset-duplication (a document wrapped in boilerplate, a page
+    embedded in a larger crawl) that symmetric Jaccard under-scores:
+    a 100-shingle doc fully contained in a 1000-shingle doc has
+    Jaccard 0.1 but containment 1.0.
+    """
+    ci = _candidate_intersections(documents, k, bands)
+    cont = ci.select(
+        "da",
+        "db",
+        (F.col("inter").cast("double") / F.least("na", "nb")).alias("containment"),
+    )
+    return cont.where(F.col("containment") >= threshold).select(
+        "da", "db", "containment"
+    )
 
 
 def ngram_jaccard_topk(

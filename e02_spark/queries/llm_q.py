@@ -630,6 +630,51 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q75 — containment near-dup (asymmetric): |A∩B| / min(|A|,|B|) over the
+# same LSH candidates as q31. Catches subset-duplication that symmetric
+# Jaccard under-scores (boilerplate-wrapped copies).
+# --------------------------------------------------------------------------
+def q75_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, k=4, bands=2, threshold=0.9)
+
+
+_Q75_SQL = f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id, {duck_minhash_sql(4)}
+  FROM doc_shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, h1 || '|' || h2 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, h3 || '|' || h4 AS band_key FROM sig
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS inter
+  FROM candidates c
+  JOIN doc_shingles sa ON sa.doc_id = c.da
+  JOIN doc_shingles sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+  GROUP BY c.da, c.db
+)
+SELECT i.da, i.db,
+  CAST(i.inter AS DOUBLE) / LEAST(za.n_sh, zb.n_sh) AS containment
+FROM inter i
+JOIN sizes za ON za.doc_id = i.da
+JOIN sizes zb ON zb.doc_id = i.db
+WHERE CAST(i.inter AS DOUBLE) / LEAST(za.n_sh, zb.n_sh) >= 0.9
+"""
+
+
 QUERIES = {
     "q26_exact_dedup": q26_exact_dedup,
     "q41_multimodal_summary": q41_multimodal_summary,
@@ -640,6 +685,7 @@ QUERIES = {
     "q28_token_counts": q28_token_counts,
     "q29_sentiment_lexicon": q29_sentiment_lexicon,
     "q31_minhash_lsh_neardup": q31_minhash_lsh_neardup,
+    "q75_containment_neardup": q75_containment_neardup,
     "q34_simhash_neardup": q34_simhash_neardup,
     "q35_ngram_jaccard_topk": q35_ngram_jaccard_topk,
     "q36_lang_id": q36_lang_id,
@@ -660,6 +706,7 @@ ORACLE = {
     "q28_token_counts": _Q28_SQL,
     "q29_sentiment_lexicon": _q29_sql(),
     "q31_minhash_lsh_neardup": _Q31_SQL,
+    "q75_containment_neardup": _Q75_SQL,
     "q34_simhash_neardup": _Q34_SQL,
     "q35_ngram_jaccard_topk": _Q35_SQL,
     "q36_lang_id": _Q36_SQL,

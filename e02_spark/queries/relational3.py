@@ -599,6 +599,45 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# q76 — ordered event funnel (signup → later view → later purchase per
+# user): each stage anchors on the MIN qualifying timestamp of the prior
+# stage — the sequential-pattern analytic (no MATCH_RECOGNIZE needed;
+# per-stage MIN + join). Timestamps compared in integer microseconds.
+# --------------------------------------------------------------------------
+def _q76_body(us: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, MIN({us}(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN({us}(e.ts)) AS v_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND {us}(e.ts) > s.s_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN({us}(e.ts)) AS p_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND {us}(e.ts) > v.v_us
+  GROUP BY e.user_id
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_signup_view,
+  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+"""
+
+
+def q76_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q76_body("unix_micros"))
+
+
+_Q76_SQL = _q76_body("epoch_us")
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -616,6 +655,7 @@ QUERIES = {
     "q71_lateral_topn": q71_lateral_topn,
     "q73_fuzzy_name_pairs": q73_fuzzy_name_pairs,
     "q74_data_quality": q74_data_quality,
+    "q76_event_funnel": q76_event_funnel,
 }
 
 ORACLE = {
@@ -635,4 +675,5 @@ ORACLE = {
     "q71_lateral_topn": _Q71_BODY,
     "q73_fuzzy_name_pairs": _Q73_BODY,
     "q74_data_quality": _Q74_SQL,
+    "q76_event_funnel": _Q76_SQL,
 }

@@ -132,3 +132,23 @@ def test_interval_overlap_join(spark):
         for r in interval_overlap_join(intervals, points, "start", "end", "ts").collect()
     }
     assert got == {(1, 10), (1, 11), (2, 13)}
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A small doc fully contained in a big doc: containment ~1.0 flags
+    it; symmetric Jaccard at the same candidates stays far below 0.8."""
+    from e02_spark.ops.dedup import containment_pairs, minhash_lsh_pairs
+
+    # small ⊂ big with ~18% extra shingles in big: containment = 1.0,
+    # Jaccard ≈ 0.85 — at the SAME 0.9 cutoff containment flags the pair
+    # and Jaccard does not
+    small = " ".join(f"tok{i}" for i in range(30))
+    big = small + " " + " ".join(f"extra{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here only")],
+        "doc_id BIGINT, text STRING",
+    )
+    cont = {(r.da, r.db) for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in cont
+    jac = {(r.da, r.db) for r in minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) not in jac
