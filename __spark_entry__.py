@@ -26,9 +26,14 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (q01 pricing summary) on sf0.001; driver checks rows>0."""
+    """Flagship query on sf0.001; driver checks rows>0.
+
+    q77 corpus curation — the engine's capstone composition: quality
+    gate → MinHash near-dup clustering (iterative connected components)
+    → representative-only corpus → per-(lang, source) token accounting.
+    """
     tune_session(spark)
-    return all_queries()["q01_pricing_summary"](spark, SF0001)
+    return all_queries()["q77_corpus_curation"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -675,6 +675,66 @@ WHERE CAST(i.inter AS DOUBLE) / LEAST(za.n_sh, zb.n_sh) >= 0.9
 """
 
 
+# --------------------------------------------------------------------------
+# q77 — corpus curation end-to-end (the training-data pipeline capstone):
+# quality gate (length + token-count floors) → near-dup representative
+# selection (MinHash pairs → connected components, keep the min-doc_id
+# member of every cluster) → per-(lang, source) doc and whitespace-token
+# accounting of the CURATED corpus. One declared query composing the
+# dedup-clustering, quality, and token operators; the oracle recomputes
+# the identical pipeline with a recursive CTE.
+# --------------------------------------------------------------------------
+def q77_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import minhash_lsh_pairs
+    from ..ops.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8).select("da", "db")
+    cc = connected_components(edges, src="da", dst="db")
+    drop = cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    curated = (
+        d.join(drop, "doc_id", "left_anti")
+        .withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
+        .where((F.col("n_chars") >= 100) & (F.col("n_tokens") >= 20))
+    )
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_Q77_SQL = f"""
+WITH RECURSIVE pairs AS ({_Q31_SQL}),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+),
+walk(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.node
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM walk GROUP BY node),
+drop_docs AS (SELECT node AS doc_id FROM lab WHERE node <> cluster_id),
+curated AS (
+  SELECT d.*, CAST(len(string_split(d.text, chr(32))) AS BIGINT) AS n_tokens
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+    AND d.n_chars >= 100
+    AND len(string_split(d.text, chr(32))) >= 20
+)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(doc_id) AS first_doc
+FROM curated GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "q26_exact_dedup": q26_exact_dedup,
     "q41_multimodal_summary": q41_multimodal_summary,
@@ -686,6 +746,7 @@ QUERIES = {
     "q29_sentiment_lexicon": q29_sentiment_lexicon,
     "q31_minhash_lsh_neardup": q31_minhash_lsh_neardup,
     "q75_containment_neardup": q75_containment_neardup,
+    "q77_corpus_curation": q77_corpus_curation,
     "q34_simhash_neardup": q34_simhash_neardup,
     "q35_ngram_jaccard_topk": q35_ngram_jaccard_topk,
     "q36_lang_id": q36_lang_id,
@@ -707,6 +768,7 @@ ORACLE = {
     "q29_sentiment_lexicon": _q29_sql(),
     "q31_minhash_lsh_neardup": _Q31_SQL,
     "q75_containment_neardup": _Q75_SQL,
+    "q77_corpus_curation": _Q77_SQL,
     "q34_simhash_neardup": _Q34_SQL,
     "q35_ngram_jaccard_topk": _Q35_SQL,
     "q36_lang_id": _Q36_SQL,

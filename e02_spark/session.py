@@ -45,6 +45,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     conf (master, memory) is fixed by then, but these still apply.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # shuffle.partitions is runtime-settable and defaults to 200 on a
+    # plain session — sized instead to the local core count (AQE
+    # coalesces the excess; on a cluster the driver would own this knob)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
