@@ -638,6 +638,40 @@ def q76_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q76_SQL = _q76_body("epoch_us")
 
 
+# --------------------------------------------------------------------------
+# q78 — cohort retention: users grouped by first-activity day, counted
+# as active per (cohort day, day offset). Two aggregations + one join on
+# user_id; day indices are floor(micros / 86.4e9) — identical flooring
+# on both engines (determinism rule 7).
+# --------------------------------------------------------------------------
+def _q78_body(us: str) -> str:
+    return f"""
+WITH cohort AS (
+  SELECT user_id,
+    MIN(CAST(FLOOR({us}(ts) / 86400000000) AS BIGINT)) AS c
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+    CAST(FLOOR({us}(ts) / 86400000000) AS BIGINT) AS d
+  FROM events
+)
+SELECT c AS cohort_day,
+  d - c AS day_offset,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a JOIN cohort ON a.user_id = cohort.user_id
+GROUP BY c, d
+"""
+
+
+def q78_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_q78_body("unix_micros"))
+
+
+_Q78_SQL = _q78_body("epoch_us")
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -656,6 +690,7 @@ QUERIES = {
     "q73_fuzzy_name_pairs": q73_fuzzy_name_pairs,
     "q74_data_quality": q74_data_quality,
     "q76_event_funnel": q76_event_funnel,
+    "q78_cohort_retention": q78_cohort_retention,
 }
 
 ORACLE = {
@@ -676,4 +711,5 @@ ORACLE = {
     "q73_fuzzy_name_pairs": _Q73_BODY,
     "q74_data_quality": _Q74_SQL,
     "q76_event_funnel": _Q76_SQL,
+    "q78_cohort_retention": _Q78_SQL,
 }

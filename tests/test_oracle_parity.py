@@ -28,7 +28,8 @@ def test_entry_smoke(spark):
     df = ent.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert "sum_qty" in df.columns
+    # flagship = q77 corpus curation
+    assert {"lang", "source", "n_docs", "total_tokens"} <= set(df.columns)
 
 
 def test_oracle_names_subset_of_queries():
