@@ -735,6 +735,129 @@ FROM curated GROUP BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# q79 — source-vocabulary similarity: token-set Jaccard between every
+# pair of sources. Set algebra done relationally (distinct (source,
+# token) → pair join → |∩| / |A∪B|) so it scales as an inverted-index
+# join, not per-row array ops. Single final division, deterministic.
+# --------------------------------------------------------------------------
+_Q79_BODY = """
+WITH vocab AS (
+  SELECT DISTINCT source, t AS token
+  FROM (SELECT source, explode(split(text, ' ')) AS t FROM documents)
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.sa, i.sb,
+  CAST(i.i AS BIGINT) AS n_shared,
+  CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
+FROM inter i
+JOIN sizes za ON za.source = i.sa
+JOIN sizes zb ON zb.source = i.sb
+"""
+
+
+def q79_source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q79_BODY)
+
+
+_Q79_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(text, chr(32))) AS token
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.sa, i.sb,
+  CAST(i.i AS BIGINT) AS n_shared,
+  CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
+FROM inter i
+JOIN sizes za ON za.source = i.sa
+JOIN sizes zb ON zb.source = i.sb
+"""
+
+
+# --------------------------------------------------------------------------
+# q80 — bigram conditional probabilities per language: top-5 bigrams per
+# lang by count, with P(w2 | w1) = count(w1 w2) / count(w1). Integer
+# counts + one final division; explicit (count, bigram) tie-break makes
+# the top-k deterministic.
+# --------------------------------------------------------------------------
+def _q80_spark() -> str:
+    return """
+WITH toks AS (
+  SELECT lang, doc_id, pos, token
+  FROM (SELECT lang, doc_id, posexplode(split(text, ' ')) AS (pos, token) FROM documents)
+),
+bigrams AS (
+  SELECT a.lang, a.token AS w1, b.token AS w2, COUNT(*) AS c
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.lang, a.token, b.token
+),
+uni AS (
+  SELECT lang, token AS w1, COUNT(*) AS u FROM toks GROUP BY lang, token
+),
+ranked AS (
+  SELECT bg.lang, bg.w1, bg.w2,
+    CAST(bg.c AS BIGINT) AS bigram_n,
+    CAST(bg.c AS DOUBLE) / u.u AS cond_p,
+    row_number() OVER (PARTITION BY bg.lang
+                       ORDER BY bg.c DESC, bg.w1, bg.w2) AS rk
+  FROM bigrams bg JOIN uni u ON u.lang = bg.lang AND u.w1 = bg.w1
+)
+SELECT lang, w1, w2, bigram_n, cond_p, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+def q80_bigram_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_q80_spark())
+
+
+_Q80_SQL = """
+WITH toks AS (
+  SELECT lang, doc_id,
+    generate_subscripts(string_split(text, chr(32)), 1) AS pos,
+    unnest(string_split(text, chr(32))) AS token
+  FROM documents
+),
+bigrams AS (
+  SELECT a.lang, a.token AS w1, b.token AS w2, COUNT(*) AS c
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.lang, a.token, b.token
+),
+uni AS (
+  SELECT lang, token AS w1, COUNT(*) AS u FROM toks GROUP BY lang, token
+),
+ranked AS (
+  SELECT bg.lang, bg.w1, bg.w2,
+    CAST(bg.c AS BIGINT) AS bigram_n,
+    CAST(bg.c AS DOUBLE) / u.u AS cond_p,
+    row_number() OVER (PARTITION BY bg.lang
+                       ORDER BY bg.c DESC, bg.w1, bg.w2) AS rk
+  FROM bigrams bg JOIN uni u ON u.lang = bg.lang AND u.w1 = bg.w1
+)
+SELECT lang, w1, w2, bigram_n, cond_p, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "q26_exact_dedup": q26_exact_dedup,
     "q41_multimodal_summary": q41_multimodal_summary,
@@ -747,6 +870,8 @@ QUERIES = {
     "q31_minhash_lsh_neardup": q31_minhash_lsh_neardup,
     "q75_containment_neardup": q75_containment_neardup,
     "q77_corpus_curation": q77_corpus_curation,
+    "q79_source_vocab_similarity": q79_source_vocab_similarity,
+    "q80_bigram_cond_prob": q80_bigram_cond_prob,
     "q34_simhash_neardup": q34_simhash_neardup,
     "q35_ngram_jaccard_topk": q35_ngram_jaccard_topk,
     "q36_lang_id": q36_lang_id,
@@ -769,6 +894,8 @@ ORACLE = {
     "q31_minhash_lsh_neardup": _Q31_SQL,
     "q75_containment_neardup": _Q75_SQL,
     "q77_corpus_curation": _Q77_SQL,
+    "q79_source_vocab_similarity": _Q79_SQL,
+    "q80_bigram_cond_prob": _Q80_SQL,
     "q34_simhash_neardup": _Q34_SQL,
     "q35_ngram_jaccard_topk": _Q35_SQL,
     "q36_lang_id": _Q36_SQL,
