@@ -168,3 +168,13 @@ def test_observe_metrics_instrumentation(spark):
     assert m["rows_seen"] == 6000  # observed BEFORE the filter
     assert n < 6000
     assert m["qty_sum"] is not None
+
+
+def test_q77_capstone_has_no_cartesian(spark):
+    """The corpus-curation composition (LSH pairs → CC → anti-join →
+    aggregate) must stay equi-join-only end to end."""
+    from e02_spark.queries.llm_q import q77_corpus_curation
+
+    plan = _plan(q77_corpus_curation(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -268,3 +268,17 @@ def test_stream_static_enrichment_join(spark, events_dir):
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_drop_duplicates_within_watermark(spark, events_dir):
+    """dropDuplicatesWithinWatermark: the production-correct streaming
+    dedup — state for an event_id is dropped once the watermark passes,
+    so state is bounded while still deduplicating in-horizon replays."""
+    ev = read_events_stream(spark, events_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = _run(deduped)
+    got = spark.table(name).count()
+    want = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert got == want
