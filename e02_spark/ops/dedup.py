@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import sign_lsh_bucket
+from .similarity import sign_lsh_bucket_offset
 from .text import minhash_signature, shingles
 
 
@@ -71,13 +71,16 @@ def _candidate_intersections(
         .distinct()
     )
 
-    # candidate pairs are few (LSH banding is selective) — broadcast them
-    # so the exact-Jaccard verification joins stay map-side over sh
+    # candidate pairs are corpus-dependent and unbounded (they grow with the
+    # duplication rate), so no broadcast hint here: on a high-dup crawl a
+    # forced broadcast OOMs the driver. AQE broadcasts the candidate side at
+    # runtime when it is actually small; otherwise this is a plain shuffled
+    # hash join keyed on doc id — always safe.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("da"), "shingle")
     shb = sh.select(F.col("doc_id").alias("db"), "shingle")
     inter = (
-        sha.join(F.broadcast(candidates), "da").join(shb, ["db", "shingle"])
+        sha.join(candidates, "da").join(shb, ["db", "shingle"])
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -170,32 +173,105 @@ def ngram_jaccard_topk(
     ).limit(topk)
 
 
-def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.35, bucket_bits: int = 4
+def simhash_hamming_pairs(
+    documents: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via sign-LSH blocking + exact cosine
-    verification within buckets. Recall < 1 by design (pairs straddling a
-    sign hyperplane are missed) — the oracle replicates the same blocking,
-    so results are exactly comparable."""
+    """SimHash near-dup pairs at Hamming distance <= max_hamming, via
+    banded candidate generation + exact popcount verification.
+
+    The 32-bit simhash is split into 4 disjoint 8-bit bands; a pair is a
+    candidate iff it collides in at least one band. By pigeonhole, any
+    pair with <= 3 differing bits leaves at least one of the 4 bands
+    untouched — so for max_hamming <= 3 the banding has EXACT recall while
+    generating only per-band-bucket joins (256 buckets per band; at scale
+    the simhash distribution over real corpora spreads these well).
+    Verification is one xor + bit_count per candidate — identical
+    semantics in DuckDB (xor() + bit_count()), so oracle-checkable."""
+    from .text import shingles, simhash32
+
+    sh = simhash32(shingles(documents))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"(simhash div {1 << (8 * b)}) % 256").alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("bd")).select(
+        "doc_id", "simhash", "bd.band_idx", "bd.band_val"
+    )
+    a = banded.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)").cast("bigint")
+    return (
+        cand.select("da", "db", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bits_per_band: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via MULTI-BAND sign-LSH blocking +
+    exact cosine verification over the candidate union.
+
+    Each band b hashes components [b*bits, (b+1)*bits) into a 2^bits sign
+    bucket; a pair is a candidate if it collides in ANY band. Multi-band
+    fixes both failure modes of single-bucket sign-LSH: recall (a pair
+    straddling one hyperplane still collides in the other bands) and scale
+    (2^bits buckets per band — with bits ~ log2(n) the per-bucket pair
+    count stays near-constant, never O(n^2/const)). Size `bits_per_band`
+    with the corpus: 8 bits = 256 buckets/band is right for ~1e5-1e6 rows;
+    at 100 TB raise it toward log2(n_vectors) - 8.
+
+    The oracle replicates the exact same banding, so results compare
+    bit-for-bit (see duck twins in the query module)."""
     from .similarity import _dot_q, cosine_q, with_quantized
 
-    bucketed = with_quantized(embeddings).select(
-        "vec_id", "q", "n2", sign_lsh_bucket("embedding", bucket_bits).alias("bucket")
+    qd = with_quantized(embeddings)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                sign_lsh_bucket_offset("embedding", b * bits_per_band, bits_per_band)
+                .alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("va"),
-        F.col("q").alias("qa"),
-        F.col("n2").alias("na2"),
-        "bucket",
+    banded = qd.select(
+        "vec_id", F.explode(bands).alias("bd")
+    ).select("vec_id", "bd.band_idx", "bd.bucket")
+    a = banded.select(F.col("vec_id").alias("va"), "band_idx", "bucket")
+    b = banded.select(F.col("vec_id").alias("vb"), "band_idx", "bucket")
+    candidates = (
+        a.join(b, ["band_idx", "bucket"])
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vb"),
-        F.col("q").alias("qb"),
-        F.col("n2").alias("nb2"),
-        "bucket",
+    qa = qd.select(
+        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("n2").alias("na2")
     )
-    pairs = a.join(b, "bucket").where(F.col("va") < F.col("vb"))
-    scored = pairs.select(
+    qb = qd.select(
+        F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("n2").alias("nb2")
+    )
+    scored = candidates.join(qa, "va").join(qb, "vb").select(
         "va", "vb", cosine_q(_dot_q("qa", "qb"), "na2", "nb2").alias("cosine")
     )
     return scored.where(F.col("cosine") >= threshold)

@@ -119,6 +119,30 @@ def duck_sign_lsh_sql(vec: str, bits: int = 8) -> str:
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def sign_lsh_bucket_offset(vec: str, offset: int, bits: int) -> Column:
+    """Sign bucket of components [offset, offset+bits) — one band of the
+    multi-band sign-LSH (see ops.dedup.embedding_neardup_pairs)."""
+    terms = [
+        F.when(
+            F.element_at(F.col(vec), offset + i + 1) > 0.0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def duck_sign_lsh_offset_sql(vec: str, offset: int, bits: int) -> str:
+    """DuckDB twin of sign_lsh_bucket_offset."""
+    parts = [
+        f"(CASE WHEN {vec}[{offset + i + 1}] > 0.0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
 def topk_bruteforce(
     embeddings: DataFrame, query_vec_id: int, k: int = 10
 ) -> DataFrame:
@@ -139,24 +163,40 @@ def topk_bruteforce(
 
 
 def knn_pairs_per_group(
-    embeddings: DataFrame, group_col: str = "label", k: int = 3
+    embeddings: DataFrame,
+    group_col: str = "label",
+    k: int = 3,
+    block_bits: int = 0,
 ) -> DataFrame:
     """Top-k most-similar vector pairs within each group (k-NN join
-    restricted to a partition key — the scalable 'blocked' form)."""
+    restricted to a partition key — the scalable 'blocked' form).
+
+    With block_bits > 0, each group is further sub-blocked by a sign-LSH
+    bucket over the first `block_bits` components, and pairs are generated
+    only within (group, block): a skewed hot group of size m costs
+    sum_b(m_b^2) ~ m^2 / 2^block_bits instead of m^2, so one hot label
+    can't go quadratic at scale. Cross-block pairs are excluded by design;
+    the oracle twin replicates the identical blocking."""
     qd = with_quantized(embeddings)
+    join_keys = ["grp"]
+    if block_bits > 0:
+        qd = qd.withColumn("blk", sign_lsh_bucket("embedding", block_bits))
+        join_keys.append("blk")
     a = qd.select(
         F.col(group_col).alias("grp"),
+        *([F.col("blk")] if block_bits > 0 else []),
         F.col("vec_id").alias("va"),
         F.col("q").alias("qa"),
         F.col("n2").alias("na2"),
     )
     b = qd.select(
         F.col(group_col).alias("grp"),
+        *([F.col("blk")] if block_bits > 0 else []),
         F.col("vec_id").alias("vb"),
         F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
     )
-    pairs = a.join(b, "grp").where(F.col("va") < F.col("vb"))
+    pairs = a.join(b, join_keys).where(F.col("va") < F.col("vb"))
     scored = pairs.select(
         "grp", "va", "vb", cosine_q(_dot_q("qa", "qb"), "na2", "nb2").alias("cosine")
     )

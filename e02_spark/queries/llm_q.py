@@ -68,7 +68,12 @@ doc_shingles AS (
 def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     corpus = d.unionByName(d)
-    kept = exact_dedup(corpus, ["text"], "doc_id")
+    # Window-partition by md5(text), not raw text: the shuffle key stays a
+    # fixed 32 bytes per row at 100 TB instead of the whole document. Same
+    # groups (md5 is collision-free at corpus scale), same result.
+    kept = exact_dedup(corpus.withColumn("_k", F.md5("text")), ["_k"], "doc_id").drop(
+        "_k"
+    )
     before = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
     after = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_after"))
     return before.join(after, "source")
@@ -224,26 +229,34 @@ WHERE CAST(i.inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.inter) >= 0.8
 
 
 # --------------------------------------------------------------------------
-# q34 — SimHash near-dup buckets: pairs sharing a 16-bit simhash.
+# q34 — SimHash near-dup at Hamming distance <= 3: banded candidates
+# (4x8-bit bands — pigeonhole-exact for <=3 differing bits) + popcount
+# verification. Exact-collision pairs are the hamming = 0 subset.
 # --------------------------------------------------------------------------
 def q34_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.text import shingles
+    from ..ops.dedup import simhash_hamming_pairs
 
     d = _t(spark, sf_dir, "documents")
-    sh = simhash32(shingles(d))
-    a = sh.select(F.col("doc_id").alias("da"), "simhash")
-    b = sh.select(F.col("doc_id").alias("db"), "simhash")
-    return a.join(b, "simhash").where(F.col("da") < F.col("db")).select(
-        "da", "db", "simhash"
-    )
+    return simhash_hamming_pairs(d, max_hamming=3)
 
 
 _Q34_SQL = f"""
 WITH {_DUCK_SHINGLES},
-{DUCK_SIMHASH_SQL}
-SELECT a.doc_id AS da, b.doc_id AS db, a.simhash
-FROM simhashes a JOIN simhashes b
-  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+{DUCK_SIMHASH_SQL},
+banded AS (
+  SELECT doc_id, simhash, bd AS band_idx,
+         (simhash // CAST(pow(2, 8 * bd) AS BIGINT)) % 256 AS band_val
+  FROM simhashes CROSS JOIN generate_series(0, 3) AS g(bd)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.simhash AS ha, b.simhash AS hb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
@@ -394,37 +407,53 @@ FROM sig
 # --------------------------------------------------------------------------
 def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.35, bucket_bits=4)
+    return embedding_neardup_pairs(e, threshold=0.35, bits_per_band=8, n_bands=4)
 
 
-_Q39_SQL = f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, {duck_sign_lsh_sql('embedding', 4)} AS bucket
-  FROM embeddings
+def _q39_sql() -> str:
+    from ..ops.similarity import duck_sign_lsh_offset_sql
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band_idx, "
+        f"{duck_sign_lsh_offset_sql('embedding', b * 8, 8)} AS bucket FROM embeddings"
+        for b in range(4)
+    )
+    return f"""
+WITH banded AS (
+{band_selects}
 ),
-pairs AS (
-  SELECT a.vec_id AS va, a.embedding AS ea, b.vec_id AS vb, b.embedding AS eb
-  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 comp AS (
-  SELECT va, vb,
-    {duck_dot_sql('ea', 'eb')} AS dot,
-    {duck_dot_sql('ea', 'ea')} AS n2a,
-    {duck_dot_sql('eb', 'eb')} AS n2b
-  FROM pairs CROSS JOIN generate_series(1, 64) AS t(i)
-  GROUP BY va, vb
+  SELECT c.va, c.vb,
+    {duck_dot_sql('ea.embedding', 'eb.embedding')} AS dot,
+    {duck_dot_sql('ea.embedding', 'ea.embedding')} AS n2a,
+    {duck_dot_sql('eb.embedding', 'eb.embedding')} AS n2b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.va
+  JOIN embeddings eb ON eb.vec_id = c.vb
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY c.va, c.vb
 )
 SELECT va, vb, dot / (sqrt(n2a) * sqrt(n2b)) AS cosine
 FROM comp WHERE dot / (sqrt(n2a) * sqrt(n2b)) >= 0.35
 """
 
 
+_Q39_SQL = _q39_sql()
+
+
 # --------------------------------------------------------------------------
 # q40 — per-group kNN join: top-3 most similar pairs per embedding label.
 # --------------------------------------------------------------------------
 def q40_knn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block_bits=2: each label is sub-blocked into 4 sign-LSH buckets so a
+    # skewed hot label can't generate O(m^2) pairs (see knn_pairs_per_group).
     e = _t(spark, sf_dir, "embeddings")
-    return knn_pairs_per_group(e, group_col="label", k=3)
+    return knn_pairs_per_group(e, group_col="label", k=3, block_bits=2)
 
 
 _Q40_SQL = f"""
@@ -433,6 +462,7 @@ WITH pairs AS (
          b.vec_id AS vb, b.embedding AS eb
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
+   AND {duck_sign_lsh_sql('a.embedding', 2)} = {duck_sign_lsh_sql('b.embedding', 2)}
 ),
 comp AS (
   SELECT label, va, vb,
