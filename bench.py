@@ -1,12 +1,17 @@
 """Benchmark harness: times every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (<1 KB) with `value` first:
   {"metric": "total_declared_queries_sec", "value": N, "unit": "sec",
-   "queries": {"q01...": sec, ...}, "sf": 0.1}
+   "sf": 0.1, "n_queries": K, "queries": {"q01": s, ...}}
 
-Each query is executed to completion via a count-collect (forces the full
-plan without driver-side materialization of result rows).
+`queries` uses the short qNN prefix and 2-decimal rounding to keep the
+line small enough for the driver's tail capture (BENCH_r01 was truncated
+mid-JSON at ~2.2 KB). Full query names + 3-decimal timings go to
+BENCH_DETAIL.json next to this file.
+
+Each query is executed to completion via a count (forces the full plan
+without driver-side materialization of result rows).
 """
 
 from __future__ import annotations
@@ -19,7 +24,8 @@ import time
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
 
     from e02_spark.queries import all_queries
     from e02_spark.session import get_spark
@@ -45,18 +51,26 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_queries_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    total = round(sum(timings.values()), 2)
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(
+            {"metric": "total_declared_queries_sec", "value": total, "unit": "sec",
+             "sf": sf, "queries": timings},
+            f, indent=2,
         )
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in sorted(timings.items())}
+    line = json.dumps(
+        {"metric": "total_declared_queries_sec", "value": total, "unit": "sec",
+         "sf": sf, "n_queries": len(timings), "queries": short},
+        separators=(",", ":"),
     )
+    if len(line) > 1000:  # belt-and-braces: never exceed the tail capture again
+        line = json.dumps(
+            {"metric": "total_declared_queries_sec", "value": total, "unit": "sec",
+             "sf": sf, "n_queries": len(timings)},
+            separators=(",", ":"),
+        )
+    print(line)
     return 0
 
 
