@@ -5,8 +5,13 @@ Each submodule exposes:
   ORACLE:  dict[str, str]   # DuckDB SQL over the same parquet views
                             # (omit a key -> driver does a rows-only check)
 
-Aggregation of all submodules happens in `all_queries()` / `all_oracles()`,
-which is what `__spark_entry__.py` re-exports to the driver.
+The driver's correctness gate records at most ~50 entries, so the declared
+surface is consolidated: the 15 widest queries stay standalone and the other
+65 are folded into 27 operator-dense composites (`composites.SPEC`), for 42
+declared entries total — every SURVEY §2 operator lands inside a
+driver-checked entry.  `all_queries()` / `all_oracles()` build that curated
+registry; `legacy_queries()` still exposes every original narrow query for
+tests and ad-hoc runs.
 """
 
 from __future__ import annotations
@@ -15,20 +20,56 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Queries that stay standalone: widest result sets / unique operators where
+# a merge would only add noise (each is already operator-dense on its own).
+STANDALONE = [
+    "q01_pricing_summary",
+    "q41_multimodal_summary",
+    "q46_pandas_udf",
+    "q49_tfidf_top_terms",
+    "q51_having_lead",
+    "q53_python_udtf",
+    "q62_dedup_clusters",
+    "q64_csv_roundtrip",
+    "q65_salted_join_revenue",
+    "q66_gapfill_ffill",
+    "q67_scd2",
+    "q68_view_click_attribution",
+    "q69_embedding_centroids",
+    "q74_data_quality",
+    "q77_corpus_curation",
+]
+
+
+def legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every original narrow query, pre-consolidation (for tests/ad-hoc)."""
+    from . import composites
+
+    return dict(composites._ALL_Q)
+
+
+def legacy_oracles() -> dict[str, str]:
+    from . import composites
+
+    return dict(composites._ALL_O)
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import depgraph_q, kimball_q, llm_q, relational, relational2, relational3
+    from . import composites
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, relational2, relational3, kimball_q, depgraph_q, llm_q):
-        out.update(mod.QUERIES)
+    for name in STANDALONE:
+        out[name] = composites._ALL_Q[name]
+    out.update(composites.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import depgraph_q, kimball_q, llm_q, relational, relational2, relational3
+    from . import composites
 
     out: dict[str, str] = {}
-    for mod in (relational, relational2, relational3, kimball_q, depgraph_q, llm_q):
-        out.update(mod.ORACLE)
+    for name in STANDALONE:
+        if name in composites._ALL_O:
+            out[name] = composites._ALL_O[name]
+    out.update(composites.ORACLE)
     return out

@@ -1,0 +1,326 @@
+"""Operator-dense composite queries.
+
+The driver's correctness gate records at most ~50 queries (CORRECTNESS_r01
+had exactly 50 entries of 80 declared), so every operator must land inside
+one of <=50 declared entries.  This module folds the 65 narrow queries into
+27 composites; the 15 widest queries stay standalone (see
+`e02_spark.queries.all_queries`).  Every underlying query function and its
+oracle SQL is unchanged — a composite is a UNION of its parts normalized to
+a shared schema:
+
+    part: string        -- which sub-query the row came from
+    s1..sK: string      -- the part's string/boolean columns, in order
+    n1..nM: double      -- the part's numeric columns, in order
+
+The DuckDB oracle for a composite is generated from the SAME column-kind
+spec, so the casts are mirrored exactly (VARCHAR <-> string cast,
+DOUBLE <-> double cast, NULL padding on both sides).  bigint -> double is
+exact for every value here (counts and keys far below 2**53); booleans cast
+to 'true'/'false' on both engines.  A composite where any part is
+rows-only (no oracle) is itself rows-only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import depgraph_q, kimball_q, llm_q, relational, relational2, relational3
+
+_MODULES = (relational, relational2, relational3, kimball_q, depgraph_q, llm_q)
+
+_ALL_Q = {}
+_ALL_O = {}
+for _m in _MODULES:
+    _ALL_Q.update(_m.QUERIES)
+    _ALL_O.update(_m.ORACLE)
+
+
+# Per part: (tag, query_name, [(column, kind)]) with kind "s" (string-ish:
+# string or boolean, cast to string/VARCHAR) or "n" (numeric, cast to
+# double/DOUBLE).  Column lists mirror each part's output schema exactly;
+# tests/test_oracle_parity.py re-verifies the whole registry per run.
+SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
+    # D3 inner equi-join + D4 broadcast join
+    "q05_join_strategies": [
+        ("q05", "q05_join_orders_customer",
+         [("c_mktsegment", "s"), ("o_orderstatus", "s"), ("n_orders", "n"), ("total_revenue", "n")]),
+        ("q06", "q06_broadcast_dims",
+         [("r_name", "s"), ("n_name", "s"), ("n_suppliers", "n"), ("total_acctbal", "n")]),
+    ],
+    # D5 left/right outer + full outer
+    "q07_outer_joins": [
+        ("q07", "q07_outer_join_nulls",
+         [("c_custkey", "n"), ("c_mktsegment", "s"), ("n_orders", "n"), ("total_spent", "n")]),
+        ("q50", "q50_full_outer", [("side", "s"), ("n", "n")]),
+    ],
+    # D6 semi/anti EXISTS + D19 set ops
+    "q08_set_semantics": [
+        ("q08", "q08_semi_anti_exists", [("category", "s"), ("n", "n")]),
+        ("q15", "q15_set_ops", [("category", "s"), ("n", "n")]),
+    ],
+    # D7/D8 theta/range join + D9 as-of join
+    "q09_temporal_joins": [
+        ("q09", "q09_interval_join_pairs",
+         [("type_a", "s"), ("type_b", "s"), ("n_pairs", "n")]),
+        ("q10", "q10_asof_latest_view",
+         [("purchase_id", "n"), ("user_id", "n"), ("last_view_id", "n"), ("secs_since_view", "n")]),
+    ],
+    # D12 ROLLUP + GROUPING SETS
+    "q11_rollup_grouping": [
+        ("q11", "q11_rollup",
+         [("returnflag", "s"), ("linestatus", "s"), ("sum_qty", "n"), ("n_rows", "n")]),
+        ("q58", "q58_grouping_sets",
+         [("o_orderpriority", "s"), ("o_orderstatus", "s"), ("level_id", "n"),
+          ("n_orders", "n"), ("revenue", "n")]),
+    ],
+    # D18 top-k per group + max_by/min_by argmax
+    "q13_topk_argmax": [
+        ("q13", "q13_topk_per_group",
+         [("c_mktsegment", "s"), ("rk", "n"), ("o_orderkey", "n"), ("o_totalprice", "n")]),
+        ("q63", "q63_argmax",
+         [("nationkey", "n"), ("n_customers", "n"), ("richest", "s"), ("poorest", "s")]),
+    ],
+    # D15/D16 ROWS frames + RANGE frames
+    "q14_window_frames": [
+        ("q14", "q14_moving_window",
+         [("day", "s"), ("revenue", "n"), ("moving_avg_7d", "n"),
+          ("running_total", "n"), ("prev_day_revenue", "n")]),
+        ("q61", "q61_range_frame",
+         [("l_returnflag", "s"), ("qty", "n"), ("n_within_5", "n"), ("price_within_5", "n")]),
+    ],
+    # D20 string functions + listagg/string_agg
+    "q16_string_ops": [
+        ("q16", "q16_string_funcs",
+         [("p_partkey", "n"), ("name_upper", "s"), ("name_prefix", "s"), ("name_len", "n"),
+          ("brand_type", "s"), ("brand_num", "n"), ("name_snake", "s"), ("first_word", "s"),
+          ("type_lower", "s")]),
+        ("q59", "q59_string_agg",
+         [("n_name", "s"), ("n_customers", "n"), ("segments", "s"),
+          ("first_name", "s"), ("last_name", "s")]),
+    ],
+    # D24 map + D25 JSON + VARIANT
+    "q22_semistructured": [
+        ("q22", "q22_json_props",
+         [("event_type", "s"), ("sum_k", "n"), ("min_k", "n"), ("max_k", "n"), ("n", "n")]),
+        ("q48", "q48_json_map_funcs",
+         [("event_type", "s"), ("sum_k", "n"), ("max_keys", "n"), ("n", "n")]),
+        ("q70", "q70_variant_props",
+         [("event_type", "s"), ("n_events", "n"), ("n_with_k", "n"),
+          ("sum_k", "n"), ("max_k", "n")]),
+    ],
+    # D21 date rollup + month-sequence generator
+    "q23_calendar": [
+        ("q23", "q23_date_rollup",
+         [("yr", "n"), ("mo", "n"), ("n_orders", "n"), ("revenue", "n")]),
+        ("q47", "q47_month_generator", [("month", "s"), ("n_active_orders", "n")]),
+    ],
+    # E10 tumbling + E12 session + E11 sliding windows (batch twins)
+    "q24_time_windows": [
+        ("q24", "q24_tumbling_hourly",
+         [("hour_start", "s"), ("event_type", "s"), ("n_events", "n"), ("total_value", "n")]),
+        ("q25", "q25_session_gap",
+         [("user_id", "n"), ("n_sessions", "n"), ("max_session_events", "n")]),
+        ("q54", "q54_sliding_window",
+         [("window_start", "s"), ("event_type", "s"), ("n_events", "n"), ("total_value", "n")]),
+    ],
+    # D29 pivot + unpivot/CTE
+    "q30_pivot_unpivot": [
+        ("q30", "q30_pivot_event_types",
+         [("user_id", "n"), ("n_view", "n"), ("n_click", "n"), ("n_signup", "n"),
+          ("n_purchase", "n"), ("n_error", "n")]),
+        ("q44", "q44_cte_unpivot",
+         [("c_mktsegment", "s"), ("status", "s"), ("revenue", "n")]),
+    ],
+    # D11 approx distinct + D30 sampling + Spark-ML MinHashLSH (all rows-only)
+    "q32_approx_sample": [
+        ("q32", "q32_approx_distinct",
+         [("l_returnflag", "s"), ("approx_parts", "n"), ("n_rows", "n")]),
+        ("q33", "q33_sample", [("l_returnflag", "s"), ("n_sampled", "n")]),
+        ("q52", "q52_ml_minhash_lsh",
+         [("da", "n"), ("db", "n"), ("jaccard_dist", "n")]),
+    ],
+    # D27 scalar/correlated subqueries + LATERAL
+    "q43_subquery_lateral": [
+        ("q43", "q43_subqueries",
+         [("c_mktsegment", "s"), ("n_customers", "n"), ("total_bal", "n")]),
+        ("q71", "q71_lateral_topn",
+         [("n_name", "s"), ("c_name", "s"), ("c_acctbal", "n")]),
+    ],
+    # D22 math + D14 ranking windows + cume_dist/percent_rank
+    "q45_rank_math": [
+        ("q45", "q45_math_rank_funcs",
+         [("p_partkey", "n"), ("sqrt_price", "n"), ("ln_price", "n"), ("size_dist", "n"),
+          ("price_bucket", "n"), ("price_floor", "n"), ("size_hi", "n"), ("size_lo", "n"),
+          ("price_rank", "n"), ("quartile", "n"), ("nn_rank", "n")]),
+        ("q60", "q60_rank_distribution",
+         [("p_size", "n"), ("p_partkey", "n"), ("price_bin", "n"),
+          ("pr", "n"), ("cd", "n"), ("bin_n", "n")]),
+    ],
+    # D10 percentiles/moments + D11 exact COUNT(DISTINCT)
+    "q55_agg_stats": [
+        ("q55", "q55_percentiles",
+         [("o_orderstatus", "s"), ("median_price", "n"), ("p90_price", "n"),
+          ("min_price", "n"), ("max_price", "n")]),
+        ("q56", "q56_moment_stats",
+         [("l_returnflag", "s"), ("n", "n"), ("mean_qty", "n"),
+          ("stddev_qty", "n"), ("stddev_price", "n"), ("corr_qty_price", "n")]),
+        ("q12", "q12_distinct_exact",
+         [("l_returnflag", "s"), ("n_parts", "n"), ("n_supps", "n"), ("n_rows", "n")]),
+    ],
+    # sequential event funnel + cohort retention
+    "q76_funnel_cohort": [
+        ("q76", "q76_event_funnel",
+         [("n_signup", "n"), ("n_signup_view", "n"), ("n_full_funnel", "n")]),
+        ("q78", "q78_cohort_retention",
+         [("cohort_day", "n"), ("day_offset", "n"), ("active_users", "n")]),
+    ],
+    # C1-C10 kimball mart: UDF-composing-UDF CASE view + TRY_CAST DECIMAL +
+    # non-ASCII literal filter (parity: deployer/patch/DWH/kimball/*.sql)
+    "q02_kimball_mart": [
+        ("q02", "q02_case_channel_mapping",
+         [("utm_campaign", "s"), ("product", "s"), ("segment", "s")]),
+        ("q03", "q03_try_cast_decimal",
+         [("utm_source", "s"), ("utm_content", "s"), ("content_num", "n"), ("channel", "s")]),
+        ("q04", "q04_filter_nonascii_literal",
+         [("utm_campaign", "s"), ("utm_source", "s")]),
+    ],
+    # A1-A3/B1-B7 depgraph scan chain + one-hop closure + recursive CTE
+    # (parity: .github/scripts/scan_dependencies.py)
+    "q17_depgraph_core": [
+        ("q17", "q17_extract_explode_callsites",
+         [("callee", "s"), ("n_callsites", "n"), ("n_files", "n")]),
+        ("q18", "q18_collect_set_deps",
+         [("func_name", "s"), ("def_path", "s"), ("used_in_files", "s"),
+          ("used_in_functions", "s")]),
+        ("q20", "q20_one_hop_closure",
+         [("func_name", "s"), ("def_path", "s"), ("files", "s")]),
+        ("q72", "q72_recursive_closure",
+         [("func_name", "s"), ("def_path", "s"), ("files", "s")]),
+    ],
+    # B8-B17 glob->regex owner theta-join + review gate state machine
+    "q19_ownership_gate": [
+        ("q19", "q19_glob_owner_join",
+         [("func_name", "s"), ("def_path", "s"), ("teams", "s")]),
+        ("q21", "q21_team_gate",
+         [("pr", "n"), ("codeowners_approved", "s"), ("facilitators_approved", "s"),
+          ("tech_approved", "s"), ("stage", "s")]),
+    ],
+    # E1 exact dedup (md5-keyed window) + E7 token counts
+    "q26_dedup_tokens": [
+        ("q26", "q26_exact_dedup",
+         [("source", "s"), ("n_before", "n"), ("n_after", "n")]),
+        ("q28", "q28_token_counts",
+         [("token", "s"), ("n_occurrences", "n"), ("n_docs", "n")]),
+    ],
+    # E8 lexicon sentiment + BPE-ish tokenizer counts
+    "q29_lexicon_bpe": [
+        ("q29", "q29_sentiment_lexicon",
+         [("doc_id", "n"), ("n_scored", "n"), ("score", "n"), ("label", "s")]),
+        ("q57", "q57_bpe_token_counts",
+         [("doc_id", "n"), ("n_ws_tokens", "n"), ("n_bpe_tokens", "n"),
+          ("n_distinct_bpe", "n")]),
+    ],
+    # E2 MinHash+LSH near-dup + asymmetric containment (shared LSH front-half)
+    "q31_lsh_family": [
+        ("q31", "q31_minhash_lsh_neardup",
+         [("da", "n"), ("db", "n"), ("jaccard", "n")]),
+        ("q75", "q75_containment_neardup",
+         [("da", "n"), ("db", "n"), ("containment", "n")]),
+    ],
+    # SimHash Hamming near-dup + n-gram Jaccard top-k + blocked edit-distance
+    "q34_neardup_pairs": [
+        ("q34", "q34_simhash_neardup", [("da", "n"), ("db", "n"), ("hamming", "n")]),
+        ("q35", "q35_ngram_jaccard_topk",
+         [("da", "n"), ("db", "n"), ("inter", "n"), ("jaccard", "n")]),
+        ("q73", "q73_fuzzy_name_pairs", [("pa", "n"), ("pb", "n"), ("edit_dist", "n")]),
+    ],
+    # lang-ID + quality scoring + rolling-hash fingerprint
+    "q36_text_metrics": [
+        ("q36", "q36_lang_id", [("lang", "s"), ("predicted", "s"), ("n_docs", "n")]),
+        ("q37", "q37_quality_score",
+         [("doc_id", "n"), ("n_tokens", "n"), ("score", "n"), ("band", "s")]),
+        ("q38", "q38_fingerprint",
+         [("doc_id", "n"), ("fingerprint", "s"), ("n_shingles", "n")]),
+    ],
+    # E3-E5 cosine top-k + multi-band sign-LSH near-dup + blocked kNN + IVF ANN
+    "q27_embedding_search": [
+        ("q27", "q27_cosine_topk", [("vec_id", "n"), ("cosine", "n")]),
+        ("q39", "q39_embedding_neardup", [("va", "n"), ("vb", "n"), ("cosine", "n")]),
+        ("q40", "q40_knn_per_group",
+         [("label", "n"), ("rk", "n"), ("va", "n"), ("vb", "n"), ("cosine", "n")]),
+        ("q42", "q42_ann_ivf", [("vec_id", "n"), ("centroid_id", "n"), ("cosine", "n")]),
+    ],
+    # source-vocabulary Jaccard + bigram conditional-probability LM
+    "q79_lm_stats": [
+        ("q79", "q79_source_vocab_similarity",
+         [("sa", "s"), ("sb", "s"), ("n_shared", "n"), ("jaccard", "n")]),
+        ("q80", "q80_bigram_cond_prob",
+         [("lang", "s"), ("w1", "s"), ("w2", "s"), ("bigram_n", "n"),
+          ("cond_p", "n"), ("rk", "n")]),
+    ],
+}
+
+
+def _dims(parts):
+    k = max(sum(1 for _, kind in cols if kind == "s") for _, _, cols in parts)
+    m = max(sum(1 for _, kind in cols if kind == "n") for _, _, cols in parts)
+    return k, m
+
+
+def _spark_part(df: DataFrame, tag: str, cols, k: int, m: int) -> DataFrame:
+    s_cols = [c for c, kind in cols if kind == "s"]
+    n_cols = [c for c, kind in cols if kind == "n"]
+    sel = [F.lit(tag).alias("part")]
+    for i in range(k):
+        e = F.col(s_cols[i]).cast("string") if i < len(s_cols) else F.lit(None).cast("string")
+        sel.append(e.alias(f"s{i + 1}"))
+    for i in range(m):
+        e = F.col(n_cols[i]).cast("double") if i < len(n_cols) else F.lit(None).cast("double")
+        sel.append(e.alias(f"n{i + 1}"))
+    return df.select(*sel)
+
+
+def _sql_part(sql: str, tag: str, cols, k: int, m: int) -> str:
+    s_cols = [c for c, kind in cols if kind == "s"]
+    n_cols = [c for c, kind in cols if kind == "n"]
+    exprs = [f"'{tag}' AS part"]
+    for i in range(k):
+        src = f'CAST("{s_cols[i]}" AS VARCHAR)' if i < len(s_cols) else "CAST(NULL AS VARCHAR)"
+        exprs.append(f"{src} AS s{i + 1}")
+    for i in range(m):
+        src = f'CAST("{n_cols[i]}" AS DOUBLE)' if i < len(n_cols) else "CAST(NULL AS DOUBLE)"
+        exprs.append(f"{src} AS n{i + 1}")
+    return "SELECT " + ", ".join(exprs) + f" FROM (\n{sql}\n) AS sub_{tag}"
+
+
+def _make_query(parts):
+    k, m = _dims(parts)
+
+    def run(spark, sf_dir: str) -> DataFrame:
+        dfs = [_spark_part(_ALL_Q[qname](spark, sf_dir), tag, cols, k, m)
+               for tag, qname, cols in parts]
+        return reduce(DataFrame.unionByName, dfs)
+
+    return run
+
+
+def _make_oracle(parts) -> str | None:
+    if any(qname not in _ALL_O for _, qname, _ in parts):
+        return None  # any rows-only part makes the composite rows-only
+    k, m = _dims(parts)
+    return "\nUNION ALL\n".join(
+        _sql_part(_ALL_O[qname], tag, cols, k, m) for tag, qname, cols in parts
+    )
+
+
+QUERIES = {name: _make_query(parts) for name, parts in SPEC.items()}
+ORACLE = {
+    name: sql
+    for name, parts in SPEC.items()
+    if (sql := _make_oracle(parts)) is not None
+}
+
+# every original query folded into exactly one composite
+MERGED: set[str] = {qname for parts in SPEC.values() for _, qname, _ in parts}
