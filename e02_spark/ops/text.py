@@ -49,6 +49,78 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     return grams.where(F.col("_full").isNotNull()).select("doc_id", "shingle").distinct()
 
 
+def ngram_occurrences(documents: DataFrame, n: int, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep_cols, gram) — one row PER OCCURRENCE of each word
+    n-gram (unlike `shingles`, which is the distinct set). Same
+    posexplode+lead shape: one shuffle on doc_id, stays in codegen.
+    concat_ws skips NULLs, so gram existence is gated on the last lead
+    explicitly — a doc with < n tokens yields 0 grams."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", *keep_cols, F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("token", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        "doc_id",
+        *keep_cols,
+        F.concat_ws(" ", F.col("token"), *leads).alias("gram"),
+        leads[-1].alias("_full"),
+    )
+    return grams.where(F.col("_full").isNotNull()).select("doc_id", *keep_cols, "gram")
+
+
+def duck_ngram_sql(n: int, keep_cols: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of ngram_occurrences as a WITH-clause body: defines
+    `toks` and `grams` CTEs over `documents` (grams has doc_id, *keep_cols,
+    gram). `||` propagates NULL, so the last-lead gate is just
+    `gram IS NOT NULL` — mirrored explicitly for parity with concat_ws."""
+    keep = "".join(f", {c}" for c in keep_cols)
+    parts = " || ' ' || ".join(
+        ["token"] + [f"lead(token, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+toks AS (
+  SELECT doc_id{keep}, generate_subscripts(string_split(text, chr(32)), 1) AS pos,
+         unnest(string_split(text, chr(32))) AS token
+  FROM documents
+),
+grams AS (
+  SELECT doc_id{keep}, gram FROM (
+    SELECT doc_id{keep}, {parts} AS gram
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE gram IS NOT NULL
+)"""
+
+
+def repetition_metrics(documents: DataFrame) -> DataFrame:
+    """Gopher-style per-document repetition signals:
+      dup3_frac — fraction of 3-gram occurrences that are repeats of an
+                  earlier 3-gram in the same doc (1 - distinct/total);
+      top2_frac — fraction of 2-gram occurrences taken by the single most
+                  frequent 2-gram.
+    Both are single IEEE divisions over exact integers (deterministic
+    cross-engine). Two gram explosions -> two doc_id aggregations; each is
+    one shuffle keyed by doc_id, linear in corpus size."""
+    g3 = ngram_occurrences(documents, 3)
+    m3 = g3.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n3"),
+        F.countDistinct("gram").alias("d3"),
+    )
+    g2 = ngram_occurrences(documents, 2)
+    c2 = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    m2 = c2.groupBy("doc_id").agg(
+        F.max("c").alias("top2"), F.sum("c").cast("bigint").alias("n2")
+    )
+    return m3.join(m2, "doc_id").select(
+        "doc_id",
+        F.col("n3").cast("bigint").alias("n3"),
+        ((F.col("n3") - F.col("d3")).cast("double") / F.col("n3")).alias("dup3_frac"),
+        (F.col("top2").cast("double") / F.col("n2")).alias("top2_frac"),
+    )
+
+
 def minhash_signature(doc_shingles: DataFrame, k: int = 4) -> DataFrame:
     """(doc_id, h1..hk) — MinHash signature over the shingle set.
 

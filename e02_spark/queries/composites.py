@@ -26,9 +26,9 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import depgraph_q, kimball_q, llm_q, relational, relational2, relational3
+from . import curation_q, depgraph_q, kimball_q, llm_q, relational, relational2, relational3
 
-_MODULES = (relational, relational2, relational3, kimball_q, depgraph_q, llm_q)
+_MODULES = (relational, relational2, relational3, kimball_q, depgraph_q, llm_q, curation_q)
 
 _ALL_Q = {}
 _ALL_O = {}
@@ -251,6 +251,25 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q40", "q40_knn_per_group",
          [("label", "n"), ("rk", "n"), ("va", "n"), ("vb", "n"), ("cosine", "n")]),
         ("q42", "q42_ann_ivf", [("vec_id", "n"), ("centroid_id", "n"), ("cosine", "n")]),
+    ],
+    # Gopher-style repetition gate + benchmark n-gram decontamination
+    "q81_curation_gates": [
+        ("q81", "q81_repetition_gate",
+         [("doc_id", "n"), ("n3", "n"), ("dup3_frac", "n"), ("top2_frac", "n"),
+          ("verdict", "s")]),
+        ("q82", "q82_decontamination",
+         [("source", "s"), ("n_docs", "n"), ("n_flagged", "n"), ("n_hit_grams", "n")]),
+    ],
+    # hash-deterministic split census + stratified sampling + bigram-LM scoring
+    "q83_split_sample_lm": [
+        ("q83", "q83_hash_split",
+         [("lang", "s"), ("split", "s"), ("n_docs", "n"), ("total_chars", "n")]),
+        ("q84", "q84_stratified_sample",
+         [("source", "s"), ("target_rate", "n"), ("n_total", "n"), ("n_kept", "n"),
+          ("kept_frac", "n")]),
+        ("q85", "q85_lm_doc_score",
+         [("doc_id", "n"), ("lang", "s"), ("n_bigrams", "n"), ("avg_condp", "n"),
+          ("band", "s")]),
     ],
     # source-vocabulary Jaccard + bigram conditional-probability LM
     "q79_lm_stats": [

@@ -1,0 +1,317 @@
+"""Training-corpus curation queries (round 2): repetition filtering,
+benchmark decontamination, deterministic splits/sampling, and LM scoring.
+
+These extend the LLM-pipeline surface beyond the reference's own operators
+(the reference has no corpus tooling at all — its data surface is the
+kimball SQL tree, /root/reference/deployer/patch/DWH/kimball/), covering
+the four standard curation stages a 100 TB text pipeline runs between
+crawl and training: quality/repetition gating (Gopher-style rules),
+eval-set decontamination (n-gram overlap), hash-deterministic
+train/valid/test splitting + per-source sampling, and model-based scoring
+(here a corpus-trained bigram LM).
+
+Scale notes per query live on each function. Everything is exact-integer
+or single-division arithmetic — all five are DuckDB-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..ops import sampling, text
+
+
+# --------------------------------------------------------------------------
+# q81 — Gopher-style repetition gate. dup3_frac = repeated-3-gram fraction,
+# top2_frac = share of the most frequent 2-gram. The verdict thresholds are
+# integer-exact (d3 < n3; 100*top2 >= 8*n2) so the CASE is hash-stable.
+# Scale: two explode+groupBy passes keyed on doc_id — linear, two shuffles,
+# no joins beyond the doc_id merge of the two metric legs.
+# --------------------------------------------------------------------------
+def q81_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.repetition_metrics(docs)
+    repetitive = (F.col("dup3_frac") > 0) | (F.col("top2_frac") >= 0.08)
+    return m.select(
+        "doc_id",
+        "n3",
+        "dup3_frac",
+        "top2_frac",
+        F.when(repetitive, F.lit("repetitive")).otherwise(F.lit("ok")).alias("verdict"),
+    )
+
+
+_Q81_SQL = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, chr(32)), 1) AS pos,
+         unnest(string_split(text, chr(32))) AS token
+  FROM documents
+),
+g3 AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+      token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS gram
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE gram IS NOT NULL
+),
+m3 AS (
+  SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT gram) AS d3 FROM g3 GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, token || ' ' || lead(token, 1) OVER w AS gram
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE gram IS NOT NULL
+),
+m2 AS (
+  SELECT doc_id, MAX(c) AS top2, SUM(c) AS n2
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT m3.doc_id,
+  CAST(m3.n3 AS BIGINT) AS n3,
+  CAST(m3.n3 - m3.d3 AS DOUBLE) / m3.n3 AS dup3_frac,
+  CAST(m2.top2 AS DOUBLE) / m2.n2 AS top2_frac,
+  CASE WHEN m3.d3 < m3.n3 OR 100 * m2.top2 >= 8 * m2.n2
+       THEN 'repetitive' ELSE 'ok' END AS verdict
+FROM m3 JOIN m2 ON m3.doc_id = m2.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q82 — eval-set decontamination: the 'src0' slice plays the held-out
+# benchmark; a training doc is contaminated if it shares any 5-gram with
+# it. Reported per source: docs, flagged docs, total contaminated grams.
+# Scale: the distinct-5-gram inverted index is the standard decon shape —
+# the gram equi-join shuffles on the gram key (high cardinality, well
+# spread); the benchmark side is typically small but unbounded, so no
+# broadcast hint — AQE decides. Random 5-gram collisions are negligible
+# (vocab^5 keyspace), so hits are true near-dups of benchmark docs.
+# --------------------------------------------------------------------------
+def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g5 = text.ngram_occurrences(docs, 5, keep_cols=("source",)).distinct()
+    bench = g5.where(F.col("source") == "src0").select("gram").distinct()
+    train = g5.where(F.col("source") != "src0")
+    hits = (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_doc = (
+        train.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .join(hits, "doc_id", "left")
+        .select("source", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        F.sum("n_hit").cast("bigint").alias("n_hit_grams"),
+    )
+
+
+_Q82_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, generate_subscripts(string_split(text, chr(32)), 1) AS pos,
+         unnest(string_split(text, chr(32))) AS token
+  FROM documents
+),
+g5 AS (
+  SELECT DISTINCT doc_id, source, gram FROM (
+    SELECT doc_id, source,
+      token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+            || ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w AS gram
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE gram IS NOT NULL
+),
+bench AS (SELECT DISTINCT gram FROM g5 WHERE source = 'src0'),
+train AS (SELECT doc_id, source, gram FROM g5 WHERE source <> 'src0'),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hit
+  FROM train t JOIN bench b ON t.gram = b.gram GROUP BY t.doc_id
+),
+per_doc AS (
+  SELECT g.source, COALESCE(h.n_hit, 0) AS n_hit
+  FROM (SELECT doc_id, source, COUNT(*) AS n_g FROM train GROUP BY doc_id, source) g
+  LEFT JOIN hits h ON g.doc_id = h.doc_id
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(n_hit) AS BIGINT) AS n_hit_grams
+FROM per_doc GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q83 — deterministic train/valid/test split census. The split is a pure
+# projection on md5(doc_id) (ops/sampling.py) — no RNG, no shuffle, stable
+# under any cluster layout; the census aggregates (lang, split).
+# --------------------------------------------------------------------------
+def q83_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_split = docs.withColumn("split", sampling.split_column("doc_id"))
+    return with_split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_Q83_SQL = f"""
+SELECT lang, {sampling.duck_split_sql("doc_id")} AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q84 — per-source stratified downsampling at hash-deterministic rates
+# (10/30/60% by source index mod 3 — the mixing-weights table a real
+# pipeline would read from config). The keep decision hashes a salted key
+# ('s' || doc_id) so it is independent of q83's split assignment. Pure
+# filter + one aggregation; the filter pushes to the scan.
+# --------------------------------------------------------------------------
+def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num % 3 == 0, 10).when(src_num % 3 == 1, 30).otherwise(60)
+    )
+    salted = F.concat(F.lit("s"), F.col("doc_id").cast("string"))
+    kept = sampling.hash_bucket(salted, 100) < rate
+    return (
+        docs.select("source", rate.alias("rate"), kept.cast("int").alias("k"))
+        .groupBy("source")
+        .agg(
+            (F.first("rate").cast("double") / 100).alias("target_rate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum("k").cast("bigint").alias("n_kept"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+        )
+    )
+
+
+_Q84_SQL = f"""
+WITH flagged AS (
+  SELECT source,
+    CASE CAST(substring(source, 4, 10) AS INTEGER) % 3
+      WHEN 0 THEN 10 WHEN 1 THEN 30 ELSE 60 END AS rate,
+    CASE WHEN {sampling.duck_hash_bucket_sql("'s' || CAST(doc_id AS VARCHAR)", 100)}
+         < CASE CAST(substring(source, 4, 10) AS INTEGER) % 3
+             WHEN 0 THEN 10 WHEN 1 THEN 30 ELSE 60 END
+         THEN 1 ELSE 0 END AS k
+  FROM documents
+)
+SELECT source,
+  CAST(MIN(rate) AS DOUBLE) / 100 AS target_rate,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(k) AS BIGINT) AS n_kept,
+  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS kept_frac
+FROM flagged GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q85 — bigram-LM document scoring: train per-lang bigram conditional
+# probabilities on the corpus itself, then score each doc by its mean
+# P(w2|w1). cond_p is a single IEEE division of exact integers (identical
+# doubles cross-engine); the per-doc mean goes through ROUND(.,8) ->
+# DECIMAL(18,10) -> exact SUM -> one double division, the num.py recipe
+# (binary doubles can never tie at decimal scale 10, so the decimal
+# rounding is engine-agnostic). Scale: corpus stats are a (lang,w1,w2)
+# aggregation; scoring re-joins doc bigram occurrences to the stats on the
+# same key — inverted-index shape, shuffles well spread on bigram keys.
+# --------------------------------------------------------------------------
+def q85_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "lang",
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    corpus = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = toks.groupBy("lang", F.col("token").alias("w1")).agg(
+        F.count(F.lit(1)).alias("u")
+    )
+    cond = corpus.join(uni, ["lang", "w1"]).select(
+        "lang", "w1", "w2", (F.col("c").cast("double") / F.col("u")).alias("cond_p")
+    )
+    scored = bg.join(cond, ["lang", "w1", "w2"]).groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.round("cond_p", 8).cast("decimal(18,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_condp"),
+    )
+    band = (
+        F.when(F.col("avg_condp") < 0.035, "low")
+        .when(F.col("avg_condp") < 0.041, "mid")
+        .otherwise("high")
+    )
+    return scored.select("doc_id", "lang", "n_bigrams", "avg_condp", band.alias("band"))
+
+
+_Q85_SQL = """
+WITH toks AS (
+  SELECT lang, doc_id, generate_subscripts(string_split(text, chr(32)), 1) AS pos,
+         unnest(string_split(text, chr(32))) AS token
+  FROM documents
+),
+bg AS (
+  SELECT lang, doc_id, w1, w2 FROM (
+    SELECT lang, doc_id, token AS w1, lead(token, 1) OVER w AS w2
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE w2 IS NOT NULL
+),
+corpus AS (
+  SELECT lang, w1, w2, COUNT(*) AS c FROM bg GROUP BY lang, w1, w2
+),
+uni AS (
+  SELECT lang, token AS w1, COUNT(*) AS u FROM toks GROUP BY lang, token
+),
+cond AS (
+  SELECT corpus.lang, corpus.w1, corpus.w2, CAST(c AS DOUBLE) / u AS cond_p
+  FROM corpus JOIN uni ON corpus.lang = uni.lang AND corpus.w1 = uni.w1
+),
+scored AS (
+  SELECT bg.doc_id, bg.lang,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(CAST(ROUND(cond_p, 8) AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS avg_condp
+  FROM bg JOIN cond ON bg.lang = cond.lang AND bg.w1 = cond.w1 AND bg.w2 = cond.w2
+  GROUP BY bg.doc_id, bg.lang
+)
+SELECT doc_id, lang, n_bigrams, avg_condp,
+  CASE WHEN avg_condp < 0.035 THEN 'low'
+       WHEN avg_condp < 0.041 THEN 'mid' ELSE 'high' END AS band
+FROM scored
+"""
+
+
+QUERIES = {
+    "q81_repetition_gate": q81_repetition_gate,
+    "q82_decontamination": q82_decontamination,
+    "q83_hash_split": q83_hash_split,
+    "q84_stratified_sample": q84_stratified_sample,
+    "q85_lm_doc_score": q85_lm_doc_score,
+}
+
+ORACLE = {
+    "q81_repetition_gate": _Q81_SQL,
+    "q82_decontamination": _Q82_SQL,
+    "q83_hash_split": _Q83_SQL,
+    "q84_stratified_sample": _Q84_SQL,
+    "q85_lm_doc_score": _Q85_SQL,
+}

@@ -1,0 +1,48 @@
+"""Registry invariants for the consolidated query surface.
+
+The driver's correctness gate records ~50 entries max; these pins make
+sure the consolidation stays sound as queries are added: every narrow
+query is declared exactly once (standalone or inside exactly one
+composite), the declared count stays under the gate cap, and composite
+column specs match the narrow queries' actual output schemas (a drifted
+spec would silently NULL-pad a real column).
+"""
+
+from __future__ import annotations
+
+from e02_spark.queries import STANDALONE, all_oracles, all_queries, legacy_queries
+from e02_spark.queries.composites import SPEC, _ALL_Q, MERGED
+
+GATE_CAP = 50
+
+
+def test_every_narrow_query_declared_exactly_once():
+    narrow = set(legacy_queries())
+    assert set(STANDALONE).isdisjoint(MERGED)
+    assert set(STANDALONE) | MERGED == narrow
+
+
+def test_no_narrow_query_in_two_composites():
+    seen: dict[str, str] = {}
+    for comp, parts in SPEC.items():
+        for _, qname, _ in parts:
+            assert qname not in seen, f"{qname} in both {seen[qname]} and {comp}"
+            seen[qname] = comp
+
+
+def test_declared_count_under_gate_cap():
+    qs = all_queries()
+    assert len(qs) <= GATE_CAP
+    assert set(all_oracles()) <= set(qs)
+
+
+def test_composite_specs_match_narrow_schemas(spark):
+    """Each part's column list must exactly equal the narrow query's output
+    columns (order-insensitive) — otherwise the composite would project a
+    missing column (error) or silently drop one (coverage loss)."""
+    sf = "/root/testdata/sf0.001"
+    for comp, parts in SPEC.items():
+        for _tag, qname, cols in parts:
+            actual = set(_ALL_Q[qname](spark, sf).columns)
+            spec = {c for c, _kind in cols}
+            assert spec == actual, f"{comp}/{qname}: spec {spec} != schema {actual}"
