@@ -44,12 +44,19 @@ def main() -> int:
     # query plan, not first-touch session costs.
     qs["q01_pricing_summary"](spark, sf_dir).count()
 
+    import gc
+
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Release state the query pinned (LSH shingle caches, CC
+        # localCheckpoint blocks): without this, block-manager memory
+        # accumulates across 44 entries and later queries pay the GC bill.
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 2)
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -35,21 +35,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-# events.ts is written as parquet TIMESTAMP(NANOS), which Spark cannot read
-# natively (timestamps are micro-precision). We read nanos as LONG and
-# floor-convert to microseconds; the DuckDB oracle mirrors the flooring via
-# epoch_us(). Truncation, not rounding, on both sides.
-_NANO_TS_COLS = {"events": ["ts"]}
+# events.ts has shipped in three parquet encodings across testdata
+# generations: TIMESTAMP(NANOS) (Spark reads as LONG under the nanosAsLong
+# legacy conf), TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4.x reads as
+# TIMESTAMP_NTZ), and plain TIMESTAMP_LTZ. All queries want a session-local
+# TIMESTAMP (the session TZ is pinned UTC in session.py, so NTZ→LTZ casting
+# is instant-preserving and the DuckDB epoch_us() oracle twin is unchanged).
+_TS_COLS = {"events": ["ts"]}
+
+
+def normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize timestamp columns to TIMESTAMP (LTZ, micro precision)
+    regardless of the parquet encoding they arrived in:
+
+    - LongType  → nanos-as-LONG legacy read; floor-divide to micros
+      (truncation, matching the oracle's epoch_us flooring)
+    - TimestampNTZType → cast to timestamp (UTC session TZ: same instant)
+    - TimestampType → already what we want
+    """
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for col in cols:
+        dt = by_name.get(col)
+        if isinstance(dt, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    for col in _NANO_TS_COLS.get(name, []):
-        field = next((f for f in df.schema.fields if f.name == col), None)
-        if field is not None and isinstance(field.dataType, LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    return df
+    cols = _TS_COLS.get(name)
+    return normalize_ts(df, cols) if cols else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -222,9 +222,10 @@ def ivf_topk(
     centroids = qd.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cid").asc()
-    )
+    # Nearest-centroid argmax as max_by keyed on vec_id: partial-aggregates
+    # map-side (each task keeps one best-so-far row per vec_id) — no Window,
+    # no per-vector sort shuffle over the n_vectors x n_centroids product.
+    # Ties break to the lowest cid via the (c_cos, -cid) ordering struct.
     assigned = (
         qd.crossJoin(F.broadcast(centroids))
         .select(
@@ -234,9 +235,19 @@ def ivf_topk(
             "cid",
             cosine_q(_dot_q("q", "cq"), "n2", "cn2").alias("c_cos"),
         )
-        .withColumn("arn", F.row_number().over(assign_w))
-        .where(F.col("arn") == 1)
-        .select("vec_id", "q", "n2", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "q", "n2"),
+                F.struct(F.col("c_cos").alias("c"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.q").alias("q"),
+            F.col("best.n2").alias("n2"),
+            F.col("best.cid").alias("cid"),
+        )
     )
     qrow = assigned.where(F.col("vec_id") == query_vec_id).select(
         F.col("cid").alias("qcid"), F.col("q").alias("qq"), F.col("n2").alias("qn2")

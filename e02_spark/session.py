@@ -22,6 +22,14 @@ def get_spark(app_name: str = "e02-spark", master: str | None = None) -> SparkSe
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     if master is None:
         master = f"local[{cpus}]"
+    # Shuffle/spill dirs: prefer RAM-backed tmpfs when present. On a real
+    # cluster this is the "local NVMe for shuffle" deployment knob
+    # (spark.local.dir); on this box the root disk is shared/contended
+    # (high iowait at near-idle CPU) and shuffle writes are the only
+    # disk-bound step at test scale, so tmpfs removes the noise.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -31,10 +39,12 @@ def get_spark(app_name: str = "e02-spark", master: str | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
 
 

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -30,28 +29,25 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# events.parquet stores ts as TIMESTAMP(NANOS) → read as LONG (see io.py)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream of event parquet files dropped into events_dir."""
+    """File-source stream of event parquet files dropped into events_dir.
+
+    A file stream needs a declared schema; rather than hard-coding one (a
+    second copy of io.py's encoding assumptions — the round-2 regression),
+    we take the schema from a one-file batch read of the same directory and
+    reuse io.normalize_ts, so batch and stream always agree on how ts is
+    decoded whatever parquet encoding the data arrived in.
+    """
+    from e02_spark.io import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(events_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw, ["ts"])
 
 
 def tumbling_hourly(events: DataFrame) -> DataFrame:

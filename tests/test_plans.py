@@ -178,3 +178,14 @@ def test_q77_capstone_has_no_cartesian(spark):
     plan = _plan(q77_corpus_curation(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q42_ivf_assignment_has_no_window(spark):
+    """The nearest-centroid argmax must be a max_by hash aggregation
+    (map-side combinable), not a Window row_number — a Window here is a
+    full sort-shuffle of the n_vectors x n_centroids product."""
+    from e02_spark.queries.llm_q import q42_ann_ivf
+
+    plan = _plan(q42_ann_ivf(spark, SF))
+    assert "Window" not in plan, plan
+    assert "max_by" in plan, plan
