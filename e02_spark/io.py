@@ -75,6 +75,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register each driver table as a temp view (for spark.sql queries)."""
+    """Register each driver table as a temp view (for spark.sql queries).
+
+    Idempotent per (session, sf_dir): every SQL-path query calls this, and
+    re-creating 10 identical views per query is measurable catalog/analysis
+    overhead across a 44-entry bench run. Switching sf_dir re-registers.
+    """
+    if getattr(spark, "_e02_views_sf_dir", None) == sf_dir:
+        return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark._e02_views_sf_dir = sf_dir

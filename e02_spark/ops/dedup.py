@@ -92,11 +92,21 @@ def _candidate_intersections(
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, k: int = 4, bands: int = 2, threshold: float = 0.8
+    documents: DataFrame,
+    k: int = 4,
+    bands: int = 2,
+    threshold: float = 0.8,
+    ci: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
-    over the LSH candidates only (see _candidate_intersections)."""
-    ci = _candidate_intersections(documents, k, bands)
+    over the LSH candidates only (see _candidate_intersections).
+
+    Pass `ci` to reuse a shared/cached candidate-intersection table —
+    the whole LSH front half is identical across the Jaccard and
+    containment variants, so callers computing both should build it once.
+    """
+    if ci is None:
+        ci = _candidate_intersections(documents, k, bands)
     jac = ci.select(
         "da",
         "db",
@@ -109,7 +119,11 @@ def minhash_lsh_pairs(
 
 
 def containment_pairs(
-    documents: DataFrame, k: int = 4, bands: int = 2, threshold: float = 0.9
+    documents: DataFrame,
+    k: int = 4,
+    bands: int = 2,
+    threshold: float = 0.9,
+    ci: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: shingle-set CONTAINMENT
     max(|A∩B|/|A|, |A∩B|/|B|) over the LSH candidates. Catches
@@ -118,7 +132,8 @@ def containment_pairs(
     a 100-shingle doc fully contained in a 1000-shingle doc has
     Jaccard 0.1 but containment 1.0.
     """
-    ci = _candidate_intersections(documents, k, bands)
+    if ci is None:
+        ci = _candidate_intersections(documents, k, bands)
     cont = ci.select(
         "da",
         "db",

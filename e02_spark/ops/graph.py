@@ -48,10 +48,11 @@ def connected_components(
     caller's concern — they are their own cluster by definition.
     """
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # No distinct here: duplicate (a,b) rows cannot change a min()-fold,
+    # and the dedup shuffle costs more than the duplicates do.
     sym = half.union(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -61,24 +62,30 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # label each node with min over (own label, labels of neighbors)
-        nbr_labels = (
+        # min label among each node's neighbors, merged with its own label
+        # in the same job; `chg` rides along so convergence detection is a
+        # cheap scan of the just-materialized checkpoint — no separate
+        # old-vs-new shuffle join per round.
+        nbr_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "label")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.unionByName(nbr_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        merged = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where("chg").count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
 

@@ -33,7 +33,14 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     every near-dup pipeline (~2.8s of q31's 3.5s at sf0.1; this form cuts
     it ~4x). A gram exists only where all n tokens exist (lead(n-1) not
     null) — exactly the oracle's generate_series(1, len-2) semantics,
-    including 0 grams for sub-n-token documents."""
+    including 0 grams for sub-n-token documents.
+
+    The per-doc dedup is a collect_set/explode co-partitioned with the
+    window's hashpartitioning(doc_id) — NOT `.distinct()`, whose exchange
+    on (doc_id, shingle) would add a shuffle here AND force downstream
+    per-doc aggregations (minhash signature, shingle counts) to shuffle
+    back to doc_id. This way the whole shingle pipeline rides one
+    exchange."""
     from pyspark.sql import Window
 
     toks = documents.select(
@@ -46,7 +53,12 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         F.concat_ws(" ", F.col("token"), *leads).alias("shingle"),
         leads[-1].alias("_full"),
     )
-    return grams.where(F.col("_full").isNotNull()).select("doc_id", "shingle").distinct()
+    return (
+        grams.where(F.col("_full").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("_ss"))
+        .select("doc_id", F.explode("_ss").alias("shingle"))
+    )
 
 
 def ngram_occurrences(documents: DataFrame, n: int, keep_cols: tuple[str, ...] = ()) -> DataFrame:

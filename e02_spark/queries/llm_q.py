@@ -188,11 +188,41 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 
 
 # --------------------------------------------------------------------------
+# Shared MinHash-LSH front half. q31 (Jaccard), q75 (containment), q62
+# (clustering) and q77 (curation capstone) all start from the identical
+# candidate-intersection table at k=4/bands=2; memoize one persisted
+# DataFrame per (session, sf_dir) so a composite running several of them
+# computes the shingle -> signature -> band-join -> exact-verify pipeline
+# once. MEMORY_AND_DISK: candidate pairs are corpus-dependent; spill
+# rather than OOM if a high-dup corpus blows the candidate set up.
+# --------------------------------------------------------------------------
+_CI_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..ops.dedup import _candidate_intersections
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ci = _CI_MEMO.get(key)
+    if ci is None:
+        d = _t(spark, sf_dir, "documents")
+        ci = _candidate_intersections(d, k=4, bands=2).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _CI_MEMO[key] = ci
+    return ci
+
+
+# --------------------------------------------------------------------------
 # q31 — MinHash + LSH near-dup detection (E2), exact-Jaccard verified.
 # --------------------------------------------------------------------------
 def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8)
+    return minhash_lsh_pairs(
+        d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
+    )
 
 
 _Q31_SQL = f"""
@@ -669,7 +699,9 @@ def q75_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.dedup import containment_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return containment_pairs(d, k=4, bands=2, threshold=0.9)
+    return containment_pairs(
+        d, k=4, bands=2, threshold=0.9, ci=_shared_ci(spark, sf_dir)
+    )
 
 
 _Q75_SQL = f"""
@@ -715,11 +747,12 @@ WHERE CAST(i.inter AS DOUBLE) / LEAST(za.n_sh, zb.n_sh) >= 0.9
 # the identical pipeline with a recursive CTE.
 # --------------------------------------------------------------------------
 def q77_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.dedup import minhash_lsh_pairs
     from ..ops.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    edges = minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8).select("da", "db")
+    edges = minhash_lsh_pairs(
+        d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
+    ).select("da", "db")
     cc = connected_components(edges, src="da", dst="db")
     drop = cc.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")

@@ -164,7 +164,11 @@ def q61_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    edges = minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8).select("da", "db")
+    from .llm_q import _shared_ci
+
+    edges = minhash_lsh_pairs(
+        d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
+    ).select("da", "db")
     cc = connected_components(edges, src="da", dst="db")
     sizes = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("cluster_size")
