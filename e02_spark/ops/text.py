@@ -136,27 +136,43 @@ def repetition_metrics(documents: DataFrame) -> DataFrame:
 def minhash_signature(doc_shingles: DataFrame, k: int = 4) -> DataFrame:
     """(doc_id, h1..hk) — MinHash signature over the shingle set.
 
-    One md5 per shingle, split into k disjoint 8-hex-char (32-bit) slices;
-    each slice behaves as an independent hash for the min-permutation
-    (standard single-hash MinHash trick — k times fewer digest
-    computations than seeded re-hashing). Identical hex in both engines.
+    k <= 4: one md5 per shingle, split into k disjoint 8-hex-char (32-bit)
+    slices; each slice behaves as an independent hash for the
+    min-permutation (standard single-hash MinHash trick — k times fewer
+    digest computations than seeded re-hashing). Identical hex in both
+    engines, and the form every declared query pins (oracle stability).
+
+    k > 4: a single 128-bit digest only yields 4 independent 32-bit
+    slices, so extra hashes come from SALTED digests —
+    md5(concat('s<i>:', shingle)) for salt index i = slice//4 — giving
+    ceil(k/4) digests per shingle and an unbounded k. This is the 100 TB
+    recipe (real crawl dedup wants k≈128, b≈16); cost stays O(k/4)
+    digests per shingle, all JVM-side. Salt 0 is the unsalted digest, so
+    h1..h4 agree between the two forms.
     """
-    assert k <= 4  # 32 hex chars / 8 per slice
-    h = F.md5(F.col("shingle"))
-    aggs = [
-        F.min(F.substring(h, 1 + 8 * (s - 1), 8)).alias(f"h{s}")
-        for s in range(1, k + 1)
-    ]
+    aggs = []
+    for s in range(1, k + 1):
+        salt = (s - 1) // 4
+        h = (
+            F.md5(F.col("shingle"))
+            if salt == 0
+            else F.md5(F.concat(F.lit(f"s{salt}:"), F.col("shingle")))
+        )
+        offset = ((s - 1) % 4) * 8
+        aggs.append(F.min(F.substring(h, 1 + offset, 8)).alias(f"h{s}"))
     return doc_shingles.groupBy("doc_id").agg(*aggs)
 
 
 def duck_minhash_sql(k: int = 4) -> str:
-    """DuckDB twin of minhash_signature: SELECT-list aggregate fragments
-    (use over a (doc_id, shingle) relation, GROUP BY doc_id)."""
-    return ", ".join(
-        f"min(substring(md5(shingle), {1 + 8 * (s - 1)}, 8)) AS h{s}"
-        for s in range(1, k + 1)
-    )
+    """DuckDB twin of minhash_signature (including the salted k > 4 form):
+    SELECT-list aggregate fragments (use over a (doc_id, shingle)
+    relation, GROUP BY doc_id)."""
+    frags = []
+    for s in range(1, k + 1):
+        salt = (s - 1) // 4
+        src = "md5(shingle)" if salt == 0 else f"md5('s{salt}:' || shingle)"
+        frags.append(f"min(substring({src}, {1 + 8 * ((s - 1) % 4)}, 8)) AS h{s}")
+    return ", ".join(frags)
 
 
 def simhash32(doc_features: DataFrame, feature_col: str = "shingle") -> DataFrame:

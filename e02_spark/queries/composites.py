@@ -133,13 +133,15 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q44", "q44_cte_unpivot",
          [("c_mktsegment", "s"), ("status", "s"), ("revenue", "n")]),
     ],
-    # D11 approx distinct + D30 sampling + Spark-ML MinHashLSH (all rows-only)
+    # D11 approx distinct + D30 sampling + Spark-ML MinHashLSH — all
+    # property-checked (booleans / exact-verified pairs), so the composite
+    # is fully oracle-checkable despite exercising approximate operators
     "q32_approx_sample": [
         ("q32", "q32_approx_distinct",
-         [("l_returnflag", "s"), ("approx_parts", "n"), ("n_rows", "n")]),
-        ("q33", "q33_sample", [("l_returnflag", "s"), ("n_sampled", "n")]),
+         [("l_returnflag", "s"), ("approx_ok", "s"), ("n_rows", "n")]),
+        ("q33", "q33_sample", [("l_returnflag", "s"), ("sample_ok", "s")]),
         ("q52", "q52_ml_minhash_lsh",
-         [("da", "n"), ("db", "n"), ("jaccard_dist", "n")]),
+         [("da", "n"), ("db", "n"), ("jaccard", "n")]),
     ],
     # D27 scalar/correlated subqueries + LATERAL
     "q43_subquery_lateral": [

@@ -606,24 +606,71 @@ FROM events GROUP BY user_id
 # across engines by design.
 # --------------------------------------------------------------------------
 def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11-approx as a PROPERTY check: HLL implementations differ across
+    engines, so the raw approx_count_distinct value can never hash-match —
+    but "within 10% of the exact distinct count" is an engine-independent
+    boolean both HLLs satisfy by their error bound (~2% typical). The
+    approximate operator is genuinely exercised AND the entry is
+    oracle-checkable (round-2 verdict item 5: no rows-only err rows)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.1 * F.count_distinct("l_partkey")
+        ).alias("approx_ok"),
     )
 
 
 # --------------------------------------------------------------------------
-# q33 — deterministic-seed sampling. Rows-only: sampling algorithms differ
-# across engines by design.
+# q33 — deterministic-seed sampling as a PROPERTY check: engines sample
+# different rows by design, but a 10% Bernoulli sample lands within ±20%
+# of the expected per-group count with overwhelming margin (binomial ±3σ
+# is ~±1-3% at these group sizes). Both engines emit the same booleans.
 # --------------------------------------------------------------------------
 def q33_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    sampled = (
         l.sample(fraction=0.1, seed=42)
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+    totals = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return totals.join(sampled, "l_returnflag", "left").select(
+        "l_returnflag",
+        (
+            F.coalesce("n_sampled", F.lit(0)).cast("double")
+            .between(0.08 * F.col("n_rows"), 0.12 * F.col("n_rows"))
+        ).alias("sample_ok"),
+    )
+
+
+_Q32_SQL = """
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+       <= 0.1 * COUNT(DISTINCT l_partkey) AS BOOLEAN) AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_Q33_SQL = """
+WITH s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM (SELECT * FROM lineitem USING SAMPLE 10 PERCENT (bernoulli, 42))
+  GROUP BY l_returnflag
+),
+t AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT t.l_returnflag,
+  CAST(COALESCE(s.n_sampled, 0) BETWEEN 0.08 * t.n_rows AND 0.12 * t.n_rows
+       AS BOOLEAN) AS sample_ok
+FROM t LEFT JOIN s ON s.l_returnflag = t.l_returnflag
+"""
 
 
 QUERIES = {
@@ -668,5 +715,6 @@ ORACLE = {
     "q24_tumbling_hourly": _Q24_SQL,
     "q25_session_gap": _Q25_SQL,
     "q30_pivot_event_types": _Q30_SQL,
-    # q32, q33: rows-only by design (approx sketch / engine-specific sampling)
+    "q32_approx_distinct": _Q32_SQL,
+    "q33_sample": _Q33_SQL,
 }

@@ -90,6 +90,17 @@ def test_stream_dedup_smoke(spark, events_dir, tmp_path):
     n = spark.sql(f"SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM {name}").collect()[0]
     assert n["total"] == 1000  # duplicates dropped
     assert n["n"] == 1000
+    # timestamps must round-trip the stream reader exactly — a count-only
+    # assertion passed in round 2 while the stream schema was decoding
+    # micros data as nanos and producing garbage ts values
+    stream_ts = spark.sql(
+        f"SELECT min(ts) AS lo, max(ts) AS hi FROM {name}"
+    ).collect()[0]
+    batch = load_table(spark, SF, "events").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    assert stream_ts["lo"] == batch["lo"]
+    assert stream_ts["hi"] == batch["hi"]
 
 
 def test_session_window_smoke(spark, events_dir):
