@@ -26,9 +26,27 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import curation_q, depgraph_q, kimball_q, llm_q, relational, relational2, relational3
+from . import (
+    curation_q,
+    depgraph_q,
+    kimball_q,
+    llm_q,
+    relational,
+    relational2,
+    relational3,
+    streaming_q,
+)
 
-_MODULES = (relational, relational2, relational3, kimball_q, depgraph_q, llm_q, curation_q)
+_MODULES = (
+    relational,
+    relational2,
+    relational3,
+    kimball_q,
+    depgraph_q,
+    llm_q,
+    curation_q,
+    streaming_q,
+)
 
 _ALL_Q = {}
 _ALL_O = {}
@@ -280,6 +298,16 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q80", "q80_bigram_cond_prob",
          [("lang", "s"), ("w1", "s"), ("w2", "s"), ("bigram_n", "n"),
           ("cond_p", "n"), ("rk", "n")]),
+    ],
+    # E17 incremental view maintenance + E14 streaming dedup + E10/E13
+    # tumbling windows with watermark — real Structured Streaming jobs run
+    # availableNow to completion inside the entry, batch-equal by design
+    "q86_streaming_parity": [
+        ("q86", "q86_stream_incremental_counts",
+         [("event_type", "s"), ("n_events", "n"), ("value_sum", "n")]),
+        ("q87", "q87_stream_dedup_agg", [("event_type", "s"), ("n_events", "n")]),
+        ("q88", "q88_stream_tumbling",
+         [("hour_start", "s"), ("event_type", "s"), ("n_events", "n")]),
     ],
 }
 
