@@ -29,7 +29,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 
 def _candidate_intersections(
-    documents: DataFrame, k: int, bands: int
+    documents: DataFrame, k: int, bands: int, sh: DataFrame | None = None
 ) -> DataFrame:
     """Shared LSH front half of minhash_lsh_pairs / containment_pairs:
     shingle → k md5-minhashes → banded bucket join → candidate pairs →
@@ -45,7 +45,11 @@ def _candidate_intersections(
             "otherwise band keys silently drop hashes (or, with empty "
             "bands, every document collides with every other)"
         )
-    sh = shingles(documents).cache()
+    if sh is None:
+        # MEMORY_AND_DISK: the shingle set is corpus-sized; spill, don't OOM
+        from pyspark import StorageLevel
+
+        sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sh, k=k)
     rows_per_band = k // bands
     band_cols = []
@@ -145,7 +149,11 @@ def containment_pairs(
 
 
 def ngram_jaccard_topk(
-    documents: DataFrame, n: int = 3, topk: int = 20, max_df: int = 100
+    documents: DataFrame,
+    n: int = 3,
+    topk: int = 20,
+    max_df: int = 100,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k most-similar document pairs by n-gram Jaccard over the
     df-capped shingle space: shingles occurring in more than max_df docs
@@ -153,7 +161,8 @@ def ngram_jaccard_topk(
     set sizes — one inverted-index self-join + one groupBy, no separate
     candidate materialization. At scale the cap bounds the per-shingle
     pair blow-up to max_df^2."""
-    sh = shingles(documents, n=n)
+    if sh is None:
+        sh = shingles(documents, n=n)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
         F.broadcast(df_counts.where(F.col("df") <= max_df).select("shingle")),
@@ -189,7 +198,7 @@ def ngram_jaccard_topk(
 
 
 def simhash_hamming_pairs(
-    documents: DataFrame, max_hamming: int = 3
+    documents: DataFrame, max_hamming: int = 3, sh: DataFrame | None = None
 ) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= max_hamming, via
     banded candidate generation + exact popcount verification.
@@ -204,7 +213,10 @@ def simhash_hamming_pairs(
     semantics in DuckDB (xor() + bit_count()), so oracle-checkable."""
     from .text import shingles, simhash32
 
-    sh = simhash32(shingles(documents))
+    # `shingles` output is already a distinct set — skip simhash32's dedup
+    sh = simhash32(
+        sh if sh is not None else shingles(documents), assume_distinct=True
+    )
     bands = F.array(
         *[
             F.struct(

@@ -175,13 +175,22 @@ def duck_minhash_sql(k: int = 4) -> str:
     return ", ".join(frags)
 
 
-def simhash32(doc_features: DataFrame, feature_col: str = "shingle") -> DataFrame:
+def simhash32(
+    doc_features: DataFrame,
+    feature_col: str = "shingle",
+    assume_distinct: bool = False,
+) -> DataFrame:
     """(doc_id, simhash BIGINT) — 32-bit SimHash over a DISTINCT feature
     set (shingles by default — the token vocabulary of the driver corpus is
     tiny, so token-set SimHash would collide almost everywhere): bit b of
     md5(feature)'s first 8 hex nibbles votes +1/-1; the sign of each
-    bit-position sum forms the fingerprint."""
-    feats = doc_features.select("doc_id", F.col(feature_col).alias("f")).distinct()
+    bit-position sum forms the fingerprint.
+
+    assume_distinct=True skips the dedup exchange — pass it when the input
+    is already a distinct set (e.g. the output of `shingles`)."""
+    feats = doc_features.select("doc_id", F.col(feature_col).alias("f"))
+    if not assume_distinct:
+        feats = feats.distinct()
     # ONE md5 + ONE hex->int conv per feature (the digest work is
     # O(features), not O(features * bits)); bit votes via integer div by a
     # constant-folded power-of-two column, so the whole pipeline stays in

@@ -197,6 +197,25 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 # rather than OOM if a high-dup corpus blows the candidate set up.
 # --------------------------------------------------------------------------
 _CI_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted (doc_id, shingle) distinct set per (session, sf_dir):
+    the base relation of every text near-dup pipeline (minhash-LSH,
+    SimHash, n-gram Jaccard, fingerprints, ML-LSH). MEMORY_AND_DISK —
+    corpus-sized, spill rather than OOM."""
+    from pyspark import StorageLevel
+
+    from ..ops.text import shingles
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _SH_MEMO.get(key)
+    if sh is None:
+        d = _t(spark, sf_dir, "documents")
+        sh = shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
+        _SH_MEMO[key] = sh
+    return sh
 
 
 def _shared_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,9 +227,9 @@ def _shared_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci = _CI_MEMO.get(key)
     if ci is None:
         d = _t(spark, sf_dir, "documents")
-        ci = _candidate_intersections(d, k=4, bands=2).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        ci = _candidate_intersections(
+            d, k=4, bands=2, sh=_shared_shingles(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         _CI_MEMO[key] = ci
     return ci
 
@@ -267,7 +286,9 @@ def q34_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.dedup import simhash_hamming_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_hamming_pairs(d, max_hamming=3)
+    return simhash_hamming_pairs(
+        d, max_hamming=3, sh=_shared_shingles(spark, sf_dir)
+    )
 
 
 _Q34_SQL = f"""
@@ -295,7 +316,9 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 # --------------------------------------------------------------------------
 def q35_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_topk(d, n=3, topk=20, max_df=100)
+    return ngram_jaccard_topk(
+        d, n=3, topk=20, max_df=100, sh=_shared_shingles(spark, sf_dir)
+    )
 
 
 _Q35_SQL = f"""
@@ -406,10 +429,9 @@ FROM m
 # q38 — document fingerprinting: md5-MinHash signature digest.
 # --------------------------------------------------------------------------
 def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.text import minhash_signature, shingles
+    from ..ops.text import minhash_signature
 
-    d = _t(spark, sf_dir, "documents")
-    sh = shingles(d)
+    sh = _shared_shingles(spark, sf_dir)
     sig = minhash_signature(sh, k=4)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return sig.join(sizes, "doc_id").select(
@@ -642,8 +664,7 @@ def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ops.text import shingles
 
-    d = _t(spark, sf_dir, "documents")
-    sh = shingles(d)
+    sh = _shared_shingles(spark, sf_dir)
     docs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(docs)
