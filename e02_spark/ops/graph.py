@@ -90,3 +90,94 @@ def connected_components(
             break
 
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the swap-in for
+    ADVERSARIAL graphs: min-label propagation needs O(diameter) rounds, so
+    a path graph of length 10^6 needs 10^6 shuffles; the star algorithm
+    contracts the graph toward each component's minimum in O(log^2 n)
+    rounds regardless of diameter. Near-dup clusters are small and dense,
+    so `connected_components` wins there (fewer, cheaper rounds); use this
+    variant when cluster diameters are unbounded (web graphs, social
+    graphs, long chain-of-revision dup chains).
+
+    Per round (edges held in canonical orientation a > b):
+      large-star: group the SYMMETRIC edge list by u; every strictly
+        larger neighbor v > u re-attaches to m = min(N(u) ∪ {u}).
+      small-star: group the canonical list by its larger endpoint u
+        (all grouped neighbors are < u); every grouped neighbor and u
+        itself re-attach to the minimum.
+    Each step is one groupBy + one re-expand join — the same shuffle
+    budget as a propagation round, but rounds are O(log^2 n) in n, not
+    O(diameter). Terminates at the star-forest fixed point (no node
+    appears as both child and parent), which the paper proves is the
+    min-rooted component forest.
+
+    Returns (node, cluster_id) — identical output contract (and, by the
+    property test, identical results) to `connected_components`.
+    """
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # canonical orientation: (larger, smaller), self-loops dropped
+    e = (
+        half.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        half.select(F.col("a").alias("node"))
+        .union(half.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # large-star over the symmetric expansion
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.where(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the canonical (larger endpoint = group key) list
+        mins_s = large.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        small = (
+            large.join(mins_s, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins_s.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # star-forest fixed point: no node is both a child (a) and a
+        # parent (b) in the canonical child->root edge list
+        non_root = small.select(F.col("a").alias("n")).intersect(
+            small.select(F.col("b").alias("n"))
+        )
+        done = non_root.limit(1).count() == 0
+        e = small
+        if done:
+            break
+
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    roots = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    out = labels.groupBy("node").agg(F.min("label").alias("label")).union(roots)
+    return out.select("node", F.col("label").alias("cluster_id"))

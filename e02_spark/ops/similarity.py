@@ -119,6 +119,73 @@ def duck_sign_lsh_sql(vec: str, bits: int = 8) -> str:
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def _rademacher_sign(seed: int, bit: int, comp: int) -> int:
+    """Deterministic ±1 from the parity of md5's first hex nibble — the
+    same value is computable in any engine, so seeded buckets stay
+    oracle-twin-able."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{bit}:{comp}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def sign_lsh_bucket_seeded(
+    vec: str, bits: int = 8, seed: int = 0, dim: int = DIM
+) -> Column:
+    """RANDOM-hyperplane sign-LSH bucket: bit b is the sign of the dot
+    product with a seeded Rademacher (±1) vector. This is the classic
+    Charikar construction; unlike the axis-aligned variant
+    (`sign_lsh_bucket`, kept for the oracle-pinned queries), it is robust
+    to adversarially correlated embeddings — axis-aligned planes degenerate
+    when mass concentrates on few coordinates, while a dense ±1 projection
+    mixes every coordinate into every bit.
+
+    Determinism: the hyperplanes are md5-parity functions of
+    (seed, bit, component), precomputed driver-side into literal ±1
+    vectors — both engines see identical planes, the projection is a
+    fixed-order left-to-right sum of IEEE doubles (zip_with + aggregate
+    evaluates in array order; DuckDB's twin must sum in the same index
+    order), and the sign test is exact.
+    """
+    terms = []
+    for b in range(bits):
+        signs = F.array(
+            *[
+                F.lit(float(_rademacher_sign(seed, b, i)))
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec), signs, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        terms.append(F.when(proj > 0.0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def duck_sign_lsh_seeded_sql(
+    vec: str, bits: int = 8, seed: int = 0, dim: int = DIM
+) -> str:
+    """DuckDB twin of sign_lsh_bucket_seeded: the same ±1 literals, the
+    same index-order summation (list_dot_product would not guarantee
+    order; an explicit index-ordered SUM does)."""
+    parts = []
+    for b in range(bits):
+        terms = " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) * "
+            f"{float(_rademacher_sign(seed, b, i))})"
+            for i in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({terms}) > 0.0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
 def sign_lsh_bucket_offset(vec: str, offset: int, bits: int) -> Column:
     """Sign bucket of components [offset, offset+bits) — one band of the
     multi-band sign-LSH (see ops.dedup.embedding_neardup_pairs)."""

@@ -240,3 +240,89 @@ def test_quality_expectations_count_planted_violations(spark):
 
     clean = expect_unique(df.where("k > 1"), ["k"], "k_unique").collect()[0]
     assert clean.violations == 0
+
+
+def test_cc_star_matches_union_find_on_random_graphs(spark):
+    """Large-star/small-star variant agrees with the union-find oracle on
+    a batch of seeded random graphs."""
+    import random
+
+    from e02_spark.ops.graph import connected_components_star
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        got = {
+            (r.node, r.cluster_id)
+            for r in connected_components_star(df).collect()
+        }
+        want = {(n, c) for n, c in _cc_reference(edges).items()}
+        assert got == want, f"seed {seed}"
+
+
+def test_cc_star_converges_on_long_path_beyond_propagation_budget(spark):
+    """A 120-node path has diameter 119: min-label propagation needs 119
+    rounds (far beyond max_iter=25), while the star algorithm contracts it
+    within its O(log^2 n) budget — the scale case the variant exists for."""
+    from e02_spark.ops.graph import connected_components_star
+
+    n = 120
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components_star(df, max_iter=25).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_seeded_sign_lsh_duckdb_parity_and_mixing(spark):
+    """Random-hyperplane sign-LSH: bit-identical between engines, and the
+    buckets actually mix coordinates (differ from the axis-aligned form
+    on vectors crafted to fool axis-aligned planes)."""
+    import duckdb
+
+    from e02_spark.io import load_table
+    from e02_spark.ops.similarity import (
+        duck_sign_lsh_seeded_sql,
+        sign_lsh_bucket,
+        sign_lsh_bucket_seeded,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(64)
+    got = {
+        (r.vec_id, r.bkt)
+        for r in emb.select(
+            "vec_id",
+            sign_lsh_bucket_seeded("embedding", bits=4, seed=7).alias("bkt"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = (
+        f"SELECT vec_id, {duck_sign_lsh_seeded_sql('embedding', bits=4, seed=7)} AS bkt "
+        f"FROM (SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 64)"
+    )
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+    # adversarial: all vectors positive in the first `bits` coordinates —
+    # axis-aligned buckets collapse to one bucket; seeded planes separate
+    import pyspark.sql.functions as F
+
+    adv = spark.createDataFrame(
+        [(i, [1.0] * 8 + [float((-1) ** (i + j)) for j in range(56)]) for i in range(16)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    axis = adv.select(
+        sign_lsh_bucket("embedding", bits=8).alias("b")
+    ).distinct().count()
+    seeded = adv.select(
+        sign_lsh_bucket_seeded("embedding", bits=8, seed=7).alias("b")
+    ).distinct().count()
+    assert axis == 1  # every vector in the same axis-aligned bucket
+    assert seeded > 1  # random hyperplanes separate them
