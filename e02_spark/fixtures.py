@@ -261,9 +261,20 @@ _FIXTURES: dict[str, tuple[list[tuple], str]] = {
 }
 
 
+_DF_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def spark_df(spark: SparkSession, name: str) -> DataFrame:
-    rows, schema = _FIXTURES[name]
-    return spark.createDataFrame(rows, schema=schema)
+    """Fixture table as a DataFrame, memoized per (session, name):
+    createDataFrame ships rows driver→JVM on every call, and the gate
+    queries re-request the same KB-scale fixtures many times per run."""
+    key = (spark.sparkContext.applicationId, name)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        rows, schema = _FIXTURES[name]
+        df = spark.createDataFrame(rows, schema=schema)
+        _DF_MEMO[key] = df
+    return df
 
 
 def _sql_literal(v) -> str:
