@@ -74,3 +74,91 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id BIGINT, kind STRING, width BIGINT, height BIGINT, payload BINARY"
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, real_decode: bool = False
+) -> DataFrame:
+    """Arrow-batched image resize: 1 row in → 1 row out with updated
+    (width, height) metadata and a re-encoded payload. Production path
+    (real_decode=True) would decode → resample → re-encode — STUBBED (no
+    codec libs); the fake path stride-samples the payload bytes down to a
+    deterministic target_w*target_h/64-byte thumbnail so the batch shape,
+    binary round-trip, and metadata rewrite are fully exercised.
+    Non-image rows pass through untouched (kind-gated inside the batch,
+    exactly as a real codec dispatcher would)."""
+
+    out_len = max(1, (target_w * target_h) // 64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "image resample requires codec libraries not present "
+                    "in this environment; use the deterministic fake path"
+                )
+
+            def shrink(b: bytes) -> bytes:
+                if not b:
+                    return b
+                step = max(1, len(b) // out_len)
+                return bytes(b[::step][:out_len])
+
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(shrink)
+            pdf.loc[is_img, "width"] = target_w
+            pdf.loc[is_img, "height"] = target_h
+            yield pdf[["media_id", "kind", "width", "height", "payload"]]
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "media_id BIGINT, frame_idx BIGINT, frame_bytes BINARY, n_frame_bytes BIGINT"
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 4, frame_size: int = 16,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched video frame sampling: 1 video row in → one row per
+    SAMPLED frame out (the exploding shape a real frame extractor has —
+    output cardinality is data-dependent, which is why this is mapInPandas
+    and not a scalar pandas UDF). Production path would demux the
+    container and decode every every_n-th frame — STUBBED; the fake path
+    treats the payload as fixed-size frame_size-byte frames and keeps
+    every every_n-th, preserving the index arithmetic (frame_idx is the
+    SOURCE frame number, not the output row number)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "video demux/decode requires codec libraries not "
+                    "present in this environment; use the fake path"
+                )
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_bytes": [],
+                "n_frame_bytes": [],
+            }
+            for row in pdf.itertuples():
+                if row.kind != "video":
+                    continue
+                b = row.payload or b""
+                n_frames = len(b) // frame_size
+                for idx in range(0, n_frames, every_n):
+                    fr = b[idx * frame_size : (idx + 1) * frame_size]
+                    out["media_id"].append(row.media_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(fr)
+                    out["n_frame_bytes"].append(len(fr))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAMES_SCHEMA)

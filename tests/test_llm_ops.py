@@ -212,3 +212,53 @@ def test_minhash_k8_duckdb_parity(spark):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+def test_resize_images_rewrites_metadata_and_payload(spark):
+    from e02_spark.ops.multimodal import resize_images
+
+    media = fixtures.spark_df(spark, "media")
+    rows = {r["media_id"]: r for r in resize_images(media, 64, 64).collect()}
+    # images resized: metadata rewritten, payload shrunk deterministically
+    raw = {m[0]: m for m in fixtures.MEDIA}
+    for mid, m in raw.items():
+        if m[1] == "image":
+            assert rows[mid]["width"] == 64 and rows[mid]["height"] == 64
+            assert 0 < len(rows[mid]["payload"]) <= 64
+            # deterministic: stride-sample of the original payload
+            b = m[4]
+            step = max(1, len(b) // 64)
+            assert bytes(rows[mid]["payload"]) == bytes(b[::step][:64])
+        else:  # non-images untouched
+            assert rows[mid]["width"] == m[2] and rows[mid]["height"] == m[3]
+            assert bytes(rows[mid]["payload"]) == bytes(m[4])
+
+
+def test_sample_frames_explodes_videos_only(spark):
+    from e02_spark.ops.multimodal import sample_frames
+
+    media = fixtures.spark_df(spark, "media")
+    rows = sample_frames(media, every_n=4, frame_size=16).collect()
+    # only media_id 5 is a video: 256 bytes / 16 = 16 frames, every 4th = 4
+    assert {r["media_id"] for r in rows} == {5}
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 4, 8, 12]
+    src = {m[0]: m[4] for m in fixtures.MEDIA}[5]
+    for r in rows:
+        i = r["frame_idx"]
+        assert bytes(r["frame_bytes"]) == bytes(src[i * 16 : (i + 1) * 16])
+        assert r["n_frame_bytes"] == 16
+
+
+def test_multimodal_real_decode_paths_are_gated(spark):
+    from e02_spark.ops.multimodal import resize_images, sample_frames
+
+    media = fixtures.spark_df(spark, "media")
+    for fn in (
+        lambda: resize_images(media, 8, 8, real_decode=True).collect(),
+        lambda: sample_frames(media, real_decode=True).collect(),
+    ):
+        with pytest.raises(Exception) as exc:
+            fn()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
