@@ -189,3 +189,13 @@ def test_q42_ivf_assignment_has_no_window(spark):
     plan = _plan(q42_ann_ivf(spark, SF))
     assert "Window" not in plan, plan
     assert "max_by" in plan, plan
+
+
+def test_q52_ml_verification_has_no_cartesian(spark):
+    """The ML-LSH exact-verification joins must all be equi-joins —
+    candidate generation and shingle verification stay bounded."""
+    from e02_spark.queries.llm_q import q52_ml_minhash_lsh
+
+    plan = _plan(q52_ml_minhash_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
