@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 STANDALONE = [
     "q01_pricing_summary",
     "q41_multimodal_summary",
-    "q46_pandas_udf",
     "q49_tfidf_top_terms",
     "q51_having_lead",
     "q53_python_udtf",

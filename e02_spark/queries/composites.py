@@ -299,6 +299,14 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("lang", "s"), ("w1", "s"), ("w2", "s"), ("bigram_n", "n"),
           ("cond_p", "n"), ("rk", "n")]),
     ],
+    # D31 vectorized pandas UDF surface: scalar (q46) + GROUPED_AGG UDAF
+    # (q89 — exact-decimal so partition ordering can't perturb the hash)
+    "q46_pandas_udf": [
+        ("q46", "q46_pandas_udf",
+         [("l_orderkey", "n"), ("l_linenumber", "n"), ("net_price", "n")]),
+        ("q89", "q89_pandas_udaf",
+         [("l_returnflag", "s"), ("revenue_cents", "n")]),
+    ],
     # E17 incremental view maintenance + E14 streaming dedup + E10/E13
     # tumbling windows with watermark — real Structured Streaming jobs run
     # availableNow to completion inside the entry, batch-equal by design

@@ -155,6 +155,45 @@ FROM lineitem WHERE l_orderkey < 100
 
 
 # --------------------------------------------------------------------------
+# q89 — pandas GROUPED_AGG UDAF (the D31 surface q46's scalar UDF doesn't
+# cover): a vectorized aggregate receiving the whole group as a Series.
+# Deterministic despite Spark feeding partition-ordered Series because the
+# arithmetic is exact: DECIMAL(18,2) inputs arrive as Python Decimals,
+# cents are integers, and integer addition is order-independent.
+# --------------------------------------------------------------------------
+def q89_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def revenue_cents(price: pd.Series) -> int:
+        from decimal import Decimal
+
+        total = Decimal(0)
+        for v in price:
+            total += v
+        return int(total * 100)
+
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            revenue_cents(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+            ).alias("revenue_cents")
+        )
+    )
+
+
+_Q89_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+    AS revenue_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # q47 — generator / UDTF-style table function (D32): each order explodes
 # into the 3 month-buckets it is "active" in.
 # --------------------------------------------------------------------------
@@ -450,6 +489,7 @@ QUERIES = {
     "q44_cte_unpivot": q44_cte_unpivot,
     "q45_math_rank_funcs": q45_math_rank_funcs,
     "q46_pandas_udf": q46_pandas_udf,
+    "q89_pandas_udaf": q89_pandas_udaf,
     "q47_month_generator": q47_month_generator,
     "q48_json_map_funcs": q48_json_map_funcs,
     "q49_tfidf_top_terms": q49_tfidf_top_terms,
@@ -465,6 +505,7 @@ ORACLE = {
     "q44_cte_unpivot": _Q44_SQL,
     "q45_math_rank_funcs": _Q45_BODY,
     "q46_pandas_udf": _Q46_SQL,
+    "q89_pandas_udaf": _Q89_SQL,
     "q47_month_generator": _Q47_SQL,
     "q48_json_map_funcs": _Q48_SQL,
     "q49_tfidf_top_terms": _Q49_SQL,
