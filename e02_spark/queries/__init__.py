@@ -38,6 +38,7 @@ STANDALONE = [
     "q69_embedding_centroids",
     "q74_data_quality",
     "q77_corpus_curation",
+    "q90_custom_source",
 ]
 
 

@@ -376,6 +376,48 @@ FROM defs d LEFT JOIN agg a ON a.callee = d.func_name
 """
 
 
+# --------------------------------------------------------------------------
+# q90 — A8 as a real connector: the reference's REST review feed read
+# through a custom Spark data source (Python DataSource API, one
+# InputPartition per PR page — sources/rest_reviews.py), then the B11
+# keep-latest dedup + approver count. The source serves the canonical
+# fixture corpus, so the oracle is the reviews VALUES CTE.
+# --------------------------------------------------------------------------
+def q90_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.rest_reviews import register
+
+    register(spark)
+    r = spark.read.format("rest_reviews").load()
+    w = Window.partitionBy("pr", "user").orderBy(
+        F.col("ts").desc(), F.col("state").desc()
+    )
+    latest = r.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return latest.groupBy("pr").agg(
+        F.sum(F.when(F.col("state") == "APPROVED", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_approvers"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+_Q90_SQL = """
+WITH {reviews},
+latest AS (
+  SELECT pr, "user", state, ts,
+    row_number() OVER (PARTITION BY pr, "user"
+                       ORDER BY ts DESC, state DESC) AS rn
+  FROM reviews
+)
+SELECT pr,
+  CAST(SUM(CASE WHEN state = 'APPROVED' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_approvers,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM latest WHERE rn = 1 GROUP BY pr
+"""
+
+
 QUERIES = {
     "q17_extract_explode_callsites": q17_extract_explode_callsites,
     "q18_collect_set_deps": q18_collect_set_deps,
@@ -383,6 +425,7 @@ QUERIES = {
     "q20_one_hop_closure": q20_one_hop_closure,
     "q21_team_gate": q21_team_gate,
     "q72_recursive_closure": q72_recursive_closure,
+    "q90_custom_source": q90_custom_source,
 }
 
 ORACLE = {
@@ -392,4 +435,5 @@ ORACLE = {
     "q20_one_hop_closure": _render(_Q20_SQL),
     "q21_team_gate": _render(_Q21_SQL),
     "q72_recursive_closure": _render(_Q72_SQL),
+    "q90_custom_source": _render(_Q90_SQL),
 }
