@@ -300,12 +300,15 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
           ("cond_p", "n"), ("rk", "n")]),
     ],
     # D31 vectorized pandas UDF surface: scalar (q46) + GROUPED_AGG UDAF
-    # (q89 — exact-decimal so partition ordering can't perturb the hash)
+    # (q89 — exact-decimal so partition ordering can't perturb the hash) +
+    # cogrouped applyInPandas (q91 — per-user merge_asof, ties pinned)
     "q46_pandas_udf": [
         ("q46", "q46_pandas_udf",
          [("l_orderkey", "n"), ("l_linenumber", "n"), ("net_price", "n")]),
         ("q89", "q89_pandas_udaf",
          [("l_returnflag", "s"), ("revenue_cents", "n")]),
+        ("q91", "q91_cogroup_asof",
+         [("user_id", "n"), ("click_id", "n"), ("view_id", "n"), ("gap_us", "n")]),
     ],
     # E17 incremental view maintenance + E14 streaming dedup + E10/E13
     # tumbling windows with watermark — real Structured Streaming jobs run

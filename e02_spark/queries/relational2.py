@@ -194,6 +194,84 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# q91 — cogrouped applyInPandas (the last D31 shape): per-user as-of join
+# of clicks to the latest view at-or-before each click, via
+# groupBy.cogroup(...).applyInPandas with pd.merge_asof per group. Ties
+# pinned: among equal view timestamps the max view_id wins (merge_asof
+# takes the last row among equal keys; the secondary sort makes that the
+# max view_id — the oracle mirrors it with MAX(view_id) at MAX(v_us)).
+# Scale: cogroup shuffles both sides once on user_id; per-group work is
+# the two-pointer merge, O(n log n) in the group.
+# --------------------------------------------------------------------------
+def q91_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "click_id", "view_id", "gap_us"]
+        if left.empty or right.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        l2 = left.sort_values(["c_us", "click_id"])
+        r2 = right.sort_values(["v_us", "view_id"])
+        m = pd.merge_asof(
+            l2, r2.drop(columns=["user_id"]),
+            left_on="c_us", right_on="v_us", direction="backward",
+        )
+        m = m.dropna(subset=["view_id"])
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "click_id": m["click_id"].astype("int64"),
+                "view_id": m["view_id"].astype("int64"),
+                "gap_us": (m["c_us"] - m["v_us"]).astype("int64"),
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema="user_id bigint, click_id bigint, view_id bigint, gap_us bigint",
+        )
+    )
+
+
+_Q91_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+best AS (
+  SELECT c.user_id, c.click_id, c.c_us,
+    (SELECT MAX(v_us) FROM v
+     WHERE v.user_id = c.user_id AND v.v_us <= c.c_us) AS v_us
+  FROM c
+)
+SELECT b.user_id, b.click_id,
+  (SELECT MAX(view_id) FROM v
+   WHERE v.user_id = b.user_id AND v.v_us = b.v_us) AS view_id,
+  CAST(b.c_us - b.v_us AS BIGINT) AS gap_us
+FROM best b WHERE b.v_us IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
 # q47 — generator / UDTF-style table function (D32): each order explodes
 # into the 3 month-buckets it is "active" in.
 # --------------------------------------------------------------------------
@@ -490,6 +568,7 @@ QUERIES = {
     "q45_math_rank_funcs": q45_math_rank_funcs,
     "q46_pandas_udf": q46_pandas_udf,
     "q89_pandas_udaf": q89_pandas_udaf,
+    "q91_cogroup_asof": q91_cogroup_asof,
     "q47_month_generator": q47_month_generator,
     "q48_json_map_funcs": q48_json_map_funcs,
     "q49_tfidf_top_terms": q49_tfidf_top_terms,
@@ -506,6 +585,7 @@ ORACLE = {
     "q45_math_rank_funcs": _Q45_BODY,
     "q46_pandas_udf": _Q46_SQL,
     "q89_pandas_udaf": _Q89_SQL,
+    "q91_cogroup_asof": _Q91_SQL,
     "q47_month_generator": _Q47_SQL,
     "q48_json_map_funcs": _Q48_SQL,
     "q49_tfidf_top_terms": _Q49_SQL,
