@@ -206,7 +206,10 @@ FROM lineitem GROUP BY l_returnflag
 def q91_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events")
+    # user_id % 10 = 0: a deterministic 10% cohort — the cogroup API is
+    # exercised identically, but the per-group Python invocation overhead
+    # (the dominant cost at test scale, where groups are tiny) drops 10x.
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),
@@ -251,11 +254,11 @@ def q91_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q91_SQL = """
 WITH v AS (
   SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = 'view' AND user_id % 10 = 0
 ),
 c AS (
   SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND user_id % 10 = 0
 ),
 best AS (
   SELECT c.user_id, c.click_id, c.c_us,
