@@ -196,24 +196,24 @@ def simhash32(
     # constant-folded power-of-two column, so the whole pipeline stays in
     # codegen — no pow()/locate() in any per-bit expression.
     h32 = F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("bigint")
-    bit_powers = F.array(
-        *[F.lit(1 << (31 - b)).cast("bigint") for b in range(32)]
-    )
-    per_bit = (
-        feats.withColumn("h32", h32)
-        .select("doc_id", "h32", F.explode(bit_powers).alias("pw"))
-        .select(
-            "doc_id",
-            "pw",
-            (F.expr("(h32 div pw) % 2") * 2 - 1).alias("vote"),
-        )
-    )
-    bit_sums = per_bit.groupBy("doc_id", "pw").agg(F.sum("vote").alias("v"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.col("pw")).otherwise(0))
-        .cast("bigint")
-        .alias("simhash")
-    )
+    # 32 conditional sums in ONE aggregation pass: no 32x explode of the
+    # feature rows, one doc_id shuffle instead of two, and every vote
+    # expression is constant-folded integer math inside codegen with
+    # map-side partial aggregation. (The earlier explode(bit_powers) form
+    # shuffled features*32 rows through a two-level groupBy.)
+    votes = [
+        F.sum(
+            F.expr(f"(h32 div {1 << (31 - b)}) % 2").cast("bigint") * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    bit_sums = feats.withColumn("h32", h32).groupBy("doc_id").agg(*votes)
+    out = F.lit(0).cast("bigint")
+    for b in range(32):
+        out = out + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << (31 - b)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bit_sums.select("doc_id", out.cast("bigint").alias("simhash"))
 
 
 # DuckDB twin of simhash32 — expects a doc_shingles(doc_id, shingle) CTE.
