@@ -253,6 +253,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.35,
     bits_per_band: int = 8,
     n_bands: int = 4,
+    seeded: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via MULTI-BAND sign-LSH blocking +
     exact cosine verification over the candidate union.
@@ -267,17 +268,29 @@ def embedding_neardup_pairs(
     at 100 TB raise it toward log2(n_vectors) - 8.
 
     The oracle replicates the exact same banding, so results compare
-    bit-for-bit (see duck twins in the query module)."""
-    from .similarity import _dot_q, cosine_q, with_quantized
+    bit-for-bit (see duck twins in the query module).
+
+    seeded=True switches each band's buckets from axis-aligned sign
+    patterns to seeded Rademacher random hyperplanes (band index = seed —
+    see similarity.sign_lsh_bucket_seeded): robust to adversarially
+    correlated embeddings, still bit-deterministic cross-engine."""
+    from .similarity import (
+        _dot_q,
+        cosine_q,
+        sign_lsh_bucket_seeded,
+        with_quantized,
+    )
 
     qd = with_quantized(embeddings)
+
+    def _bucket(b: int):
+        if seeded:
+            return sign_lsh_bucket_seeded("embedding", bits=bits_per_band, seed=b)
+        return sign_lsh_bucket_offset("embedding", b * bits_per_band, bits_per_band)
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                sign_lsh_bucket_offset("embedding", b * bits_per_band, bits_per_band)
-                .alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band_idx"), _bucket(b).alias("bucket"))
             for b in range(n_bands)
         ]
     )

@@ -499,6 +499,58 @@ _Q39_SQL = _q39_sql()
 
 
 # --------------------------------------------------------------------------
+# q93 — q39's embedding near-dup with SEEDED Rademacher random-hyperplane
+# buckets instead of axis-aligned sign patterns (the robust form for
+# adversarially correlated embeddings — every coordinate mixes into every
+# bit). 2 bands x 4 bits; hyperplanes are md5-parity ±1 literals, the
+# projection is an index-ordered IEEE sum on both engines, so the banding
+# and therefore the pair set is bit-identical cross-engine.
+# --------------------------------------------------------------------------
+def q93_embedding_neardup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        e, threshold=0.35, bits_per_band=4, n_bands=2, seeded=True
+    )
+
+
+def _q93_sql() -> str:
+    from ..ops.similarity import duck_sign_lsh_seeded_sql
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band_idx, "
+        f"{duck_sign_lsh_seeded_sql('embedding', bits=4, seed=b)} AS bucket "
+        "FROM embeddings"
+        for b in range(2)
+    )
+    return f"""
+WITH banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+comp AS (
+  SELECT c.va, c.vb,
+    {duck_dot_sql('ea.embedding', 'eb.embedding')} AS dot,
+    {duck_dot_sql('ea.embedding', 'ea.embedding')} AS n2a,
+    {duck_dot_sql('eb.embedding', 'eb.embedding')} AS n2b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.va
+  JOIN embeddings eb ON eb.vec_id = c.vb
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY c.va, c.vb
+)
+SELECT va, vb, dot / (sqrt(n2a) * sqrt(n2b)) AS cosine
+FROM comp WHERE dot / (sqrt(n2a) * sqrt(n2b)) >= 0.35
+"""
+
+
+_Q93_SQL = _q93_sql()
+
+
+# --------------------------------------------------------------------------
 # q40 — per-group kNN join: top-3 most similar pairs per embedding label.
 # --------------------------------------------------------------------------
 def q40_knn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,6 +1041,7 @@ QUERIES = {
     "q37_quality_score": q37_quality_score,
     "q38_fingerprint": q38_fingerprint,
     "q39_embedding_neardup": q39_embedding_neardup,
+    "q93_embedding_neardup_seeded": q93_embedding_neardup_seeded,
     "q40_knn_per_group": q40_knn_per_group,
     "q42_ann_ivf": q42_ann_ivf,
 }
@@ -1015,6 +1068,7 @@ ORACLE = {
     "q37_quality_score": _Q37_SQL,
     "q38_fingerprint": _Q38_SQL,
     "q39_embedding_neardup": _Q39_SQL,
+    "q93_embedding_neardup_seeded": _Q93_SQL,
     "q40_knn_per_group": _Q40_SQL,
     "q42_ann_ivf": _Q42_SQL,
 }

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table, register_views
 from ..ops.dedup import minhash_lsh_pairs
-from ..ops.graph import connected_components
+from ..ops.graph import connected_components, connected_components_star
 from ..ops.skew import salted_join
 from .llm_q import _Q31_SQL
 
@@ -203,6 +203,33 @@ SELECT l.doc_id, l.cluster_id, s.cluster_size,
        l.doc_id = l.cluster_id AS keep
 FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
 """
+
+
+# --------------------------------------------------------------------------
+# q92 — q62's clustering via the ALTERNATING-STAR connected-components
+# algorithm (ops/graph.connected_components_star): identical output
+# contract, O(log^2 n) rounds instead of O(diameter) — the swap-in for
+# graphs whose cluster diameters are unbounded. Declared separately so the
+# driver hash-verifies the star algorithm against the same recursive-CTE
+# oracle as the propagation variant.
+# --------------------------------------------------------------------------
+def q92_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_q import _shared_ci
+
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(
+        d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
+    ).select("da", "db")
+    cc = connected_components_star(edges, src="da", dst="db")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -682,6 +709,7 @@ QUERIES = {
     "q60_rank_distribution": q60_rank_distribution,
     "q61_range_frame": q61_range_frame,
     "q62_dedup_clusters": q62_dedup_clusters,
+    "q92_dedup_clusters_star": q92_dedup_clusters_star,
     "q63_argmax": q63_argmax,
     "q64_csv_roundtrip": q64_csv_roundtrip,
     "q65_salted_join_revenue": q65_salted_join_revenue,
@@ -703,6 +731,7 @@ ORACLE = {
     "q60_rank_distribution": _Q60_BODY,
     "q61_range_frame": _Q61_BODY,
     "q62_dedup_clusters": _Q62_SQL,
+    "q92_dedup_clusters_star": _Q62_SQL,
     "q63_argmax": _Q63_SQL,
     "q64_csv_roundtrip": _Q64_SQL,
     "q65_salted_join_revenue": _Q65_SQL,
