@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 # a merge would only add noise (each is already operator-dense on its own).
 STANDALONE = [
     "q01_pricing_summary",
-    "q41_multimodal_summary",
     "q49_tfidf_top_terms",
     "q51_having_lead",
     "q53_python_udtf",

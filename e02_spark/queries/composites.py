@@ -299,6 +299,17 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("lang", "s"), ("w1", "s"), ("w2", "s"), ("bigram_n", "n"),
           ("cond_p", "n"), ("rk", "n")]),
     ],
+    # E9 multimodal: JVM metadata summary (q41) + the mapInPandas Python
+    # worker path (q94 frame sampling) driver-checked with a byte-exact
+    # oracle (frames digest = md5 over sorted base64 frame payloads)
+    "q41_multimodal_summary": [
+        ("q41", "q41_multimodal_summary",
+         [("media_id", "n"), ("kind", "s"), ("n_bytes", "n"),
+          ("b64_prefix", "s"), ("aspect", "n")]),
+        ("q94", "q94_frame_sample_summary",
+         [("media_id", "n"), ("n_frames_sampled", "n"),
+          ("total_frame_bytes", "n"), ("frames_digest", "s")]),
+    ],
     # D31 vectorized pandas UDF surface: scalar (q46) + GROUPED_AGG UDAF
     # (q89 — exact-decimal so partition ordering can't perturb the hash) +
     # cogrouped applyInPandas (q91 — per-user merge_asof, ties pinned)

@@ -688,6 +688,49 @@ def q41_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_summary(fixtures.spark_df(spark, "media"))
 
 
+# --------------------------------------------------------------------------
+# q94 — the mapInPandas multimodal path driver-checked: video frame
+# sampling (1-in/N-out Arrow-batched Python, ops/multimodal.sample_frames)
+# summarized per media. The fake decode slices fixed 16-byte frames and
+# keeps every 4th, so the sampled-frame count and byte totals are pure
+# integer functions of octet_length — SQL-expressible, hence a real
+# oracle over the Python worker path.
+# --------------------------------------------------------------------------
+def q94_frame_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.multimodal import sample_frames
+
+    media = fixtures.spark_df(spark, "media")
+    frames = sample_frames(media, every_n=4, frame_size=16)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames_sampled"),
+        F.sum("n_frame_bytes").cast("bigint").alias("total_frame_bytes"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.base64("frame_bytes")))))
+        .alias("frames_digest"),
+    )
+
+
+def _q94_sql() -> str:
+    media = fixtures.sql_values_cte("media")
+    return f"""
+WITH {media},
+frames AS (
+  -- DuckDB has no BLOB substring; slice via hex round-trip (1 byte = 2
+  -- hex chars): frame f covers hex positions f*32+1 .. +32
+  SELECT media_id, (g.i - 1) * 4 AS frame_idx,
+    unhex(substr(hex(payload), ((g.i - 1) * 4) * 32 + 1, 32)) AS frame_bytes
+  FROM media
+  CROSS JOIN generate_series(1, 10000) AS g(i)
+  WHERE kind = 'video' AND (g.i - 1) * 4 < octet_length(payload) // 16
+)
+SELECT media_id,
+  CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+  CAST(SUM(octet_length(frame_bytes)) AS BIGINT) AS total_frame_bytes,
+  md5(string_agg(base64(frame_bytes), '|' ORDER BY base64(frame_bytes)))
+    AS frames_digest
+FROM frames GROUP BY media_id
+"""
+
+
 def _q41_sql() -> str:
     media = fixtures.sql_values_cte("media")
     return f"""
@@ -1024,6 +1067,7 @@ FROM ranked WHERE rk <= 5
 QUERIES = {
     "q26_exact_dedup": q26_exact_dedup,
     "q41_multimodal_summary": q41_multimodal_summary,
+    "q94_frame_sample_summary": q94_frame_sample_summary,
     "q57_bpe_token_counts": q57_bpe_token_counts,
     "q52_ml_minhash_lsh": q52_ml_minhash_lsh,
     "q53_python_udtf": q53_python_udtf,
@@ -1049,6 +1093,7 @@ QUERIES = {
 ORACLE = {
     "q26_exact_dedup": _Q26_SQL,
     "q41_multimodal_summary": _q41_sql(),
+    "q94_frame_sample_summary": _q94_sql(),
     # q52's verified output is exactly the true jaccard>=0.8 pair set —
     # q31's SQL — so the ML path is hash-checked via exact verification
     "q52_ml_minhash_lsh": _Q31_SQL,
