@@ -165,12 +165,28 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # star-forest fixed point: no node is both a child (a) and a
-        # parent (b) in the canonical child->root edge list
-        non_root = small.select(F.col("a").alias("n")).intersect(
-            small.select(F.col("b").alias("n"))
+        # Star-forest fixed point. Two conditions, BOTH required:
+        #   (1) no node appears as both child (a) and parent (b), and
+        #   (2) every child has exactly ONE distinct parent.
+        # (1) alone is NOT sufficient: edges (3,5),(1,5),(3,4),(2,4)
+        # reach {(3,1),(3,2),(5,1),(4,2)} after one round — child 3 has
+        # two parents, yet children {3,4,5} and parents {1,2} are
+        # disjoint. Terminating there and folding labels with min()
+        # silently drops the 3-bridges-{1,2} link and splits one
+        # component into two. Both operations preserve connectivity
+        # (Kiveris et al., lemma 3.1), so a (1)+(2) edge set is a star
+        # forest with one star per component — the true fixed point.
+        # Both violation kinds ride one union → one count() action per
+        # round over the just-materialized checkpoint.
+        parent_counts = small.groupBy("a").agg(
+            F.count_distinct("b").alias("np")
         )
-        done = non_root.limit(1).count() == 0
+        violations = parent_counts.where("np > 1").select("a").union(
+            small.select("a").intersect(
+                small.select(F.col("b").alias("a"))
+            )
+        )
+        done = violations.limit(1).count() == 0
         e = small
         if done:
             break

@@ -280,6 +280,56 @@ def test_cc_star_converges_on_long_path_beyond_propagation_budget(spark):
     assert got == {(i, 0) for i in range(n)}
 
 
+def test_cc_star_tree_counterexample(spark):
+    """Regression: edges (3,5),(1,5),(3,4),(2,4) form ONE component
+    (3 bridges the 5- and 4-side), but after one star round the
+    child->parent set is {(3,1),(3,2),(5,1),(4,2)} — children and parents
+    are disjoint, so the old 'no node both child and parent' fixed-point
+    test terminated there, and the min() label fold split the component
+    into {1,3,5} and {2,4}. The fix additionally requires every child to
+    have exactly one distinct parent."""
+    from e02_spark.ops.graph import connected_components_star
+
+    edges = [(3, 5), (1, 5), (3, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    assert got == {(n, 1) for n in (1, 2, 3, 4, 5)}
+
+
+def test_cc_star_random_trees_interleaved_ids(spark):
+    """Star variant vs union-find oracle on random TREES (the shape the
+    round-3 fixed-point test got wrong) with interleaved node ids, plus a
+    multi-tree forest. Trees are the adversarial case: no redundant edges,
+    so a premature termination always loses connectivity."""
+    import random
+
+    from e02_spark.ops.graph import connected_components_star
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(8, 40)
+        ids = list(range(n * 3))
+        rng.shuffle(ids)
+        ids = ids[:n]  # interleaved, non-contiguous node ids
+        edges = []
+        for i in range(1, n):
+            j = rng.randrange(i)  # attach node i under a random earlier node
+            edges.append((ids[i], ids[j]))
+        # second disjoint tree to keep the forest case honest
+        base = max(ids) + 1
+        edges += [(base + i, base + rng.randrange(i)) for i in range(1, 6)]
+        df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        got = {
+            (r.node, r.cluster_id)
+            for r in connected_components_star(df).collect()
+        }
+        want = {(k, v) for k, v in _cc_reference(edges).items()}
+        assert got == want, f"seed {seed}"
+
+
 def test_seeded_sign_lsh_duckdb_parity_and_mixing(spark):
     """Random-hyperplane sign-LSH: bit-identical between engines, and the
     buckets actually mix coordinates (differ from the axis-aligned form
