@@ -96,9 +96,27 @@ def gate_status(
     Returns (pr, codeowners_approved, facilitators_approved, tech_approved,
     stage). Tiers with no matching owner lines are vacuously approved.
     """
+    return gate_from_approvals(
+        pr_files, approvers(reviews), team_members, owner_lines
+    )
+
+
+def gate_from_approvals(
+    pr_files: DataFrame,
+    approvals: DataFrame,
+    team_members: DataFrame,
+    owner_lines: DataFrame,
+) -> DataFrame:
+    """`gate_status` with the keep-latest/APPROVED reduction already done:
+    `approvals` is (pr, user) pairs whose latest review is APPROVED. This
+    is the seam the E15 stateful stream plugs into — the stream maintains
+    the per-PR approver set incrementally (streaming/jobs.py), and the
+    gate evaluation downstream of it is the SAME dataflow the batch gate
+    uses, so stream and batch agree by construction wherever their
+    approver sets do (reference: pr-review-flow.yml:242-288)."""
     prs = pr_files.select("pr").distinct()
     reqs = tier_requirements(pr_files, owner_lines)
-    per_team = team_approvals(reqs, approvers(reviews), team_members)
+    per_team = team_approvals(reqs, approvals, team_members)
     per_tier = per_team.groupBy("pr", "tier").agg(
         F.bool_and("approved").alias("tier_ok")
     )

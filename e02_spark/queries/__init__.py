@@ -6,11 +6,12 @@ Each submodule exposes:
                             # (omit a key -> driver does a rows-only check)
 
 The driver's correctness gate records at most ~50 entries, so the declared
-surface is consolidated: the 15 widest queries stay standalone and the rest
-are folded into 30 operator-dense composites (`composites.SPEC`), for 45
-declared entries / 88 underlying queries total — every SURVEY §2 operator
-(including the Structured Streaming jobs, via q86_streaming_parity) lands
-inside a driver-checked entry.  `all_queries()` / `all_oracles()` build that
+surface is consolidated: the 16 widest queries stay standalone and the rest
+are folded into 33 operator-dense composites (`composites.SPEC`), for 49
+declared entries / 97 underlying queries total — every SURVEY §2 operator
+(including every Structured Streaming job: q86_streaming_parity for
+IVM/dedup/tumbling, q95_stateful_stream for the applyInPandasWithState
+gate and the sliding/session twins) lands inside a driver-checked entry.  `all_queries()` / `all_oracles()` build that
 curated registry; `legacy_queries()` still exposes every original narrow
 query for tests and ad-hoc runs.
 """

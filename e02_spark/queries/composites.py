@@ -331,6 +331,20 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q88", "q88_stream_tumbling",
          [("hour_start", "s"), ("event_type", "s"), ("n_events", "n")]),
     ],
+    # E15 stateful gate stream (applyInPandasWithState across 3 real
+    # micro-batches, final state -> the batch gate evaluation, oracle = the
+    # q21 gate SQL) + E11/E12 sliding/session window STREAMING twins run
+    # availableNow in complete mode (batch twins q54/q25 pin the window
+    # alignment / gap semantics)
+    "q95_stateful_stream": [
+        ("q95", "q95_stream_review_gate",
+         [("pr", "n"), ("codeowners_approved", "s"), ("facilitators_approved", "s"),
+          ("tech_approved", "s"), ("stage", "s")]),
+        ("q96", "q96_stream_sliding",
+         [("window_start", "s"), ("event_type", "s"), ("n_events", "n")]),
+        ("q97", "q97_stream_sessions",
+         [("session_start_us", "n"), ("user_id", "n"), ("n_events", "n")]),
+    ],
 }
 
 

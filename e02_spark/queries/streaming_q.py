@@ -1,4 +1,4 @@
-"""Driver-visible streaming queries (E10/E13/E14/E17 surfaced as declared
+"""Driver-visible streaming queries (E10-E15/E17 surfaced as declared
 entries).
 
 Round-2 verdict gap: every streaming operator was pytest-verified but no
@@ -28,7 +28,9 @@ streaming/jobs.py. The symlink staging below is test plumbing only.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -36,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import normalize_ts
-from ..streaming.jobs import incremental_event_counts, tumbling_hourly
+from ..streaming.jobs import (
+    incremental_event_counts,
+    review_gate_stream,
+    session_windows,
+    sliding_quarter_hour,
+    tumbling_hourly,
+)
 
 
 def _stage_events_dir(sf_dir: str, copies: int = 1) -> str:
@@ -47,6 +55,19 @@ def _stage_events_dir(sf_dir: str, copies: int = 1) -> str:
     for i in range(copies):
         os.symlink(src, f"{base}/ev{i}.parquet")
     return base
+
+
+def _await(q) -> None:
+    """awaitTermination with the timeout actually ENFORCED: the boolean
+    result is False when the 300 s budget expires with the query still
+    running, and silently reading the sink then would return a partial
+    state table as if it were the answer. Stop the query and raise
+    instead — a loud failure, never a wrong hash."""
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within 300s"
+        )
 
 
 def _events_stream(
@@ -74,7 +95,7 @@ def q86_stream_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     stream = _events_stream(spark, events_dir, files_per_trigger=1)
     q = incremental_event_counts(stream, state_dir)
-    q.awaitTermination(300)
+    _await(q)
     return spark.read.parquet(state_dir).select(
         "event_type",
         "n_events",
@@ -106,7 +127,7 @@ def q87_stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -138,7 +159,7 @@ def q88_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return spark.table(name).select(
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
@@ -153,14 +174,201 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q95 — STATEFUL streaming gate (E15) driver-visible: the
+# applyInPandasWithState review-gate stream (streaming/jobs.py::_gate_fn)
+# fed the review fixture as THREE ts-ordered files, one micro-batch each
+# (maxFilesPerTrigger=1; FileStreamSource orders by modification time,
+# which _stage_reviews_dir sets ascending) — so per-PR state genuinely
+# carries ACROSS micro-batches. The final approver set per PR (seq-argmax
+# over the update-mode sink) feeds the SAME downstream gate evaluation as
+# batch q21 (review_gate.gate_from_approvals), so the oracle is literally
+# the q21 gate SQL. Keep-latest per (pr,user) is arrival-order-independent
+# (older ts never overwrites newer — jobs.py:_gate_fn), hence exact.
+# Reference semantics: pr-review-flow.yml:242-288.
+# --------------------------------------------------------------------------
+def _stage_reviews_dir(spark: SparkSession) -> str:
+    """Write the reviews fixture as 3 single-file parquet batches, file i
+    holding each PR's i-th review in ts order (i>=2 folded into the last
+    file), mtimes ascending so the file source replays them in feed order.
+    Splitting BY REVIEW INDEX (not by time) makes every multi-review PR
+    span micro-batches — pr 2's APPROVED lands in batch 0 and its
+    CHANGES_REQUESTED revocation in batch 1 — so the per-key state
+    genuinely carries and mutates across batches."""
+    from pyspark.sql import Window
+
+    from .. import fixtures
+
+    base = tempfile.mkdtemp(prefix="e02_reviews_")
+    w = Window.partitionBy("pr").orderBy("ts", "state")
+    df = fixtures.spark_df(spark, "reviews").withColumn(
+        "_i", F.row_number().over(w) - 1
+    )
+    splits = [
+        df.where(F.col("_i") == 0).drop("_i"),
+        df.where(F.col("_i") == 1).drop("_i"),
+        df.where(F.col("_i") >= 2).drop("_i"),
+    ]
+    for i, part in enumerate(splits):
+        stage = os.path.join(base, f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(base, f"r{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(stage)
+    return base
+
+
+def q95_stream_review_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..depgraph.review_gate import gate_from_approvals
+    from ..fixtures import spark_df
+
+    reviews_dir = _stage_reviews_dir(spark)
+    stream = (
+        spark.readStream.schema("pr BIGINT, user STRING, state STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(reviews_dir)
+    )
+    name = f"q95_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        review_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    final = spark.table(name).groupBy("pr").agg(
+        F.max_by("approvers", "seq").alias("approvers")
+    )
+    approvals = final.select(
+        "pr", F.explode(F.split("approvers", ";")).alias("user")
+    ).where(F.col("user") != "")
+    return gate_from_approvals(
+        spark_df(spark, "pr_files"),
+        approvals,
+        spark_df(spark, "team_members"),
+        spark_df(spark, "owner_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — sliding windows (E11) STREAMING twin driver-visible: the
+# streaming/jobs.py sliding_quarter_hour job (1 h window / 15 min slide,
+# 10 min watermark) run availableNow in complete mode; complete mode
+# re-emits all windows, so nothing is watermark-dropped and the result
+# equals the batch expansion (each event in exactly 4 windows). Batch twin
+# q54 is the oracle-checked reference for the window alignment.
+# --------------------------------------------------------------------------
+def q96_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_dir = _stage_events_dir(sf_dir, copies=1)
+    stream = _events_stream(spark, events_dir, files_per_trigger=4)
+    windowed = sliding_quarter_hour(stream)
+    name = f"q96_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+_Q96_SQL = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - to_minutes(CAST(k.k * 15 AS BIGINT)) AS ws
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+GROUP BY ws, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q97 — session windows (E12) STREAMING twin driver-visible: native
+# session_window (30 min gap) run availableNow in complete mode. Session
+# merge rule: an event extends the session iff its ts is STRICTLY before
+# last_ts + 30 min (window end is exclusive), i.e. a new session starts at
+# gap >= 30 min exactly — the oracle mirrors that with `ts >= prev + 30
+# MINUTE`. session_start is emitted as epoch MICROSECONDS (BIGINT) so
+# microsecond event times never hit string-formatting differences. Batch
+# twin of the semantics: q25 (lag+cumsum, second-granularity variant).
+# --------------------------------------------------------------------------
+def q97_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_dir = _stage_events_dir(sf_dir, copies=1)
+    stream = _events_stream(spark, events_dir, files_per_trigger=4)
+    sessions = session_windows(stream)
+    name = f"q97_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.table(name).select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+_Q97_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), t AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM s
+)
+SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM t GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "q86_stream_incremental_counts": q86_stream_incremental_counts,
     "q87_stream_dedup_agg": q87_stream_dedup_agg,
     "q88_stream_tumbling": q88_stream_tumbling,
+    "q95_stream_review_gate": q95_stream_review_gate,
+    "q96_stream_sliding": q96_stream_sliding,
+    "q97_stream_sessions": q97_stream_sessions,
 }
+
+
+def _q95_oracle() -> str:
+    # the stream feeds the SAME gate evaluation as batch q21, over the same
+    # fixture feed — the rendered q21 SQL IS the oracle
+    from . import depgraph_q
+
+    return depgraph_q.ORACLE["q21_team_gate"]
+
 
 ORACLE = {
     "q86_stream_incremental_counts": _Q86_SQL,
     "q87_stream_dedup_agg": _Q87_SQL,
     "q88_stream_tumbling": _Q88_SQL,
+    "q95_stream_review_gate": _q95_oracle(),
+    "q96_stream_sliding": _Q96_SQL,
+    "q97_stream_sessions": _Q97_SQL,
 }

@@ -94,6 +94,8 @@ GATE_OUTPUT_SCHEMA = StructType(
         StructField("pr", LongType()),
         StructField("n_approvers", LongType()),
         StructField("last_ts", TimestampType()),
+        StructField("seq", LongType()),
+        StructField("approvers", StringType()),
     ]
 )
 GATE_STATE_SCHEMA = StructType([StructField("state_json", StringType())])
@@ -102,12 +104,22 @@ GATE_STATE_SCHEMA = StructType([StructField("state_json", StringType())])
 def _gate_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-PR state: {user: (ts_iso, review_state)} — Map-overwrite
-    keep-latest exactly like the reference (pr-review-flow.yml:100-103);
-    emits the current approver count after each batch."""
+    """Per-PR state: {"u": {user: (ts_iso, review_state)}, "seq": n} —
+    Map-overwrite keep-latest exactly like the reference
+    (pr-review-flow.yml:100-103). After each batch emits the approver
+    count, the sorted approver set (';'-joined — downstream gate
+    evaluation explodes it back to (pr, user) rows), and `seq`, the
+    cumulative number of updates this key has received: in update mode
+    the sink accumulates one row per key per batch, so the FINAL state
+    row is the seq-argmax, selectable without knowing the batch split."""
     import json
 
-    latest: dict[str, Any] = json.loads(state.get[0]) if state.exists else {}
+    if state.exists:
+        st = json.loads(state.get[0])
+        latest: dict[str, Any] = st["u"]
+        seq: int = st["seq"]
+    else:
+        latest, seq = {}, 0
     last_ts = None
     for pdf in pdfs:
         for row in pdf.sort_values("ts").itertuples():
@@ -116,10 +128,17 @@ def _gate_fn(
             if prev is None or prev[0] <= ts_iso:
                 latest[row.user] = (ts_iso, row.state)
             last_ts = row.ts if last_ts is None or row.ts > last_ts else last_ts
-    state.update((json.dumps(latest),))
-    n_approved = sum(1 for v in latest.values() if v[1] == "APPROVED")
+    seq += 1
+    state.update((json.dumps({"u": latest, "seq": seq}),))
+    approved = sorted(u for u, v in latest.items() if v[1] == "APPROVED")
     yield pd.DataFrame(
-        {"pr": [key[0]], "n_approvers": [n_approved], "last_ts": [last_ts]}
+        {
+            "pr": [key[0]],
+            "n_approvers": [len(approved)],
+            "last_ts": [last_ts],
+            "seq": [seq],
+            "approvers": [";".join(approved)],
+        }
     )
 
 

@@ -293,3 +293,53 @@ def test_drop_duplicates_within_watermark(spark, events_dir):
     got = spark.table(name).count()
     want = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert got == want
+
+
+def test_review_gate_state_mutates_across_micro_batches(spark, tmp_path):
+    """E15 cross-batch state: an APPROVED in batch 0 revoked by a
+    CHANGES_REQUESTED in batch 1 must drop the approver count — proving
+    the per-PR state store carries (and mutates) across micro-batches,
+    not just within one."""
+    import os
+
+    from pyspark.sql import Row
+
+    rdir = tmp_path / "rev"
+    rdir.mkdir()
+    batches = [
+        [Row(pr=9, user="alice", state="APPROVED", ts=datetime(2024, 3, 1, 9))],
+        [
+            Row(pr=9, user="alice", state="CHANGES_REQUESTED", ts=datetime(2024, 3, 1, 11)),
+            Row(pr=9, user="bob", state="APPROVED", ts=datetime(2024, 3, 1, 12)),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        stage = rdir / f"_w{i}"
+        spark.createDataFrame(
+            rows, "pr BIGINT, user STRING, state STRING, ts TIMESTAMP"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (part,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+        os.rename(stage / part, rdir / f"r{i}.parquet")
+        os.utime(rdir / f"r{i}.parquet", (1_700_000_000 + i * 60,) * 2)
+        shutil.rmtree(stage)
+    stream = (
+        spark.readStream.schema("pr BIGINT, user STRING, state STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(rdir))
+    )
+    name = _run(review_gate_stream(stream), outputMode="update")
+    rows = spark.table(name).orderBy("seq").collect()
+    assert [(r.seq, r.n_approvers) for r in rows] == [(1, 1), (2, 1)]
+    assert rows[0].approvers == "alice"  # batch 0: alice approved
+    assert rows[1].approvers == "bob"  # batch 1: alice revoked, bob in
+
+
+def test_q95_stream_gate_equals_batch_gate(spark):
+    """The q95 entry (stateful stream -> gate evaluation) returns exactly
+    the batch q21 gate result."""
+    from e02_spark.queries.depgraph_q import q21_team_gate
+    from e02_spark.queries.streaming_q import q95_stream_review_gate
+
+    got = {tuple(r) for r in q95_stream_review_gate(spark, SF).collect()}
+    want = {tuple(r) for r in q21_team_gate(spark, SF).collect()}
+    assert got == want and len(want) == 5
