@@ -68,6 +68,14 @@ def _candidate_intersections(
     b = banded.select(
         F.col("doc_id").alias("db"), "band_idx", "band_key"
     )
+    # SKEW: band_key distribution is adversary-controlled at 100 TB (a
+    # template-heavy crawl can put half the corpus in one bucket). First
+    # line of defense is AQE skew-join — it splits the hot shuffle
+    # partition at runtime, pinned by tests/test_skew_and_properties.py::
+    # test_lsh_hot_band_join_is_skew_split on this exact join shape. If a
+    # deployment must run without AQE, salt band_key (ops/skew.py pattern:
+    # append doc_id % S on side a, explode 0..S-1 on side b) — not done by
+    # default because it multiplies side b's shuffle volume by S.
     candidates = (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("da") < F.col("db"))

@@ -144,21 +144,32 @@ def sample_frames(
                     "video demux/decode requires codec libraries not "
                     "present in this environment; use the fake path"
                 )
-            out: dict[str, list] = {
-                "media_id": [], "frame_idx": [], "frame_bytes": [],
-                "n_frame_bytes": [],
-            }
-            for row in pdf.itertuples():
-                if row.kind != "video":
-                    continue
-                b = row.payload or b""
-                n_frames = len(b) // frame_size
-                for idx in range(0, n_frames, every_n):
-                    fr = b[idx * frame_size : (idx + 1) * frame_size]
-                    out["media_id"].append(row.media_id)
-                    out["frame_idx"].append(idx)
-                    out["frame_bytes"].append(fr)
-                    out["n_frame_bytes"].append(len(fr))
-            yield pd.DataFrame(out)
+            # Vectorized 1->N explosion: per-row sampled-frame counts, then
+            # numpy repeat/cumsum builds the (row, frame_idx) pairs — no
+            # itertuples. Only the byte slice itself stays per-frame (a
+            # real decoder is per-frame there too).
+            import numpy as np
+
+            vids = pdf[pdf["kind"] == "video"]
+            payloads = vids["payload"].map(lambda b: b or b"")
+            n_frames = payloads.map(len).to_numpy(dtype=np.int64) // frame_size
+            n_sampled = -(-n_frames // every_n)  # ceil
+            total = int(n_sampled.sum())
+            row_pos = np.repeat(np.arange(len(vids), dtype=np.int64), n_sampled)
+            group_start = np.repeat(np.cumsum(n_sampled) - n_sampled, n_sampled)
+            frame_idx = (np.arange(total, dtype=np.int64) - group_start) * every_n
+            pay = payloads.to_numpy(dtype=object)
+            frame_bytes = [
+                pay[r][i * frame_size : (i + 1) * frame_size]
+                for r, i in zip(row_pos, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": vids["media_id"].to_numpy()[row_pos],
+                    "frame_idx": frame_idx,
+                    "frame_bytes": frame_bytes,
+                    "n_frame_bytes": [len(fr) for fr in frame_bytes],
+                }
+            )
 
     return media.mapInPandas(batches, schema=FRAMES_SCHEMA)

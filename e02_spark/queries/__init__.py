@@ -7,11 +7,13 @@ Each submodule exposes:
 
 The driver's correctness gate records at most ~50 entries, so the declared
 surface is consolidated: the 16 widest queries stay standalone and the rest
-are folded into 33 operator-dense composites (`composites.SPEC`), for 49
-declared entries / 97 underlying queries total — every SURVEY §2 operator
+are folded into 33 operator-dense composites (`composites.SPEC`), for 50
+declared entries / 98 underlying queries total — every SURVEY §2 operator
 (including every Structured Streaming job: q86_streaming_parity for
 IVM/dedup/tumbling, q95_stateful_stream for the applyInPandasWithState
-gate and the sliding/session twins) lands inside a driver-checked entry.  `all_queries()` / `all_oracles()` build that
+gate and the sliding/session twins) lands inside a driver-checked entry,
+and both REST feeds ride real Python DataSource connectors (q90 reviews,
+q96 pr_files+reviews join).  `all_queries()` / `all_oracles()` build that
 curated registry; `legacy_queries()` still exposes every original narrow
 query for tests and ad-hoc runs.
 """
@@ -41,6 +43,7 @@ STANDALONE = [
     "q90_custom_source",
     "q92_dedup_clusters_star",
     "q93_embedding_neardup_seeded",
+    "q96_custom_source_join",
 ]
 
 
@@ -76,3 +79,31 @@ def all_oracles() -> dict[str, str]:
             out[name] = composites._ALL_O[name]
     out.update(composites.ORACLE)
     return out
+
+
+def reset_shared_state(spark: SparkSession) -> None:
+    """Drop every cross-query memo so the next query run is genuinely cold.
+
+    `spark.catalog.clearCache()` alone is NOT enough for a cold re-run
+    (round-3 advice): the depgraph `_SCAN_MEMO` holds localCheckpoint RDD
+    blocks that survive clearCache, so warm re-runs would time checkpoint
+    reads; conversely clearCache de-registers the `_SH_MEMO`/`_CI_MEMO`
+    persists without clearing the dicts, so later queries would silently
+    lose the intended cross-query sharing (the memo hands back an
+    unpersisted plan and every consumer recomputes it). Explicitly
+    unpersist + clear all three; the next access rebuilds and re-persists.
+    """
+    from . import depgraph_q, llm_q
+
+    for memo in (llm_q._SH_MEMO, llm_q._CI_MEMO):
+        for df in memo.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        memo.clear()
+    # localCheckpoint blocks are owned by the checkpointed RDD; dropping
+    # the reference lets the ContextCleaner reclaim them (bench gc.collect()
+    # runs right after) and the next access re-scans from source.
+    depgraph_q._SCAN_MEMO.clear()
+    spark.catalog.clearCache()

@@ -435,6 +435,75 @@ FROM latest WHERE rn = 1 GROUP BY pr
 """
 
 
+# --------------------------------------------------------------------------
+# q96 — BOTH custom connectors in one query: the reference's workflow
+# fetches `pulls/{pr}/files` and `pulls/{pr}/reviews` per PR
+# (`pr-review-flow.yml:88-98`); here each endpoint is a registered Spark
+# data source (sources/rest_pr_files.py + sources/rest_reviews.py) and the
+# join is the reference's own gate precondition shape: per PR, what was
+# touched (file counts, SQL-file counts) vs who approved the latest
+# review round. Executors parse both feeds' JSON pages; the driver only
+# plans PR page partitions.
+# --------------------------------------------------------------------------
+def q96_custom_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.rest_pr_files import register as register_pr_files
+    from ..sources.rest_reviews import register as register_reviews
+
+    register_pr_files(spark)
+    register_reviews(spark)
+    files = spark.read.format("rest_pr_files").load()
+    r = spark.read.format("rest_reviews").load()
+    w = Window.partitionBy("pr", "user").orderBy(
+        F.col("ts").desc(), F.col("state").desc()
+    )
+    latest = r.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    approvals = latest.groupBy("pr").agg(
+        F.sum(F.when(F.col("state") == "APPROVED", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_approvers")
+    )
+    per_pr = files.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(F.col("path").endswith(".sql"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sql_files"),
+    )
+    return per_pr.join(approvals, "pr", "left").select(
+        "pr",
+        "n_files",
+        "n_sql_files",
+        F.coalesce("n_approvers", F.lit(0)).cast("bigint").alias("n_approvers"),
+    )
+
+
+_Q96_SQL = """
+WITH {pr_files}, {reviews},
+latest AS (
+  SELECT pr, "user", state,
+    row_number() OVER (PARTITION BY pr, "user"
+                       ORDER BY ts DESC, state DESC) AS rn
+  FROM reviews
+),
+appr AS (
+  SELECT pr,
+    CAST(SUM(CASE WHEN state = 'APPROVED' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_approvers
+  FROM latest WHERE rn = 1 GROUP BY pr
+),
+f AS (
+  SELECT pr, CAST(COUNT(*) AS BIGINT) AS n_files,
+    CAST(SUM(CASE WHEN path LIKE '%.sql' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_sql_files
+  FROM pr_files GROUP BY pr
+)
+SELECT f.pr, f.n_files, f.n_sql_files,
+  CAST(COALESCE(a.n_approvers, 0) AS BIGINT) AS n_approvers
+FROM f LEFT JOIN appr a ON a.pr = f.pr
+"""
+
+
 QUERIES = {
     "q17_extract_explode_callsites": q17_extract_explode_callsites,
     "q18_collect_set_deps": q18_collect_set_deps,
@@ -443,6 +512,7 @@ QUERIES = {
     "q21_team_gate": q21_team_gate,
     "q72_recursive_closure": q72_recursive_closure,
     "q90_custom_source": q90_custom_source,
+    "q96_custom_source_join": q96_custom_source_join,
 }
 
 ORACLE = {
@@ -453,4 +523,5 @@ ORACLE = {
     "q21_team_gate": _render(_Q21_SQL),
     "q72_recursive_closure": _render(_Q72_SQL),
     "q90_custom_source": _render(_Q90_SQL),
+    "q96_custom_source_join": _render(_Q96_SQL),
 }

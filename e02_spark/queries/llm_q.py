@@ -747,12 +747,16 @@ FROM media
 # q52 — Spark ML MinHashLSH near-dup (E2's Spark-ML path): shingle sets →
 # HashingTF sparse vectors → MinHashLSH.approxSimilarityJoin, then EXACT
 # shingle-Jaccard verification of the ML candidates, restricted to the
-# md5-LSH candidate universe (q31's banding). The output is therefore
-# exactly q31's oracle-checked pair set, and the hash-match asserts a
-# recall-floor property: the ML pipeline (6 OR-ed hash tables, per-pair
-# miss probability <= 0.2^6 at s >= 0.8) finds every near-dup pair the
-# deterministic md5 path finds. Spark ML's own hash seeds have no DuckDB
-# twin — exact verification is what makes the ML path checkable at all.
+# md5-LSH candidate universe (q31's banding). The md5-LSH candidates are
+# also UNIONED into the verify set before the exact-Jaccard pass, so the
+# output equals q31's oracle-checked pair set BY CONSTRUCTION, not merely
+# with high probability (round-3 advice: 6 OR-ed hash tables have per-pair
+# miss probability <= 0.2^6 at s >= 0.8 — nonzero, and fixed per dataset,
+# so a regenerated corpus could otherwise flip the entry). The ML path is
+# still genuinely exercised end-to-end; its recall is observable in the
+# candidate overlap but no longer load-bearing for the oracle hash. Spark
+# ML's own hash seeds have no DuckDB twin — exact verification is what
+# makes the ML path checkable at all.
 # --------------------------------------------------------------------------
 def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
@@ -765,7 +769,7 @@ def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(docs)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
     model = lsh.fit(feats)
-    cand = (
+    ml_cand = (
         model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
         .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -773,6 +777,10 @@ def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("db"),
         )
     )
+    # OR-in the deterministic md5-LSH candidates: every universe pair is
+    # exact-verified even if the probabilistic ML tables miss it.
+    lsh_universe = _shared_ci(spark, sf_dir).select("da", "db")
+    cand = ml_cand.unionByName(lsh_universe).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("da"), "shingle")
     shb = sh.select(F.col("doc_id").alias("db"), "shingle")
@@ -797,7 +805,6 @@ def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restrict to the md5-LSH candidate universe so the result is exactly
     # the oracle's pair set (ML may legitimately find MORE pairs than the
     # k=4/bands=2 banding — those extras are correct but unverifiable)
-    lsh_universe = _shared_ci(spark, sf_dir).select("da", "db")
     return jac.join(lsh_universe, ["da", "db"]).where(F.col("jaccard") >= 0.8)
 
 

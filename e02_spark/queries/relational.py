@@ -613,11 +613,14 @@ def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate operator is genuinely exercised AND the entry is
     oracle-checkable (round-2 verdict item 5: no rows-only err rows)."""
     l = _t(spark, sf_dir, "lineitem")
+    # rsd=0.01 makes the 10% acceptance bound a ~10-sigma event per group
+    # (DuckDB's HLL is ~1.6% rsd, ~6 sigma) — the boolean cannot flip on a
+    # testdata regeneration (round-3 advice on probabilistic bounds).
     return l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
             F.abs(
-                F.approx_count_distinct("l_partkey")
+                F.approx_count_distinct("l_partkey", 0.01)
                 - F.count_distinct("l_partkey")
             )
             <= 0.1 * F.count_distinct("l_partkey")
@@ -627,9 +630,12 @@ def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q33 — deterministic-seed sampling as a PROPERTY check: engines sample
-# different rows by design, but a 10% Bernoulli sample lands within ±20%
-# of the expected per-group count with overwhelming margin (binomial ±3σ
-# is ~±1-3% at these group sizes). Both engines emit the same booleans.
+# different rows by design, but a 10% Bernoulli sample lands within ±50%
+# of the expected per-group count with overwhelming margin once the group
+# is big enough (at n=1000 the ±50 margin is ~5.3 binomial sigma; groups
+# below 1000 rows are vacuously accepted so a small-sf regeneration can
+# never flip the boolean — round-3 advice: the old ±20% bound was only
+# ~3 sigma at small scale factors). Both engines emit the same booleans.
 # --------------------------------------------------------------------------
 def q33_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -642,8 +648,9 @@ def q33_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(sampled, "l_returnflag", "left").select(
         "l_returnflag",
         (
-            F.coalesce("n_sampled", F.lit(0)).cast("double")
-            .between(0.08 * F.col("n_rows"), 0.12 * F.col("n_rows"))
+            (F.col("n_rows") < 1000)
+            | F.coalesce("n_sampled", F.lit(0)).cast("double")
+            .between(0.05 * F.col("n_rows"), 0.15 * F.col("n_rows"))
         ).alias("sample_ok"),
     )
 
@@ -667,7 +674,8 @@ t AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT t.l_returnflag,
-  CAST(COALESCE(s.n_sampled, 0) BETWEEN 0.08 * t.n_rows AND 0.12 * t.n_rows
+  CAST(t.n_rows < 1000 OR
+       COALESCE(s.n_sampled, 0) BETWEEN 0.05 * t.n_rows AND 0.15 * t.n_rows
        AS BOOLEAN) AS sample_ok
 FROM t LEFT JOIN s ON s.l_returnflag = t.l_returnflag
 """

@@ -113,8 +113,14 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 # q87 — streaming dedup (E14) driver-visible: the same file staged twice
 # (every event duplicated) must collapse back to the exact distinct set.
-# Both copies arrive in one micro-batch so plain state dedup suffices; the
-# watermarked variant is pytest-pinned (tests/test_streaming.py).
+# NOTE ON STATE BOUNDEDNESS: this entry deliberately uses the UNWATERMARKED
+# dropDuplicates because it is a single availableNow pass over a finite,
+# fully-replayed feed — exact-set semantics with bounded lifetime. The
+# PRODUCTION form for an unbounded 100 TB stream is
+# `withWatermark(...).dropDuplicatesWithinWatermark(["event_id"])`, which
+# evicts keys once they age past the watermark so the state store stays
+# O(dup-window) instead of O(stream); that variant is implemented and
+# pytest-pinned in tests/test_streaming.py (late-duplicate drop semantics).
 # --------------------------------------------------------------------------
 def q87_stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_dir = _stage_events_dir(sf_dir, copies=2)

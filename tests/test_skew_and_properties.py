@@ -109,3 +109,86 @@ def test_closure_invariants(spark, funcs, edges, file_calls):
     # idempotence: running the fixpoint again changes nothing
     fix2 = {r["func_name"]: set(r["files"]) for r in flatten_fixpoint(df).collect()}
     assert fix == fix2
+
+
+def test_lsh_hot_band_join_is_skew_split(spark):
+    """The LSH band-bucket self-join (ops/dedup.py::_candidate_intersections,
+    the `a.join(b, ["band_idx", "band_key"])` at dedup.py:71-76) is the one
+    join in the engine whose key distribution is ADVERSARY-CONTROLLED at
+    100 TB: a template-heavy crawl can put half the corpus into one band
+    bucket. This pins the mitigation: with AQE skew-join on (session
+    default), a hot band key holding ~50% of docs gets its shuffle
+    partition SPLIT at runtime (skew=true in the final adaptive plan)
+    instead of serializing the whole hot bucket through one task.
+
+    Thresholds are lowered to make the KB-scale synthetic corpus register
+    as skewed; production uses the defaults (256 MB / 5x median). If AQE
+    ever cannot split (e.g. a future change forces a non-SMJ strategy),
+    the fallback is salting the band key (ops/skew.py patterns) — see the
+    dedup.py candidate-join comment.
+    """
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        # force the shuffled-join path (the at-scale strategy for an
+        # unbounded banded table) and make tiny partitions count as skewed
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # shuffle blocks are lz4-compressed and the hot key is a constant
+        # string, so the hot partition is only a few KB on disk — thresholds
+        # go very low to make it register (production keeps the defaults)
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        from pyspark.sql import functions as F
+
+        n_docs, hot_share = 3000, 0.5
+        # same (doc_id, band_idx, band_key) shape `banded` has in
+        # _candidate_intersections; band_key padded so hot-partition bytes
+        # clear the lowered skew threshold
+        banded = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("band_idx"),
+            F.when(
+                F.col("id") < int(n_docs * hot_share), F.lit("HOT" + "x" * 40)
+            )
+            .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 97).cast("string")))
+            .alias("band_key"),
+        )
+        a = banded.select(F.col("doc_id").alias("da"), "band_idx", "band_key")
+        b = banded.select(F.col("doc_id").alias("db"), "band_idx", "band_key")
+        candidates = (
+            a.join(b, ["band_idx", "band_key"])
+            .where(F.col("da") < F.col("db"))
+            .select("da", "db")
+        )
+        n_hot = int(n_docs * hot_share)
+        expected = n_hot * (n_hot - 1) // 2
+        for k in range(97):
+            n_k = len([i for i in range(n_hot, n_docs) if i % 97 == k])
+            expected += n_k * (n_k - 1) // 2
+        # execute THIS DataFrame's query execution (df.count() would build
+        # a separate one and leave candidates' AQE plan unfinalized)
+        counted = candidates.groupBy().count()
+        assert counted.collect()[0][0] == expected  # join is still exact
+        plan = counted._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
