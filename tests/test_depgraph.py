@@ -218,3 +218,24 @@ def test_codefacilitators_drops_unmatched(spark):
     assert "weird" not in funcs
     assert "recursive_func" not in funcs
     assert "utm_campaign_to_product" in funcs
+
+
+def test_rest_pr_files_connector(spark):
+    """The pr_files custom source (Spark 4 Python DataSource): one input
+    partition per PR page planned driver-side, JSON parsed executor-side,
+    rows equal to the canonical fixture corpus."""
+    from e02_spark import fixtures
+    from e02_spark.sources.rest_pr_files import RestPrFilesReader, register
+
+    # partition planning: one page per distinct PR
+    parts = RestPrFilesReader().partitions()
+    assert sorted(p.pr for p in parts) == sorted({pr for pr, _ in fixtures.PR_FILES})
+
+    register(spark)
+    df = spark.read.format("rest_pr_files").load()
+    assert df.schema.simpleString() == (
+        "struct<pr:bigint,path:string,status:string>"
+    )
+    got = sorted((r["pr"], r["path"]) for r in df.collect())
+    assert got == sorted(fixtures.PR_FILES)
+    assert {r["status"] for r in df.collect()} == {"modified"}
