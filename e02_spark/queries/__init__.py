@@ -43,7 +43,7 @@ STANDALONE = [
     "q90_custom_source",
     "q92_dedup_clusters_star",
     "q93_embedding_neardup_seeded",
-    "q96_custom_source_join",
+    "q98_custom_source_join",
 ]
 
 

@@ -445,7 +445,7 @@ FROM latest WHERE rn = 1 GROUP BY pr
 # review round. Executors parse both feeds' JSON pages; the driver only
 # plans PR page partitions.
 # --------------------------------------------------------------------------
-def q96_custom_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q98_custom_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..sources.rest_pr_files import register as register_pr_files
@@ -512,7 +512,7 @@ QUERIES = {
     "q21_team_gate": q21_team_gate,
     "q72_recursive_closure": q72_recursive_closure,
     "q90_custom_source": q90_custom_source,
-    "q96_custom_source_join": q96_custom_source_join,
+    "q98_custom_source_join": q98_custom_source_join,
 }
 
 ORACLE = {
@@ -523,5 +523,5 @@ ORACLE = {
     "q21_team_gate": _render(_Q21_SQL),
     "q72_recursive_closure": _render(_Q72_SQL),
     "q90_custom_source": _render(_Q90_SQL),
-    "q96_custom_source_join": _render(_Q96_SQL),
+    "q98_custom_source_join": _render(_Q96_SQL),
 }
