@@ -272,6 +272,11 @@ def spark_df(spark: SparkSession, name: str) -> DataFrame:
     df = _DF_MEMO.get(key)
     if df is None:
         rows, schema = _FIXTURES[name]
+        # NOTE: deliberately NOT .coalesce(1)-ing these KB-scale tables:
+        # createDataFrame keeps them as a LocalRelation, which Catalyst
+        # folds/broadcasts driver-side for free; forcing a coalesce turns
+        # every reference into a real scheduled RDD scan and measured 5x
+        # SLOWER across the fixture-driven entries (q17 4.9s -> 28s).
         df = spark.createDataFrame(rows, schema=schema)
         _DF_MEMO[key] = df
     return df
