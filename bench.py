@@ -40,9 +40,28 @@ def main() -> int:
 
     qs = all_queries()
     timings: dict[str, float] = {}
-    # Warm the JVM + parquet footers once so per-query numbers reflect the
-    # query plan, not first-touch session costs.
+    # Warm the session once so per-query numbers reflect the query plan,
+    # not first-touch session costs: JVM + parquet footers (q01), the
+    # Python/Arrow worker pool (a trivial mapInPandas across all cores —
+    # first pandas-UDF query otherwise pays ~30 worker cold starts), and
+    # the Structured Streaming machinery (one availableNow micro-batch
+    # over a 1-row file — state store + stream execution classloading).
     qs["q01_pricing_summary"](spark, sf_dir).count()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    import tempfile
+
+    _wdir = tempfile.mkdtemp(prefix="e02_bench_warm_")
+    spark.range(1).write.mode("overwrite").parquet(_wdir)
+    (
+        spark.readStream.schema("id long").parquet(_wdir)
+        .groupBy().count()
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("complete").trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
 
     import gc
 
