@@ -750,13 +750,15 @@ FROM media
 # md5-LSH candidate universe (q31's banding). The md5-LSH candidates are
 # also UNIONED into the verify set before the exact-Jaccard pass, so the
 # output equals q31's oracle-checked pair set BY CONSTRUCTION, not merely
-# with high probability (round-3 advice: 6 OR-ed hash tables have per-pair
-# miss probability <= 0.2^6 at s >= 0.8 — nonzero, and fixed per dataset,
-# so a regenerated corpus could otherwise flip the entry). The ML path is
-# still genuinely exercised end-to-end; its recall is observable in the
-# candidate overlap but no longer load-bearing for the oracle hash. Spark
-# ML's own hash seeds have no DuckDB twin — exact verification is what
-# makes the ML path checkable at all.
+# with high probability (round-3 advice: OR-ed hash tables have nonzero
+# per-pair miss probability, fixed per dataset, so a regenerated corpus
+# could otherwise flip the entry). The ML path is still genuinely
+# exercised end-to-end; its recall is observable in the candidate overlap
+# but no longer load-bearing for the oracle hash — which also lets
+# numHashTables drop from the recall-sized 6 to 3 (miss 0.2^3 at s>=0.8;
+# approxSimilarityJoin cost is linear in tables: 8.8s -> 1.9s at sf0.1,
+# same 256 candidates found). Spark ML's own hash seeds have no DuckDB
+# twin — exact verification is what makes the ML path checkable at all.
 # --------------------------------------------------------------------------
 def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
@@ -767,7 +769,7 @@ def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = lsh.fit(feats)
     ml_cand = (
         model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
