@@ -46,3 +46,47 @@ def test_composite_specs_match_narrow_schemas(spark):
             actual = set(_ALL_Q[qname](spark, sf).columns)
             spec = {c for c, _kind in cols}
             assert spec == actual, f"{comp}/{qname}: spec {spec} != schema {actual}"
+
+
+def test_reset_shared_state_drops_and_repersists(spark):
+    """Round-4 bench methodology guard (round-3 advice): after
+    reset_shared_state, (a) every memo is empty, (b) the next access
+    rebuilds AND re-persists — clearCache alone used to de-register the
+    persists while the memo dicts kept handing back unpersisted plans,
+    silently defeating the intended cross-query sharing."""
+    from e02_spark.queries import depgraph_q, llm_q, reset_shared_state
+
+    sf = "/root/testdata/sf0.001"
+    sh1 = llm_q._shared_shingles(spark, sf)
+    depgraph_q._scan_product(spark, "flat").count()
+    assert llm_q._SH_MEMO and depgraph_q._SCAN_MEMO
+    assert sh1.storageLevel.useMemory or sh1.storageLevel.useDisk
+
+    reset_shared_state(spark)
+    assert not llm_q._SH_MEMO
+    assert not llm_q._CI_MEMO
+    assert not depgraph_q._SCAN_MEMO
+    assert not sh1.storageLevel.useMemory and not sh1.storageLevel.useDisk
+
+    sh2 = llm_q._shared_shingles(spark, sf)
+    assert sh2 is not sh1
+    assert sh2.storageLevel.useMemory or sh2.storageLevel.useDisk
+    reset_shared_state(spark)
+
+
+def test_stream_shuffle_scope_restores_conf(spark):
+    """_stream_shuffle must restore spark.sql.shuffle.partitions even when
+    the body raises (a timed-out stream raises through it)."""
+    import pytest as _pytest
+
+    from e02_spark.queries.streaming_q import _stream_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _stream_shuffle(spark, 8):
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == before
+    with _pytest.raises(RuntimeError):
+        with _stream_shuffle(spark, 8):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
