@@ -329,3 +329,77 @@ def ivf_topk(
         )
     )
     return probe.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame, n_centroids: int = 8, threshold: float = 0.8
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then mark near-duplicates WITHIN each
+    cluster only — the clustering bounds the pairwise work, turning O(n²)
+    global near-dup detection into sum-over-clusters O(|c|²).
+
+    Deterministic variant for the oracle: 'trained' centroids are the first
+    n_centroids stored vectors (the q42 IVF convention), assignment is the
+    exact-cosine argmax with ties to the lowest centroid id, and the
+    within-cluster keep rule is greedy-by-id — a vector is dropped iff ANY
+    lower-id vector in its cluster is within `threshold` cosine; `dup_of`
+    is the lowest such id (NULL for kept vectors). Greedy-by-id is the
+    deterministic stand-in for the paper's keep-one-per-epsilon-ball (the
+    kept set differs only in which member of a mutual-dup group survives).
+
+    Returns (vec_id, cluster_id, dup_of, kept) — one row per input vector.
+
+    Scale: centroids broadcast (assignment is map-side argmax, no shuffle
+    beyond the groupBy); the pair join shuffles on cluster id and is
+    bounded by the largest cluster — at 100 TB, size n_centroids ~ n/5000
+    so clusters stay ~constant-size (the paper uses 50k clusters for LAION),
+    and chain a sign-LSH band within oversized clusters (ops/dedup.py
+    pattern) before the exact pass."""
+    qd = with_quantized(embeddings)
+    centroids = qd.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+    assigned = (
+        qd.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "q",
+            "n2",
+            "cid",
+            cosine_q(_dot_q("q", "cq"), "n2", "cn2").alias("c_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "q", "n2"),
+                F.struct(F.col("c_cos").alias("c"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.q").alias("q"),
+            F.col("best.n2").alias("n2"),
+            F.col("best.cid").alias("cid"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("va"), "cid", F.col("q").alias("qa"), F.col("n2").alias("na2")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), "cid", F.col("q").alias("qb"), F.col("n2").alias("nb2")
+    )
+    dups = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .where(cosine_q(_dot_q("qa", "qb"), "na2", "nb2") >= threshold)
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+        F.col("dup_of").isNull().alias("kept"),
+    )

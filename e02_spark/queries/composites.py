@@ -271,6 +271,8 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q40", "q40_knn_per_group",
          [("label", "n"), ("rk", "n"), ("va", "n"), ("vb", "n"), ("cosine", "n")]),
         ("q42", "q42_ann_ivf", [("vec_id", "n"), ("centroid_id", "n"), ("cosine", "n")]),
+        ("q99", "q99_semantic_dedup",
+         [("vec_id", "n"), ("cluster_id", "n"), ("dup_of", "n"), ("kept", "s")]),
     ],
     # Gopher-style repetition gate + benchmark n-gram decontamination
     "q81_curation_gates": [

@@ -595,6 +595,66 @@ def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, query_vec_id=0, n_centroids=8, k=5)
 
 
+# --------------------------------------------------------------------------
+# q99 — SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+# the embedding space (q42's deterministic IVF centroids + exact-cosine
+# argmax assignment), then mark near-duplicates WITHIN each cluster only —
+# greedy-by-id keep rule so both engines agree bit-for-bit. The clustering
+# bounds the pairwise work to sum-over-clusters O(|c|^2); at 100 TB the
+# centroid count scales with n (paper: 50k clusters for LAION) and a
+# sign-LSH band bounds oversized clusters. ops/similarity.semantic_dedup.
+# --------------------------------------------------------------------------
+def q99_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_centroids=8, threshold=0.35)
+
+
+_Q99_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+assign_comp AS (
+  SELECT e.vec_id, c.cid,
+    {duck_dot_sql('e.embedding', 'c.cv')} AS dot,
+    {duck_dot_sql('e.embedding', 'e.embedding')} AS n2a,
+    {duck_dot_sql('c.cv', 'c.cv')} AS n2b
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, cid ASC) AS arn
+    FROM assign_comp
+  ) WHERE arn = 1
+),
+pair_comp AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+    {duck_dot_sql('ea.embedding', 'eb.embedding')} AS dot,
+    {duck_dot_sql('ea.embedding', 'ea.embedding')} AS n2a,
+    {duck_dot_sql('eb.embedding', 'eb.embedding')} AS n2b
+  FROM assigned a
+  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+dups AS (
+  SELECT vb AS vec_id, CAST(MIN(va) AS BIGINT) AS dup_of
+  FROM pair_comp
+  WHERE dot / (sqrt(n2a) * sqrt(n2b)) >= 0.35
+  GROUP BY vb
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id, d.dup_of,
+       d.dup_of IS NULL AS kept
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""
+
+
 _Q42_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
@@ -1097,6 +1157,7 @@ QUERIES = {
     "q93_embedding_neardup_seeded": q93_embedding_neardup_seeded,
     "q40_knn_per_group": q40_knn_per_group,
     "q42_ann_ivf": q42_ann_ivf,
+    "q99_semantic_dedup": q99_semantic_dedup,
 }
 
 ORACLE = {
@@ -1125,4 +1186,5 @@ ORACLE = {
     "q93_embedding_neardup_seeded": _Q93_SQL,
     "q40_knn_per_group": _Q40_SQL,
     "q42_ann_ivf": _Q42_SQL,
+    "q99_semantic_dedup": _Q99_SQL,
 }

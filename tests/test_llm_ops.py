@@ -262,3 +262,43 @@ def test_multimodal_real_decode_paths_are_gated(spark):
         assert "NotImplementedError" in str(exc.value) or isinstance(
             exc.value, NotImplementedError
         )
+
+
+def test_semantic_dedup_matches_numpy_bruteforce(spark):
+    """semantic_dedup (q99) vs an independent numpy reimplementation of
+    the same deterministic spec (floor-quantized cosine, argmax assignment
+    with ties to lowest centroid id, greedy-by-id keep rule) over the real
+    sf0.001 embeddings."""
+    import numpy as np
+
+    from e02_spark.io import load_table
+    from e02_spark.ops.similarity import semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dup_of"], r["kept"])
+        for r in semantic_dedup(e, n_centroids=8, threshold=0.35).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6))
+        for r in e.select("vec_id", "embedding").collect()
+    )
+    ids = [v for v, _ in rows]
+    Q = np.stack([q for _, q in rows])  # quantized ints as doubles (exact < 2^53)
+    norms = np.sqrt((Q * Q).sum(axis=1))
+    cents = Q[:8]
+    cos_c = (Q @ cents.T) / np.outer(norms, norms[:8])
+    # argmax with ties to lowest cid: reversed argmax of the reversed row
+    cid = np.array([int(np.argmax(row)) if len(set(row)) == len(row)
+                    else min(np.flatnonzero(row == row.max()))
+                    for row in cos_c])
+    cos = (Q @ Q.T) / np.outer(norms, norms)
+    for j, vj in enumerate(ids):
+        same = [i for i in range(len(ids))
+                if cid[i] == cid[j] and ids[i] < vj and cos[i, j] >= 0.35]
+        dup_of = min((ids[i] for i in same), default=None)
+        assert got[vj] == (cid[j], dup_of, dup_of is None), (
+            vj, got[vj], cid[j], dup_of
+        )
