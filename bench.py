@@ -69,27 +69,31 @@ def main() -> int:
 
     # Best-of-N per query (default 2): this box shows transient
     # disk/scheduler noise spikes of 2-5x on individual queries; the min
-    # is the standard noise-robust estimator. reset_shared_state drops the
-    # cross-query memos (LSH shingle/candidate persists, depgraph
-    # localCheckpoints) in addition to the SQL cache, so EVERY run
-    # re-executes the complete plan cold — clearCache alone left the
-    # checkpoint blocks warm and silently de-registered the memo persists.
+    # is the standard noise-robust estimator. Runs are INTERLEAVED as full
+    # passes (pass 1 over all queries, then pass 2 ...) rather than
+    # back-to-back per query, so a multi-second contention spike cannot
+    # hit both runs of the same query — measured: back-to-back q93 ran
+    # [7.1s, 11.4s] inside one spike where its quiet cost is 2.6s.
+    # reset_shared_state drops the cross-query memos (LSH shingle/
+    # candidate persists, depgraph localCheckpoints) in addition to the
+    # SQL cache, so EVERY run re-executes the complete plan cold —
+    # clearCache alone left the checkpoint blocks warm and silently
+    # de-registered the memo persists.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
-    all_runs: dict[str, list[float]] = {}
-    for name, fn in sorted(qs.items()):
-        per_run: list[float] = []
-        n = 0
-        for _ in range(runs):
+    all_runs: dict[str, list[float]] = {name: [] for name in qs}
+    rows: dict[str, int] = {}
+    for _ in range(runs):
+        for name, fn in sorted(qs.items()):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
-            per_run.append(round(time.perf_counter() - t0, 3))
+            rows[name] = df.count()
+            all_runs[name].append(round(time.perf_counter() - t0, 3))
             reset_shared_state(spark)
             gc.collect()
-        all_runs[name] = per_run
-        timings[name] = min(per_run)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for name in sorted(qs):
+        timings[name] = min(all_runs[name])
+        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 2)
     # Both estimators go to the detail file so cross-round comparisons
