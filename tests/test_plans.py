@@ -199,3 +199,28 @@ def test_q52_ml_verification_has_no_cartesian(spark):
     plan = _plan(q52_ml_minhash_lsh(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q99_semantic_dedup_plan(spark):
+    """semantic_dedup's only non-equi join must be the deliberate
+    broadcast-centroid cross (8 rows broadcast, the IVF assignment
+    pattern); the within-cluster pair join must be a hash equi-join on
+    cluster id — never a cartesian over the vector corpus."""
+    from e02_spark.io import load_table
+    from e02_spark.ops.similarity import semantic_dedup
+
+    df = semantic_dedup(load_table(spark, SF, "embeddings"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the assignment subtree appears once per consumer, so BNLJ lines can
+    # repeat — but every one must be the bounded broadcast-centroid cross
+    # (BuildRight over the 8-row centroid table), never a corpus x corpus
+    # nested loop
+    bnlj_lines = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj_lines, plan
+    assert all("BuildRight" in l and "Cross" in l for l in bnlj_lines), plan
+    # the within-cluster pair pass must be an equi-join keyed on cid
+    assert any(
+        "Join" in l and "cid" in l and "NestedLoop" not in l
+        for l in plan.splitlines()
+    ), plan
