@@ -239,3 +239,22 @@ def test_rest_pr_files_connector(spark):
     got = sorted((r["pr"], r["path"]) for r in df.collect())
     assert got == sorted(fixtures.PR_FILES)
     assert {r["status"] for r in df.collect()} == {"modified"}
+
+
+def test_rest_reviews_connector(spark):
+    """Same shape pin for the reviews source: one partition per PR page,
+    rows equal to the canonical fixture feed."""
+    from e02_spark import fixtures
+    from e02_spark.sources.rest_reviews import RestReviewsReader, register
+
+    parts = RestReviewsReader().partitions()
+    assert sorted(p.pr for p in parts) == sorted(
+        {pr for pr, _, _, _ in fixtures.REVIEWS}
+    )
+
+    register(spark)
+    df = spark.read.format("rest_reviews").load()
+    got = sorted(
+        (r["pr"], r["user"], r["state"], r["ts"]) for r in df.collect()
+    )
+    assert got == sorted(fixtures.REVIEWS)
