@@ -121,6 +121,11 @@ def _gate_fn(
     else:
         latest, seq = {}, 0
     last_ts = None
+    # itertuples is deliberate here (unlike the vectorized multimodal
+    # paths): this is an ordered fold into keyed state — each row's effect
+    # depends on the state left by the previous one — and the per-key
+    # batch is a handful of reviews at any corpus scale (the state op
+    # shards by PR; total volume parallelizes across keys, not rows).
     for pdf in pdfs:
         for row in pdf.sort_values("ts").itertuples():
             prev = latest.get(row.user)
