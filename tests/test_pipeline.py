@@ -72,3 +72,34 @@ def test_codefacilitators_artifact(spark, tmp_path):
     assert utm == ["org/bi-team", "org/market-facilitators"]
     for teams in by_path.values():
         assert teams == sorted(teams)
+
+
+def test_json_artifact_readable_by_spark_json_source(spark, tmp_path):
+    """A5 closed end-to-end: the pipeline's JSON artifact must be
+    re-ingestable through the actual `spark.read.json` source (multiLine —
+    the artifact is one pretty-printed object), not just via from_json on
+    string columns. The reference's artifact is a func->record MAP, so the
+    re-read explodes the object's fields back into rows and must round-trip
+    every (func_name, def_path)."""
+    from e02_spark import fixtures
+    from e02_spark.depgraph.pipeline import run_scan
+
+    out = tmp_path / "artifacts"
+    run_scan(spark, fixtures.spark_df(spark, "sql_files"), str(out))
+
+    df = spark.read.option("multiLine", "true").json(
+        str(out / "flattened_dependencies.json")
+    )
+    # one column per function (map-shaped doc); stack back to rows
+    funcs = sorted(df.columns)
+    rows = {
+        f: df.select(f"`{f}`.path", f"`{f}`.type").collect()[0]
+        for f in funcs
+    }
+    import json as _json
+
+    doc = _json.loads((out / "flattened_dependencies.json").read_text())
+    assert set(rows) == set(doc)
+    for f, r in rows.items():
+        assert r["path"] == doc[f]["path"]
+        assert r["type"] == "function"
