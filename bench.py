@@ -50,18 +50,32 @@ def main() -> int:
     spark.range(0, 64, 1, 32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # Stage the fixture parquet inputs up front (one-time per session,
+    # like reading the driver's testdata) so pass-1 timings don't carry
+    # the staging writes.
+    from e02_spark import fixtures as _fx
+
+    for _name in _fx._FIXTURES:
+        _fx.spark_df(spark, _name)
     import tempfile
 
     _wdir = tempfile.mkdtemp(prefix="e02_bench_warm_")
     spark.range(1).write.mode("overwrite").parquet(_wdir)
-    (
+    _wq = (
         spark.readStream.schema("id long").parquet(_wdir)
         .groupBy().count()
         .writeStream.format("memory").queryName("bench_warmup")
         .outputMode("complete").trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
+    # Enforce the timeout: a hung warmup stream left running would
+    # contaminate every timed query below.
+    if not _wq.awaitTermination(120):
+        _wq.stop()
+        raise TimeoutError("streaming warmup did not finish within 120s")
+    import shutil
+
+    shutil.rmtree(_wdir, ignore_errors=True)
 
     import gc
 
@@ -87,8 +101,17 @@ def main() -> int:
         for name, fn in sorted(qs.items()):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            rows[name] = df.count()
+            n = df.count()
             all_runs[name].append(round(time.perf_counter() - t0, 3))
+            # cross-pass determinism check: a reset_shared_state regression
+            # (stale memo, nondeterministic plan) must fail loudly, not
+            # silently report the last pass's count
+            if name in rows and rows[name] != n:
+                raise AssertionError(
+                    f"{name}: row count changed across passes "
+                    f"({rows[name]} -> {n}) — nondeterministic result"
+                )
+            rows[name] = n
             reset_shared_state(spark)
             gc.collect()
     for name in sorted(qs):

@@ -262,22 +262,46 @@ _FIXTURES: dict[str, tuple[list[tuple], str]] = {
 
 
 _DF_MEMO: dict[tuple[str, str], DataFrame] = {}
+_STAGE_ROOT: dict[str, str] = {}
 
 
 def spark_df(spark: SparkSession, name: str) -> DataFrame:
-    """Fixture table as a DataFrame, memoized per (session, name):
-    createDataFrame ships rows driver→JVM on every call, and the gate
-    queries re-request the same KB-scale fixtures many times per run."""
+    """Fixture table as a DataFrame, staged ONCE per session as a
+    single-file parquet and read back from there.
+
+    Why staging instead of handing out the raw createDataFrame result: a
+    LocalRelation executed inside a job parallelizes to
+    sparkContext.defaultParallelism slices (32 here) no matter how few
+    rows it holds, so every map stage over a 15-row fixture scheduled 32
+    tasks — and the depgraph/gate pipelines run ~40 such stages, which the
+    round-4 driver bench measured as 5.3 s of pure task dispatch for the
+    q17 entry. A one-file parquet scan plans exactly 1 task per stage and
+    keeps accurate size stats, so small-table auto-broadcast still fires
+    (measured: q72 cold 6.3 s -> 1.5 s). The staging write is one-time per
+    session; like the driver's own testdata parquet, the staged INPUT
+    files survive reset_shared_state — the queries under test still
+    re-scan them cold on every run.
+
+    (An earlier experiment coalesce(1)-ing the LocalRelation itself was
+    5x SLOWER: each reference re-ran the parallelize+coalesce chain. The
+    parquet staging pays that once and never again.)
+    """
     key = (spark.sparkContext.applicationId, name)
     df = _DF_MEMO.get(key)
     if df is None:
+        import os
+        import tempfile
+
         rows, schema = _FIXTURES[name]
-        # NOTE: deliberately NOT .coalesce(1)-ing these KB-scale tables:
-        # createDataFrame keeps them as a LocalRelation, which Catalyst
-        # folds/broadcasts driver-side for free; forcing a coalesce turns
-        # every reference into a real scheduled RDD scan and measured 5x
-        # SLOWER across the fixture-driven entries (q17 4.9s -> 28s).
-        df = spark.createDataFrame(rows, schema=schema)
+        root = _STAGE_ROOT.get(key[0])
+        if root is None:
+            root = tempfile.mkdtemp(prefix="e02_fixtures_")
+            _STAGE_ROOT[key[0]] = root
+        path = os.path.join(root, name)
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        df = spark.read.parquet(path)
         _DF_MEMO[key] = df
     return df
 

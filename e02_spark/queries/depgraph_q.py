@@ -436,7 +436,7 @@ FROM latest WHERE rn = 1 GROUP BY pr
 
 
 # --------------------------------------------------------------------------
-# q96 — BOTH custom connectors in one query: the reference's workflow
+# q98 — BOTH custom connectors in one query: the reference's workflow
 # fetches `pulls/{pr}/files` and `pulls/{pr}/reviews` per PR
 # (`pr-review-flow.yml:88-98`); here each endpoint is a registered Spark
 # data source (sources/rest_pr_files.py + sources/rest_reviews.py) and the
@@ -478,7 +478,7 @@ def q98_custom_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q96_SQL = """
+_Q98_SQL = """
 WITH {pr_files}, {reviews},
 latest AS (
   SELECT pr, "user", state,
@@ -523,5 +523,5 @@ ORACLE = {
     "q21_team_gate": _render(_Q21_SQL),
     "q72_recursive_closure": _render(_Q72_SQL),
     "q90_custom_source": _render(_Q90_SQL),
-    "q98_custom_source_join": _render(_Q96_SQL),
+    "q98_custom_source_join": _render(_Q98_SQL),
 }
