@@ -253,10 +253,17 @@ FROM matched GROUP BY func_name, def_path
 # bool_and conjunction (B14) with vacuous truth, 3-stage CASE (B15).
 # --------------------------------------------------------------------------
 def q21_team_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The membership side rides the rest_members connector (A8's third
+    # feed, pr-review-flow.yml:197-199) instead of the fixture DataFrame —
+    # the connector serves the canonical corpus, so the oracle's
+    # team_members VALUES CTE still checks it.
+    from ..sources.rest_members import register as register_members
+
+    register_members(spark)
     return gate_status(
         _fx(spark, "pr_files"),
         _fx(spark, "reviews"),
-        _fx(spark, "team_members"),
+        spark.read.format("rest_members").load(),
         _fx(spark, "owner_lines"),
     )
 

@@ -258,3 +258,48 @@ def test_rest_reviews_connector(spark):
         (r["pr"], r["user"], r["state"], r["ts"]) for r in df.collect()
     )
     assert got == sorted(fixtures.REVIEWS)
+
+
+def test_rest_members_connector(spark):
+    """The team-membership custom source (A8's third feed,
+    pr-review-flow.yml:197-199): one partition per team roster page, the
+    API's state field parsed to the active boolean, rows equal to the
+    canonical fixture corpus."""
+    from e02_spark import fixtures
+    from e02_spark.sources.rest_members import RestMembersReader, register
+
+    parts = RestMembersReader().partitions()
+    assert sorted(p.team for p in parts) == sorted(
+        {t for t, _, _ in fixtures.TEAM_MEMBERS}
+    )
+
+    register(spark)
+    df = spark.read.format("rest_members").load()
+    assert df.schema.simpleString() == (
+        "struct<team:string,user:string,active:boolean>"
+    )
+    got = sorted((r["team"], r["user"], r["active"]) for r in df.collect())
+    assert got == sorted(fixtures.TEAM_MEMBERS)
+
+
+def test_q21_gate_reads_membership_connector(spark):
+    """q21's membership side must come from the rest_members connector —
+    the scan appears in the physical plan — and the gate result must be
+    unchanged vs the fixture join (same rows either way)."""
+    from e02_spark import fixtures
+    from e02_spark.depgraph.review_gate import gate_status
+    from e02_spark.queries.depgraph_q import q21_team_gate
+
+    df = q21_team_gate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rest_members" in plan.lower(), plan
+
+    via_fixture = gate_status(
+        fixtures.spark_df(spark, "pr_files"),
+        fixtures.spark_df(spark, "reviews"),
+        fixtures.spark_df(spark, "team_members"),
+        fixtures.spark_df(spark, "owner_lines"),
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, via_fixture.collect())
+    )
