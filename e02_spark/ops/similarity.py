@@ -331,8 +331,29 @@ def ivf_topk(
     return probe.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def _sign_bucket_q(vec: str, offset: int, bits: int) -> Column:
+    """Sign bucket of quantized components [offset, offset+bits) — one
+    band of the multi-band sign-LSH, computed over the BIGINT quantized
+    vector (sign of floor(x*1e6) — deterministic, engine-agnostic)."""
+    terms = [
+        F.when(
+            F.element_at(F.col(vec), offset + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
 def semantic_dedup(
-    embeddings: DataFrame, n_centroids: int = 8, threshold: float = 0.8
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.8,
+    lsh_cluster_threshold: int = 4096,
+    lsh_bands: int = 4,
+    lsh_band_bits: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication"):
@@ -353,10 +374,19 @@ def semantic_dedup(
 
     Scale: centroids broadcast (assignment is map-side argmax, no shuffle
     beyond the groupBy); the pair join shuffles on cluster id and is
-    bounded by the largest cluster — at 100 TB, size n_centroids ~ n/5000
-    so clusters stay ~constant-size (the paper uses 50k clusters for LAION),
-    and chain a sign-LSH band within oversized clusters (ops/dedup.py
-    pattern) before the exact pass."""
+    bounded by the largest cluster. At 100 TB, size n_centroids ~ n/5000
+    so clusters stay ~constant-size (the paper uses 50k clusters for
+    LAION) — but real corpora skew, so clusters LARGER than
+    `lsh_cluster_threshold` are handled by CHAINED sign-LSH banding
+    instead of all-pairs: `lsh_bands` bands of `lsh_band_bits` sign bits
+    each (bands over disjoint component ranges, OR-amplified), pairs
+    generated only within (cluster, band, bucket) and then exact-verified
+    against `threshold`. A hot cluster of size m costs
+    ~bands * m²/2^band_bits candidate pairs instead of m²; exact
+    duplicates always share every band (identical signs), so plant-copy
+    recall is 1.0, while generic near-dup recall trades against the band
+    shape — the standard LSH contract. Clusters at or below the threshold
+    keep the exact all-pairs semantics (the oracle-checked path)."""
     qd = with_quantized(embeddings)
     centroids = qd.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
@@ -384,15 +414,50 @@ def semantic_dedup(
             F.col("best.cid").alias("cid"),
         )
     )
-    a = assigned.select(
-        F.col("vec_id").alias("va"), "cid", F.col("q").alias("qa"), F.col("n2").alias("na2")
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vb"), "cid", F.col("q").alias("qb"), F.col("n2").alias("nb2")
-    )
-    dups = (
-        a.join(b, "cid")
+    # cluster-size census: n_centroids rows — broadcast back onto vectors
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("csize"))
+    sized = assigned.join(F.broadcast(sizes), "cid")
+    small = sized.where(F.col("csize") <= lsh_cluster_threshold)
+    big = sized.where(F.col("csize") > lsh_cluster_threshold)
+
+    def _sides(part: DataFrame, extra: list[str]):
+        a = part.select(
+            "cid", *extra, F.col("vec_id").alias("va"),
+            F.col("q").alias("qa"), F.col("n2").alias("na2"),
+        )
+        b = part.select(
+            "cid", *extra, F.col("vec_id").alias("vb"),
+            F.col("q").alias("qb"), F.col("n2").alias("nb2"),
+        )
+        return a, b
+
+    # exact all-pairs within at-threshold clusters (the oracle path)
+    a, b = _sides(small, [])
+    small_pairs = a.join(b, "cid").where(F.col("va") < F.col("vb"))
+
+    # chained sign-LSH banding within oversized clusters: candidates only
+    # within (cid, band, bucket); dupes across bands collapsed BEFORE the
+    # exact cosine verify (qa/qb are functionally determined by va/vb, so
+    # keep-any is value-deterministic)
+    banded = None
+    for k in range(lsh_bands):
+        bk = big.select(
+            "cid",
+            F.lit(k).alias("band"),
+            _sign_bucket_q("q", k * lsh_band_bits, lsh_band_bits).alias("bkt"),
+            "vec_id", "q", "n2",
+        )
+        banded = bk if banded is None else banded.unionByName(bk)
+    a, b = _sides(banded, ["band", "bkt"])
+    big_pairs = (
+        a.join(b, ["cid", "band", "bkt"])
         .where(F.col("va") < F.col("vb"))
+        .dropDuplicates(["va", "vb"])
+    )
+
+    dups = (
+        small_pairs.select("va", "vb", "qa", "qb", "na2", "nb2")
+        .unionByName(big_pairs.select("va", "vb", "qa", "qb", "na2", "nb2"))
         .where(cosine_q(_dot_q("qa", "qb"), "na2", "nb2") >= threshold)
         .groupBy(F.col("vb").alias("vec_id"))
         .agg(F.min("va").alias("dup_of"))

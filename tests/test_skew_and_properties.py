@@ -192,3 +192,99 @@ def test_lsh_hot_band_join_is_skew_split(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_semantic_dedup_lsh_chaining_bounds_hot_cluster(spark):
+    """SemDeDup's promised scale path: a cluster holding ~50% of the
+    corpus must be handled by chained sign-LSH banding, not all-pairs.
+    Pins (a) the candidate-pair bound — banded candidates << |c|^2 for
+    the hot cluster; (b) exact-copy recall 1.0 (identical vectors share
+    every band); (c) banded dups are a subset of the exact result; and
+    (d) clusters below the threshold keep byte-identical exact output."""
+    import random
+
+    from e02_spark.ops.similarity import (
+        _sign_bucket_q,
+        semantic_dedup,
+        with_quantized,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+
+    def noisy(base, scale):
+        return [b + rng.uniform(-scale, scale) for b in base]
+
+    # centroids 0..7: centroid 0 along +e1, others spread
+    base_hot = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    for cid in range(8):
+        v = [0.0] * dim
+        if cid == 0:
+            v = list(base_hot)
+        else:
+            v[cid * 7] = 1.0
+            v[cid * 7 + 1] = -1.0
+        rows.append((cid, [float(x) for x in v]))
+    vid = 8
+    hot_ids = []
+    for _ in range(600):  # hot cluster: near centroid 0, noisy signs
+        rows.append((vid, [float(x) for x in noisy(base_hot, 0.4)]))
+        hot_ids.append(vid)
+        vid += 1
+    for _ in range(600):  # spread over the other centroids
+        cid = rng.randrange(1, 8)
+        v = [0.0] * dim
+        v[cid * 7] = 1.0
+        v[cid * 7 + 1] = -1.0
+        rows.append((vid, [float(x) for x in noisy(v, 0.4)]))
+        vid += 1
+    # planted exact copies of 40 hot-cluster vectors (higher ids)
+    by_id = dict(rows)
+    planted = {}
+    for src in hot_ids[:40]:
+        rows.append((vid, list(by_id[src])))
+        planted[vid] = src
+        vid += 1
+
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    banded = semantic_dedup(df, lsh_cluster_threshold=100)
+    exact = semantic_dedup(df, lsh_cluster_threshold=10**9)
+    b_rows = {r["vec_id"]: r for r in banded.collect()}
+    e_rows = {r["vec_id"]: r for r in exact.collect()}
+
+    # (b) exact copies always collapse: identical q -> identical buckets
+    for copy, src in planted.items():
+        assert b_rows[copy]["dup_of"] is not None, (copy, src)
+        assert b_rows[copy]["dup_of"] <= src
+
+    # (c) banding only ever DROPS candidate pairs -> dup set is a subset
+    b_dups = {v for v, r in b_rows.items() if not r["kept"]}
+    e_dups = {v for v, r in e_rows.items() if not r["kept"]}
+    assert b_dups <= e_dups
+    # and it still finds the planted mass (recall on this corpus)
+    assert len(b_dups) >= len(planted)
+
+    # (d) vectors outside the hot cluster are byte-identical to exact
+    hot_cluster = {v for v, r in e_rows.items() if r["cluster_id"] == 0}
+    assert len(hot_cluster) >= 600  # the skew really exists
+    for v, r in e_rows.items():
+        if v not in hot_cluster:
+            assert tuple(b_rows[v]) == tuple(r)
+
+    # (a) candidate-pair bound: sum over (band, bucket) of C(m,2) must be
+    # far below C(|hot|, 2) — computed with the same banding the operator
+    # uses
+    qd = with_quantized(df).where(F.col("vec_id").isin([*hot_cluster]))
+    total = 0
+    for k in range(4):
+        hist = (
+            qd.select(_sign_bucket_q("q", k * 8, 8).alias("bkt"))
+            .groupBy("bkt")
+            .count()
+            .collect()
+        )
+        total += sum(r["count"] * (r["count"] - 1) // 2 for r in hist)
+    m = len(hot_cluster)
+    assert total < 0.2 * m * (m - 1) // 2, (total, m)
