@@ -158,6 +158,101 @@ def review_gate_stream(reviews: DataFrame) -> DataFrame:
     )
 
 
+def label_mutation_sink(
+    gate_updates: DataFrame,
+    pr_files: DataFrame,
+    team_members: DataFrame,
+    owner_lines: DataFrame,
+    state_dir: str,
+):
+    """The reference's WRITE side as a sink: label add/remove +
+    requestReviewers (pr-review-flow.yml:242-288, :317-324) modeled as an
+    idempotent foreachBatch merge into a `pr_labels` state table.
+
+    Each micro-batch of gate-state updates (the review_gate_stream
+    output) is reduced to the latest approver set per PR (seq argmax),
+    run through the SAME gate evaluation as batch q21
+    (review_gate.gate_from_approvals), and the reference's mutation rules
+    are applied to the persisted state table (pr, kind, name):
+
+      owners✓ ∧ ¬fac          → add  label 'ready-for-facilitators-review'
+      owners✓ ∧ fac✓ ∧ ¬tech  → remove that label, add
+                                 'ready-for-tech-review', and request the
+                                 'tech-team' reviewer (:317-324)
+      owners✓ ∧ fac✓ ∧ tech✓  → remove 'ready-for-tech-review'
+
+    Reference quirks kept bug-for-bug: a status REGRESSION (approval
+    revoked, stage falls back to 'owners') removes nothing — stale labels
+    persist, exactly like the workflow, which only mutates on the three
+    conditions above; and a PR that jumps straight past a stage in one
+    batch never receives that stage's label. addLabels/removeLabel are
+    idempotent in the API (add existing = no-op, remove absent = caught
+    error), which the set-union/anti-join merge reproduces — so REPLAYING
+    a feed leaves the table byte-identical (the test's invariant).
+    Reviewer requests are add-only (the reference never un-requests).
+
+    The parquet-overwrite swap stands in for a transactional MERGE INTO,
+    same as incremental_event_counts. Returns the started StreamingQuery.
+    """
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = batch.groupBy("pr").agg(
+            F.max_by("approvers", "seq").alias("approvers")
+        )
+        approvals = latest.select(
+            "pr", F.explode(F.split("approvers", ";")).alias("user")
+        ).where(F.col("user") != "")
+        from e02_spark.depgraph.review_gate import gate_from_approvals
+
+        batch_prs = latest.select("pr").distinct()
+        status = gate_from_approvals(
+            pr_files.join(batch_prs, "pr", "left_semi"),
+            approvals,
+            team_members,
+            owner_lines,
+        )
+        c, f, t = (
+            F.col("codeowners_approved"),
+            F.col("facilitators_approved"),
+            F.col("tech_approved"),
+        )
+        fac, tech = "ready-for-facilitators-review", "ready-for-tech-review"
+
+        def _rows(cond, kind: str, name: str) -> DataFrame:
+            return status.where(cond).select(
+                "pr", F.lit(kind).alias("kind"), F.lit(name).alias("name")
+            )
+
+        adds = (
+            _rows(c & ~f, "label", fac)
+            .unionByName(_rows(c & f & ~t, "label", tech))
+            .unionByName(_rows(c & f & ~t, "reviewer", "tech-team"))
+        )
+        removes = _rows(c & f & ~t, "label", fac).unionByName(
+            _rows(c & f & t, "label", tech)
+        )
+        try:
+            existing = spark.read.parquet(state_dir)
+        except Exception:
+            existing = adds.limit(0)
+        merged = (
+            existing.join(removes, ["pr", "kind", "name"], "left_anti")
+            .unionByName(adds)
+            .distinct()
+        )
+        merged.localCheckpoint(eager=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return (
+        gate_updates.writeStream.foreachBatch(_apply)
+        .outputMode("update")  # the stateful gate upstream emits updates
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def view_click_attribution(events: DataFrame) -> DataFrame:
     """E16: stream-stream join — attribute each click to the view(s) by the
     same user in the preceding 10 minutes.

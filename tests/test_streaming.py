@@ -343,3 +343,90 @@ def test_q95_stream_gate_equals_batch_gate(spark):
     got = {tuple(r) for r in q95_stream_review_gate(spark, SF).collect()}
     want = {tuple(r) for r in q21_team_gate(spark, SF).collect()}
     assert got == want and len(want) == 5
+
+
+def test_label_mutation_sink_replay_idempotent(spark, tmp_path):
+    """The write side of the gate (pr-review-flow.yml:242-288, :317-324)
+    as an idempotent foreachBatch merge: (a) the pr_labels state table
+    matches an independent Python replay of the reference's mutation
+    rules over the per-batch gate statuses; (b) replaying the SAME feed
+    through a fresh stream leaves the table byte-identical."""
+    from e02_spark import fixtures
+    from e02_spark.depgraph.review_gate import gate_from_approvals
+    from e02_spark.queries.streaming_q import _stage_reviews_dir
+    from e02_spark.streaming.jobs import label_mutation_sink
+
+    reviews_dir = _stage_reviews_dir(spark)
+    state_dir = str(tmp_path / "pr_labels")
+    dims = [
+        fixtures.spark_df(spark, "pr_files"),
+        fixtures.spark_df(spark, "team_members"),
+        fixtures.spark_df(spark, "owner_lines"),
+    ]
+
+    def run_feed():
+        stream = (
+            spark.readStream.schema(
+                "pr BIGINT, user STRING, state STRING, ts TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(reviews_dir)
+        )
+        from e02_spark.streaming.jobs import review_gate_stream
+
+        q = label_mutation_sink(review_gate_stream(stream), *dims, state_dir)
+        assert q.awaitTermination(300)
+
+    run_feed()
+    state1 = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+
+    # independent oracle: replay the reference rules over per-batch batch
+    # gate evaluations (same review-index split as the staged feed)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pr").orderBy("ts", "state")
+    indexed = fixtures.spark_df(spark, "reviews").withColumn(
+        "_i", F.row_number().over(w) - 1
+    )
+    labels: dict[tuple, None] = {}
+    for i in range(3):
+        batch_prs = {
+            r["pr"]
+            for r in indexed.where(
+                (F.col("_i") == i) if i < 2 else (F.col("_i") >= 2)
+            ).select("pr").distinct().collect()
+        }
+        if not batch_prs:
+            continue
+        cum = indexed.where(F.col("_i") <= i).drop("_i")
+        from e02_spark.depgraph.review_gate import approvers
+
+        status = gate_from_approvals(
+            dims[0].where(F.col("pr").isin(list(batch_prs))),
+            approvers(cum),
+            dims[1],
+            dims[2],
+        )
+        for r in status.collect():
+            c, f, t = (
+                r["codeowners_approved"],
+                r["facilitators_approved"],
+                r["tech_approved"],
+            )
+            if c and not f:
+                labels[(r["pr"], "label", "ready-for-facilitators-review")] = None
+            if c and f and not t:
+                labels.pop(
+                    (r["pr"], "label", "ready-for-facilitators-review"), None
+                )
+                labels[(r["pr"], "label", "ready-for-tech-review")] = None
+                labels[(r["pr"], "reviewer", "tech-team")] = None
+            if c and f and t:
+                labels.pop((r["pr"], "label", "ready-for-tech-review"), None)
+    assert state1 == sorted(labels), (state1, sorted(labels))
+    assert state1  # the fixture feed produces at least one mutation
+
+    # (b) replay: identical state after running the same feed again
+    run_feed()
+    state2 = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
+    assert state2 == state1
