@@ -129,12 +129,21 @@ def main() -> int:
             loadavg = f.read().split()[:3]
     except OSError:
         loadavg = []
+    # Per-part breakdown of composite entries from the LAST pass — the
+    # streaming composites (q86/q95) do their whole job eagerly inside
+    # each part callable, so this attributes fixed per-stream-job cost
+    # (e.g. q95 = three separate streaming jobs at ~2s each, not one 6s
+    # job). Lazy relational parts legitimately record ~0 here.
+    from e02_spark.queries.composites import PART_TIMINGS
+
+    part_timings = {k: v for k, v in sorted(PART_TIMINGS.items()) if v >= 0.05}
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {"metric": "total_declared_queries_sec", "value": total, "unit": "sec",
              "sf": sf, "n_runs_per_query": runs,
              "total_first_run": round(sum(r[0] for r in all_runs.values()), 2),
              "queries": timings, "runs": all_runs,
+             "composite_part_timings": part_timings,
              "load_context": {"loadavg": loadavg}},
             f, indent=2,
         )

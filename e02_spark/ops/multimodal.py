@@ -4,9 +4,11 @@ Images/audio/video are opaque BINARY columns with typed metadata, the shape
 a 100 TB training-data pipeline stores them in (parquet binary + metadata
 struct, or binaryFile datasets). The Spark-side plumbing — schema, Arrow
 batch shape, mapInPandas signatures, partition sizing — is real and tested;
-the actual codec decode is stubbed behind NotImplementedError (image/audio
-libraries are not in this container) with a deterministic fake path used by
-tests and queries.
+the actual image codec decode/resize runs through Pillow when it is
+installed (real_decode=True) and raises NotImplementedError only when the
+library is genuinely absent; audio/video demux stays stubbed (no
+PyAV/ffmpeg). A deterministic fake path used by tests and queries always
+exercises the same plumbing.
 
 Scale: decode/feature-extract runs as mapInPandas over Arrow batches —
 one Python worker per partition, vectorized transfer, no per-row pickling.
@@ -16,11 +18,33 @@ projections prune the binary column at the parquet scan).
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Optional codec libraries: the real_decode paths activate per-library.
+# Pillow covers the image codecs; video demux would need PyAV/ffmpeg.
+# When a library is absent the corresponding real path raises
+# NotImplementedError; the deterministic fake path (the oracle path) is
+# always available and exercises identical Spark plumbing.
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _PILImage = None
+    HAS_PIL = False
+
+try:  # pragma: no cover - environment-dependent
+    import av as _av  # noqa: F401
+
+    HAS_AV = True
+except ImportError:  # pragma: no cover
+    _av = None
+    HAS_AV = False
 
 DECODED_SCHEMA = (
     "media_id BIGINT, kind STRING, n_bytes BIGINT, feat_mean DOUBLE, feat_max BIGINT"
@@ -44,21 +68,48 @@ def media_summary(media: DataFrame) -> DataFrame:
 def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode / feature-extraction over binary payloads.
 
-    real_decode=True is the production path: it would decode image/audio
-    codecs — STUBBED here (no codec libs in this container). The default
-    fake path extracts deterministic byte-statistics features through the
-    SAME mapInPandas plumbing, so schema/batching/partitioning are fully
-    exercised.
+    real_decode=True is the production path: image rows are decoded with
+    Pillow when it is installed (feat_mean/feat_max become PIXEL
+    statistics over the grayscale-converted image); audio/video rows —
+    and image rows when Pillow is absent — raise NotImplementedError
+    (those codec libraries are not importable). The default fake path
+    extracts deterministic byte-statistics features through the SAME
+    mapInPandas plumbing, so schema/batching/partitioning are fully
+    exercised either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def pixel_stats(b: bytes) -> tuple[float, int]:
+            arr = np.asarray(_PILImage.open(io.BytesIO(b)).convert("L"))
+            return float(arr.mean()), int(arr.max())
+
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "codec decode requires image/audio libraries not present "
-                    "in this environment; use the deterministic fake path"
-                )
             payloads = pdf["payload"]
+            if real_decode:
+                if (pdf["kind"] != "image").any():
+                    raise NotImplementedError(
+                        "audio/video codec decode requires libraries not "
+                        "present in this environment; filter kind='image' "
+                        "or use the deterministic fake path"
+                    )
+                if not HAS_PIL:
+                    raise NotImplementedError(
+                        "image codec decode requires Pillow, which is not "
+                        "installed; use the deterministic fake path"
+                    )
+                stats = payloads.map(pixel_stats)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": payloads.map(len).astype("int64"),
+                        "feat_mean": stats.map(lambda s: s[0]),
+                        "feat_max": stats.map(lambda s: s[1]).astype("int64"),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -86,8 +137,9 @@ def resize_images(
 ) -> DataFrame:
     """Arrow-batched image resize: 1 row in → 1 row out with updated
     (width, height) metadata and a re-encoded payload. Production path
-    (real_decode=True) would decode → resample → re-encode — STUBBED (no
-    codec libs); the fake path stride-samples the payload bytes down to a
+    (real_decode=True) decodes → resamples → re-encodes as PNG via Pillow
+    when installed, raising NotImplementedError when it is genuinely
+    absent; the fake path stride-samples the payload bytes down to a
     deterministic target_w*target_h/64-byte thumbnail so the batch shape,
     binary round-trip, and metadata rewrite are fully exercised.
     Non-image rows pass through untouched (kind-gated inside the batch,
@@ -96,12 +148,26 @@ def resize_images(
     out_len = max(1, (target_w * target_h) // 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resample(b: bytes) -> bytes:
+            img = _PILImage.open(io.BytesIO(b)).resize((target_w, target_h))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
         for pdf in it:
             if real_decode:
-                raise NotImplementedError(
-                    "image resample requires codec libraries not present "
-                    "in this environment; use the deterministic fake path"
-                )
+                if not HAS_PIL:
+                    raise NotImplementedError(
+                        "image resample requires Pillow, which is not "
+                        "installed; use the deterministic fake path"
+                    )
+                is_img = pdf["kind"] == "image"
+                pdf = pdf.copy()
+                pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(resample)
+                pdf.loc[is_img, "width"] = target_w
+                pdf.loc[is_img, "height"] = target_h
+                yield pdf[["media_id", "kind", "width", "height", "payload"]]
+                continue
 
             def shrink(b: bytes) -> bytes:
                 if not b:
@@ -132,17 +198,23 @@ def sample_frames(
     SAMPLED frame out (the exploding shape a real frame extractor has —
     output cardinality is data-dependent, which is why this is mapInPandas
     and not a scalar pandas UDF). Production path would demux the
-    container and decode every every_n-th frame — STUBBED; the fake path
+    container with PyAV and decode every every_n-th frame — it raises
+    only because PyAV/ffmpeg is genuinely absent here; the fake path
     treats the payload as fixed-size frame_size-byte frames and keeps
     every every_n-th, preserving the index arithmetic (frame_idx is the
     SOURCE frame number, not the output row number)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if real_decode:
+            if real_decode and not HAS_AV:
                 raise NotImplementedError(
-                    "video demux/decode requires codec libraries not "
-                    "present in this environment; use the fake path"
+                    "video demux/decode requires PyAV/ffmpeg, which is not "
+                    "installed; use the deterministic fake path"
+                )
+            if real_decode:  # pragma: no cover - PyAV absent in this env
+                raise NotImplementedError(
+                    "PyAV demux path not implemented yet; the fake path "
+                    "preserves the frame-index arithmetic contract"
                 )
             # Vectorized 1->N explosion: per-row sampled-frame counts, then
             # numpy repeat/cumsum builds the (row, frame_idx) pairs — no

@@ -382,12 +382,26 @@ def _sql_part(sql: str, tag: str, cols, k: int, m: int) -> str:
     return "SELECT " + ", ".join(exprs) + f" FROM (\n{sql}\n) AS sub_{tag}"
 
 
-def _make_query(parts):
+# Per-part wall time of the last build of each composite, keyed
+# "entry/qname". Only meaningful for parts that do eager work inside the
+# part callable (the streaming entries run their whole job there; lazy
+# relational parts record ~0). bench.py exports this into
+# BENCH_DETAIL.json so fixed per-job streaming cost is attributable.
+PART_TIMINGS: dict[str, float] = {}
+
+
+def _make_query(name, parts):
     k, m = _dims(parts)
 
     def run(spark, sf_dir: str) -> DataFrame:
-        dfs = [_spark_part(_ALL_Q[qname](spark, sf_dir), tag, cols, k, m)
-               for tag, qname, cols in parts]
+        import time
+
+        dfs = []
+        for tag, qname, cols in parts:
+            t0 = time.time()
+            df = _ALL_Q[qname](spark, sf_dir)
+            PART_TIMINGS[f"{name}/{qname}"] = round(time.time() - t0, 3)
+            dfs.append(_spark_part(df, tag, cols, k, m))
         return reduce(DataFrame.unionByName, dfs)
 
     return run
@@ -402,7 +416,7 @@ def _make_oracle(parts) -> str | None:
     )
 
 
-QUERIES = {name: _make_query(parts) for name, parts in SPEC.items()}
+QUERIES = {name: _make_query(name, parts) for name, parts in SPEC.items()}
 ORACLE = {
     name: sql
     for name, parts in SPEC.items()

@@ -250,18 +250,78 @@ def test_sample_frames_explodes_videos_only(spark):
 
 
 def test_multimodal_real_decode_paths_are_gated(spark):
-    from e02_spark.ops.multimodal import resize_images, sample_frames
+    """Each real_decode path raises ONLY when its codec library is
+    genuinely absent (Pillow for images, PyAV for video)."""
+    from e02_spark.ops.multimodal import (
+        HAS_AV,
+        HAS_PIL,
+        resize_images,
+        sample_frames,
+    )
 
     media = fixtures.spark_df(spark, "media")
-    for fn in (
-        lambda: resize_images(media, 8, 8, real_decode=True).collect(),
-        lambda: sample_frames(media, real_decode=True).collect(),
-    ):
+    gated = []
+    if not HAS_PIL:
+        gated.append(lambda: resize_images(media, 8, 8, real_decode=True).collect())
+    if not HAS_AV:
+        gated.append(lambda: sample_frames(media, real_decode=True).collect())
+    for fn in gated:
         with pytest.raises(Exception) as exc:
             fn()
         assert "NotImplementedError" in str(exc.value) or isinstance(
             exc.value, NotImplementedError
         )
+
+
+def _png_bytes(w: int, h: int, shade: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (w, h), color=shade).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_multimodal_real_image_decode_with_pillow(spark):
+    """real_decode=True over genuine PNGs: pixel statistics, not byte
+    statistics. Runs only where Pillow is installed."""
+    from e02_spark.ops.multimodal import HAS_PIL, decode_features
+
+    if not HAS_PIL:
+        pytest.skip("Pillow not installed; real image decode unavailable")
+    rows = [(1, "image", 8, 6, _png_bytes(8, 6, 40)), (2, "image", 4, 4, _png_bytes(4, 4, 200))]
+    media = spark.createDataFrame(
+        rows, schema="media_id BIGINT, kind STRING, width BIGINT, height BIGINT, payload BINARY"
+    )
+    feats = {r["media_id"]: r for r in decode_features(media, real_decode=True).collect()}
+    assert feats[1]["feat_mean"] == 40.0 and feats[1]["feat_max"] == 40
+    assert feats[2]["feat_mean"] == 200.0 and feats[2]["feat_max"] == 200
+    for mid, (_, _, _, _, payload) in zip((1, 2), rows):
+        assert feats[mid]["n_bytes"] == len(payload)
+
+
+def test_multimodal_real_image_resize_with_pillow(spark):
+    from e02_spark.ops.multimodal import HAS_PIL, resize_images
+
+    if not HAS_PIL:
+        pytest.skip("Pillow not installed; real image resize unavailable")
+    import io
+
+    from PIL import Image
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", 16, 12, _png_bytes(16, 12, 90)),
+            (2, "audio", 0, 0, b"\x01\x02\x03"),
+        ],
+        schema="media_id BIGINT, kind STRING, width BIGINT, height BIGINT, payload BINARY",
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, 4, 4, real_decode=True).collect()}
+    img = Image.open(io.BytesIO(bytes(rows[1]["payload"])))
+    assert img.size == (4, 4)
+    assert rows[1]["width"] == 4 and rows[1]["height"] == 4
+    assert bytes(rows[2]["payload"]) == b"\x01\x02\x03"  # non-image untouched
 
 
 def test_semantic_dedup_matches_numpy_bruteforce(spark):

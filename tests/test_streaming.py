@@ -430,3 +430,112 @@ def test_label_mutation_sink_replay_idempotent(spark, tmp_path):
     run_feed()
     state2 = sorted(map(tuple, spark.read.parquet(state_dir).collect()))
     assert state2 == state1
+
+
+# --- E15 property test: adversarial orderings/revocations/batch splits -----
+# (VERDICT r4 #7) hypothesis-varied review feeds through the stateful
+# stream gate vs BOTH the batch gate reduction (review_gate.approvers)
+# and an independent pure-Python keep-latest oracle.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_GATE_USERS = ["alice", "bob", "carol", "dan"]
+_GATE_STATES = ["APPROVED", "CHANGES_REQUESTED", "COMMENTED", "DISMISSED"]
+
+
+@st.composite
+def _review_feed(draw):
+    """A review-event sequence with strictly increasing ts (API submission
+    order == ts order, the reference contract) plus an arbitrary
+    micro-batch split. Revocations arise whenever a user re-reviews."""
+    from datetime import timedelta
+
+    n = draw(st.integers(min_value=2, max_value=12))
+    events = []
+    for i in range(n):
+        events.append(
+            (
+                draw(st.integers(min_value=1, max_value=3)),
+                draw(st.sampled_from(_GATE_USERS)),
+                draw(st.sampled_from(_GATE_STATES)),
+                datetime(2024, 3, 1, 8) + timedelta(minutes=i),
+            )
+        )
+    cuts = sorted(
+        draw(
+            st.sets(
+                st.integers(min_value=1, max_value=n - 1), min_size=0, max_size=3
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        batches.append(events[prev:c])
+        prev = c
+    return [b for b in batches if b]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(batches=_review_feed())
+def test_stateful_gate_matches_batch_gate_property(spark, batches):
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from e02_spark.depgraph.review_gate import approvers
+
+    rdir = tempfile.mkdtemp(prefix="e02_gate_prop_")
+    try:
+        for i, rows in enumerate(batches):
+            stage = os.path.join(rdir, f"_w{i}")
+            spark.createDataFrame(
+                [Row(pr=p, user=u, state=s, ts=t) for p, u, s, t in rows],
+                "pr BIGINT, user STRING, state STRING, ts TIMESTAMP",
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+            os.rename(os.path.join(stage, part), os.path.join(rdir, f"r{i}.parquet"))
+            os.utime(os.path.join(rdir, f"r{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+            shutil.rmtree(stage)
+        stream = (
+            spark.readStream.schema("pr BIGINT, user STRING, state STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rdir)
+        )
+        name = _run(review_gate_stream(stream), outputMode="update")
+        final = {}
+        for r in spark.table(name).collect():
+            if r.pr not in final or r.seq > final[r.pr].seq:
+                final[r.pr] = r
+        got = {
+            pr: set(r.approvers.split(";")) - {""} for pr, r in final.items()
+        }
+
+        flat = [e for b in batches for e in b]
+        all_df = spark.createDataFrame(
+            [Row(pr=p, user=u, state=s, ts=t) for p, u, s, t in flat],
+            "pr BIGINT, user STRING, state STRING, ts TIMESTAMP",
+        )
+        batch_side: dict[int, set] = {p: set() for p in {e[0] for e in flat}}
+        for r in approvers(all_df).collect():
+            batch_side[r.pr].add(r.user)
+
+        latest: dict[tuple, str] = {}
+        for p, u, s, _t in flat:  # ts strictly increasing -> feed order
+            latest[(p, u)] = s
+        oracle: dict[int, set] = {p: set() for p in {e[0] for e in flat}}
+        for (p, u), s in latest.items():
+            if s == "APPROVED":
+                oracle[p].add(u)
+
+        assert got == batch_side == oracle, (got, batch_side, oracle, batches)
+    finally:
+        shutil.rmtree(rdir, ignore_errors=True)
