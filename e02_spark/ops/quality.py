@@ -49,3 +49,42 @@ def expect_unique(df: DataFrame, key_cols: list[str], rule_name: str) -> DataFra
         .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("violations"))
     )
     return dups.select(F.lit(rule_name).alias("rule"), "violations")
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# Every public training-data pipeline scrubs contact-like PII before
+# training (emails, phone numbers, IP addresses — the C4/Dolma-style rule
+# set). Patterns are deliberately restricted to syntax valid in BOTH Java
+# regex (Spark executors) and RE2 (DuckDB oracle): character classes,
+# bounded repetition, \b word boundaries — no lookaround, no backrefs.
+# Scale: redaction/counting is per-row regexp work inside whole-stage
+# codegen — no UDF, no shuffle beyond the caller's aggregation.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{3}-\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+# Application order matters (email first: its pattern spans dots/digits
+# that the ipv4 pattern could otherwise partially claim inside a
+# user@10.0.0.1-style address). Counting is per-pattern on the RAW text,
+# independent of redaction order — deterministic either way.
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its bracketed token, JVM-side."""
+    out = col
+    for name in _PII_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        out = F.regexp_replace(out, pat, repl.replace("$", r"\$"))
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-pattern match counts over the raw text (codegen regexp_count)."""
+    return {
+        name: F.regexp_count(col, F.lit(PII_PATTERNS[name][0]))
+        for name in _PII_ORDER
+    }

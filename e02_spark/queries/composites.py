@@ -281,6 +281,10 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
           ("verdict", "s")]),
         ("q82", "q82_decontamination",
          [("source", "s"), ("n_docs", "n"), ("n_flagged", "n"), ("n_hit_grams", "n")]),
+        # round 5: PII scrubbing (C4/Dolma-style redaction stage)
+        ("q100", "q100_pii_redaction",
+         [("lang", "s"), ("n_docs", "n"), ("n_email", "n"), ("n_phone", "n"),
+          ("n_ipv4", "n"), ("redacted_chars", "n")]),
     ],
     # hash-deterministic split census + stratified sampling + bigram-LM scoring
     "q83_split_sample_lm": [

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..ops import sampling, text
+from ..ops import quality, sampling, text
 
 
 # --------------------------------------------------------------------------
@@ -300,12 +300,78 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# q100 — PII scrubbing (the C4/Dolma-style pre-training redaction stage).
+# The synthetic corpus has no organic PII, so each doc gets a DETERMINISTIC
+# contact tail derived from doc_id (an email, a phone, an IPv4) appended to
+# its real text; the general redaction operator (ops/quality.redact_pii —
+# shared Java/RE2-compatible patterns, pure codegen regexp, no UDF) then
+# scrubs it. Output: per-lang doc counts, per-pattern hit counts (counted
+# on the raw text), and the total redacted length — all exact integers.
+# Scale: one scan, per-row regexp in codegen, one groupBy(lang) shuffle of
+# 5 partial rows; at 100 TB this is the cheapest kind of pass there is.
+# --------------------------------------------------------------------------
+def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0.1"),
+    )
+    raw = F.concat(F.col("text"), contact)
+    counts = quality.pii_counts(F.col("raw"))
+    d = docs.select(
+        "lang", raw.alias("raw"), quality.redact_pii(raw).alias("red")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(counts["email"]).cast("bigint").alias("n_email"),
+        F.sum(counts["phone"]).cast("bigint").alias("n_phone"),
+        F.sum(counts["ipv4"]).cast("bigint").alias("n_ipv4"),
+        F.sum(F.length("red")).cast("bigint").alias("redacted_chars"),
+    )
+
+
+def _q100_sql() -> str:
+    email, e_tok = quality.PII_PATTERNS["email"]
+    phone, p_tok = quality.PII_PATTERNS["phone"]
+    ipv4, i_tok = quality.PII_PATTERNS["ipv4"]
+    return f"""
+WITH d AS (
+  SELECT lang,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com phone 555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' ip 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1' AS raw
+  FROM documents
+), r AS (
+  SELECT lang, raw,
+    regexp_replace(regexp_replace(regexp_replace(raw,
+      '{email}', '{e_tok}', 'g'),
+      '{phone}', '{p_tok}', 'g'),
+      '{ipv4}', '{i_tok}', 'g') AS red
+  FROM d
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(raw, '{email}'))) AS BIGINT) AS n_email,
+  CAST(SUM(len(regexp_extract_all(raw, '{phone}'))) AS BIGINT) AS n_phone,
+  CAST(SUM(len(regexp_extract_all(raw, '{ipv4}'))) AS BIGINT) AS n_ipv4,
+  CAST(SUM(length(red)) AS BIGINT) AS redacted_chars
+FROM r GROUP BY lang
+"""
+
+
 QUERIES = {
     "q81_repetition_gate": q81_repetition_gate,
     "q82_decontamination": q82_decontamination,
     "q83_hash_split": q83_hash_split,
     "q84_stratified_sample": q84_stratified_sample,
     "q85_lm_doc_score": q85_lm_doc_score,
+    "q100_pii_redaction": q100_pii_redaction,
 }
 
 ORACLE = {
@@ -314,4 +380,5 @@ ORACLE = {
     "q83_hash_split": _Q83_SQL,
     "q84_stratified_sample": _Q84_SQL,
     "q85_lm_doc_score": _Q85_SQL,
+    "q100_pii_redaction": _q100_sql(),
 }

@@ -362,3 +362,40 @@ def test_semantic_dedup_matches_numpy_bruteforce(spark):
         assert got[vj] == (cid[j], dup_of, dup_of is None), (
             vj, got[vj], cid[j], dup_of
         )
+
+
+def test_pii_redaction_scrubs_everything(spark):
+    """q100: after redact_pii, zero PII patterns remain in any row, every
+    pattern was hit at least once corpus-wide, and the redaction is
+    length-changing exactly where hits occurred."""
+    from e02_spark.ops import quality
+    from e02_spark.queries.curation_q import q100_pii_redaction
+
+    rows = q100_pii_redaction(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the synthesized contact tail guarantees one of each per doc
+        assert r["n_email"] == r["n_docs"]
+        assert r["n_phone"] == r["n_docs"]
+        assert r["n_ipv4"] == r["n_docs"]
+
+    # scrub invariant on the actual redacted strings
+    docs = load_table(spark, SF, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0.1"),
+    )
+    red = docs.select(quality.redact_pii(raw).alias("red"))
+    leftover = red.select(
+        *[
+            F.sum(F.regexp_count("red", F.lit(pat))).alias(name)
+            for name, (pat, _tok) in quality.PII_PATTERNS.items()
+        ]
+    ).collect()[0]
+    assert all(v == 0 for v in leftover.asDict().values()), leftover
