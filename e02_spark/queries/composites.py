@@ -296,6 +296,10 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q85", "q85_lm_doc_score",
          [("doc_id", "n"), ("lang", "s"), ("n_bigrams", "n"), ("avg_condp", "n"),
           ("band", "s")]),
+        # round 5: token-budget sequence packing (concat-and-chunk blocks)
+        ("q101", "q101_sequence_packing",
+         [("doc_id", "n"), ("lang", "s"), ("n_tokens", "n"), ("first_block", "n"),
+          ("n_blocks", "n")]),
     ],
     # source-vocabulary Jaccard + bigram conditional-probability LM
     "q79_lm_stats": [

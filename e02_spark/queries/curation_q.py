@@ -365,6 +365,70 @@ FROM r GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q101 — token-budget sequence packing (the GPT-style "concatenate the
+# corpus, chunk into fixed-length blocks" pretraining step). Docs are
+# ordered deterministically (doc_id) within each lang stream; each doc's
+# exclusive running token count gives its start offset, and integer
+# division by the block budget yields the first training block it lands in
+# and how many blocks it spans. Pure window-cumsum + integer math — exact,
+# order-stable, oracle-checkable.
+# Scale: ONE shuffle (the per-lang window). A global running sum is the
+# one op that fights data-parallelism; at 100 TB you shard the stream
+# (lang, shard_id), cumsum within shards, then broadcast per-shard total
+# offsets computed from a tiny second pass — same two-phase structure
+# Spark's own window exchange uses, with the partial sums made explicit.
+# --------------------------------------------------------------------------
+def q101_sequence_packing(
+    spark: SparkSession, sf_dir: str, block_tokens: int = 512
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "start_tok",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"start_tok div {block_tokens}").cast("bigint").alias("first_block"),
+        F.expr(
+            f"(start_tok + n_tokens - 1) div {block_tokens}"
+            f" - start_tok div {block_tokens} + 1"
+        ).cast("bigint").alias("n_blocks"),
+    )
+
+
+_Q101_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_tok
+  FROM d
+)
+SELECT doc_id, lang, n_tokens,
+  CAST(start_tok // 512 AS BIGINT) AS first_block,
+  CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS BIGINT)
+    AS n_blocks
+FROM c
+"""
+
+
 QUERIES = {
     "q81_repetition_gate": q81_repetition_gate,
     "q82_decontamination": q82_decontamination,
@@ -372,6 +436,7 @@ QUERIES = {
     "q84_stratified_sample": q84_stratified_sample,
     "q85_lm_doc_score": q85_lm_doc_score,
     "q100_pii_redaction": q100_pii_redaction,
+    "q101_sequence_packing": q101_sequence_packing,
 }
 
 ORACLE = {
@@ -381,4 +446,5 @@ ORACLE = {
     "q84_stratified_sample": _Q84_SQL,
     "q85_lm_doc_score": _Q85_SQL,
     "q100_pii_redaction": _q100_sql(),
+    "q101_sequence_packing": _Q101_SQL,
 }

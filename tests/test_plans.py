@@ -224,3 +224,50 @@ def test_q99_semantic_dedup_plan(spark):
         "Join" in l and "cid" in l and "NestedLoop" not in l
         for l in plan.splitlines()
     ), plan
+
+
+def test_q100_q101_stay_jvm_side(spark):
+    """The round-5 curation stages (PII scrub, sequence packing) must run
+    entirely in codegen — no Python UDF evaluation anywhere in the plan —
+    and packing must cost exactly its one per-lang window exchange."""
+    from e02_spark.queries.curation_q import (
+        q100_pii_redaction,
+        q101_sequence_packing,
+    )
+
+    for df in (q100_pii_redaction(spark, SF), q101_sequence_packing(spark, SF)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    pack_plan = _plan(q101_sequence_packing(spark, SF))
+    # one exchange: the hashpartitioning(lang) feeding the window cumsum
+    assert pack_plan.count("Exchange hashpartitioning") == 1, pack_plan
+
+
+def test_q101_packing_invariants(spark):
+    """Concat-and-chunk invariants: per-lang streams are contiguous (each
+    doc starts where the previous ended), every doc spans >= 1 block, and
+    block indexes are nondecreasing in stream order."""
+    from collections import defaultdict
+
+    from e02_spark.queries.curation_q import q101_sequence_packing
+
+    rows = q101_sequence_packing(spark, SF).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    assert by_lang
+    B = 512
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        start = 0
+        prev_block = 0
+        for r in rs:
+            assert r["n_blocks"] >= 1
+            assert r["first_block"] == start // B, (lang, r)
+            expected_span = (start + r["n_tokens"] - 1) // B - start // B + 1
+            assert r["n_blocks"] == expected_span, (lang, r)
+            assert r["first_block"] >= prev_block
+            prev_block = r["first_block"]
+            start += r["n_tokens"]
