@@ -35,12 +35,18 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     null) — exactly the oracle's generate_series(1, len-2) semantics,
     including 0 grams for sub-n-token documents.
 
-    The per-doc dedup is a collect_set/explode co-partitioned with the
-    window's hashpartitioning(doc_id) — NOT `.distinct()`, whose exchange
-    on (doc_id, shingle) would add a shuffle here AND force downstream
-    per-doc aggregations (minhash signature, shingle counts) to shuffle
-    back to doc_id. This way the whole shingle pipeline rides one
-    exchange."""
+    The per-doc dedup is a plain `.distinct()` (codegen HashAggregate on
+    (doc_id, shingle) with map-side partials). Round 3 used a
+    collect_set/explode co-partitioned with the window's doc_id exchange
+    to keep the pipeline on ONE exchange; round 5 re-measured:
+    collect_set is an ObjectHashAggregate (outside codegen, array-buffer
+    build per doc) costing ~1.5 s where distinct costs ~0.7 s at sf0.1,
+    and the extra downstream doc_id exchange it saved moves only
+    compact per-doc PARTIAL-aggregate rows (the minhash/simhash aggs all
+    partial-aggregate map-side), so the one-exchange form lost end to
+    end: q34 3.8→1.8 s, q31 1.8→1.4 s cold. At 100 TB the same argument
+    holds — dedup wants the codegen agg; partial aggregation keeps the
+    second exchange O(docs), not O(shingles)."""
     from pyspark.sql import Window
 
     toks = documents.select(
@@ -55,9 +61,8 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
     return (
         grams.where(F.col("_full").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("_ss"))
-        .select("doc_id", F.explode("_ss").alias("shingle"))
+        .select("doc_id", "shingle")
+        .distinct()
     )
 
 
