@@ -114,6 +114,30 @@ def main() -> int:
             rows[name] = n
             reset_shared_state(spark)
             gc.collect()
+    # Adaptive retry: when an entry's samples disagree by >1.8x, BOTH may
+    # have caught a contention spike (this box shows transient 2-5x IO
+    # noise) — one extra interleaved pass for just those entries makes the
+    # min a much better estimator at bounded extra cost.
+    if runs >= 2:
+        noisy = [
+            name
+            for name, rs in all_runs.items()
+            if min(rs) > 0.3 and max(rs) / min(rs) > 1.8
+        ]
+        for name in sorted(noisy):
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            all_runs[name].append(round(time.perf_counter() - t0, 3))
+            if rows[name] != n:
+                raise AssertionError(
+                    f"{name}: row count changed on retry pass "
+                    f"({rows[name]} -> {n}) — nondeterministic result"
+                )
+            reset_shared_state(spark)
+            gc.collect()
+
     for name in sorted(qs):
         timings[name] = min(all_runs[name])
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
