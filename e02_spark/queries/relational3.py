@@ -154,6 +154,30 @@ def q61_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q61_SPARK)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _small_graph_shuffle(spark: SparkSession, n: int = 8):
+    """Scope spark.sql.shuffle.partitions down for the ITERATIVE
+    connected-components rounds: each round's join/agg materializes via
+    localCheckpoint, so AQE's partition coalescing never kicks in across
+    rounds, and at sf0.1 the pair graph is a few hundred edges — 32
+    partitions x ~6 rounds is pure task-dispatch overhead (measured
+    ~0.7 s per entry). Production sizing is data-dependent: at 100 TB the
+    edge table is billions of rows and WANTS thousands of partitions —
+    set shuffle.partitions (or AQE advisory sizes) to the edge volume;
+    this scope only encodes "partitions should match the graph, not the
+    session default"."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 # --------------------------------------------------------------------------
 # q62 — near-dup clustering: MinHash pair graph (same parameters as q31)
 # → distributed connected components → cluster id = min doc_id in the
@@ -169,7 +193,8 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_pairs(
         d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
     ).select("da", "db")
-    cc = connected_components(edges, src="da", dst="db")
+    with _small_graph_shuffle(spark):
+        cc = connected_components(edges, src="da", dst="db")
     sizes = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )
@@ -220,7 +245,8 @@ def q92_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_pairs(
         d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
     ).select("da", "db")
-    cc = connected_components_star(edges, src="da", dst="db")
+    with _small_graph_shuffle(spark):
+        cc = connected_components_star(edges, src="da", dst="db")
     sizes = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )
