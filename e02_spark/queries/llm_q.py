@@ -960,12 +960,14 @@ WHERE CAST(i.inter AS DOUBLE) / LEAST(za.n_sh, zb.n_sh) >= 0.9
 # --------------------------------------------------------------------------
 def q77_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.graph import connected_components
+    from .relational3 import _small_graph_shuffle
 
     d = _t(spark, sf_dir, "documents")
     edges = minhash_lsh_pairs(
         d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
     ).select("da", "db")
-    cc = connected_components(edges, src="da", dst="db")
+    with _small_graph_shuffle(spark):
+        cc = connected_components(edges, src="da", dst="db")
     drop = cc.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
