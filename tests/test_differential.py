@@ -145,3 +145,91 @@ def test_spark_duckdb_differential(spark, tables):
             assert got == want, (q, got, want, orders, lines)
     finally:
         con.close()
+
+
+# --- second property: date/time + string surface (D20/D21) ----------------
+# Functions restricted to the dialect intersection (date_trunc,
+# EXTRACT(year/month/day/hour), interval arithmetic, upper/substr/length,
+# LIKE, CASE/COALESCE, lag over time order). Deliberately EXCLUDED:
+# EXTRACT(DOW) (DuckDB Sunday=0 vs Spark DAYOFWEEK Sunday=1) — a known
+# numbering divergence the engine's own queries avoid by using date_format.
+
+_TIME_QUERIES = [
+    """
+    SELECT date_trunc('hour', ts) AS h, kind, COUNT(*) AS n,
+           COALESCE(SUM(v), 0) AS total
+    FROM t_events GROUP BY date_trunc('hour', ts), kind
+    """,
+    """
+    SELECT EXTRACT(year FROM ts) AS y, EXTRACT(month FROM ts) AS mo,
+           EXTRACT(day FROM ts) AS d, EXTRACT(hour FROM ts) AS hh,
+           COUNT(*) AS n
+    FROM t_events GROUP BY 1, 2, 3, 4
+    """,
+    """
+    SELECT e_id, v FROM t_events
+    WHERE ts >= TIMESTAMP '2024-03-01 00:00:00' + INTERVAL '90' MINUTE
+      AND ts <  TIMESTAMP '2024-03-01 00:00:00' + INTERVAL '1' DAY
+    """,
+    """
+    SELECT e_id, UPPER(kind) AS uk, SUBSTR(kind, 1, 2) AS pre,
+           LENGTH(kind) AS ln,
+           CASE WHEN kind LIKE 'a%' THEN 'A' WHEN kind IS NULL THEN 'N'
+                ELSE 'other' END AS cls
+    FROM t_events
+    """,
+    """
+    SELECT e_id, ts,
+           LAG(v) OVER (PARTITION BY kind ORDER BY ts, e_id) AS prev_v
+    FROM t_events
+    """,
+]
+
+
+@st.composite
+def _events(draw):
+    from datetime import datetime, timedelta
+
+    n = draw(st.integers(min_value=0, max_value=20))
+    base = datetime(2024, 3, 1)
+    return [
+        (
+            i + 1,
+            base + timedelta(minutes=draw(st.integers(min_value=0, max_value=3000))),
+            draw(st.integers(min_value=-3, max_value=50)),
+            draw(st.sampled_from(["add", "apply", "bz", None])),
+        )
+        for i in range(n)
+    ]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(events=_events())
+def test_spark_duckdb_time_string_differential(spark, events):
+    e_pdf = pd.DataFrame(events, columns=["e_id", "ts", "v", "kind"])
+    spark.createDataFrame(
+        events, schema="e_id BIGINT, ts TIMESTAMP, v BIGINT, kind STRING"
+    ).createOrReplaceTempView("t_events")
+    con = duckdb.connect()
+    if events:
+        con.register("t_events", e_pdf.astype({"e_id": "Int64", "v": "Int64"}))
+    else:
+        con.sql(
+            "CREATE VIEW t_events AS SELECT CAST(NULL AS BIGINT) e_id,"
+            " CAST(NULL AS TIMESTAMP) ts, CAST(NULL AS BIGINT) v,"
+            " CAST(NULL AS VARCHAR) kind WHERE 1=0"
+        )
+    try:
+        for q in _TIME_QUERIES:
+            got = _norm(spark.sql(q).toPandas())
+            want = _norm(con.sql(q).df())
+            assert got == want, (q, got, want, events)
+    finally:
+        con.close()
