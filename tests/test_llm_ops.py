@@ -399,3 +399,27 @@ def test_pii_redaction_scrubs_everything(spark):
         ]
     ).collect()[0]
     assert all(v == 0 for v in leftover.asDict().values()), leftover
+
+
+def test_ivf_recall_floor_and_exhaustive_limit(spark):
+    """IVF ANN quality contract on the deterministic corpus: single-probe
+    recall@10 vs brute force averages >= 0.4 at 8 centroids, and with ONE
+    centroid the probed cell is the whole corpus so IVF degenerates to
+    exact search (recall exactly 1.0) — the coarse-to-exact limit a
+    multi-probe production deployment tunes along."""
+    e = load_table(spark, SF, "embeddings")
+    queries = (0, 7, 13, 42, 99)
+
+    def recall(n_centroids):
+        recs = []
+        for q in queries:
+            bf = {r["vec_id"] for r in topk_bruteforce(e, q, k=10).collect()}
+            iv = {
+                r["vec_id"]
+                for r in ivf_topk(e, q, n_centroids=n_centroids, k=10).collect()
+            }
+            recs.append(len(bf & iv) / len(bf))
+        return sum(recs) / len(recs)
+
+    assert recall(8) >= 0.4
+    assert recall(1) == 1.0
