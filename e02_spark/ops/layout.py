@@ -1,0 +1,94 @@
+"""Data layout for a partitioned lakehouse table: hive-partitioned
+writes, dynamic partition overwrite, and small-file compaction.
+
+At 100 TB the table layout IS the query plan's first operator: a scan
+that cannot prune partitions reads everything, and a partition made of
+10k tiny files pays 10k task/IO setups. Reference analog: the engine's
+artifact checkpoints (SURVEY.md A9) generalized to the
+partition-directory layout every warehouse sink uses.
+
+Design rules encoded here:
+- Writes repartition by the partition columns first, so each output
+  partition directory is produced by as few tasks as possible (no
+  N-tasks × M-partitions small-file explosion) — `files_per_partition`
+  splits a hot partition's write across that many tasks when one task's
+  output would be too large.
+- Overwrites use DYNAMIC partition overwrite: only partitions present in
+  the incoming data are replaced; the rest of the table is untouched —
+  the idempotent daily-backfill contract.
+- Compaction is a read → repartition-by-partition-cols → dynamic
+  overwrite of the touched partitions; contents are preserved exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write with dynamic partition overwrite.
+
+    Repartitions on the partition columns (optionally salted into
+    files_per_partition output tasks per directory) so file count per
+    partition directory is controlled, then writes with
+    partitionOverwriteMode=dynamic so `mode='overwrite'` replaces ONLY
+    the partitions present in `df`.
+    """
+    spark = df.sparkSession
+    old = spark.conf.get(_OVERWRITE_MODE, "static")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_coalesce = spark.conf.get(coalesce_key, "true")
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        # salt splits a hot partition's rows across N writer tasks; the
+        # salt is layout-derived (not data-derived) so it never skews.
+        # Each (salt, keys) combination hashes to one shuffle partition,
+        # so a directory receives at most files_per_partition files —
+        # but only if AQE doesn't coalesce the small shuffle back into
+        # one task, hence the scoped disable.
+        salt = F.monotonically_increasing_id() % files_per_partition
+        parted = df.repartition(salt, *keys)
+        spark.conf.set(coalesce_key, "false")
+    else:
+        parted = df.repartition(*keys)
+    spark.conf.set(_OVERWRITE_MODE, "dynamic")
+    try:
+        parted.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(_OVERWRITE_MODE, old)
+        spark.conf.set(coalesce_key, old_coalesce)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    where=None,
+) -> None:
+    """Rewrite (a subset of) a partitioned table's directories into
+    files_per_partition files each, preserving contents exactly.
+
+    `where` (a Column) restricts compaction to matching partitions — the
+    filter prunes at the scan AND bounds the dynamic overwrite to the
+    touched directories, so compacting yesterday's partition never
+    rewrites the table's history.
+    """
+    df = spark.read.parquet(path)
+    if where is not None:
+        df = df.where(where)
+    # localCheckpoint materializes the read before the overwrite swaps
+    # the same directories out from under it
+    snap = df.localCheckpoint(eager=True)
+    write_partitioned(
+        snap, path, partition_cols, files_per_partition=files_per_partition
+    )

@@ -1,0 +1,87 @@
+"""Partitioned-layout contract (ops/layout.py): hive directory structure,
+partition pruning at the scan, dynamic-partition overwrite isolation, and
+exact-content small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from e02_spark.io import load_table
+from e02_spark.ops.layout import compact_partitions, write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def _files(path: str, part: str) -> list[str]:
+    return glob.glob(os.path.join(path, part, "*.parquet"))
+
+
+def test_partitioned_write_layout_and_pruning(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_parted")
+    write_partitioned(events, path, ["event_type"])
+
+    types = [r["event_type"] for r in events.select("event_type").distinct().collect()]
+    for t in types:
+        files = _files(path, f"event_type={t}")
+        assert len(files) == 1, files  # one file per partition directory
+
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+    # pruning: the filtered scan's plan carries a PartitionFilters entry
+    pruned = back.where(F.col("event_type") == types[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200], plan
+    assert pruned.count() == events.where(F.col("event_type") == types[0]).count()
+
+
+def test_dynamic_overwrite_touches_only_incoming_partitions(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_dyn")
+    write_partitioned(events, path, ["event_type"])
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    types = sorted(before)
+    target, untouched = types[0], types[1:]
+
+    # overwrite ONE partition with a 3-row replacement
+    replacement = events.where(F.col("event_type") == target).limit(3)
+    write_partitioned(replacement, path, ["event_type"], mode="overwrite")
+
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert after[target] == 3
+    for t in untouched:
+        assert after[t] == before[t], t  # dynamic mode left them alone
+
+
+def test_compaction_preserves_contents_exactly(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_small")
+    # plant the small-file problem: 8 files per partition
+    write_partitioned(events, path, ["event_type"], files_per_partition=8)
+    types = [r["event_type"] for r in events.select("event_type").distinct().collect()]
+    assert any(len(_files(path, f"event_type={t}")) > 1 for t in types)
+
+    want = sorted(
+        (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(path).select("event_id", "event_type").collect()
+    )
+    compact_partitions(spark, path, ["event_type"], files_per_partition=1)
+    for t in types:
+        assert len(_files(path, f"event_type={t}")) == 1, t
+    got = sorted(
+        (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(path).select("event_id", "event_type").collect()
+    )
+    assert got == want
