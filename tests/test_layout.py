@@ -85,3 +85,31 @@ def test_compaction_preserves_contents_exactly(spark, tmp_path):
         for r in spark.read.parquet(path).select("event_id", "event_type").collect()
     )
     assert got == want
+
+
+def test_clustered_write_sorts_within_files(spark, tmp_path):
+    """cluster_by contract: every written file holds its rows sorted by
+    the clustering column — at production file sizes that is exactly what
+    makes parquet row-group min/max stats non-overlapping, so range
+    predicates skip whole row groups."""
+    import pyarrow.parquet as pq
+
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_clustered")
+    write_partitioned(events, path, ["event_type"], cluster_by=["ts"])
+
+    files = glob.glob(os.path.join(path, "event_type=*", "*.parquet"))
+    assert files
+    for f in files:
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts == sorted(ts), f
+        # row-group stats exist and are tight (min/max recorded per group)
+        md = pq.ParquetFile(f).metadata
+        ts_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("ts")
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ts_idx).statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                assert st.min >= prev_max  # groups carve disjoint ranges
+            prev_max = st.max
