@@ -352,3 +352,39 @@ def incremental_event_counts(events: DataFrame, state_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def partitioned_layout_sink(events: DataFrame, table_dir: str):
+    """Streaming ingest into the hive-partitioned lakehouse layout
+    (ops/layout.write_partitioned): each micro-batch is written with
+    DYNAMIC partition overwrite on (event_type, day).
+
+    Idempotence contract: a batch replaces exactly the partitions it
+    carries, so replaying the SAME feed through a fresh stream leaves the
+    table byte-identical (no append duplication) — the same
+    replay-idempotence shape as label_mutation_sink, at the table layout
+    level. The caveat a production deployment must respect (documented,
+    not hidden): overwrite-per-batch is idempotent only when partition
+    boundaries align with replay boundaries — an availableNow replay of
+    the whole feed does, arbitrary mid-partition micro-batch splits need
+    a transactional table format (Delta/Iceberg) underneath, same
+    dataflow.
+
+    Returns the started StreamingQuery.
+    """
+    from e02_spark.ops.layout import write_partitioned
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        staged = batch.withColumn("day", F.to_date("ts"))
+        write_partitioned(
+            staged,
+            table_dir,
+            ["event_type", "day"],
+            cluster_by=["ts"],
+        )
+
+    return (
+        events.writeStream.foreachBatch(_write)
+        .trigger(availableNow=True)
+        .start()
+    )

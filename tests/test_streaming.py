@@ -539,3 +539,37 @@ def test_stateful_gate_matches_batch_gate_property(spark, batches):
         assert got == batch_side == oracle, (got, batch_side, oracle, batches)
     finally:
         shutil.rmtree(rdir, ignore_errors=True)
+
+
+def test_partitioned_layout_sink_replay_idempotent(spark, events_dir, tmp_path):
+    """Streaming ingest into the hive-partitioned layout: contents equal
+    the batch input, directories are (event_type, day), and replaying the
+    same feed through a fresh stream leaves the table identical."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.streaming.jobs import partitioned_layout_sink, read_events_stream
+
+    table = str(tmp_path / "events_table")
+
+    def run():
+        q = partitioned_layout_sink(read_events_stream(spark, events_dir), table)
+        assert q.awaitTermination(300)
+
+    run()
+    dirs = _glob.glob(_os.path.join(table, "event_type=*", "day=*"))
+    assert dirs
+    got1 = sorted(
+        (r["event_id"], str(r["ts"])) for r in spark.read.parquet(table).collect()
+    )
+    want = sorted(
+        (r["event_id"], str(r["ts"]))
+        for r in load_table(spark, SF, "events").collect()
+    )
+    assert got1 == want
+
+    run()  # fresh checkpoint, same feed: dynamic overwrite, not append
+    got2 = sorted(
+        (r["event_id"], str(r["ts"])) for r in spark.read.parquet(table).collect()
+    )
+    assert got2 == got1
