@@ -28,6 +28,26 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
+def band_keys(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_idx, band_key) — LSH band keys from a MinHash
+    signature (h1..hk): k/bands consecutive hashes concatenated per band.
+    Shared by the batch pair detectors below and the incremental corpus
+    dedup sink (streaming/jobs.py), so batch and streaming band identically
+    by construction."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        hs = [f"h{b * rows_per_band + j + 1}" for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"), F.concat_ws("|", *hs).alias("band_key")
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
 def _candidate_intersections(
     documents: DataFrame, k: int, bands: int, sh: DataFrame | None = None
 ) -> DataFrame:
@@ -51,16 +71,7 @@ def _candidate_intersections(
 
         sh = shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sh, k=k)
-    rows_per_band = k // bands
-    band_cols = []
-    for b in range(bands):
-        hs = [f"h{b * rows_per_band + j + 1}" for j in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *hs).alias("band_key"))
-        )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    banded = band_keys(sig, k, bands)
 
     a = banded.select(
         F.col("doc_id").alias("da"), "band_idx", "band_key"

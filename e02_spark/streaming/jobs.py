@@ -388,3 +388,117 @@ def partitioned_layout_sink(events: DataFrame, table_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_corpus_dedup(
+    docs_stream: DataFrame,
+    state_dir: str,
+    k: int = 4,
+    bands: int = 2,
+    threshold: float = 0.8,
+):
+    """E27: incremental near-dup detection — dedup each micro-batch of
+    documents against EVERYTHING ingested before it.
+
+    This is the production shape of LSH dedup at 100 TB: the corpus
+    arrives continuously, and re-running the all-pairs batch job per
+    delivery is quadratic in deliveries. Instead the sink maintains two
+    state tables under state_dir:
+      band_index/  (doc_id, band_idx, band_key) — the LSH probe index
+      shingles/    (doc_id, shingle)            — the exact-verify corpus
+    Per batch: shingle + sign the new docs (the SAME ops/text and
+    ops/dedup.band_keys code the batch detector uses), probe new band
+    keys against old ∪ new keys, exact-verify candidates' Jaccard, append
+    (da, db, jaccard) verdicts for da < db (doc_ids are ingest-ordered,
+    so 'earlier' is 'smaller'), then merge the new keys/shingles into the
+    state. Work per batch is O(batch × collisions), never O(corpus²).
+
+    Invariant (pinned by tests/test_streaming.py): the union of per-batch
+    verdicts over any batch split equals the one-shot batch
+    minhash_lsh_pairs over the full corpus — within-batch pairs surface
+    as new-vs-new, cross-batch pairs as old-vs-new.
+
+    Returns the started StreamingQuery.
+    """
+    import os
+
+    from e02_spark.ops.dedup import band_keys
+    from e02_spark.ops.text import minhash_signature, shingles
+
+    index_dir = os.path.join(state_dir, "band_index")
+    shingle_dir = os.path.join(state_dir, "shingles")
+    out_dir = os.path.join(state_dir, "verdicts")
+
+    def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema=schema)
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sh_new = shingles(batch).localCheckpoint(eager=True)
+        keys_new = band_keys(minhash_signature(sh_new, k=k), k, bands)
+        idx_old = _read_or_empty(
+            spark, index_dir, "doc_id BIGINT, band_idx INT, band_key STRING"
+        )
+        sh_old = _read_or_empty(spark, shingle_dir, "doc_id BIGINT, shingle STRING")
+
+        probe = keys_new.select(
+            F.col("doc_id").alias("db"), "band_idx", "band_key"
+        )
+        earlier = (
+            idx_old.unionByName(keys_new)
+            .select(F.col("doc_id").alias("da"), "band_idx", "band_key")
+        )
+        cand = (
+            earlier.join(probe, ["band_idx", "band_key"])
+            .where(F.col("da") < F.col("db"))
+            .select("da", "db")
+            .distinct()
+        )
+        corpus = sh_old.unionByName(sh_new)
+        sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        inter = (
+            corpus.select(F.col("doc_id").alias("da"), "shingle")
+            .join(cand, "da")
+            .join(
+                corpus.select(F.col("doc_id").alias("db"), "shingle"),
+                ["db", "shingle"],
+            )
+            .groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")),
+                "da",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")),
+                "db",
+            )
+            .select(
+                "da",
+                "db",
+                (
+                    F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        jac.write.mode("append").parquet(out_dir)
+        # merge state (localCheckpoint before overwriting the read dirs)
+        idx_old.unionByName(keys_new).localCheckpoint(eager=True).coalesce(
+            4
+        ).write.mode("overwrite").parquet(index_dir)
+        corpus.localCheckpoint(eager=True).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(shingle_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

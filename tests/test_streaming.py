@@ -573,3 +573,52 @@ def test_partitioned_layout_sink_replay_idempotent(spark, events_dir, tmp_path):
         (r["event_id"], str(r["ts"])) for r in spark.read.parquet(table).collect()
     )
     assert got2 == got1
+
+
+def test_incremental_corpus_dedup_equals_batch(spark, tmp_path):
+    """E27 invariant: per-batch verdicts of the incremental dedup sink,
+    unioned over a 2-batch split of the corpus, equal the one-shot batch
+    minhash_lsh_pairs over the full corpus — cross-batch near-dups are
+    found by probing the persisted band index, within-batch ones by the
+    new-vs-new join."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.ops.dedup import minhash_lsh_pairs
+    from e02_spark.streaming.jobs import incremental_corpus_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = tmp_path / "docs_feed"
+    feed.mkdir()
+    for i, part in enumerate(
+        (docs.where(F.col("doc_id") <= median), docs.where(F.col("doc_id") > median))
+    ):
+        stage = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(stage)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    state = str(tmp_path / "dedup_state")
+    q = incremental_corpus_dedup(stream, state)
+    assert q.awaitTermination(300)
+
+    got = {
+        (r["da"], r["db"])
+        for r in spark.read.parquet(_os.path.join(state, "verdicts")).collect()
+    }
+    want = {
+        (r["da"], r["db"])
+        for r in minhash_lsh_pairs(docs, k=4, bands=2, threshold=0.8).collect()
+    }
+    assert want, "corpus has planted near-dups"
+    assert got == want
+    # and at least one pair genuinely crossed the batch boundary
+    assert any(da <= median < db for da, db in got)
