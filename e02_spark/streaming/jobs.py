@@ -489,13 +489,13 @@ def incremental_corpus_dedup(
             .where(F.col("jaccard") >= threshold)
         )
         jac.write.mode("append").parquet(out_dir)
-        # merge state (localCheckpoint before overwriting the read dirs)
-        idx_old.unionByName(keys_new).localCheckpoint(eager=True).coalesce(
-            4
-        ).write.mode("overwrite").parquet(index_dir)
-        corpus.localCheckpoint(eager=True).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(shingle_dir)
+        # state merge is an APPEND of only the new rows — O(batch), not
+        # O(corpus): rewriting the whole state per batch would be
+        # quadratic over the stream's lifetime. Append also never
+        # clobbers the directories this batch read from, so no
+        # checkpoint-before-overwrite dance is needed.
+        keys_new.coalesce(4).write.mode("append").parquet(index_dir)
+        sh_new.coalesce(4).write.mode("append").parquet(shingle_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(_batch)
