@@ -7,7 +7,19 @@ DataFrame ops chosen for 100 TB behavior:
   range_join.py   interval/time-proximity joins via bucketed equi-join
                   (never an O(n^2) theta join)
   dedup.py        exact + MinHash/LSH + SimHash + n-gram Jaccard near-dup
-  similarity.py   cosine/dot-product, brute-force and LSH-bucketed top-k
-  text.py         tokenization, language-ID, quality scoring, fingerprints
-  multimodal.py   binary-column plumbing (decode stubs, typed metadata)
+                  (band_keys shared with the incremental streaming sink)
+  graph.py        connected components (min-label propagation AND
+                  alternating large-star/small-star) for dedup clustering
+  similarity.py   cosine/dot-product, brute-force/IVF/sign-LSH top-k,
+                  SemDeDup semantic dedup
+  text.py         tokenization, shingles, MinHash/SimHash signatures,
+                  language-ID, quality scoring, fingerprints
+  quality.py      one-pass data-quality expectations + PII scrubbing
+  sampling.py     deterministic hash splits and stratified sampling
+  multimodal.py   binary-column plumbing (Pillow-gated decode, typed
+                  metadata, Arrow mapInPandas)
+  skew.py         salted aggregation/join patterns for hot keys
+  bucketing.py    bucketed tables for exchange-free fact-to-fact joins
+  layout.py       hive-partitioned writes, dynamic partition overwrite,
+                  clustering (sortWithinPartitions) and compaction
 """
