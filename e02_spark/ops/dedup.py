@@ -49,11 +49,23 @@ def band_keys(sig: DataFrame, k: int, bands: int) -> DataFrame:
 
 
 def _candidate_intersections(
-    documents: DataFrame, k: int, bands: int, sh: DataFrame | None = None
+    documents: DataFrame,
+    k: int,
+    bands: int,
+    sh: DataFrame | None = None,
+    salt_bands: int = 0,
 ) -> DataFrame:
     """Shared LSH front half of minhash_lsh_pairs / containment_pairs:
     shingle → k md5-minhashes → banded bucket join → candidate pairs →
     exact shingle-set intersections. Returns (da, db, inter, na, nb).
+
+    salt_bands > 0 enables the no-AQE skew fallback: side a of the bucket
+    join is salted by pmod(da, S) and side b exploded across all S salts,
+    so a hot band bucket splits across S reducers even when AQE's runtime
+    skew-split is unavailable. Every pair still meets exactly once (a
+    carries one salt, b all of them); results are IDENTICAL to the
+    unsalted join — pinned by tests — at the cost of S× side-b shuffle
+    volume, which is why it is off by default.
 
     Scale: the band bucket join shuffles on band_key (high cardinality);
     candidate verification joins shingle sets only for candidate pairs —
@@ -83,12 +95,20 @@ def _candidate_intersections(
     # template-heavy crawl can put half the corpus in one bucket). First
     # line of defense is AQE skew-join — it splits the hot shuffle
     # partition at runtime, pinned by tests/test_skew_and_properties.py::
-    # test_lsh_hot_band_join_is_skew_split on this exact join shape. If a
-    # deployment must run without AQE, salt band_key (ops/skew.py pattern:
-    # append doc_id % S on side a, explode 0..S-1 on side b) — not done by
-    # default because it multiplies side b's shuffle volume by S.
+    # test_lsh_hot_band_join_is_skew_split on this exact join shape. For
+    # deployments without AQE, salt_bands enables the explicit salting
+    # fallback below (result-identical, pinned by
+    # test_salted_band_join_matches_unsalted).
+    if salt_bands > 0:
+        a_s = a.withColumn("_salt", F.pmod(F.col("da"), F.lit(salt_bands)))
+        b_s = b.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_bands)]))
+        )
+        joined = a_s.join(b_s, ["band_idx", "band_key", "_salt"])
+    else:
+        joined = a.join(b, ["band_idx", "band_key"])
     candidates = (
-        a.join(b, ["band_idx", "band_key"])
+        joined
         .where(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
@@ -120,6 +140,7 @@ def minhash_lsh_pairs(
     bands: int = 2,
     threshold: float = 0.8,
     ci: DataFrame | None = None,
+    salt_bands: int = 0,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
     over the LSH candidates only (see _candidate_intersections).
@@ -127,9 +148,10 @@ def minhash_lsh_pairs(
     Pass `ci` to reuse a shared/cached candidate-intersection table —
     the whole LSH front half is identical across the Jaccard and
     containment variants, so callers computing both should build it once.
+    salt_bands > 0 enables the no-AQE hot-bucket salting fallback.
     """
     if ci is None:
-        ci = _candidate_intersections(documents, k, bands)
+        ci = _candidate_intersections(documents, k, bands, salt_bands=salt_bands)
     jac = ci.select(
         "da",
         "db",

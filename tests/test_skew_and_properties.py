@@ -288,3 +288,31 @@ def test_semantic_dedup_lsh_chaining_bounds_hot_cluster(spark):
         total += sum(r["count"] * (r["count"] - 1) // 2 for r in hist)
     m = len(hot_cluster)
     assert total < 0.2 * m * (m - 1) // 2, (total, m)
+
+
+def test_salted_band_join_matches_unsalted(spark):
+    """The no-AQE skew fallback (salt_bands) must find EXACTLY the pairs
+    the plain band join finds — salting changes the shuffle layout, never
+    the candidate set. Runs with AQE skew-join disabled so the salting is
+    the only skew defense in play."""
+    from e02_spark.io import load_table
+    from e02_spark.ops.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        plain = {
+            (r["da"], r["db"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(d, k=4, bands=2, threshold=0.8).collect()
+        }
+        salted = {
+            (r["da"], r["db"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                d, k=4, bands=2, threshold=0.8, salt_bands=4
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
+    assert plain, "corpus has planted near-dups"
+    assert salted == plain
