@@ -233,3 +233,60 @@ def test_spark_duckdb_time_string_differential(spark, events):
             assert got == want, (q, got, want, events)
     finally:
         con.close()
+
+
+# --- third property: aggregate surface (D10-D13) ---------------------------
+
+_AGG_QUERIES = [
+    """
+    SELECT cust, COUNT(*) AS n, COUNT(amount) AS n_amt,
+           COUNT(DISTINCT status) AS n_status,
+           SUM(amount) AS total, MIN(amount) AS lo, MAX(amount) AS hi,
+           MIN(status) AS s_lo, MAX(status) AS s_hi
+    FROM t_orders GROUP BY cust
+    """,
+    """
+    SELECT status,
+           SUM(amount) FILTER (WHERE amount > 0) AS pos_total,
+           COUNT(*) FILTER (WHERE cust IS NULL) AS n_nullcust
+    FROM t_orders GROUP BY status
+    """,
+    """
+    SELECT cust, SUM(amount) AS total
+    FROM t_orders GROUP BY cust
+    HAVING SUM(amount) > 10 OR COUNT(*) >= 3
+    """,
+    """
+    SELECT COUNT(*) AS n, COUNT(DISTINCT cust) AS nc, SUM(amount) AS t
+    FROM t_orders
+    """,
+]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(tables=_tables())
+def test_spark_duckdb_aggregate_differential(spark, tables):
+    orders, _lines = tables
+    o_pdf = pd.DataFrame(orders, columns=["o_id", "cust", "status", "amount"])
+    spark.createDataFrame(
+        orders, schema="o_id BIGINT, cust BIGINT, status STRING, amount BIGINT"
+    ).createOrReplaceTempView("t_orders")
+    con = duckdb.connect()
+    con.register(
+        "t_orders",
+        o_pdf.astype({"o_id": "Int64", "cust": "Int64", "amount": "Int64"}),
+    )
+    try:
+        for q in _AGG_QUERIES:
+            got = _norm(spark.sql(q).toPandas())
+            want = _norm(con.sql(q).df())
+            assert got == want, (q, got, want, orders)
+    finally:
+        con.close()
