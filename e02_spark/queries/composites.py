@@ -354,6 +354,11 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("window_start", "s"), ("event_type", "s"), ("n_events", "n")]),
         ("q97", "q97_stream_sessions",
          [("session_start_us", "n"), ("user_id", "n"), ("n_events", "n")]),
+        # round 5: E27 incremental corpus dedup — a 4th real streaming job
+        # (foreachBatch fold over a persisted LSH band index); verdicts
+        # hash-check against the q31 pair SQL on the same staged subset
+        ("q102", "q102_incremental_dedup_stream",
+         [("da", "n"), ("db", "n"), ("jaccard", "n")]),
     ],
 }
 

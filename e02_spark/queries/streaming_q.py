@@ -403,6 +403,74 @@ FROM t GROUP BY user_id, session_id
 """
 
 
+# --------------------------------------------------------------------------
+# q102 — incremental corpus dedup (E27) driver-visible: the documents
+# table delivered as TWO ts-ordered micro-batches (split at the median
+# doc_id — ingest order IS id order, the sink's stated contract) through
+# streaming/jobs.incremental_corpus_dedup: each batch is probed against
+# the persisted band index of everything before it, exact-Jaccard
+# verified, and merged in. The invariant that makes this hash-checkable:
+# the union of per-batch verdicts over ANY id-ordered split equals the
+# one-shot batch minhash_lsh_pairs — so the oracle is literally q31's
+# pair SQL.
+# --------------------------------------------------------------------------
+_DOCS_FEED_MEMO: dict[str, str] = {}
+
+
+def _stage_docs_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Documents staged as 2 single-file parquet batches split at the
+    median doc_id, mtimes ascending (input staging, memoized like
+    _stage_reviews_dir — the stream itself starts fresh per run)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DOCS_FEED_MEMO.get(memo_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from ..io import load_table
+
+    # deterministic 1/3 subset: the sink's cost is dominated by fixed
+    # per-micro-batch machinery plus per-batch LSH compute; the subset
+    # keeps the entry's bench cost proportionate while staying
+    # non-vacuous (3 surviving pairs at sf0.01, ~28 at sf0.1). The
+    # oracle applies the identical filter.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 3 == 0)
+    )
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    base = tempfile.mkdtemp(prefix="e02_docs_feed_")
+    parts = [
+        docs.where(F.col("doc_id") <= median),
+        docs.where(F.col("doc_id") > median),
+    ]
+    for i, part in enumerate(parts):
+        stage = os.path.join(base, f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(base, f"d{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(stage)
+    _DOCS_FEED_MEMO[memo_key] = base
+    return base
+
+
+def q102_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import incremental_corpus_dedup
+
+    feed = _stage_docs_feed(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="e02_incdedup_")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    with _stream_shuffle(spark):
+        q = incremental_corpus_dedup(stream, state)
+        _await(q)
+    return spark.read.parquet(os.path.join(state, "verdicts"))
+
+
 QUERIES = {
     "q86_stream_incremental_counts": q86_stream_incremental_counts,
     "q87_stream_dedup_agg": q87_stream_dedup_agg,
@@ -410,7 +478,17 @@ QUERIES = {
     "q95_stream_review_gate": q95_stream_review_gate,
     "q96_stream_sliding": q96_stream_sliding,
     "q97_stream_sessions": q97_stream_sessions,
+    "q102_incremental_dedup_stream": q102_incremental_dedup_stream,
 }
+
+
+def _q102_oracle() -> str:
+    from .llm_q import _Q31_SQL
+
+    # same pair SQL as q31, restricted to the staged 1/3 subset
+    target = "FROM documents)"
+    assert _Q31_SQL.count(target) == 1, _Q31_SQL
+    return _Q31_SQL.replace(target, "FROM documents WHERE doc_id % 3 = 0)")
 
 
 def _q95_oracle() -> str:
@@ -428,4 +506,6 @@ ORACLE = {
     "q95_stream_review_gate": _q95_oracle(),
     "q96_stream_sliding": _Q96_SQL,
     "q97_stream_sessions": _Q97_SQL,
+    # batch-equality invariant: incremental verdicts == q31's pair set
+    "q102_incremental_dedup_stream": _q102_oracle(),
 }

@@ -438,7 +438,9 @@ def incremental_corpus_dedup(
     def _batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         sh_new = shingles(batch).localCheckpoint(eager=True)
-        keys_new = band_keys(minhash_signature(sh_new, k=k), k, bands)
+        # keys_new feeds both sides of the probe join and the state
+        # append; persist so the k-digest signature runs once per batch
+        keys_new = band_keys(minhash_signature(sh_new, k=k), k, bands).persist()
         idx_old = _read_or_empty(
             spark, index_dir, "doc_id BIGINT, band_idx INT, band_key STRING"
         )
@@ -457,7 +459,7 @@ def incremental_corpus_dedup(
             .select("da", "db")
             .distinct()
         )
-        corpus = sh_old.unionByName(sh_new)
+        corpus = sh_old.unionByName(sh_new).persist()
         sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         inter = (
             corpus.select(F.col("doc_id").alias("da"), "shingle")
@@ -496,6 +498,8 @@ def incremental_corpus_dedup(
         # checkpoint-before-overwrite dance is needed.
         keys_new.coalesce(4).write.mode("append").parquet(index_dir)
         sh_new.coalesce(4).write.mode("append").parquet(shingle_dir)
+        keys_new.unpersist()
+        corpus.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(_batch)
