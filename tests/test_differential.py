@@ -91,6 +91,12 @@ _QUERIES = [
              WHERE l.o_id = o.o_id AND l.tag IS NOT NULL) AS tagged_qty
     FROM t_orders o
     """,
+    # full outer join: unmatched rows from BOTH sides, NULL keys never match
+    """
+    SELECT COALESCE(o.o_id, -1) AS ok, COALESCE(l.l_id, -1) AS lk,
+           o.amount, l.qty
+    FROM t_orders o FULL OUTER JOIN t_lines l ON l.o_id = o.o_id
+    """,
 ]
 
 
