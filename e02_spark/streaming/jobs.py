@@ -396,6 +396,7 @@ def incremental_corpus_dedup(
     k: int = 4,
     bands: int = 2,
     threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
 ):
     """E27: incremental near-dup detection — dedup each micro-batch of
     documents against EVERYTHING ingested before it.
@@ -501,8 +502,12 @@ def incremental_corpus_dedup(
         keys_new.unpersist()
         corpus.unpersist()
 
-    return (
-        docs_stream.writeStream.foreachBatch(_batch)
-        .trigger(availableNow=True)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(_batch).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        # durable offset log: a restarted stream resumes from the last
+        # committed batch instead of reprocessing the whole feed — the
+        # exactly-once-per-file contract the restart test pins
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -622,3 +622,57 @@ def test_incremental_corpus_dedup_equals_batch(spark, tmp_path):
     assert got == want
     # and at least one pair genuinely crossed the batch boundary
     assert any(da <= median < db for da, db in got)
+
+
+def test_incremental_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """Restart/resume contract: deliver batch 0, run to completion with a
+    durable checkpoint; deliver batch 1; a NEW stream on the same
+    checkpoint processes ONLY the new file (no reprocessing, no duplicate
+    verdicts) and the final verdict set still equals the one-shot batch
+    pairs."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.ops.dedup import minhash_lsh_pairs
+    from e02_spark.streaming.jobs import incremental_corpus_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = tmp_path / "docs_feed_ckpt"
+    feed.mkdir()
+    state = str(tmp_path / "dedup_state_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(i, part):
+        s = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(s)
+        (src,) = _glob.glob(_os.path.join(s, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(s)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = incremental_corpus_dedup(stream, state, checkpoint_dir=ckpt)
+        assert q.awaitTermination(300)
+
+    stage(0, docs.where(F.col("doc_id") <= median))
+    run()
+    n_after_first = spark.read.parquet(_os.path.join(state, "verdicts")).count()
+
+    stage(1, docs.where(F.col("doc_id") > median))
+    run()  # resumes: must process ONLY d1.parquet
+
+    verdicts = spark.read.parquet(_os.path.join(state, "verdicts"))
+    got = sorted((r["da"], r["db"]) for r in verdicts.collect())
+    assert len(got) == len(set(got)), "duplicate verdicts -> reprocessing"
+    want = sorted(
+        (r["da"], r["db"])
+        for r in minhash_lsh_pairs(docs, k=4, bands=2, threshold=0.8).collect()
+    )
+    assert got == want
+    assert n_after_first < len(got)  # batch 1 genuinely added verdicts
