@@ -100,11 +100,9 @@ def _candidate_intersections(
     # fallback below (result-identical, pinned by
     # test_salted_band_join_matches_unsalted).
     if salt_bands > 0:
-        a_s = a.withColumn("_salt", F.pmod(F.col("da"), F.lit(salt_bands)))
-        b_s = b.withColumn(
-            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_bands)]))
-        )
-        joined = a_s.join(b_s, ["band_idx", "band_key", "_salt"])
+        from .skew import salted_join
+
+        joined = salted_join(a, b, ["band_idx", "band_key"], n_salts=salt_bands)
     else:
         joined = a.join(b, ["band_idx", "band_key"])
     candidates = (

@@ -52,38 +52,48 @@ def write_partitioned(
     the single-dimension case exactly.
     """
     spark = df.sparkSession
-    old = spark.conf.get(_OVERWRITE_MODE, "static")
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    old_coalesce = spark.conf.get(coalesce_key, "true")
-    keys = [F.col(c) for c in partition_cols]
-    if files_per_partition > 1:
-        # salt splits a hot partition's rows across N writer tasks; the
-        # salt is layout-derived (not data-derived) so it never skews.
-        # Each (salt, keys) combination hashes to one shuffle partition,
-        # so a directory receives at most files_per_partition files —
-        # but only if AQE doesn't coalesce the small shuffle back into
-        # one task, hence the scoped disable.
-        salt = F.monotonically_increasing_id() % files_per_partition
-        parted = df.repartition(salt, *keys)
-        spark.conf.set(coalesce_key, "false")
-    else:
-        parted = df.repartition(*keys)
-    if cluster_by:
-        parted = parted.sortWithinPartitions(*cluster_by)
     # Spark's default parquet timestamp encoding is the deprecated INT96,
     # which carries NO min/max statistics — clustering by a timestamp
     # would then skip nothing. The layout writer always emits
     # TIMESTAMP_MICROS so every column's row-group stats exist.
     ts_key = "spark.sql.parquet.outputTimestampType"
-    old_ts = spark.conf.get(ts_key, "INT96")
-    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-    spark.conf.set(_OVERWRITE_MODE, "dynamic")
+    old_confs = {
+        _OVERWRITE_MODE: spark.conf.get(_OVERWRITE_MODE, "static"),
+        coalesce_key: spark.conf.get(coalesce_key, "true"),
+        ts_key: spark.conf.get(ts_key, "INT96"),
+    }
+    keys = [F.col(c) for c in partition_cols]
+    # Every conf set and every (eagerly-analyzed) plan construction happens
+    # INSIDE the try: an analysis error (e.g. a misspelled cluster column)
+    # must not leak a session-wide conf change.
     try:
+        if files_per_partition > 1:
+            # salt splits a hot partition's rows across N writer tasks.
+            # DETERMINISTIC per row (hash of the row's columns), never
+            # monotonically_increasing_id: a nondeterministic salt changes
+            # on task re-execution after a fetch failure, and rows then
+            # land in different shuffle partitions than the partially
+            # committed first attempt (duplicate/lost-row corruption).
+            # Each (salt, keys) combination hashes to one shuffle
+            # partition, so a directory receives at most
+            # files_per_partition files — but only if AQE doesn't
+            # coalesce the small shuffle back into one task, hence the
+            # scoped disable.
+            salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                          F.lit(files_per_partition))
+            parted = df.repartition(salt, *keys)
+            spark.conf.set(coalesce_key, "false")
+        else:
+            parted = df.repartition(*keys)
+        if cluster_by:
+            parted = parted.sortWithinPartitions(*cluster_by)
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        spark.conf.set(_OVERWRITE_MODE, "dynamic")
         parted.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     finally:
-        spark.conf.set(_OVERWRITE_MODE, old)
-        spark.conf.set(coalesce_key, old_coalesce)
-        spark.conf.set(ts_key, old_ts)
+        for key, val in old_confs.items():
+            spark.conf.set(key, val)
 
 
 def compact_partitions(
@@ -92,21 +102,32 @@ def compact_partitions(
     partition_cols: list[str],
     files_per_partition: int = 1,
     where=None,
+    cluster_by: list[str] | None = None,
 ) -> None:
     """Rewrite (a subset of) a partitioned table's directories into
     files_per_partition files each, preserving contents exactly.
 
-    `where` (a Column) restricts compaction to matching partitions — the
-    filter prunes at the scan AND bounds the dynamic overwrite to the
-    touched directories, so compacting yesterday's partition never
-    rewrites the table's history.
+    `where` (a Column) SELECTS partitions to compact; it can reference any
+    column, but compaction always rewrites WHOLE partitions: the predicate
+    picks the distinct partition tuples containing at least one matching
+    row, then every row of those partitions is kept via a semi-join — a
+    row-level filter fed straight into the dynamic overwrite would
+    silently delete every non-matching row in the touched directories.
+    Pass cluster_by for tables written with clustering, or the compaction
+    shuffle would scramble row order and destroy the row-group min/max
+    skipping the clustered write established.
     """
     df = spark.read.parquet(path)
     if where is not None:
-        df = df.where(where)
+        touched = df.where(where).select(*partition_cols).distinct()
+        df = df.join(touched, partition_cols, "left_semi")
     # localCheckpoint materializes the read before the overwrite swaps
     # the same directories out from under it
     snap = df.localCheckpoint(eager=True)
     write_partitioned(
-        snap, path, partition_cols, files_per_partition=files_per_partition
+        snap,
+        path,
+        partition_cols,
+        files_per_partition=files_per_partition,
+        cluster_by=cluster_by,
     )

@@ -102,8 +102,9 @@ def sign_lsh_bucket(vec: str, bits: int = 8) -> Column:
     `bits` components (axis-aligned hyperplanes — deterministic, identical
     across engines). Vectors in the same bucket are near-dup candidates;
     at scale this turns an O(n^2) similarity join into per-bucket joins."""
+    # F.get: 0-based, NULL past the end (no ANSI error on short vectors)
     terms = [
-        F.when(F.element_at(F.col(vec), i + 1) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.get(F.col(vec), i) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(bits)
     ]
     out = terms[0]
@@ -189,9 +190,10 @@ def duck_sign_lsh_seeded_sql(
 def sign_lsh_bucket_offset(vec: str, offset: int, bits: int) -> Column:
     """Sign bucket of components [offset, offset+bits) — one band of the
     multi-band sign-LSH (see ops.dedup.embedding_neardup_pairs)."""
+    # F.get: 0-based, NULL past the end (no ANSI error on short vectors)
     terms = [
         F.when(
-            F.element_at(F.col(vec), offset + i + 1) > 0.0, F.lit(1 << i)
+            F.get(F.col(vec), offset + i) > 0.0, F.lit(1 << i)
         ).otherwise(F.lit(0))
         for i in range(bits)
     ]
@@ -334,10 +336,16 @@ def ivf_topk(
 def _sign_bucket_q(vec: str, offset: int, bits: int) -> Column:
     """Sign bucket of quantized components [offset, offset+bits) — one
     band of the multi-band sign-LSH, computed over the BIGINT quantized
-    vector (sign of floor(x*1e6) — deterministic, engine-agnostic)."""
+    vector (sign of floor(x*1e6) — deterministic, engine-agnostic).
+
+    Indexing uses F.get (0-based, NULL past the end — never an ANSI
+    out-of-bounds error): a band that extends past the embedding
+    dimension degrades to constant 0-bits instead of failing the job.
+    Callers should still size bands*bits <= dim — fully-degenerate bands
+    bucket everything together and lose their candidate-pruning power."""
     terms = [
         F.when(
-            F.element_at(F.col(vec), offset + i + 1) > 0, F.lit(1 << i)
+            F.get(F.col(vec), offset + i) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
         for i in range(bits)
     ]

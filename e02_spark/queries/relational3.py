@@ -169,13 +169,10 @@ def _small_graph_shuffle(spark: SparkSession, n: int = 8):
     set shuffle.partitions (or AQE advisory sizes) to the edge volume;
     this scope only encodes "partitions should match the graph, not the
     session default"."""
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
+    from ..session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, n):
         yield
-    finally:
-        spark.conf.set(key, old)
 
 
 # --------------------------------------------------------------------------

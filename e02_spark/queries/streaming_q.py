@@ -62,7 +62,8 @@ from contextlib import contextmanager
 
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
-    """Scope spark.sql.shuffle.partitions down for a streaming run.
+    """Scope spark.sql.shuffle.partitions down for a streaming run
+    (delegates to session.scoped_shuffle_partitions — one implementation).
 
     Stateful streaming cost scales with the number of state-store
     instances = shuffle partitions per stateful operator, paid per
@@ -73,13 +74,10 @@ def _stream_shuffle(spark: SparkSession, n: int = 8):
     production jobs size it to key cardinality instead (the state store
     shards by key hash — more partitions only help when keys are many).
     """
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
+    from ..session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, n):
         yield
-    finally:
-        spark.conf.set(key, old)
 
 
 def _await(q) -> None:
@@ -468,7 +466,10 @@ def q102_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     with _stream_shuffle(spark):
         q = incremental_corpus_dedup(stream, state)
         _await(q)
-    return spark.read.parquet(os.path.join(state, "verdicts"))
+    # drop the batch= partition column the idempotent per-batch writes add
+    return spark.read.parquet(os.path.join(state, "verdicts")).select(
+        "da", "db", "jaccard"
+    )
 
 
 QUERIES = {

@@ -65,3 +65,23 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # static in some deployments
     return spark
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope spark.sql.shuffle.partitions to `n`, restoring on exit.
+
+    Shared by the streaming entries (state-store count per stateful
+    operator) and the iterative small-graph pipelines (per-round exchange
+    width) — both size the shuffle to the DATA, not the session default.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

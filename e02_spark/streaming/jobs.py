@@ -234,7 +234,14 @@ def label_mutation_sink(
         )
         try:
             existing = spark.read.parquet(state_dir)
-        except Exception:
+        except Exception as e:
+            # ONLY a missing path means "no state yet". A transient or
+            # torn-directory read failure must re-raise: mapping it to
+            # empty state and then overwriting would permanently wipe
+            # every previously accumulated label.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             existing = adds.limit(0)
         merged = (
             existing.join(removes, ["pr", "kind", "name"], "left_anti")
@@ -335,7 +342,12 @@ def incremental_event_counts(events: DataFrame, state_dir: str):
                     .alias("value_sum"),
                 )
             )
-        except Exception:
+        except Exception as e:
+            # missing path only — a transient read failure must re-raise,
+            # or this batch's overwrite would reset the accumulated counts
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             merged = agg.select(
                 "event_type",
                 "n_events",
@@ -431,10 +443,19 @@ def incremental_corpus_dedup(
     out_dir = os.path.join(state_dir, "verdicts")
 
     def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+        """Missing path -> empty state. Any OTHER read failure re-raises:
+        treating a transient/corrupt read as 'no state yet' would silently
+        drop every cross-batch candidate for this batch."""
+        cols = [c.strip().split()[0] for c in schema.split(",")]
         try:
-            return spark.read.parquet(path)
-        except Exception:
-            return spark.createDataFrame([], schema=schema)
+            # select() drops the inferred `batch=` partition column the
+            # idempotent per-batch writes introduce
+            return spark.read.parquet(path).select(*cols)
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return spark.createDataFrame([], schema=schema)
+            raise
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -491,14 +512,20 @@ def incremental_corpus_dedup(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        jac.write.mode("append").parquet(out_dir)
-        # state merge is an APPEND of only the new rows — O(batch), not
-        # O(corpus): rewriting the whole state per batch would be
-        # quadratic over the stream's lifetime. Append also never
-        # clobbers the directories this batch read from, so no
-        # checkpoint-before-overwrite dance is needed.
-        keys_new.coalesce(4).write.mode("append").parquet(index_dir)
-        sh_new.coalesce(4).write.mode("append").parquet(shingle_dir)
+        # IDEMPOTENT per-batch writes: every output lands in its own
+        # batch=<id> subdirectory with mode=overwrite, so an at-least-once
+        # replay of a micro-batch (crash between these writes and the
+        # streaming commit log) rewrites the same directories instead of
+        # appending duplicates — duplicated state rows would silently
+        # corrupt every later batch's shingle counts and Jaccard math.
+        # The merge stays O(batch): only this batch's subdirectory is
+        # written, never the accumulated state.
+        def _bdir(base: str) -> str:
+            return os.path.join(base, f"batch={batch_id}")
+
+        jac.write.mode("overwrite").parquet(_bdir(out_dir))
+        keys_new.coalesce(4).write.mode("overwrite").parquet(_bdir(index_dir))
+        sh_new.coalesce(4).write.mode("overwrite").parquet(_bdir(shingle_dir))
         keys_new.unpersist()
         corpus.unpersist()
 
