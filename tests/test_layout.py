@@ -113,3 +113,27 @@ def test_clustered_write_sorts_within_files(spark, tmp_path):
             if prev_max is not None:
                 assert st.min >= prev_max  # groups carve disjoint ranges
             prev_max = st.max
+
+
+def test_partition_values_roundtrip_special_chars(spark, tmp_path):
+    """Hive partition directories URL-encode special characters; the
+    write→read round-trip must return the original values exactly —
+    spaces, '=', '/', ':', unicode, and empty-string (Hive's
+    __HIVE_DEFAULT_PARTITION__ edge is avoided: empty string is a value,
+    NULL is the default-partition case pinned separately)."""
+    rows = [
+        (1, "plain"),
+        (2, "has space"),
+        (3, "k=v"),
+        (4, "a/b"),
+        (5, "c:d"),
+        (6, "café"),
+        (7, None),  # NULL partition value -> __HIVE_DEFAULT_PARTITION__
+    ]
+    df = spark.createDataFrame(rows, schema="id BIGINT, part STRING")
+    path = str(tmp_path / "special_parts")
+    write_partitioned(df, path, ["part"])
+    back = sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+    )
+    assert back == sorted(rows)
