@@ -97,6 +97,15 @@ _QUERIES = [
            o.amount, l.qty
     FROM t_orders o FULL OUTER JOIN t_lines l ON l.o_id = o.o_id
     """,
+    # recursive CTE (D28): generate a sequence, join it against the data
+    """
+    WITH RECURSIVE seq(n) AS (
+      SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 12
+    )
+    SELECT s.n, COUNT(o.o_id) AS n_orders, COALESCE(SUM(o.amount), 0) AS amt
+    FROM seq s LEFT JOIN t_orders o ON o.o_id = s.n
+    GROUP BY s.n
+    """,
 ]
 
 
