@@ -48,8 +48,13 @@ def normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
     """Normalize timestamp columns to TIMESTAMP (LTZ, micro precision)
     regardless of the parquet encoding they arrived in:
 
-    - LongType  → nanos-as-LONG legacy read; floor-divide to micros
-      (truncation, matching the oracle's epoch_us flooring)
+    - LongType  → nanos-as-LONG legacy read; FLOOR-divide to micros.
+      `div` truncates toward zero, which differs from flooring for
+      pre-epoch (negative) nanos (-1500 div 1000 = -1, floor = -2) and
+      would diverge from the oracle's epoch_us flooring by 1 µs on every
+      negative value — so the exact integer floor is computed as
+      (ns - pmod(ns, 1000)) / 1000 (pmod is the non-negative remainder;
+      no double-precision round-trip, exact for the full BIGINT range).
     - TimestampNTZType → cast to timestamp (UTC session TZ: same instant)
     - TimestampType → already what we want
     """
@@ -57,7 +62,12 @@ def normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
     for col in cols:
         dt = by_name.get(col)
         if isinstance(dt, LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(f"({col} - pmod({col}, 1000)) div 1000")
+                ),
+            )
         elif isinstance(dt, TimestampNTZType):
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
@@ -81,7 +91,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     re-creating 10 identical views per query is measurable catalog/analysis
     overhead across a 44-entry bench run. Switching sf_dir re-registers.
     """
-    if getattr(spark, "_e02_views_sf_dir", None) == sf_dir:
+    if getattr(spark, "_e02_views_sf_dir", None) == sf_dir and all(
+        spark.catalog.tableExists(t) for t in TABLES
+    ):
+        # the cheap memo alone is not enough: a test/notebook may have
+        # dropped or shadowed a view since — verify the catalog still
+        # holds every view before trusting the cache (tableExists is a
+        # catalog lookup, no data access)
         return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)

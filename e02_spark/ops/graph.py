@@ -88,6 +88,16 @@ def connected_components(
         labels = merged.select("node", "label")
         if changed == 0:
             break
+    else:
+        # Exhausting the budget without a fixed point means labels have
+        # only propagated max_iter hops — returning them would silently
+        # split every wider component into several clusters. Fail loudly;
+        # callers with genuinely deep graphs should raise max_iter or use
+        # connected_components_star (O(log^2 n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be wrong for components wider than the budget"
+        )
 
     return labels.select("node", F.col("label").alias("cluster_id"))
 
@@ -190,6 +200,12 @@ def connected_components_star(
         e = small
         if done:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; the non-star-forest edge set would yield split "
+            "components — raise max_iter (O(log^2 n) rounds suffice)"
+        )
 
     labels = e.select(F.col("a").alias("node"), F.col("b").alias("label"))
     roots = all_nodes.join(

@@ -102,15 +102,7 @@ def sign_lsh_bucket(vec: str, bits: int = 8) -> Column:
     `bits` components (axis-aligned hyperplanes — deterministic, identical
     across engines). Vectors in the same bucket are near-dup candidates;
     at scale this turns an O(n^2) similarity join into per-bucket joins."""
-    # F.get: 0-based, NULL past the end (no ANSI error on short vectors)
-    terms = [
-        F.when(F.get(F.col(vec), i) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(bits)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("bigint")
+    return sign_lsh_bucket_offset(vec, 0, bits)
 
 
 def duck_sign_lsh_sql(vec: str, bits: int = 8) -> str:
@@ -156,9 +148,16 @@ def sign_lsh_bucket_seeded(
                 for i in range(dim)
             ]
         )
+        # components beyond `dim` (vector longer than the plane) and the
+        # zip_with NULL padding (vector shorter) both contribute 0 — the
+        # DuckDB twin applies the same COALESCE, so buckets stay bit-equal
+        # whatever the actual array length
         proj = F.aggregate(
             F.zip_with(
-                F.col(vec), signs, lambda x, s: x.cast("double") * s
+                F.slice(F.col(vec), 1, dim),
+                signs,
+                lambda x, s: F.coalesce(x.cast("double"), F.lit(0.0))
+                * F.coalesce(s, F.lit(0.0)),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -179,7 +178,7 @@ def duck_sign_lsh_seeded_sql(
     parts = []
     for b in range(bits):
         terms = " + ".join(
-            f"(CAST({vec}[{i + 1}] AS DOUBLE) * "
+            f"(COALESCE(CAST({vec}[{i + 1}] AS DOUBLE), 0.0) * "
             f"{float(_rademacher_sign(seed, b, i))})"
             for i in range(dim)
         )
@@ -222,7 +221,9 @@ def topk_bruteforce(
         F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
     scored = (
-        qd.where(F.col("vec_id") != query_vec_id)
+        # n2 > 0 drops zero-norm (all-zero) vectors whose NaN cosine would
+        # otherwise sort ABOVE every real score under orderBy(desc)
+        qd.where((F.col("vec_id") != query_vec_id) & (F.col("n2") > 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id", cosine_q(_dot_q("q", "qq"), "n2", "qn2").alias("cosine")
@@ -279,23 +280,14 @@ def knn_pairs_per_group(
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame, query_vec_id: int, n_centroids: int = 8, k: int = 5
-) -> DataFrame:
-    """IVF-style approximate top-k: deterministic 'trained' centroids (the
-    first n_centroids stored vectors), nearest-centroid assignment, probe
-    only the query's cell. At scale: centroids broadcast, assignment is a
-    map-side argmax, and the probe reads one partition of a
-    centroid-partitioned table instead of the full corpus."""
-    qd = with_quantized(embeddings)
-    centroids = qd.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
-    )
-    # Nearest-centroid argmax as max_by keyed on vec_id: partial-aggregates
-    # map-side (each task keeps one best-so-far row per vec_id) — no Window,
-    # no per-vector sort shuffle over the n_vectors x n_centroids product.
-    # Ties break to the lowest cid via the (c_cos, -cid) ordering struct.
-    assigned = (
+def _assign_centroids(qd: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid argmax as max_by keyed on vec_id: partial-aggregates
+    map-side (each task keeps one best-so-far row per vec_id) — no Window,
+    no per-vector sort shuffle over the n_vectors x n_centroids product.
+    Ties break to the lowest cid via the (c_cos, -cid) ordering struct,
+    matching the oracle's ORDER BY cosine DESC, cid ASC exactly. Shared by
+    ivf_topk and semantic_dedup so the subtle tie-break lives once."""
+    return (
         qd.crossJoin(F.broadcast(centroids))
         .select(
             "vec_id",
@@ -318,12 +310,31 @@ def ivf_topk(
             F.col("best.cid").alias("cid"),
         )
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_vec_id: int, n_centroids: int = 8, k: int = 5
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic 'trained' centroids (the
+    first n_centroids stored vectors), nearest-centroid assignment, probe
+    only the query's cell. At scale: centroids broadcast, assignment is a
+    map-side argmax, and the probe reads one partition of a
+    centroid-partitioned table instead of the full corpus."""
+    qd = with_quantized(embeddings)
+    centroids = qd.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
+    )
+    assigned = _assign_centroids(qd, centroids)
     qrow = assigned.where(F.col("vec_id") == query_vec_id).select(
         F.col("cid").alias("qcid"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
     )
     probe = (
         assigned.crossJoin(F.broadcast(qrow))
-        .where((F.col("cid") == F.col("qcid")) & (F.col("vec_id") != query_vec_id))
+        .where(
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("vec_id") != query_vec_id)
+            & (F.col("n2") > 0)  # zero-norm guard, see topk_bruteforce
+        )
         .select(
             "vec_id",
             F.col("cid").cast("bigint").alias("centroid_id"),
@@ -399,29 +410,7 @@ def semantic_dedup(
     centroids = qd.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
     )
-    assigned = (
-        qd.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "q",
-            "n2",
-            "cid",
-            cosine_q(_dot_q("q", "cq"), "n2", "cn2").alias("c_cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cid", "q", "n2"),
-                F.struct(F.col("c_cos").alias("c"), (-F.col("cid")).alias("nc")),
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.q").alias("q"),
-            F.col("best.n2").alias("n2"),
-            F.col("best.cid").alias("cid"),
-        )
-    )
+    assigned = _assign_centroids(qd, centroids)
     # cluster-size census: n_centroids rows — broadcast back onto vectors
     sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("csize"))
     sized = assigned.join(F.broadcast(sizes), "cid")
@@ -447,26 +436,39 @@ def semantic_dedup(
     # within (cid, band, bucket); dupes across bands collapsed BEFORE the
     # exact cosine verify (qa/qb are functionally determined by va/vb, so
     # keep-any is value-deterministic)
-    banded = None
-    for k in range(lsh_bands):
-        bk = big.select(
-            "cid",
-            F.lit(k).alias("band"),
-            _sign_bucket_q("q", k * lsh_band_bits, lsh_band_bits).alias("bkt"),
-            "vec_id", "q", "n2",
+    if lsh_bands > 0:
+        banded = None
+        for k in range(lsh_bands):
+            bk = big.select(
+                "cid",
+                F.lit(k).alias("band"),
+                _sign_bucket_q("q", k * lsh_band_bits, lsh_band_bits).alias("bkt"),
+                "vec_id", "q", "n2",
+            )
+            banded = bk if banded is None else banded.unionByName(bk)
+        a, b = _sides(banded, ["band", "bkt"])
+        big_pairs = (
+            a.join(b, ["cid", "band", "bkt"])
+            .where(F.col("va") < F.col("vb"))
+            .dropDuplicates(["va", "vb"])
         )
-        banded = bk if banded is None else banded.unionByName(bk)
-    a, b = _sides(banded, ["band", "bkt"])
-    big_pairs = (
-        a.join(b, ["cid", "band", "bkt"])
-        .where(F.col("va") < F.col("vb"))
-        .dropDuplicates(["va", "vb"])
-    )
+    else:
+        # lsh_bands <= 0 = banding disabled: oversized clusters fall back
+        # to exact all-pairs (the caller accepts the quadratic cost)
+        a, b = _sides(big, [])
+        big_pairs = a.join(b, "cid").where(F.col("va") < F.col("vb"))
 
     dups = (
         small_pairs.select("va", "vb", "qa", "qb", "na2", "nb2")
         .unionByName(big_pairs.select("va", "vb", "qa", "qb", "na2", "nb2"))
-        .where(cosine_q(_dot_q("qa", "qb"), "na2", "nb2") >= threshold)
+        # zero-norm guard: a degenerate all-zero embedding yields 0/0=NaN
+        # cosine, and NaN >= threshold is TRUE in Spark — without the
+        # guard every zero-norm pair would be marked duplicate
+        .where(
+            (F.col("na2") > 0)
+            & (F.col("nb2") > 0)
+            & (cosine_q(_dot_q("qa", "qb"), "na2", "nb2") >= threshold)
+        )
         .groupBy(F.col("vb").alias("vec_id"))
         .agg(F.min("va").alias("dup_of"))
     )

@@ -78,13 +78,16 @@ def test_cc_matches_union_find(spark, edges):
 def test_cc_max_iter_caps_rounds(spark):
     from e02_spark.ops.graph import connected_components
 
-    # a long chain with max_iter=1: labels propagate one hop only, so the
-    # far end must NOT yet carry the global min — proves the loop really
-    # is bounded (no hidden driver-side closure).
+    # a long chain with max_iter=1: labels would only propagate one hop —
+    # returning that silently-split labeling was the round-5 review
+    # finding, so the budget exhaustion must now raise instead of
+    # returning wrong clusters (proves the loop is bounded AND safe).
+    import pytest as _pytest
+
     edges = [(i, i + 1) for i in range(1, 8)]
     df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
-    partial = {r.node: r.cluster_id for r in connected_components(df, max_iter=1).collect()}
-    assert partial[8] == 7  # one hop: 8 sees min(8, 7)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
     full = {r.node: r.cluster_id for r in connected_components(df).collect()}
     assert set(full.values()) == {1}
 

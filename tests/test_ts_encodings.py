@@ -75,3 +75,15 @@ def test_live_testdata_loads_as_timestamp(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     n = ev.select(F.unix_micros("ts")).limit(1).count()
     assert n == 1
+
+
+def test_nanos_long_pre_epoch_floors(spark):
+    """Negative (pre-1970) nanos must FLOOR to micros, not truncate
+    toward zero: -1500 ns -> -2 µs (matching epoch_us flooring)."""
+    from pyspark.sql import functions as F
+
+    from e02_spark.io import normalize_ts
+
+    df = spark.createDataFrame([(-1500,), (-1000,), (1500,)], "ts BIGINT")
+    out = normalize_ts(df, ["ts"]).select(F.unix_micros("ts").alias("us"))
+    assert sorted(r["us"] for r in out.collect()) == [-2, -1, 1]
