@@ -172,15 +172,20 @@ def main() -> int:
             f, indent=2,
         )
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in sorted(timings.items())}
+    # loadavg rides along in the recorded line so the per-round BENCH_rN
+    # capture shows box weather without opening BENCH_DETAIL.json — the
+    # round-5 1.20× "regression" was loadavg-9.6 contention, invisible
+    # in the tail record at the time.
     line = json.dumps(
         {"metric": "total_declared_queries_sec", "value": total, "unit": "sec",
-         "sf": sf, "n_queries": len(timings), "queries": short},
+         "sf": sf, "n_queries": len(timings), "loadavg": loadavg,
+         "queries": short},
         separators=(",", ":"),
     )
     if len(line) > 1000:  # belt-and-braces: never exceed the tail capture again
         line = json.dumps(
             {"metric": "total_declared_queries_sec", "value": total, "unit": "sec",
-             "sf": sf, "n_queries": len(timings)},
+             "sf": sf, "n_queries": len(timings), "loadavg": loadavg},
             separators=(",", ":"),
         )
     print(line)

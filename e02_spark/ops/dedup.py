@@ -60,7 +60,8 @@ def _candidate_intersections(
     exact shingle-set intersections. Returns (da, db, inter, na, nb).
 
     salt_bands > 0 enables the no-AQE skew fallback: side a of the bucket
-    join is salted by pmod(da, S) and side b exploded across all S salts,
+    join is salted by a deterministic hash of its columns mod S
+    (skew.salted_join) and side b exploded across all S salts,
     so a hot band bucket splits across S reducers even when AQE's runtime
     skew-split is unavailable. Every pair still meets exactly once (a
     carries one salt, b all of them); results are IDENTICAL to the

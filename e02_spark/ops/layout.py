@@ -116,18 +116,58 @@ def compact_partitions(
     Pass cluster_by for tables written with clustering, or the compaction
     shuffle would scramble row order and destroy the row-group min/max
     skipping the clustered write established.
+
+    Durability: the compacted output is STAGED to a sibling temp
+    directory first, then swapped into place one partition directory at
+    a time — the source files are never read and overwritten in the same
+    job. A failure before the swap leaves the table untouched; a failure
+    mid-swap leaves each partition either fully-old or fully-compacted
+    (contents identical either way, since compaction preserves rows).
+    The earlier design (localCheckpoint snapshot + in-place dynamic
+    overwrite) could lose the snapshot with a dead executor while the
+    source files were already being replaced — unrecoverable. On a real
+    cluster the swap is a cheap filesystem rename (or a transactional
+    table format's commit); here it's driver-side os.replace over
+    partition directories.
     """
+    import glob as _glob
+    import os
+    import shutil
+
     df = spark.read.parquet(path)
     if where is not None:
         touched = df.where(where).select(*partition_cols).distinct()
         df = df.join(touched, partition_cols, "left_semi")
-    # localCheckpoint materializes the read before the overwrite swaps
-    # the same directories out from under it
-    snap = df.localCheckpoint(eager=True)
-    write_partitioned(
-        snap,
-        path,
-        partition_cols,
-        files_per_partition=files_per_partition,
-        cluster_by=cluster_by,
-    )
+    tmp = path.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_partitioned(
+            df,
+            tmp,
+            partition_cols,
+            files_per_partition=files_per_partition,
+            cluster_by=cluster_by,
+        )
+        pattern = os.path.join(tmp, *[f"{c}=*" for c in partition_cols])
+        for pdir in _glob.glob(pattern):
+            rel = os.path.relpath(pdir, tmp)
+            dest = os.path.join(path, rel)
+            parent, leaf = os.path.split(dest)
+            # `_`-prefixed siblings are invisible to Spark's partition
+            # discovery, so both staging names below never surface to
+            # readers. Swap order bounds the unreadable window to one
+            # rename: (1) new data moves next to dest (durable, hidden),
+            # (2) old dest hides, (3) new reveals. Self-heal leftovers
+            # of a previous crash first.
+            newdir = os.path.join(parent, "_compact_new_" + leaf)
+            old = os.path.join(parent, "_compact_old_" + leaf)
+            shutil.rmtree(newdir, ignore_errors=True)
+            if not os.path.exists(dest) and os.path.exists(old):
+                os.replace(old, dest)  # crashed between (2) and (3)
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(pdir, newdir)
+            os.replace(dest, old)
+            os.replace(newdir, dest)
+            shutil.rmtree(old)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

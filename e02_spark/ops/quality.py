@@ -62,15 +62,37 @@ def expect_unique(df: DataFrame, key_cols: list[str], rule_name: str) -> DataFra
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     # name -> (pattern, replacement token)
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    "phone": (r"\b\d{3}-\d{4}\b", "[PHONE]"),
+    # Four NANP-ish phone shapes, ordered leftmost-first (both Java and
+    # RE2 resolve alternation leftmost-first, so the engines agree):
+    #   (555) 123-4567 / +1 (555) 123-4567   — parenthesized area code
+    #   555-123-4567 / +1-555.123 4567        — separated 3-3-4
+    #   5551234567                            — bare 10 digits
+    #   555-0123                              — local 3-4 (the original)
+    "phone": (
+        r"(\+1[-. ]?)?\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}\b"
+        r"|(\+1[-. ]?)?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+        r"|\b\d{10}\b"
+        r"|\b\d{3}-\d{4}\b",
+        "[PHONE]",
+    ),
     "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    # Full-form (8-group, uncompressed) IPv6 only: the `::`-compressed
+    # forms can't be matched without lookaround/backrefs, which the
+    # shared Java∩RE2 dialect excludes. Requiring exactly 7 colon groups
+    # also keeps clock-like text (12:30:45) out.
+    "ipv6": (
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b",
+        "[IP6]",
+    ),
 }
 
 # Application order matters (email first: its pattern spans dots/digits
 # that the ipv4 pattern could otherwise partially claim inside a
-# user@10.0.0.1-style address). Counting is per-pattern on the RAW text,
-# independent of redaction order — deterministic either way.
-_PII_ORDER = ("email", "phone", "ipv4")
+# user@10.0.0.1-style address; phone before ipv4 so dotted 3-3-4 phone
+# forms aren't half-claimed as address octets). Counting is per-pattern
+# on the RAW text, independent of redaction order — deterministic either
+# way.
+_PII_ORDER = ("email", "phone", "ipv4", "ipv6")
 
 
 def redact_pii(col: Column) -> Column:

@@ -311,18 +311,35 @@ FROM scored
 # Scale: one scan, per-row regexp in codegen, one groupBy(lang) shuffle of
 # 5 partial rows; at 100 TB this is the cheapest kind of pass there is.
 # --------------------------------------------------------------------------
-def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    contact = F.concat(
+def planted_contact() -> F.Column:
+    """The deterministic doc_id-derived contact tail q100 appends: one
+    email, one phone (rotating through all four shapes the widened
+    pattern covers, keyed by doc_id % 4), one IPv4, one full-form IPv6 —
+    so every pattern alternative is exercised (and hash-checked) per run.
+    Shared with the pytest scrub-invariant so test and query can't
+    drift."""
+    p4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    phone_form = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("555-"), p4))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("(555) 123-"), p4))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("+1-555-123-"), p4))
+        .otherwise(F.concat(F.lit("555123"), p4))
+    )
+    return F.concat(
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
-        F.lit("@example.com phone 555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("@example.com phone "),
+        phone_form,
         F.lit(" ip 10."),
         (F.col("doc_id") % 250).cast("string"),
-        F.lit(".0.1"),
+        F.lit(".0.1 v6 2001:db8:85a3:0:0:8a2e:370:"),
+        p4,
     )
-    raw = F.concat(F.col("text"), contact)
+
+
+def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), planted_contact())
     counts = quality.pii_counts(F.col("raw"))
     d = docs.select(
         "lang", raw.alias("raw"), quality.redact_pii(raw).alias("red")
@@ -332,6 +349,7 @@ def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(counts["email"]).cast("bigint").alias("n_email"),
         F.sum(counts["phone"]).cast("bigint").alias("n_phone"),
         F.sum(counts["ipv4"]).cast("bigint").alias("n_ipv4"),
+        F.sum(counts["ipv6"]).cast("bigint").alias("n_ipv6"),
         F.sum(F.length("red")).cast("bigint").alias("redacted_chars"),
     )
 
@@ -340,26 +358,35 @@ def _q100_sql() -> str:
     email, e_tok = quality.PII_PATTERNS["email"]
     phone, p_tok = quality.PII_PATTERNS["phone"]
     ipv4, i_tok = quality.PII_PATTERNS["ipv4"]
+    ipv6, i6_tok = quality.PII_PATTERNS["ipv6"]
     return f"""
 WITH d AS (
   SELECT lang,
     text || ' contact user' || CAST(doc_id AS VARCHAR)
-      || '@example.com phone 555-'
-      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-      || ' ip 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1' AS raw
+      || '@example.com phone '
+      || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 1 THEN '(555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN '+1-555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '555123' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         END
+      || ' ip 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1 v6 2001:db8:85a3:0:0:8a2e:370:'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
   FROM documents
 ), r AS (
   SELECT lang, raw,
-    regexp_replace(regexp_replace(regexp_replace(raw,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
       '{email}', '{e_tok}', 'g'),
       '{phone}', '{p_tok}', 'g'),
-      '{ipv4}', '{i_tok}', 'g') AS red
+      '{ipv4}', '{i_tok}', 'g'),
+      '{ipv6}', '{i6_tok}', 'g') AS red
   FROM d
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(len(regexp_extract_all(raw, '{email}'))) AS BIGINT) AS n_email,
   CAST(SUM(len(regexp_extract_all(raw, '{phone}'))) AS BIGINT) AS n_phone,
   CAST(SUM(len(regexp_extract_all(raw, '{ipv4}'))) AS BIGINT) AS n_ipv4,
+  CAST(SUM(len(regexp_extract_all(raw, '{ipv6}'))) AS BIGINT) AS n_ipv6,
   CAST(SUM(length(red)) AS BIGINT) AS redacted_chars
 FROM r GROUP BY lang
 """

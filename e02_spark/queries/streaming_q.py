@@ -28,6 +28,7 @@ streaming/jobs.py. The symlink staging below is test plumbing only.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
 import shutil
@@ -47,10 +48,27 @@ from ..streaming.jobs import (
 )
 
 
+_TEMP_DIRS: list[str] = []
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: repeated bench passes in one process
+    would otherwise leak a feed/state dir per invocation."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_temp_dirs() -> None:
+    for d in _TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _stage_events_dir(sf_dir: str, copies: int = 1) -> str:
     """File streams read a DIRECTORY; symlink the driver's events.parquet
     into a fresh temp dir (copies>1 plants exact duplicate files)."""
-    base = tempfile.mkdtemp(prefix="e02_stream_")
+    base = _tracked_mkdtemp(prefix="e02_stream_")
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     for i in range(copies):
         os.symlink(src, f"{base}/ev{i}.parquet")
@@ -116,6 +134,7 @@ def q86_stream_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     state_dir = os.path.join(
         tempfile.gettempdir(), f"e02_state_{uuid.uuid4().hex}"
     )
+    _TEMP_DIRS.append(state_dir)
     with _stream_shuffle(spark):
         stream = _events_stream(spark, events_dir, files_per_trigger=1)
         q = incremental_event_counts(stream, state_dir)
@@ -245,7 +264,7 @@ def _stage_reviews_dir(spark: SparkSession) -> str:
 
     from .. import fixtures
 
-    base = tempfile.mkdtemp(prefix="e02_reviews_")
+    base = _tracked_mkdtemp(prefix="e02_reviews_")
     w = Window.partitionBy("pr").orderBy("ts", "state")
     df = fixtures.spark_df(spark, "reviews").withColumn(
         "_i", F.row_number().over(w) - 1
@@ -412,7 +431,7 @@ FROM t GROUP BY user_id, session_id
 # one-shot batch minhash_lsh_pairs — so the oracle is literally q31's
 # pair SQL.
 # --------------------------------------------------------------------------
-_DOCS_FEED_MEMO: dict[str, str] = {}
+_DOCS_FEED_MEMO: dict[tuple[str, str], str] = {}
 
 
 def _stage_docs_feed(spark: SparkSession, sf_dir: str) -> str:
@@ -436,7 +455,7 @@ def _stage_docs_feed(spark: SparkSession, sf_dir: str) -> str:
         .where(F.col("doc_id") % 3 == 0)
     )
     median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
-    base = tempfile.mkdtemp(prefix="e02_docs_feed_")
+    base = _tracked_mkdtemp(prefix="e02_docs_feed_")
     parts = [
         docs.where(F.col("doc_id") <= median),
         docs.where(F.col("doc_id") > median),
@@ -457,7 +476,7 @@ def q102_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.jobs import incremental_corpus_dedup
 
     feed = _stage_docs_feed(spark, sf_dir)
-    state = tempfile.mkdtemp(prefix="e02_incdedup_")
+    state = _tracked_mkdtemp(prefix="e02_incdedup_")
     stream = (
         spark.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1)

@@ -367,33 +367,58 @@ def incremental_event_counts(events: DataFrame, state_dir: str):
 
 
 def partitioned_layout_sink(events: DataFrame, table_dir: str):
-    """Streaming ingest into the hive-partitioned lakehouse layout
-    (ops/layout.write_partitioned): each micro-batch is written with
-    DYNAMIC partition overwrite on (event_type, day).
+    """Streaming ingest into the hive-partitioned lakehouse layout:
+    each micro-batch APPENDS its rows to the (event_type, day)
+    directories it touches, as files named with the batch id.
 
-    Idempotence contract: a batch replaces exactly the partitions it
-    carries, so replaying the SAME feed through a fresh stream leaves the
-    table byte-identical (no append duplication) — the same
-    replay-idempotence shape as label_mutation_sink, at the table layout
-    level. The caveat a production deployment must respect (documented,
-    not hidden): overwrite-per-batch is idempotent only when partition
-    boundaries align with replay boundaries — an availableNow replay of
-    the whole feed does, arbitrary mid-partition micro-batch splits need
-    a transactional table format (Delta/Iceberg) underneath, same
-    dataflow.
+    Why not dynamic partition overwrite per batch: a partition that
+    straddles two micro-batches (any feed of more files than
+    maxFilesPerTrigger) would have its earlier rows silently replaced by
+    the later batch's overwrite — data loss within a single healthy run.
+    Instead the sink writes the batch to a hidden `_staging_batch_<id>`
+    directory (same repartition/cluster discipline as
+    ops/layout.write_partitioned, so file counts and row-group stats are
+    identical), then MOVES the files into the final partition
+    directories under a `b<batch_id>-` name prefix. Appending by move is
+    a metadata-only commit — exactly what a FileOutputCommitter does.
+
+    Replay idempotence: before moving, any existing `b<batch_id>-*`
+    files in the destination (leftovers of a crashed or replayed
+    execution of THIS batch) are deleted, so an at-least-once
+    re-execution replaces its own files and never duplicates rows.
+    Other batches' files are never touched. availableNow file batching
+    is deterministic (ordered file list), so a replay regenerates the
+    same partition set and cleans up completely.
 
     Returns the started StreamingQuery.
     """
+    import glob as _glob
+    import os
+    import shutil
+
     from e02_spark.ops.layout import write_partitioned
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         staged = batch.withColumn("day", F.to_date("ts"))
+        stage_dir = os.path.join(table_dir, f"_staging_batch_{batch_id}")
         write_partitioned(
             staged,
-            table_dir,
+            stage_dir,
             ["event_type", "day"],
             cluster_by=["ts"],
         )
+        prefix = f"b{batch_id:06d}-"
+        for pdir in _glob.glob(
+            os.path.join(stage_dir, "event_type=*", "day=*")
+        ):
+            rel = os.path.relpath(pdir, stage_dir)
+            dest = os.path.join(table_dir, rel)
+            os.makedirs(dest, exist_ok=True)
+            for stale in _glob.glob(os.path.join(dest, prefix + "*")):
+                os.remove(stale)
+            for f in _glob.glob(os.path.join(pdir, "*.parquet")):
+                os.replace(f, os.path.join(dest, prefix + os.path.basename(f)))
+        shutil.rmtree(stage_dir)
 
     return (
         events.writeStream.foreachBatch(_write)
@@ -409,22 +434,52 @@ def incremental_corpus_dedup(
     bands: int = 2,
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
+    state_writers: int = 4,
 ):
     """E27: incremental near-dup detection — dedup each micro-batch of
     documents against EVERYTHING ingested before it.
 
     This is the production shape of LSH dedup at 100 TB: the corpus
     arrives continuously, and re-running the all-pairs batch job per
-    delivery is quadratic in deliveries. Instead the sink maintains two
-    state tables under state_dir:
+    delivery is quadratic in deliveries. Instead the sink maintains three
+    state tables under state_dir (plus a tiny per-batch watermark):
       band_index/  (doc_id, band_idx, band_key) — the LSH probe index
       shingles/    (doc_id, shingle)            — the exact-verify corpus
+      doc_sizes/   (doc_id, n_sh)               — |shingles(doc)|, written
+                                                  ONCE when the doc arrives
+      watermark/   (max_doc_id)                 — ingest-order contract
     Per batch: shingle + sign the new docs (the SAME ops/text and
     ops/dedup.band_keys code the batch detector uses), probe new band
-    keys against old ∪ new keys, exact-verify candidates' Jaccard, append
+    keys against old ∪ new keys, SEMI-JOIN the shingle corpus down to the
+    colliding doc_ids, exact-verify those candidates' Jaccard using the
+    persisted per-doc sizes (never re-counting the corpus), append
     (da, db, jaccard) verdicts for da < db (doc_ids are ingest-ordered,
-    so 'earlier' is 'smaller'), then merge the new keys/shingles into the
-    state. Work per batch is O(batch × collisions), never O(corpus²).
+    so 'earlier' is 'smaller'), then merge the new keys/shingles/sizes
+    into the state.
+
+    Per-batch cost: the probe join is O(batch keys × colliding state
+    keys); the exact-verify joins touch only candidate docs' shingles
+    (the left-semi against the candidate id set prunes the corpus scan's
+    shuffle to O(collisions)); doc sizes are incremental state, NOT a
+    per-batch groupBy over the accumulated corpus. Nothing per-batch
+    aggregates the whole corpus.
+
+    Ingest-order contract (ENFORCED, not just documented): each batch
+    writes its max doc_id to watermark/batch=<id>; a later batch whose
+    min doc_id is <= the running max raises ValueError instead of
+    silently missing (old_doc > new_doc) pairs.
+
+    Replay idempotence: every output lands in its own batch=<id>
+    subdirectory with mode=overwrite, and state READS filter
+    `batch < batch_id` — so an at-least-once re-execution of batch N
+    (crash after N's state writes but before the streaming commit) sees
+    exactly the pre-N state (its own half-written partitions are pruned
+    out) and rewrites the same directories. Without the read filter a
+    replay would double-count N's shingles (Jaccard > 1 artifacts).
+
+    state_writers sizes the parquet writer parallelism for the per-batch
+    state appends; at 100 TB set it proportional to batch bytes
+    (target ~128 MB per output file), not a fixed small constant.
 
     Invariant (pinned by tests/test_streaming.py): the union of per-batch
     verdicts over any batch split equals the one-shot batch
@@ -440,17 +495,24 @@ def incremental_corpus_dedup(
 
     index_dir = os.path.join(state_dir, "band_index")
     shingle_dir = os.path.join(state_dir, "shingles")
+    sizes_dir = os.path.join(state_dir, "doc_sizes")
+    wm_dir = os.path.join(state_dir, "watermark")
     out_dir = os.path.join(state_dir, "verdicts")
 
-    def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-        """Missing path -> empty state. Any OTHER read failure re-raises:
-        treating a transient/corrupt read as 'no state yet' would silently
-        drop every cross-batch candidate for this batch."""
+    def _read_state(spark, path: str, schema: str, batch_id: int) -> DataFrame:
+        """Pre-batch state only: `batch < batch_id` prunes the partition
+        directories of this batch's own (possibly half-written, replayed)
+        output, making at-least-once re-execution read exactly the state
+        the first execution saw. Missing path -> empty state. Any OTHER
+        read failure re-raises: treating a transient/corrupt read as 'no
+        state yet' would silently drop every cross-batch candidate."""
         cols = [c.strip().split()[0] for c in schema.split(",")]
         try:
-            # select() drops the inferred `batch=` partition column the
-            # idempotent per-batch writes introduce
-            return spark.read.parquet(path).select(*cols)
+            return (
+                spark.read.parquet(path)
+                .where(F.col("batch") < F.lit(batch_id))
+                .select(*cols)
+            )
         except Exception as e:
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
@@ -459,14 +521,38 @@ def incremental_corpus_dedup(
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        bounds = batch.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return  # empty micro-batch: nothing to probe, no state to write
+        wm_old = _read_state(spark, wm_dir, "max_doc_id BIGINT", batch_id)
+        prev_max = wm_old.agg(F.max("max_doc_id")).first()[0]
+        if prev_max is not None and bounds["lo"] <= prev_max:
+            raise ValueError(
+                "incremental_corpus_dedup ingest-order contract violated: "
+                f"batch {batch_id} contains doc_id {bounds['lo']} <= "
+                f"previously ingested max {prev_max}; 'earlier doc == "
+                "smaller id' no longer holds, (old>new) pairs would be "
+                "silently dropped"
+            )
         sh_new = shingles(batch).localCheckpoint(eager=True)
+        sizes_new = sh_new.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
         # keys_new feeds both sides of the probe join and the state
         # append; persist so the k-digest signature runs once per batch
         keys_new = band_keys(minhash_signature(sh_new, k=k), k, bands).persist()
-        idx_old = _read_or_empty(
-            spark, index_dir, "doc_id BIGINT, band_idx INT, band_key STRING"
+        idx_old = _read_state(
+            spark, index_dir, "doc_id BIGINT, band_idx INT, band_key STRING",
+            batch_id,
         )
-        sh_old = _read_or_empty(spark, shingle_dir, "doc_id BIGINT, shingle STRING")
+        sh_old = _read_state(
+            spark, shingle_dir, "doc_id BIGINT, shingle STRING", batch_id
+        )
+        sizes_old = _read_state(
+            spark, sizes_dir, "doc_id BIGINT, n_sh BIGINT", batch_id
+        )
 
         probe = keys_new.select(
             F.col("doc_id").alias("db"), "band_idx", "band_key"
@@ -480,9 +566,22 @@ def incremental_corpus_dedup(
             .where(F.col("da") < F.col("db"))
             .select("da", "db")
             .distinct()
+            .persist()
         )
-        corpus = sh_old.unionByName(sh_new).persist()
-        sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # Exact-verify touches ONLY colliding docs: semi-join the corpus
+        # to the candidate id set before the intersection joins, so the
+        # shuffle is O(candidate shingles) not O(corpus shingles).
+        cand_ids = (
+            cand.select(F.col("da").alias("doc_id"))
+            .unionByName(cand.select(F.col("db").alias("doc_id")))
+            .distinct()
+        )
+        corpus = (
+            sh_old.unionByName(sh_new)
+            .join(cand_ids, "doc_id", "left_semi")
+            .persist()
+        )
+        sizes = sizes_old.unionByName(sizes_new)
         inter = (
             corpus.select(F.col("doc_id").alias("da"), "shingle")
             .join(cand, "da")
@@ -512,21 +611,23 @@ def incremental_corpus_dedup(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        # IDEMPOTENT per-batch writes: every output lands in its own
-        # batch=<id> subdirectory with mode=overwrite, so an at-least-once
-        # replay of a micro-batch (crash between these writes and the
-        # streaming commit log) rewrites the same directories instead of
-        # appending duplicates — duplicated state rows would silently
-        # corrupt every later batch's shingle counts and Jaccard math.
-        # The merge stays O(batch): only this batch's subdirectory is
-        # written, never the accumulated state.
+
         def _bdir(base: str) -> str:
             return os.path.join(base, f"batch={batch_id}")
 
         jac.write.mode("overwrite").parquet(_bdir(out_dir))
-        keys_new.coalesce(4).write.mode("overwrite").parquet(_bdir(index_dir))
-        sh_new.coalesce(4).write.mode("overwrite").parquet(_bdir(shingle_dir))
+        keys_new.coalesce(state_writers).write.mode("overwrite").parquet(
+            _bdir(index_dir)
+        )
+        sh_new.coalesce(state_writers).write.mode("overwrite").parquet(
+            _bdir(shingle_dir)
+        )
+        sizes_new.coalesce(1).write.mode("overwrite").parquet(_bdir(sizes_dir))
+        spark.createDataFrame(
+            [(int(bounds["hi"]),)], "max_doc_id BIGINT"
+        ).coalesce(1).write.mode("overwrite").parquet(_bdir(wm_dir))
         keys_new.unpersist()
+        cand.unpersist()
         corpus.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(_batch).trigger(

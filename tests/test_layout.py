@@ -137,3 +137,35 @@ def test_partition_values_roundtrip_special_chars(spark, tmp_path):
         (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
     )
     assert back == sorted(rows)
+
+
+def test_compaction_multilevel_stage_and_swap(spark, tmp_path):
+    """Round-6 durability rework: compaction writes to a sibling temp dir
+    and swaps per partition directory (never read-and-overwrite in
+    place). With TWO partition levels the swap happens at the leaf
+    (day=) level; contents are preserved exactly, no staging residue
+    (_compact_new_/_compact_old_/.compact_tmp) survives, and file counts
+    collapse to 1 per leaf."""
+    events = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_2level")
+    write_partitioned(events, path, ["event_type", "day"], files_per_partition=4)
+    leaves = glob.glob(os.path.join(path, "event_type=*", "day=*"))
+    assert leaves and any(
+        len(glob.glob(os.path.join(d, "*.parquet"))) > 1 for d in leaves
+    )
+    want = sorted(
+        (r["event_id"], str(r["day"]))
+        for r in spark.read.parquet(path).select("event_id", "day").collect()
+    )
+    compact_partitions(spark, path, ["event_type", "day"], files_per_partition=1)
+    for d in glob.glob(os.path.join(path, "event_type=*", "day=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    got = sorted(
+        (r["event_id"], str(r["day"]))
+        for r in spark.read.parquet(path).select("event_id", "day").collect()
+    )
+    assert got == want
+    assert not glob.glob(os.path.join(path, "**", "_compact_*"), recursive=True)
+    assert not os.path.exists(path.rstrip("/") + ".compact_tmp")

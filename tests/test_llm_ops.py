@@ -371,26 +371,23 @@ def test_pii_redaction_scrubs_everything(spark):
     from e02_spark.ops import quality
     from e02_spark.queries.curation_q import q100_pii_redaction
 
+    from e02_spark.queries.curation_q import planted_contact
+
     rows = q100_pii_redaction(spark, SF).collect()
     assert rows
     for r in rows:
-        # the synthesized contact tail guarantees one of each per doc
-        assert r["n_email"] == r["n_docs"]
-        assert r["n_phone"] == r["n_docs"]
-        assert r["n_ipv4"] == r["n_docs"]
+        # the synthesized contact tail guarantees AT LEAST one of each
+        # per doc (>= because the widened phone pattern may also match
+        # organic digit runs in the document text — both engines agree)
+        assert r["n_email"] >= r["n_docs"]
+        assert r["n_phone"] >= r["n_docs"]
+        assert r["n_ipv4"] >= r["n_docs"]
+        assert r["n_ipv6"] >= r["n_docs"]
 
-    # scrub invariant on the actual redacted strings
+    # scrub invariant on the actual redacted strings (same planted tail
+    # as the query — shared helper, can't drift)
     docs = load_table(spark, SF, "documents")
-    raw = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com phone 555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        F.lit(" ip 10."),
-        (F.col("doc_id") % 250).cast("string"),
-        F.lit(".0.1"),
-    )
+    raw = F.concat(F.col("text"), planted_contact())
     red = docs.select(quality.redact_pii(raw).alias("red"))
     leftover = red.select(
         *[
@@ -399,6 +396,71 @@ def test_pii_redaction_scrubs_everything(spark):
         ]
     ).collect()[0]
     assert all(v == 0 for v in leftover.asDict().values()), leftover
+
+
+def test_pii_planted_fixtures_and_dialect_parity(spark):
+    """Round-6 widened PII patterns against hand-planted fixtures: every
+    positive form hits exactly once, every near-miss negative hits zero
+    times, and DuckDB's RE2 agrees with Spark's Java regex match-for-match
+    on every fixture (the dialect-parity contract the q100 oracle relies
+    on)."""
+    import duckdb
+
+    from e02_spark.ops import quality
+
+    fixtures = [
+        # (text, expected {pattern: n_matches})
+        ("call 555-0123 now", {"phone": 1}),
+        ("call 555-123-4567 now", {"phone": 1}),
+        ("call (555) 123-4567 now", {"phone": 1}),
+        ("call +1-555-123-4567 now", {"phone": 1}),
+        ("call +1 (555) 123-4567 now", {"phone": 1}),
+        ("call 5551234567 now", {"phone": 1}),
+        ("call 555.123.4567 now", {"phone": 1}),
+        ("mail a.b+c@ex-1.example.org ok", {"email": 1}),
+        ("host 192.168.0.1 up", {"ipv4": 1}),
+        ("v6 2001:db8:85a3:0:0:8a2e:370:7334 up", {"ipv6": 1}),
+        # negatives: clock, semver, 11-digit run, compressed ipv6 (out of
+        # dialect scope by design), short digit runs
+        ("at 12:30:45 on 2024-01-02", {}),
+        ("version 1.2.3 released", {}),
+        ("id 12345678901 long", {}),
+        ("v6 2001:db8::7334 compressed", {}),
+        ("just 555-12 and 12-3456", {}),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in fixtures], "t STRING")
+    counts = {
+        name: [r[0] for r in
+               df.select(F.regexp_count("t", F.lit(pat))).collect()]
+        for name, (pat, _tok) in quality.PII_PATTERNS.items()
+    }
+    con = duckdb.connect()
+    for name, (pat, _tok) in quality.PII_PATTERNS.items():
+        for i, (txt, want) in enumerate(fixtures):
+            got_spark = counts[name][i]
+            assert got_spark == want.get(name, 0), (name, txt, got_spark)
+            (got_duck,) = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [txt, pat]
+            ).fetchone()
+            assert got_duck == got_spark, (name, txt, got_duck, got_spark)
+    # redaction leaves no residue on a line carrying every form at once
+    loaded = " ".join(t for t, w in fixtures if w)
+    (red,) = (
+        spark.createDataFrame([(loaded,)], "t STRING")
+        .select(quality.redact_pii(F.col("t")).alias("r"))
+        .collect()[0]
+    )
+    leftover2 = (
+        spark.createDataFrame([(red,)], "t STRING")
+        .select(
+            *[
+                F.regexp_count("t", F.lit(pat)).alias(name)
+                for name, (pat, _tok) in quality.PII_PATTERNS.items()
+            ]
+        )
+        .collect()[0]
+    )
+    assert all(v == 0 for v in leftover2.asDict().values()), (red, leftover2)
 
 
 def test_ivf_recall_floor_and_exhaustive_limit(spark):

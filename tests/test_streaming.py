@@ -676,3 +676,97 @@ def test_incremental_dedup_resumes_from_checkpoint(spark, tmp_path):
     )
     assert got == want
     assert n_after_first < len(got)  # batch 1 genuinely added verdicts
+
+
+def test_partitioned_layout_sink_straddling_partition_keeps_all_rows(
+    spark, tmp_path
+):
+    """Round-6 fix: a (event_type, day) partition whose rows arrive across
+    SEVERAL micro-batches (feed of 8 files, maxFilesPerTrigger=4) must
+    keep every row — the earlier per-batch dynamic overwrite silently
+    replaced batch-1's rows with batch-2's. The sink now appends
+    batch-named files, so all rows survive; a replay on a fresh
+    checkpoint still leaves the table row-identical (same batch ids →
+    same file names replaced)."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.streaming.jobs import partitioned_layout_sink, read_events_stream
+
+    events = load_table(spark, SF, "events")
+    feed = tmp_path / "straddle_feed"
+    feed.mkdir()
+    # round-robin rows into 8 files: every partition straddles batches
+    for i in range(8):
+        part = events.where(F.pmod(F.hash("event_id"), F.lit(8)) == i)
+        stage = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(stage)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    table = str(tmp_path / "straddle_table")
+
+    def run():
+        q = partitioned_layout_sink(
+            read_events_stream(spark, str(feed)), table
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    want = sorted(
+        (r["event_id"], str(r["ts"])) for r in events.collect()
+    )
+    got1 = sorted(
+        (r["event_id"], str(r["ts"]))
+        for r in spark.read.parquet(table).collect()
+    )
+    assert got1 == want  # no rows lost across the batch boundary
+
+    run()  # fresh checkpoint, same feed: replay replaces, never appends
+    got2 = sorted(
+        (r["event_id"], str(r["ts"]))
+        for r in spark.read.parquet(table).collect()
+    )
+    assert got2 == want
+
+
+def test_incremental_dedup_rejects_out_of_order_ingest(spark, tmp_path):
+    """The 'earlier doc == smaller id' contract is ENFORCED: a batch
+    whose min doc_id is <= the persisted watermark fails loudly instead
+    of silently never pairing the late-arriving small id with earlier
+    larger ids."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.streaming.jobs import incremental_corpus_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = tmp_path / "ooo_feed"
+    feed.mkdir()
+    # deliver the HIGH half first, then the LOW half — out of order
+    for i, part in enumerate(
+        (docs.where(F.col("doc_id") > median), docs.where(F.col("doc_id") <= median))
+    ):
+        stage = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(stage)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    state = str(tmp_path / "ooo_state")
+    q = incremental_corpus_dedup(stream, state)
+    with pytest.raises(Exception, match="ingest-order contract violated"):
+        q.awaitTermination(300)
+    # batch 0 committed its state (incl. the new doc_sizes + watermark
+    # tables) before batch 1 failed
+    for sub in ("band_index", "shingles", "doc_sizes", "watermark", "verdicts"):
+        assert _os.path.isdir(_os.path.join(state, sub, "batch=0")), sub
