@@ -313,17 +313,22 @@ def _assign_centroids(qd: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def ivf_topk(
-    embeddings: DataFrame, query_vec_id: int, n_centroids: int = 8, k: int = 5
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_centroids: int = 8,
+    k: int = 5,
+    train: str = "first_n",
 ) -> DataFrame:
-    """IVF-style approximate top-k: deterministic 'trained' centroids (the
-    first n_centroids stored vectors), nearest-centroid assignment, probe
-    only the query's cell. At scale: centroids broadcast, assignment is a
-    map-side argmax, and the probe reads one partition of a
-    centroid-partitioned table instead of the full corpus."""
+    """IVF-style approximate top-k: deterministic 'trained' centroids
+    (train='first_n': the first n_centroids stored vectors — the
+    oracle-checked convention; train='kmeans': sampled spherical k-means,
+    the production path — see train_centroids_kmeans), nearest-centroid
+    assignment, probe only the query's cell. At scale: centroids
+    broadcast, assignment is a map-side argmax, and the probe reads one
+    partition of a centroid-partitioned table instead of the full
+    corpus."""
     qd = with_quantized(embeddings)
-    centroids = qd.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
-    )
+    centroids = _centroids_for(qd, embeddings, n_centroids, train)
     assigned = _assign_centroids(qd, centroids)
     qrow = assigned.where(F.col("vec_id") == query_vec_id).select(
         F.col("cid").alias("qcid"), F.col("q").alias("qq"), F.col("n2").alias("qn2")
@@ -342,6 +347,86 @@ def ivf_topk(
         )
     )
     return probe.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled spherical k-means centroid training — the
+    production alternative to the first-n convention ivf_topk /
+    semantic_dedup default to for the oracle path.
+
+    RNG-free determinism: the training sample is the `sample_cap` lowest
+    values of xxhash64(vec_id) (a fixed hash order, independent of
+    partitioning and run count), initial centroids are the sample's
+    n_centroids lowest vec_ids, and Lloyd runs a FIXED `iters`
+    iterations of cosine-argmax assignment (ties to the lowest centroid,
+    matching _assign_centroids) + mean update, with empty clusters
+    keeping their previous centroid. Same inputs → same centroids, every
+    run.
+
+    The Lloyd loop runs driver-side in float64 over the SAMPLE ONLY —
+    bounded at sample_cap × dim doubles (4096 × 64 ≈ 2 MB), never the
+    corpus; this is the faiss/production shape (train on an in-memory
+    sample, assign the full corpus distributed). The corpus-sized
+    assignment stays the broadcast map-side argmax in the callers.
+
+    Returns (cid, cq, cn2) — the centroid shape _assign_centroids
+    consumes, quantized through the same floor path as stored vectors.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy(F.xxhash64(F.col("vec_id").cast("bigint")), F.col("vec_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in sample])
+    C = X[np.argsort(ids, kind="stable")[:n_centroids]].copy()
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.maximum(norms, 1e-12)
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        # np.argmax returns the FIRST max — lowest cid on ties, the same
+        # tie rule as _assign_centroids' (c_cos, -cid) struct ordering
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(C.shape[0]):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(j), [float(v) for v in C[j]]) for j in range(C.shape[0])],
+        "cid BIGINT, cvec ARRAY<DOUBLE>",
+    )
+    return (
+        cdf.select("cid", quantize("cvec").alias("cq"))
+        .withColumn("cn2", _dot_q("cq", "cq"))
+    )
+
+
+def _centroids_for(
+    qd: DataFrame, embeddings: DataFrame, n_centroids: int, train: str
+) -> DataFrame:
+    """Centroid source switch shared by ivf_topk / semantic_dedup:
+    'first_n' (deterministic oracle convention — the first n stored
+    vectors) or 'kmeans' (sampled spherical k-means, see
+    train_centroids_kmeans)."""
+    if train == "kmeans":
+        return train_centroids_kmeans(embeddings, n_centroids)
+    if train == "first_n":
+        return qd.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("n2").alias("cn2"),
+        )
+    raise ValueError(f"train must be 'first_n' or 'kmeans', got {train!r}")
 
 
 def _sign_bucket_q(vec: str, offset: int, bits: int) -> Column:
@@ -373,6 +458,7 @@ def semantic_dedup(
     lsh_cluster_threshold: int = 4096,
     lsh_bands: int = 4,
     lsh_band_bits: int = 8,
+    train: str = "first_n",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication"):
@@ -405,11 +491,14 @@ def semantic_dedup(
     duplicates always share every band (identical signs), so plant-copy
     recall is 1.0, while generic near-dup recall trades against the band
     shape — the standard LSH contract. Clusters at or below the threshold
-    keep the exact all-pairs semantics (the oracle-checked path)."""
+    keep the exact all-pairs semantics (the oracle-checked path).
+
+    train='kmeans' swaps the first-n centroids for sampled spherical
+    k-means (train_centroids_kmeans) — better-balanced clusters on real
+    corpora; the dedup verdicts stay exact either way (clustering only
+    bounds which pairs are COMPARED; the keep rule is exact cosine)."""
     qd = with_quantized(embeddings)
-    centroids = qd.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("n2").alias("cn2")
-    )
+    centroids = _centroids_for(qd, embeddings, n_centroids, train)
     assigned = _assign_centroids(qd, centroids)
     # cluster-size census: n_centroids rows — broadcast back onto vectors
     sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("csize"))

@@ -485,3 +485,40 @@ def test_ivf_recall_floor_and_exhaustive_limit(spark):
 
     assert recall(8) >= 0.4
     assert recall(1) == 1.0
+
+
+def test_kmeans_centroids_deterministic_and_recall_not_worse(spark):
+    """Round-6 verdict task: sampled spherical k-means centroid training
+    (train='kmeans') behind a flag. Contracts: (a) training is RNG-free —
+    two runs produce identical quantized centroids; (b) on the sf0.1
+    embeddings, single-probe recall@10 with trained centroids is >= the
+    first-n convention's recall (improves-or-ties); (c) the oracle path
+    (train='first_n') is untouched — ivf_topk defaults to it."""
+    from e02_spark.ops.similarity import train_centroids_kmeans
+
+    e = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+
+    def centroid_set():
+        return sorted(
+            (r["cid"], tuple(r["cq"]), r["cn2"])
+            for r in train_centroids_kmeans(e, 8).collect()
+        )
+
+    assert centroid_set() == centroid_set()
+
+    queries = (0, 7, 13, 42, 99)
+
+    def recall(train):
+        recs = []
+        for q in queries:
+            bf = {r["vec_id"] for r in topk_bruteforce(e, q, k=10).collect()}
+            iv = {
+                r["vec_id"]
+                for r in ivf_topk(
+                    e, q, n_centroids=8, k=10, train=train
+                ).collect()
+            }
+            recs.append(len(bf & iv) / len(bf))
+        return sum(recs) / len(recs)
+
+    assert recall("kmeans") >= recall("first_n")
