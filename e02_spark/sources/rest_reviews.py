@@ -49,23 +49,77 @@ def _response_pages() -> dict[int, str]:
 
 
 class _PrPage(InputPartition):
-    def __init__(self, pr: int, body: str):
+    def __init__(
+        self,
+        pr: int,
+        body: str,
+        per_page: int = 0,
+        fail_rate_limited: int = 0,
+        fail_server: int = 0,
+    ):
         self.pr = pr
         self.body = body
+        self.per_page = per_page  # 0 = everything in one page
+        # failure injection (tests): each page's first N fetch attempts
+        # raise RateLimited, the next M raise TransientServerError
+        self.fail_rate_limited = fail_rate_limited
+        self.fail_server = fail_server
 
 
 class RestReviewsReader(DataSourceReader):
+    """Executor-side fetch runs through the SAME retry/pagination
+    discipline a live deployment needs (sources/http_client.py):
+    fetch_with_backoff around each page request (403/429 Retry-After
+    honored, 5xx exponential, budget exhaustion raises) and paginate()
+    following the has-next chain to exhaustion. Offline, the transport
+    serves slices of the canned body; the `simulate_*` options make it
+    fail first so the retry path is executed for real inside Spark
+    workers (pinned in tests/test_custom_source.py)."""
+
+    def __init__(self, options=None):
+        self.options = dict(options or {})
+
     def partitions(self):
-        return [_PrPage(pr, body) for pr, body in sorted(_response_pages().items())]
+        per_page = int(self.options.get("per_page", 0))
+        frl = int(self.options.get("simulate_rate_limited_attempts", 0))
+        fsv = int(self.options.get("simulate_server_error_attempts", 0))
+        return [
+            _PrPage(pr, body, per_page, frl, fsv)
+            for pr, body in sorted(_response_pages().items())
+        ]
 
     def read(self, partition: _PrPage):
-        for rec in json.loads(partition.body):
-            yield (
-                partition.pr,
-                rec["user"]["login"],
-                rec["state"],
-                datetime.fromisoformat(rec["submitted_at"]),
-            )
+        from e02_spark.sources.http_client import (
+            RateLimited,
+            TransientServerError,
+            fetch_with_backoff,
+            paginate,
+        )
+
+        records = json.loads(partition.body)
+        per_page = partition.per_page or max(len(records), 1)
+
+        def fetch_page(page: int):
+            lo = (page - 1) * per_page
+
+            def fetch(attempt: int):
+                if attempt < partition.fail_rate_limited:
+                    raise RateLimited(retry_after=0.0, status=403)
+                if attempt < partition.fail_rate_limited + partition.fail_server:
+                    raise TransientServerError(status=503)
+                return records[lo : lo + per_page]
+
+            chunk = fetch_with_backoff(fetch, base_delay=0.0)
+            return chunk, lo + per_page < len(records)
+
+        for chunk in paginate(fetch_page):
+            for rec in chunk:
+                yield (
+                    partition.pr,
+                    rec["user"]["login"],
+                    rec["state"],
+                    datetime.fromisoformat(rec["submitted_at"]),
+                )
 
 
 class RestReviewsDataSource(DataSource):
@@ -77,7 +131,7 @@ class RestReviewsDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema):
-        return RestReviewsReader()
+        return RestReviewsReader(getattr(self, "options", None))
 
 
 def register(spark) -> None:

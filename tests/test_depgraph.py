@@ -260,6 +260,81 @@ def test_rest_reviews_connector(spark):
     assert got == sorted(fixtures.REVIEWS)
 
 
+def test_http_client_backoff_and_pagination_unit():
+    """Fetch discipline (round-6 verdict task #5): Retry-After honored,
+    5xx exponential, budget exhaustion raises the last error, pagination
+    follows has-next to exhaustion and a runaway Link chain trips the
+    max_pages guard."""
+    import pytest as _pytest
+
+    from e02_spark.sources.http_client import (
+        RateLimited,
+        TransientServerError,
+        fetch_with_backoff,
+        paginate,
+    )
+
+    sleeps: list[float] = []
+    calls: list[int] = []
+
+    def flaky(attempt: int):
+        calls.append(attempt)
+        if attempt == 0:
+            raise RateLimited(retry_after=7.5, status=403)
+        if attempt == 1:
+            raise TransientServerError(status=502)
+        return "body"
+
+    out = fetch_with_backoff(flaky, base_delay=1.0, sleep=sleeps.append)
+    assert out == "body" and calls == [0, 1, 2]
+    # first sleep is the server's Retry-After hint, second the
+    # exponential delay (base doubled once after attempt 0)
+    assert sleeps == [7.5, 2.0]
+
+    def always_limited(attempt: int):
+        raise RateLimited(retry_after=0.0)
+
+    with _pytest.raises(RateLimited):
+        fetch_with_backoff(always_limited, max_retries=3, sleep=lambda s: None)
+
+    pages = {1: ("a", True), 2: ("b", True), 3: ("c", False)}
+    assert list(paginate(lambda p: pages[p])) == ["a", "b", "c"]
+    with _pytest.raises(RuntimeError, match="runaway"):
+        list(paginate(lambda p: ("x", True), max_pages=5))
+
+
+def test_rest_reviews_retry_and_pagination_options(spark):
+    """The reviews connector's executor-side read survives injected
+    403-then-5xx-then-success sequences per page and multi-page
+    pagination, returning EXACTLY the baseline rows; an injected failure
+    budget beyond max_retries raises instead of yielding a silent empty
+    page."""
+    import pytest
+
+    from e02_spark import fixtures
+    from e02_spark.sources.http_client import RateLimited
+    from e02_spark.sources.rest_reviews import RestReviewsReader, register
+
+    register(spark)
+    want = sorted(fixtures.REVIEWS)
+    df = (
+        spark.read.format("rest_reviews")
+        .option("per_page", 1)
+        .option("simulate_rate_limited_attempts", 2)
+        .option("simulate_server_error_attempts", 1)
+        .load()
+    )
+    got = sorted((r["pr"], r["user"], r["state"], r["ts"]) for r in df.collect())
+    assert got == want
+
+    # exhaustion path at the reader level (keeps Spark's own task retry
+    # out of the picture): 9 failures > default 5-retry budget
+    reader = RestReviewsReader({"simulate_rate_limited_attempts": "9"})
+    (part, *_) = reader.partitions()
+    with pytest.raises(RateLimited):
+        list(reader.read(part))
+
+
 def test_rest_members_connector(spark):
     """The team-membership custom source (A8's third feed,
     pr-review-flow.yml:197-199): one partition per team roster page, the
