@@ -72,6 +72,9 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q07", "q07_outer_join_nulls",
          [("c_custkey", "n"), ("c_mktsegment", "s"), ("n_orders", "n"), ("total_spent", "n")]),
         ("q50", "q50_full_outer", [("side", "s"), ("n", "n")]),
+        # round 6: fuzz-promoted FULL OUTER null/dangling-key shape
+        ("q103", "q103_fuzz_full_outer_nullkeys",
+         [("ok", "n"), ("lk", "n"), ("price_c", "n"), ("qty", "n")]),
     ],
     # D6 semi/anti EXISTS + D19 set ops
     "q08_set_semantics": [

@@ -411,6 +411,64 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q103 — fuzz-promoted FULL OUTER with planted NULL keys + mostly-dangling
+# keys on BOTH sides: the deterministic twin of the differential-fuzzing
+# shape (tests/test_differential.py, the harness whose first run surfaced
+# Spark's empty-input ROLLUP divergence). Sparse co-divisibility (37 vs
+# 41) makes almost every row unmatched, planted NULLs exercise the
+# NULL-keys-never-match rule, and the row-level output (keys -1-coalesced,
+# measures exact integer cents/units) is hash-checked by the driver every
+# round instead of only when the hypothesis suite runs.
+# Scale: a full outer join shuffles both sides on the key — unavoidable
+# and fine; both inputs are pre-filtered at the scan (predicate pushdown).
+# --------------------------------------------------------------------------
+def q103_fuzz_full_outer_nullkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 37 == 0)
+        .select(
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.col("o_orderkey"))
+            .alias("ok"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("price_c"),
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 41 == 0)
+        .select(
+            F.when(F.col("l_linenumber") == 3, F.lit(None).cast("bigint"))
+            .otherwise(F.col("l_orderkey"))
+            .alias("lk"),
+            F.col("l_quantity").cast("decimal(18,2)").cast("bigint").alias("qty"),
+        )
+    )
+    j = o.join(li, o.ok == li.lk, "full_outer")
+    return j.select(
+        F.coalesce(F.col("ok"), F.lit(-1)).alias("ok"),
+        F.coalesce(F.col("lk"), F.lit(-1)).alias("lk"),
+        F.coalesce(F.col("price_c"), F.lit(-1)).alias("price_c"),
+        F.coalesce(F.col("qty"), F.lit(-1)).alias("qty"),
+    )
+
+
+_Q103_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey END AS ok,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 37 = 0
+), li AS (
+  SELECT CASE WHEN l_linenumber = 3 THEN NULL ELSE l_orderkey END AS lk,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey % 41 = 0
+)
+SELECT COALESCE(o.ok, -1) AS ok, COALESCE(li.lk, -1) AS lk,
+       COALESCE(o.price_c, -1) AS price_c, COALESCE(li.qty, -1) AS qty
+FROM o FULL OUTER JOIN li ON o.ok = li.lk
+"""
+
+
+# --------------------------------------------------------------------------
 # q51 — HAVING (D13) + lead/first_value window analytics (D15): monthly
 # revenue kept only above a threshold, with next-month lookahead and the
 # year's first month value.
@@ -576,6 +634,7 @@ QUERIES = {
     "q48_json_map_funcs": q48_json_map_funcs,
     "q49_tfidf_top_terms": q49_tfidf_top_terms,
     "q50_full_outer": q50_full_outer,
+    "q103_fuzz_full_outer_nullkeys": q103_fuzz_full_outer_nullkeys,
 }
 
 ORACLE = {
@@ -593,4 +652,5 @@ ORACLE = {
     "q48_json_map_funcs": _Q48_SQL,
     "q49_tfidf_top_terms": _Q49_SQL,
     "q50_full_outer": _Q50_SQL,
+    "q103_fuzz_full_outer_nullkeys": _Q103_SQL,
 }
