@@ -22,10 +22,73 @@ Design rules encoded here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+
+def bucketize(col: Column | str, lo: float, hi: float, bits: int = 8) -> Column:
+    """Map a numeric column onto the integer grid [0, 2^bits) for Z-order
+    interleaving: linear scaling over the caller-supplied [lo, hi] domain
+    (domain knowledge or a cheap stats pass), clamped at both ends, NULLs
+    to bucket 0. Pure codegen arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = 1 << bits
+    scaled = F.floor(
+        (c.cast("double") - F.lit(float(lo)))
+        / F.lit((float(hi) - float(lo)) or 1.0)
+        * F.lit(n)
+    ).cast("bigint")
+    return F.coalesce(
+        F.least(F.lit(n - 1), F.greatest(F.lit(0), scaled)), F.lit(0)
+    )
+
+
+def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
+    """Morton/Z-order key: bit-interleave `bits`-wide non-negative
+    integer bucket columns (see bucketize) into one BIGINT sort key.
+    Sorting by it gives every interleaved dimension locality — the
+    multi-dimension generalization of the single-column cluster_by:
+    a file/row-group covering a contiguous Z range covers a small
+    aligned hyper-rectangle of the bucket grid, so min/max stats prune
+    scans on ANY clustered dimension, not just the first sort column.
+
+    getbit + shiftleft terms (bits × ncols of them) stay inside
+    whole-stage codegen — no UDF. len(cols) * bits must fit a BIGINT
+    (<= 62)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if len(cs) * bits > 62:
+        raise ValueError(f"{len(cs)} cols x {bits} bits overflows BIGINT")
+    terms = [
+        F.shiftleft(F.getbit(c, F.lit(i)), i * len(cs) + j)
+        for i in range(bits)
+        for j, c in enumerate(cs)
+    ]
+    return reduce(lambda a, b: a + b, terms).cast("bigint")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zkey: Column,
+    n_files: int,
+    sort_extra: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as `n_files` parquet files each covering a contiguous
+    Z-order range: repartitionByRange on the key assigns each writer
+    task one range (ONE range shuffle — same cost class as any global
+    sort layout), sortWithinPartitions orders rows inside the file so
+    row-group stats carve the range further. At 100 TB this is the
+    OPTIMIZE ZORDER BY job table formats run after ingest; n_files sizes
+    output to ~128 MB-1 GB each."""
+    out = df.repartitionByRange(n_files, zkey).sortWithinPartitions(
+        zkey, *(sort_extra or [])
+    )
+    out.write.mode(mode).parquet(path)
 
 
 def write_partitioned(

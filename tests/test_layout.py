@@ -169,3 +169,64 @@ def test_compaction_multilevel_stage_and_swap(spark, tmp_path):
     assert got == want
     assert not glob.glob(os.path.join(path, "**", "_compact_*"), recursive=True)
     assert not os.path.exists(path.rstrip("/") + ".compact_tmp")
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Round-6 Z-order clustering: bit-interleaved (ts, value) sort key +
+    range-partitioned write. Contract: file-level min/max stats prune a
+    point probe on the SECOND dimension strictly better than a ts-only
+    range layout does, while first-dimension pruning stays strong (the
+    Z-curve trades a little per-dimension locality for locality in all
+    dimensions — exactly the multi-dim skipping a 100 TB scan needs)."""
+    import pyarrow.parquet as pq
+
+    from e02_spark.ops.layout import bucketize, zorder_key, zorder_write
+
+    e = load_table(spark, SF, "events").select(
+        "event_id",
+        F.unix_seconds("ts").alias("tsec"),
+        F.col("value").cast("double").alias("value"),
+    )
+    tlo, thi, vlo, vhi = e.agg(
+        F.min("tsec"), F.max("tsec"), F.min("value"), F.max("value")
+    ).first()
+    zp, tp = str(tmp_path / "zorder"), str(tmp_path / "ts_only")
+    zk = zorder_key(
+        [bucketize("tsec", tlo, thi, 8), bucketize("value", vlo, vhi, 8)], 8
+    )
+    zorder_write(e, zp, zk, 16)
+    e.repartitionByRange(16, F.col("tsec")).sortWithinPartitions(
+        "tsec"
+    ).write.parquet(tp)
+
+    def n_skipped(path, col, probe):
+        skipped, total = 0, 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ].index(col)
+            stats = [
+                md.row_group(g).column(idx).statistics
+                for g in range(md.num_row_groups)
+            ]
+            total += 1
+            if probe < min(s.min for s in stats) or probe > max(
+                s.max for s in stats
+            ):
+                skipped += 1
+        assert total >= 8  # enough files for the comparison to mean anything
+        return skipped
+
+    vprobe = (vlo + vhi) / 2
+    tprobe = (tlo + thi) // 2
+    z_v, t_v = n_skipped(zp, "value", vprobe), n_skipped(tp, "value", vprobe)
+    z_t, t_t = n_skipped(zp, "tsec", tprobe), n_skipped(tp, "tsec", tprobe)
+    assert z_v > t_v, (z_v, t_v)        # second dim: z-order strictly better
+    assert z_v >= 8, z_v                # and absolutely strong (>= half)
+    assert z_t >= 8, (z_t, t_t)         # first dim locality retained
+
+    # contents round-trip exactly
+    got = sorted(r["event_id"] for r in spark.read.parquet(zp).collect())
+    want = sorted(r["event_id"] for r in e.collect())
+    assert got == want
