@@ -189,6 +189,9 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q56", "q56_moment_stats",
          [("l_returnflag", "s"), ("n", "n"), ("mean_qty", "n"),
           ("stddev_qty", "n"), ("stddev_price", "n"), ("corr_qty_price", "n")]),
+        # round 6: mergeable quantile sketch, rank-error property boolean
+        ("q104", "q104_approx_percentile",
+         [("o_orderstatus", "s"), ("n_rows", "n"), ("approx_median_ok", "s")]),
         ("q12", "q12_distinct_exact",
          [("l_returnflag", "s"), ("n_parts", "n"), ("n_supps", "n"), ("n_rows", "n")]),
     ],

@@ -452,6 +452,64 @@ def q103_fuzz_full_outer_nullkeys(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# q104 — approximate percentile SKETCH as a PROPERTY check (the D10-approx
+# twin of q32's HLL boolean): Spark's approx_percentile (Greenwald-Khanna
+# quantile summaries, mergeable — the distributed-sketch shape a 100 TB
+# percentile job actually runs) vs DuckDB's approx_quantile (t-digest).
+# The raw sketch outputs can never hash-match across engines, but the
+# defining property can: the approx median's RANK within its group sits
+# within ±2% of the true 0.5 — ~20x the sketches' worst-case rank error
+# (GK at accuracy 10000 guarantees ±0.01%; t-digest's median error is
+# ~0.1%), so the boolean cannot flip on a testdata regeneration. Groups
+# under 500 rows are vacuously true (q33's small-group rule).
+# Scale: one partial-aggregated sketch pass + a broadcast join of the
+# 3-row percentile table back for the rank count — two scans, no sort.
+# --------------------------------------------------------------------------
+def q104_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    ap = o.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("ap50")
+    )
+    return (
+        o.join(F.broadcast(ap), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("ap50"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            (
+                (F.col("n_rows") < 500)
+                | (
+                    F.abs(
+                        F.col("n_le").cast("double") / F.col("n_rows") - 0.5
+                    )
+                    <= 0.02
+                )
+            ).alias("approx_median_ok"),
+        )
+    )
+
+
+_Q104_SQL = """
+WITH ap AS (
+  SELECT o_orderstatus, approx_quantile(o_totalprice, 0.5) AS ap50
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus, COUNT(*) AS n_rows,
+  (COUNT(*) < 500 OR
+   ABS(CAST(SUM(CASE WHEN o.o_totalprice <= ap.ap50 THEN 1 ELSE 0 END) AS DOUBLE)
+       / COUNT(*) - 0.5) <= 0.02) AS approx_median_ok
+FROM orders o JOIN ap ON o.o_orderstatus = ap.o_orderstatus
+GROUP BY o.o_orderstatus
+"""
+
+
 _Q103_SQL = """
 WITH o AS (
   SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey END AS ok,
@@ -635,6 +693,7 @@ QUERIES = {
     "q49_tfidf_top_terms": q49_tfidf_top_terms,
     "q50_full_outer": q50_full_outer,
     "q103_fuzz_full_outer_nullkeys": q103_fuzz_full_outer_nullkeys,
+    "q104_approx_percentile": q104_approx_percentile,
 }
 
 ORACLE = {
@@ -653,4 +712,5 @@ ORACLE = {
     "q49_tfidf_top_terms": _Q49_SQL,
     "q50_full_outer": _Q50_SQL,
     "q103_fuzz_full_outer_nullkeys": _Q103_SQL,
+    "q104_approx_percentile": _Q104_SQL,
 }
