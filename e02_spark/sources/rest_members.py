@@ -45,17 +45,37 @@ def _response_pages() -> dict[str, str]:
 
 
 class _TeamPage(InputPartition):
-    def __init__(self, team: str, body: str):
+    def __init__(self, team: str, body: str, fail_rate_limited: int = 0):
         self.team = team
         self.body = body
+        self.fail_rate_limited = fail_rate_limited
 
 
 class RestMembersReader(DataSourceReader):
+    """Executor-side fetch goes through sources/http_client.
+    fetch_with_backoff (GitHub team endpoints share the same rate
+    limits); `simulate_rate_limited_attempts` injects failures for
+    tests."""
+
+    def __init__(self, options=None):
+        self.options = dict(options or {})
+
     def partitions(self):
-        return [_TeamPage(t, body) for t, body in sorted(_response_pages().items())]
+        frl = int(self.options.get("simulate_rate_limited_attempts", 0))
+        return [
+            _TeamPage(t, body, frl)
+            for t, body in sorted(_response_pages().items())
+        ]
 
     def read(self, partition: _TeamPage):
-        for rec in json.loads(partition.body):
+        from e02_spark.sources.http_client import RateLimited, fetch_with_backoff
+
+        def fetch(attempt: int):
+            if attempt < partition.fail_rate_limited:
+                raise RateLimited(retry_after=0.0, status=403)
+            return json.loads(partition.body)
+
+        for rec in fetch_with_backoff(fetch, base_delay=0.0):
             yield (partition.team, rec["login"], rec["state"] == "active")
 
 
@@ -68,7 +88,7 @@ class RestMembersDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema):
-        return RestMembersReader()
+        return RestMembersReader(getattr(self, "options", None))
 
 
 def register(spark) -> None:

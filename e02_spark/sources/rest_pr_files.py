@@ -43,21 +43,39 @@ def _response_pages() -> dict[int, str]:
 
 
 class _PrFilesPage(InputPartition):
-    def __init__(self, pr: int, page: int, body: str):
+    def __init__(self, pr: int, page: int, body: str, fail_rate_limited: int = 0):
         self.pr = pr
         self.page = page
         self.body = body
+        self.fail_rate_limited = fail_rate_limited
 
 
 class RestPrFilesReader(DataSourceReader):
+    """Executor-side fetch goes through sources/http_client.
+    fetch_with_backoff — the same 403/429-with-Retry-After discipline the
+    reviews connector models (the files endpoint shares GitHub's rate
+    limits); `simulate_rate_limited_attempts` injects failures for
+    tests."""
+
+    def __init__(self, options=None):
+        self.options = dict(options or {})
+
     def partitions(self):
+        frl = int(self.options.get("simulate_rate_limited_attempts", 0))
         return [
-            _PrFilesPage(pr, 1, body)
+            _PrFilesPage(pr, 1, body, frl)
             for pr, body in sorted(_response_pages().items())
         ]
 
     def read(self, partition: _PrFilesPage):
-        for rec in json.loads(partition.body):
+        from e02_spark.sources.http_client import RateLimited, fetch_with_backoff
+
+        def fetch(attempt: int):
+            if attempt < partition.fail_rate_limited:
+                raise RateLimited(retry_after=0.0, status=403)
+            return json.loads(partition.body)
+
+        for rec in fetch_with_backoff(fetch, base_delay=0.0):
             yield (partition.pr, rec["filename"], rec["status"])
 
 
@@ -70,7 +88,7 @@ class RestPrFilesDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema):
-        return RestPrFilesReader()
+        return RestPrFilesReader(getattr(self, "options", None))
 
 
 def register(spark) -> None:
