@@ -554,6 +554,12 @@ def incremental_corpus_dedup(
             spark, sizes_dir, "doc_id BIGINT, n_sh BIGINT", batch_id
         )
 
+        # BROADCAST the batch-sized probe against the corpus-sized state
+        # index: the big side is then scanned map-side with NO exchange —
+        # per-batch shuffle volume stays O(batch + collisions) even though
+        # the state read is O(corpus) IO. (A real deployment additionally
+        # turns the index scan into a point lookup via a key-value store
+        # or band_key-bucketed table; the dataflow is identical.)
         probe = keys_new.select(
             F.col("doc_id").alias("db"), "band_idx", "band_key"
         )
@@ -562,15 +568,16 @@ def incremental_corpus_dedup(
             .select(F.col("doc_id").alias("da"), "band_idx", "band_key")
         )
         cand = (
-            earlier.join(probe, ["band_idx", "band_key"])
+            earlier.join(F.broadcast(probe), ["band_idx", "band_key"])
             .where(F.col("da") < F.col("db"))
             .select("da", "db")
             .distinct()
             .persist()
         )
-        # Exact-verify touches ONLY colliding docs: semi-join the corpus
-        # to the candidate id set before the intersection joins, so the
-        # shuffle is O(candidate shingles) not O(corpus shingles).
+        # Exact-verify touches ONLY colliding docs: broadcast-semi-join
+        # the corpus to the candidate id set before the intersection
+        # joins — again a map-side filter over the big side, so the only
+        # shuffled shingles are the candidates'.
         cand_ids = (
             cand.select(F.col("da").alias("doc_id"))
             .unionByName(cand.select(F.col("db").alias("doc_id")))
@@ -578,13 +585,13 @@ def incremental_corpus_dedup(
         )
         corpus = (
             sh_old.unionByName(sh_new)
-            .join(cand_ids, "doc_id", "left_semi")
+            .join(F.broadcast(cand_ids), "doc_id", "left_semi")
             .persist()
         )
         sizes = sizes_old.unionByName(sizes_new)
         inter = (
             corpus.select(F.col("doc_id").alias("da"), "shingle")
-            .join(cand, "da")
+            .join(F.broadcast(cand), "da")
             .join(
                 corpus.select(F.col("doc_id").alias("db"), "shingle"),
                 ["db", "shingle"],
@@ -592,11 +599,15 @@ def incremental_corpus_dedup(
             .groupBy("da", "db")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
+        # inter is O(collisions) — broadcasting it (and the first join's
+        # equally small result) keeps both O(#docs) sizes scans
+        # exchange-free too
+        with_na = F.broadcast(inter).join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")),
+            "da",
+        )
         jac = (
-            inter.join(
-                sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")),
-                "da",
-            )
+            F.broadcast(with_na)
             .join(
                 sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")),
                 "db",
