@@ -435,6 +435,7 @@ def incremental_corpus_dedup(
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
     state_writers: int = 4,
+    broadcast_pair_limit: int = 1_000_000,
 ):
     """E27: incremental near-dup detection — dedup each micro-batch of
     documents against EVERYTHING ingested before it.
@@ -442,12 +443,11 @@ def incremental_corpus_dedup(
     This is the production shape of LSH dedup at 100 TB: the corpus
     arrives continuously, and re-running the all-pairs batch job per
     delivery is quadratic in deliveries. Instead the sink maintains three
-    state tables under state_dir (plus a tiny per-batch watermark):
+    state tables under state_dir:
       band_index/  (doc_id, band_idx, band_key) — the LSH probe index
       shingles/    (doc_id, shingle)            — the exact-verify corpus
       doc_sizes/   (doc_id, n_sh)               — |shingles(doc)|, written
                                                   ONCE when the doc arrives
-      watermark/   (max_doc_id)                 — ingest-order contract
     Per batch: shingle + sign the new docs (the SAME ops/text and
     ops/dedup.band_keys code the batch detector uses), probe new band
     keys against old ∪ new keys, SEMI-JOIN the shingle corpus down to the
@@ -464,10 +464,10 @@ def incremental_corpus_dedup(
     per-batch groupBy over the accumulated corpus. Nothing per-batch
     aggregates the whole corpus.
 
-    Ingest-order contract (ENFORCED, not just documented): each batch
-    writes its max doc_id to watermark/batch=<id>; a later batch whose
-    min doc_id is <= the running max raises ValueError instead of
-    silently missing (old_doc > new_doc) pairs.
+    Ingest-order contract (ENFORCED, not just documented): a batch whose
+    min doc_id is <= the max doc_id already present in the doc_sizes
+    state raises ValueError instead of silently missing
+    (old_doc > new_doc) pairs.
 
     Replay idempotence: every output lands in its own batch=<id>
     subdirectory with mode=overwrite, and state READS filter
@@ -496,7 +496,6 @@ def incremental_corpus_dedup(
     index_dir = os.path.join(state_dir, "band_index")
     shingle_dir = os.path.join(state_dir, "shingles")
     sizes_dir = os.path.join(state_dir, "doc_sizes")
-    wm_dir = os.path.join(state_dir, "watermark")
     out_dir = os.path.join(state_dir, "verdicts")
 
     def _read_state(spark, path: str, schema: str, batch_id: int) -> DataFrame:
@@ -521,25 +520,33 @@ def incremental_corpus_dedup(
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        bounds = batch.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).first()
-        if bounds["lo"] is None:
+        sizes_old = _read_state(
+            spark, sizes_dir, "doc_id BIGINT, n_sh BIGINT", batch_id
+        )
+        # Ingest-order watermark = max doc_id already in the doc_sizes
+        # state (no separate watermark table — one tiny agg over the
+        # per-doc state, not a per-batch single-row write, which profiled
+        # at ~4 s/batch of pure job overhead). Shingle-less docs are
+        # absent from doc_sizes, which only weakens detection for docs
+        # that cannot produce pairs anyway.
+        lo = batch.agg(F.min("doc_id")).first()[0]
+        if lo is None:
             return  # empty micro-batch: nothing to probe, no state to write
-        wm_old = _read_state(spark, wm_dir, "max_doc_id BIGINT", batch_id)
-        prev_max = wm_old.agg(F.max("max_doc_id")).first()[0]
-        if prev_max is not None and bounds["lo"] <= prev_max:
+        prev_max = sizes_old.agg(F.max("doc_id")).first()[0]
+        if prev_max is not None and lo <= prev_max:
             raise ValueError(
                 "incremental_corpus_dedup ingest-order contract violated: "
-                f"batch {batch_id} contains doc_id {bounds['lo']} <= "
-                f"previously ingested max {prev_max}; 'earlier doc == "
-                "smaller id' no longer holds, (old>new) pairs would be "
-                "silently dropped"
+                f"batch {batch_id} contains doc_id {lo} <= previously "
+                "ingested max "
+                f"{prev_max}; 'earlier doc == smaller id' no longer "
+                "holds, (old>new) pairs would be silently dropped"
             )
         sh_new = shingles(batch).localCheckpoint(eager=True)
+        # persisted: feeds both the Jaccard denominators and its own
+        # doc_sizes state write
         sizes_new = sh_new.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_sh")
-        )
+        ).persist()
         # keys_new feeds both sides of the probe join and the state
         # append; persist so the k-digest signature runs once per batch
         keys_new = band_keys(minhash_signature(sh_new, k=k), k, bands).persist()
@@ -549,9 +556,6 @@ def incremental_corpus_dedup(
         )
         sh_old = _read_state(
             spark, shingle_dir, "doc_id BIGINT, shingle STRING", batch_id
-        )
-        sizes_old = _read_state(
-            spark, sizes_dir, "doc_id BIGINT, n_sh BIGINT", batch_id
         )
 
         # BROADCAST the batch-sized probe against the corpus-sized state
@@ -574,9 +578,17 @@ def incremental_corpus_dedup(
             .distinct()
             .persist()
         )
-        # Exact-verify touches ONLY colliding docs: broadcast-semi-join
+        # The collision side is UNBOUNDED (a hot batch can collide with
+        # the whole corpus), so unlike the batch-bounded probe it is only
+        # broadcast while it is verifiably small — the count is free-ish
+        # (it materializes the persisted cand, which every later stage
+        # reuses); past the limit the joins fall back to shuffles, which
+        # is the right plan at that size.
+        n_cand = cand.count()
+        maybe_bc = F.broadcast if n_cand <= broadcast_pair_limit else (lambda d: d)
+        # Exact-verify touches ONLY colliding docs: (broadcast-)semi-join
         # the corpus to the candidate id set before the intersection
-        # joins — again a map-side filter over the big side, so the only
+        # joins — a map-side filter over the big side, so the only
         # shuffled shingles are the candidates'.
         cand_ids = (
             cand.select(F.col("da").alias("doc_id"))
@@ -585,13 +597,13 @@ def incremental_corpus_dedup(
         )
         corpus = (
             sh_old.unionByName(sh_new)
-            .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .join(maybe_bc(cand_ids), "doc_id", "left_semi")
             .persist()
         )
         sizes = sizes_old.unionByName(sizes_new)
         inter = (
             corpus.select(F.col("doc_id").alias("da"), "shingle")
-            .join(F.broadcast(cand), "da")
+            .join(maybe_bc(cand), "da")
             .join(
                 corpus.select(F.col("doc_id").alias("db"), "shingle"),
                 ["db", "shingle"],
@@ -599,15 +611,15 @@ def incremental_corpus_dedup(
             .groupBy("da", "db")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-        # inter is O(collisions) — broadcasting it (and the first join's
-        # equally small result) keeps both O(#docs) sizes scans
-        # exchange-free too
-        with_na = F.broadcast(inter).join(
+        # inter is O(collisions) — under the limit, broadcasting it (and
+        # the first join's equally small result) keeps both O(#docs)
+        # sizes scans exchange-free too
+        with_na = maybe_bc(inter).join(
             sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")),
             "da",
         )
         jac = (
-            F.broadcast(with_na)
+            maybe_bc(with_na)
             .join(
                 sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")),
                 "db",
@@ -634,10 +646,8 @@ def incremental_corpus_dedup(
             _bdir(shingle_dir)
         )
         sizes_new.coalesce(1).write.mode("overwrite").parquet(_bdir(sizes_dir))
-        spark.createDataFrame(
-            [(int(bounds["hi"]),)], "max_doc_id BIGINT"
-        ).coalesce(1).write.mode("overwrite").parquet(_bdir(wm_dir))
         keys_new.unpersist()
+        sizes_new.unpersist()
         cand.unpersist()
         corpus.unpersist()
 

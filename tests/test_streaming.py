@@ -766,7 +766,7 @@ def test_incremental_dedup_rejects_out_of_order_ingest(spark, tmp_path):
     q = incremental_corpus_dedup(stream, state)
     with pytest.raises(Exception, match="ingest-order contract violated"):
         q.awaitTermination(300)
-    # batch 0 committed its state (incl. the new doc_sizes + watermark
-    # tables) before batch 1 failed
-    for sub in ("band_index", "shingles", "doc_sizes", "watermark", "verdicts"):
+    # batch 0 committed its state (incl. the new doc_sizes table, which
+    # doubles as the ingest watermark) before batch 1 failed
+    for sub in ("band_index", "shingles", "doc_sizes", "verdicts"):
         assert _os.path.isdir(_os.path.join(state, sub, "batch=0")), sub
