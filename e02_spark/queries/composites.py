@@ -303,6 +303,10 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("doc_id", "n"), ("lang", "s"), ("n_bigrams", "n"), ("avg_condp", "n"),
           ("band", "s")]),
         # round 5: token-budget sequence packing (concat-and-chunk blocks)
+        # round 6: temperature-based mixture sampling (T=2, sum-free)
+        ("q105", "q105_temperature_mixture",
+         [("source", "s"), ("n_docs", "n"), ("quota", "n"), ("rate_ppm", "n"),
+          ("n_kept", "n"), ("kept_chars", "n")]),
         ("q101", "q101_sequence_packing",
          [("doc_id", "n"), ("lang", "s"), ("n_tokens", "n"), ("first_block", "n"),
           ("n_blocks", "n")]),

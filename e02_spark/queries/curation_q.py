@@ -456,6 +456,100 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# q105 — temperature-based mixture sampling (the multilingual/multi-source
+# upweighting rule every LLM data recipe uses: sample source i with
+# probability ∝ p_i^(1/T), T=2 → kept_i ∝ sqrt(n_i)). Deterministic,
+# SUM-FREE formulation so the doubles are bit-identical cross-engine:
+# quota_i = least(n_i, floor(sqrt(n_i * N) / 2)) touches only exact
+# integers, one IEEE-exact sqrt, and floor — no cross-source normalization
+# sum whose addition ORDER could differ between engines. Rare sources keep
+# (nearly) everything, hot sources are cut toward sqrt share. Selection is
+# the md5 hash-bucket filter (ops/sampling) at rate_ppm = quota*1e6 div n,
+# so membership is stable across runs/layouts and joinable later.
+# Scale: one count aggregation + one broadcast of the per-source rate
+# table + a pure map-side filter — zero extra exchanges over the scan.
+# --------------------------------------------------------------------------
+def q105_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    quota = per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.col("n_docs"),
+            F.floor(
+                F.sqrt(
+                    (F.col("n_docs") * F.col("total")).cast("double")
+                )
+                / 2
+            ).cast("bigint"),
+        ).alias("quota"),
+    )
+    rates = quota.select(
+        "source",
+        "n_docs",
+        "quota",
+        F.expr("(quota * 1000000) div n_docs").cast("bigint").alias("rate_ppm"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(
+            sampling.hash_bucket(
+                F.concat(F.lit("m"), F.col("doc_id").cast("string")), 1_000_000
+            )
+            < F.col("rate_ppm")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "quota",
+        "rate_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+    )
+
+
+_Q105_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS total FROM documents),
+s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+r AS (
+  SELECT source, n_docs,
+    LEAST(n_docs,
+          CAST(FLOOR(SQRT(CAST(n_docs * n.total AS DOUBLE)) / 2) AS BIGINT)
+    ) AS quota
+  FROM s CROSS JOIN n
+),
+rr AS (
+  SELECT source, n_docs, quota,
+         CAST((quota * 1000000) // n_docs AS BIGINT) AS rate_ppm
+  FROM r
+),
+k AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+  FROM documents d JOIN rr ON d.source = rr.source
+  WHERE {sampling.duck_hash_bucket_sql("'m' || CAST(d.doc_id AS VARCHAR)", 1_000_000)}
+        < rr.rate_ppm
+  GROUP BY d.source
+)
+SELECT rr.source, rr.n_docs, rr.quota, rr.rate_ppm,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_chars, 0) AS kept_chars
+FROM rr LEFT JOIN k ON rr.source = k.source
+"""
+
+
 QUERIES = {
     "q81_repetition_gate": q81_repetition_gate,
     "q82_decontamination": q82_decontamination,
@@ -464,6 +558,7 @@ QUERIES = {
     "q85_lm_doc_score": q85_lm_doc_score,
     "q100_pii_redaction": q100_pii_redaction,
     "q101_sequence_packing": q101_sequence_packing,
+    "q105_temperature_mixture": q105_temperature_mixture,
 }
 
 ORACLE = {
@@ -474,4 +569,5 @@ ORACLE = {
     "q85_lm_doc_score": _Q85_SQL,
     "q100_pii_redaction": _q100_sql(),
     "q101_sequence_packing": _Q101_SQL,
+    "q105_temperature_mixture": _Q105_SQL,
 }
