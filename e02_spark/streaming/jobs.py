@@ -518,6 +518,12 @@ def incremental_corpus_dedup(
                 return spark.createDataFrame([], schema=schema)
             raise
 
+    # Ingest-order watermark cache: read from the doc_sizes state only on
+    # the FIRST batch this sink instance processes (covers restarts — a
+    # fresh closure re-reads pre-batch state), then carried in-process.
+    # A failed batch never updates it (the update is the last line).
+    _wm = {"max": None}
+
     def _batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         sizes_old = _read_state(
@@ -529,10 +535,15 @@ def incremental_corpus_dedup(
         # at ~4 s/batch of pure job overhead). Shingle-less docs are
         # absent from doc_sizes, which only weakens detection for docs
         # that cannot produce pairs anyway.
-        lo = batch.agg(F.min("doc_id")).first()[0]
+        bounds = batch.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        lo = bounds["lo"]
         if lo is None:
             return  # empty micro-batch: nothing to probe, no state to write
-        prev_max = sizes_old.agg(F.max("doc_id")).first()[0]
+        prev_max = _wm["max"]
+        if prev_max is None:
+            prev_max = sizes_old.agg(F.max("doc_id")).first()[0]
         if prev_max is not None and lo <= prev_max:
             raise ValueError(
                 "incremental_corpus_dedup ingest-order contract violated: "
@@ -650,6 +661,7 @@ def incremental_corpus_dedup(
         sizes_new.unpersist()
         cand.unpersist()
         corpus.unpersist()
+        _wm["max"] = int(bounds["hi"])
 
     writer = docs_stream.writeStream.foreachBatch(_batch).trigger(
         availableNow=True
