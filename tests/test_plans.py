@@ -271,3 +271,33 @@ def test_q101_packing_invariants(spark):
             assert r["first_block"] >= prev_block
             prev_block = r["first_block"]
             start += r["n_tokens"]
+
+
+def test_q105_mixture_broadcast_and_jvm_side(spark):
+    """Temperature mixture sampling (round 6): the per-source rate table
+    must reach the documents scan as a BROADCAST join (no shuffle of the
+    corpus for a handful of rate rows) and the whole query stays in
+    codegen — no Python UDF evaluation."""
+    from e02_spark.queries.curation_q import q105_temperature_mixture
+
+    plan = _plan(q105_temperature_mixture(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_stays_codegen(spark):
+    """The Morton key is getbit/shiftleft arithmetic — it must plan as a
+    plain projection (no UDF), so the z-order write costs exactly its
+    one range exchange."""
+    from e02_spark.ops.layout import bucketize, zorder_key
+
+    e = load_table(spark, SF, "events").select(
+        F.unix_seconds("ts").alias("t"), F.col("value").cast("double").alias("v")
+    )
+    df = e.select(
+        zorder_key([bucketize("t", 0, 1, 8), bucketize("v", 0, 1, 8)], 8).alias("zk")
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
