@@ -436,6 +436,7 @@ def incremental_corpus_dedup(
     checkpoint_dir: str | None = None,
     state_writers: int = 4,
     broadcast_pair_limit: int = 1_000_000,
+    index_buckets: int = 0,
 ):
     """E27: incremental near-dup detection — dedup each micro-batch of
     documents against EVERYTHING ingested before it.
@@ -481,6 +482,18 @@ def incremental_corpus_dedup(
     state appends; at 100 TB set it proportional to batch bytes
     (target ~128 MB per output file), not a fixed small constant.
 
+    Bucket-pruned probe (index_buckets > 0 — the scale path, off by
+    default because a toy batch touches every bucket and pays pure
+    overhead): the band index is stored hash-bucketed on band_key
+    (batch=<id>/bucket=<hash(band_key) % index_buckets>), and each batch
+    reads ONLY the buckets its own keys hash into — any old key that can
+    collide with a batch key shares its band_key, hence its bucket, so
+    the pruning is lossless. When the corpus dwarfs the batch (the
+    100 TB steady state: thousands of buckets, batches touching few)
+    this turns the per-batch index read from an O(corpus) scan into
+    partition-pruned O(corpus × touched/index_buckets) — the file-layout
+    stand-in for the key-value store a production probe would use.
+
     Invariant (pinned by tests/test_streaming.py): the union of per-batch
     verdicts over any batch split equals the one-shot batch
     minhash_lsh_pairs over the full corpus — within-batch pairs surface
@@ -498,20 +511,25 @@ def incremental_corpus_dedup(
     sizes_dir = os.path.join(state_dir, "doc_sizes")
     out_dir = os.path.join(state_dir, "verdicts")
 
-    def _read_state(spark, path: str, schema: str, batch_id: int) -> DataFrame:
+    def _read_state(
+        spark, path: str, schema: str, batch_id: int, extra=None
+    ) -> DataFrame:
         """Pre-batch state only: `batch < batch_id` prunes the partition
         directories of this batch's own (possibly half-written, replayed)
         output, making at-least-once re-execution read exactly the state
-        the first execution saw. Missing path -> empty state. Any OTHER
-        read failure re-raises: treating a transient/corrupt read as 'no
-        state yet' would silently drop every cross-batch candidate."""
+        the first execution saw. `extra` adds a further partition filter
+        (the band_key bucket pruning). Missing path -> empty state. Any
+        OTHER read failure re-raises: treating a transient/corrupt read
+        as 'no state yet' would silently drop every cross-batch
+        candidate."""
         cols = [c.strip().split()[0] for c in schema.split(",")]
         try:
-            return (
-                spark.read.parquet(path)
-                .where(F.col("batch") < F.lit(batch_id))
-                .select(*cols)
+            df = spark.read.parquet(path).where(
+                F.col("batch") < F.lit(batch_id)
             )
+            if extra is not None:
+                df = df.where(extra)
+            return df.select(*cols)
         except Exception as e:
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
@@ -561,9 +579,26 @@ def incremental_corpus_dedup(
         # keys_new feeds both sides of the probe join and the state
         # append; persist so the k-digest signature runs once per batch
         keys_new = band_keys(minhash_signature(sh_new, k=k), k, bands).persist()
+        # bucket-pruned index read: only the buckets this batch's keys
+        # hash into can hold colliding old keys (lossless — equal
+        # band_key => equal bucket)
+        bucket_filter = None
+        if index_buckets > 0:
+            touched = [
+                r[0]
+                for r in keys_new.select(
+                    F.pmod(
+                        F.xxhash64("band_key"), F.lit(index_buckets)
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            bucket_filter = F.col("bucket").isin(touched)
         idx_old = _read_state(
             spark, index_dir, "doc_id BIGINT, band_idx INT, band_key STRING",
             batch_id,
+            extra=bucket_filter,
         )
         sh_old = _read_state(
             spark, shingle_dir, "doc_id BIGINT, shingle STRING", batch_id
@@ -650,9 +685,16 @@ def incremental_corpus_dedup(
             return os.path.join(base, f"batch={batch_id}")
 
         jac.write.mode("overwrite").parquet(_bdir(out_dir))
-        keys_new.coalesce(state_writers).write.mode("overwrite").parquet(
-            _bdir(index_dir)
-        )
+        if index_buckets > 0:
+            keys_new.withColumn(
+                "bucket", F.pmod(F.xxhash64("band_key"), F.lit(index_buckets))
+            ).coalesce(state_writers).write.partitionBy("bucket").mode(
+                "overwrite"
+            ).parquet(_bdir(index_dir))
+        else:
+            keys_new.coalesce(state_writers).write.mode("overwrite").parquet(
+                _bdir(index_dir)
+            )
         sh_new.coalesce(state_writers).write.mode("overwrite").parquet(
             _bdir(shingle_dir)
         )

@@ -770,3 +770,60 @@ def test_incremental_dedup_rejects_out_of_order_ingest(spark, tmp_path):
     # doubles as the ingest watermark) before batch 1 failed
     for sub in ("band_index", "shingles", "doc_sizes", "verdicts"):
         assert _os.path.isdir(_os.path.join(state, sub, "batch=0")), sub
+
+
+def test_incremental_dedup_bucketed_index_equivalent_and_pruned(spark, tmp_path):
+    """index_buckets>0 (the scale path): verdicts are identical to the
+    unbucketed run, the band index lands hash-bucketed on band_key, and
+    a bucket-filtered read plans PARTITION pruning (the probe reads only
+    touched buckets' files, not the whole index)."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.ops.dedup import minhash_lsh_pairs
+    from e02_spark.streaming.jobs import incremental_corpus_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = tmp_path / "bidx_feed"
+    feed.mkdir()
+    for i, part in enumerate(
+        (docs.where(F.col("doc_id") <= median), docs.where(F.col("doc_id") > median))
+    ):
+        stage = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(stage)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    state = str(tmp_path / "bidx_state")
+    q = incremental_corpus_dedup(stream, state, index_buckets=8)
+    assert q.awaitTermination(300)
+
+    got = {
+        (r["da"], r["db"])
+        for r in spark.read.parquet(_os.path.join(state, "verdicts")).collect()
+    }
+    want = {
+        (r["da"], r["db"])
+        for r in minhash_lsh_pairs(docs, k=4, bands=2, threshold=0.8).collect()
+    }
+    assert want and got == want
+
+    bucket_dirs = _glob.glob(
+        _os.path.join(state, "band_index", "batch=0", "bucket=*")
+    )
+    assert bucket_dirs, "index not bucket-partitioned"
+
+    pruned = (
+        spark.read.parquet(_os.path.join(state, "band_index"))
+        .where((F.col("batch") < 1) & F.col("bucket").isin([0, 1]))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
