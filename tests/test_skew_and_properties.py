@@ -316,3 +316,51 @@ def test_salted_band_join_matches_unsalted(spark):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
     assert plain, "corpus has planted near-dups"
     assert salted == plain
+
+
+_PII_FRAGMENTS = list("abz059 .-+():@_") + [
+    "555-0123", "(555) 123-4567", "+1-555-123-4567", "5551234567",
+    "a@b.co", "10.0.0.1", "2001:db8:85a3:0:0:8a2e:370:7334",
+    "12:30:45", "1.2.3",
+]
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(_PII_FRAGMENTS), min_size=0, max_size=12
+        ).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pii_dialect_parity_fuzz(spark, texts):
+    """Property: for ARBITRARY concatenations of PII-ish fragments,
+    digits, separators and noise, Spark's Java regex and DuckDB's RE2
+    agree match-for-match on every PII pattern — the invariant the q100
+    oracle stands on. (Hypothesis assembles strings from fragments that
+    deliberately collide with the patterns' edge shapes: partial phones,
+    clock times, semver, compressed IPv6.)"""
+    import duckdb
+
+    from e02_spark.ops import quality
+
+    con = duckdb.connect()
+    df = spark.createDataFrame([(t,) for t in texts], "t STRING")
+    for name, (pat, _tok) in quality.PII_PATTERNS.items():
+        got_spark = [
+            r[0]
+            for r in df.select(F.regexp_count("t", F.lit(pat))).collect()
+        ]
+        got_duck = [
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got_spark == got_duck, (name, texts, got_spark, got_duck)
