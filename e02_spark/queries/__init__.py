@@ -32,7 +32,6 @@ STANDALONE = [
     "q51_having_lead",
     "q53_python_udtf",
     "q62_dedup_clusters",
-    "q64_csv_roundtrip",
     "q65_salted_join_revenue",
     "q66_gapfill_ffill",
     "q67_scd2",

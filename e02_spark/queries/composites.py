@@ -76,6 +76,20 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q103", "q103_fuzz_full_outer_nullkeys",
          [("ok", "n"), ("lk", "n"), ("price_c", "n"), ("qty", "n")]),
     ],
+    # A10+ source-format matrix: CSV + ORC + XML write/read roundtrips,
+    # each oracle-checked against the same aggregation on parquet (green
+    # iff the roundtrip is lossless). Entry keeps the historical q64 name.
+    "q64_csv_roundtrip": [
+        ("q64", "q64_csv_roundtrip",
+         [("nationkey", "n"), ("n_suppliers", "n"), ("total_bal", "n"),
+          ("first_supplier", "s")]),
+        ("q106", "q106_orc_roundtrip",
+         [("nationkey", "n"), ("n_suppliers", "n"), ("max_bal", "n"),
+          ("last_supplier", "s")]),
+        ("q107", "q107_xml_roundtrip",
+         [("nationkey", "n"), ("n_suppliers", "n"), ("sum_bal", "n"),
+          ("min_suppkey", "n")]),
+    ],
     # D6 semi/anti EXISTS + D19 set ops
     "q08_set_semantics": [
         ("q08", "q08_semi_anti_exists", [("category", "s"), ("n", "n")]),

@@ -322,6 +322,82 @@ FROM supplier GROUP BY s_nationkey
 
 
 # --------------------------------------------------------------------------
+# q106 — ORC source/sink roundtrip (A10+, second columnar format): write
+# supplier as ORC, read it back, aggregate. The oracle is the identical
+# aggregation over the parquet table — green iff the ORC roundtrip is
+# lossless (types, values, row count). Scale: ORC writes/scans share
+# parquet's columnar properties (stripe stats, predicate pushdown); the
+# format choice is a one-line swap in this engine.
+# --------------------------------------------------------------------------
+def q106_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="e02_orc_roundtrip_") + "/supplier"
+    sup.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.max(F.col("s_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("max_bal"),
+        F.max("s_name").alias("last_supplier"),
+    )
+
+
+_Q106_SQL = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(MAX(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS max_bal,
+  MAX(s_name) AS last_supplier
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q107 — XML source/sink roundtrip (A10+, Spark 4's built-in XML data
+# source): write supplier rows as <supplier> elements, read them back
+# with an explicit schema, aggregate. Oracle = the same aggregation on
+# parquet, so escaping/typing must round-trip exactly. Scale: XML is the
+# interchange-format edge of the source matrix — row-tag splitting
+# parallelizes by file; a production feed would land many files.
+# --------------------------------------------------------------------------
+def q107_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="e02_xml_roundtrip_") + "/supplier"
+    sup.write.format("xml").option("rowTag", "supplier").mode(
+        "overwrite"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT,"
+            " s_acctbal DOUBLE"
+        )
+        .load(path)
+    )
+    return back.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_bal"),
+        F.min("s_suppkey").cast("bigint").alias("min_suppkey"),
+    )
+
+
+_Q107_SQL = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+  CAST(MIN(s_suppkey) AS BIGINT) AS min_suppkey
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # q65 — skew-salted join: lineitem ⋈ part through ops/skew.salted_join
 # (row-hash salt on the fact side, ×8 replicated dimension). Row-for-row
 # identical to the plain join — the oracle IS the plain join — while the
@@ -735,6 +811,8 @@ QUERIES = {
     "q92_dedup_clusters_star": q92_dedup_clusters_star,
     "q63_argmax": q63_argmax,
     "q64_csv_roundtrip": q64_csv_roundtrip,
+    "q106_orc_roundtrip": q106_orc_roundtrip,
+    "q107_xml_roundtrip": q107_xml_roundtrip,
     "q65_salted_join_revenue": q65_salted_join_revenue,
     "q66_gapfill_ffill": q66_gapfill_ffill,
     "q67_scd2": q67_scd2,
@@ -757,6 +835,8 @@ ORACLE = {
     "q92_dedup_clusters_star": _Q62_SQL,
     "q63_argmax": _Q63_SQL,
     "q64_csv_roundtrip": _Q64_SQL,
+    "q106_orc_roundtrip": _Q106_SQL,
+    "q107_xml_roundtrip": _Q107_SQL,
     "q65_salted_join_revenue": _Q65_SQL,
     "q66_gapfill_ffill": _Q66_SQL,
     "q67_scd2": _Q67_SQL,
