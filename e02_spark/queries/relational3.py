@@ -17,6 +17,8 @@ integer outputs, unique tie-break keys in every window ORDER BY.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +33,23 @@ from .llm_q import _Q31_SQL
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+_TEMP_DIRS: list[str] = []
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: repeated bench/oracle passes in one
+    process would otherwise leak a roundtrip dir per invocation."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_temp_dirs() -> None:
+    for d in _TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -296,7 +315,7 @@ FROM ranked GROUP BY nationkey
 # --------------------------------------------------------------------------
 def q64_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
-    path = tempfile.mkdtemp(prefix="e02_csv_roundtrip_") + "/supplier"
+    path = _tracked_mkdtemp("e02_csv_roundtrip_") + "/supplier"
     sup.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(
         "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
@@ -331,7 +350,7 @@ FROM supplier GROUP BY s_nationkey
 # --------------------------------------------------------------------------
 def q106_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
-    path = tempfile.mkdtemp(prefix="e02_orc_roundtrip_") + "/supplier"
+    path = _tracked_mkdtemp("e02_orc_roundtrip_") + "/supplier"
     sup.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy(
@@ -366,7 +385,7 @@ def q107_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    path = tempfile.mkdtemp(prefix="e02_xml_roundtrip_") + "/supplier"
+    path = _tracked_mkdtemp("e02_xml_roundtrip_") + "/supplier"
     sup.write.format("xml").option("rowTag", "supplier").mode(
         "overwrite"
     ).save(path)
