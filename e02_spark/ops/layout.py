@@ -182,16 +182,19 @@ def compact_partitions(
 
     Durability: the compacted output is STAGED to a sibling temp
     directory first, then swapped into place one partition directory at
-    a time — the source files are never read and overwritten in the same
-    job. A failure before the swap leaves the table untouched; a failure
-    mid-swap leaves each partition either fully-old or fully-compacted
-    (contents identical either way, since compaction preserves rows).
-    The earlier design (localCheckpoint snapshot + in-place dynamic
-    overwrite) could lose the snapshot with a dead executor while the
-    source files were already being replaced — unrecoverable. On a real
-    cluster the swap is a cheap filesystem rename (or a transactional
-    table format's commit); here it's driver-side os.replace over
-    partition directories.
+    a time, with the old partition parked in a sibling `.compact_backup`
+    directory until its swap completes — the source files are never read
+    and overwritten in the same job, and nothing transient ever lives
+    INSIDE the table (Spark's partition discovery does not skip
+    `_`-prefixed directories; a leftover would break every read). A
+    failure before the swap leaves the table untouched; a failure
+    mid-swap is healed by the next compaction run (missing partitions
+    restored from the backup). The earlier design (localCheckpoint
+    snapshot + in-place dynamic overwrite) could lose the snapshot with
+    a dead executor while the source files were already being replaced —
+    unrecoverable. On a real cluster the swap is a cheap filesystem
+    rename (or a transactional table format's commit); here it's
+    driver-side os.replace over partition directories.
     """
     import glob as _glob
     import os
@@ -211,26 +214,51 @@ def compact_partitions(
             files_per_partition=files_per_partition,
             cluster_by=cluster_by,
         )
+        # Old partitions are parked in a SIBLING backup directory during
+        # their swap — never inside the table: Spark's partition
+        # discovery does NOT skip `_`-prefixed directories (a leftover
+        # `_old_<col>=v` dir makes every read fail with
+        # CONFLICTING_PARTITION_COLUMN_NAMES, found by test), and the
+        # backup must also survive the finally-cleanup of `tmp` so a
+        # crash mid-swap stays recoverable. Crash windows per partition:
+        # before the first replace → table untouched; between the two →
+        # dest briefly missing, old data safe in backup (next run
+        # restores it); after → both copies exist with identical
+        # contents until the backup delete.
+        backup_root = path.rstrip("/") + ".compact_backup"
+        _heal_from_backup(path, backup_root, len(partition_cols))
         pattern = os.path.join(tmp, *[f"{c}=*" for c in partition_cols])
         for pdir in _glob.glob(pattern):
             rel = os.path.relpath(pdir, tmp)
             dest = os.path.join(path, rel)
-            parent, leaf = os.path.split(dest)
-            # `_`-prefixed siblings are invisible to Spark's partition
-            # discovery, so both staging names below never surface to
-            # readers. Swap order bounds the unreadable window to one
-            # rename: (1) new data moves next to dest (durable, hidden),
-            # (2) old dest hides, (3) new reveals. Self-heal leftovers
-            # of a previous crash first.
-            newdir = os.path.join(parent, "_compact_new_" + leaf)
-            old = os.path.join(parent, "_compact_old_" + leaf)
-            shutil.rmtree(newdir, ignore_errors=True)
-            if not os.path.exists(dest) and os.path.exists(old):
-                os.replace(old, dest)  # crashed between (2) and (3)
-            shutil.rmtree(old, ignore_errors=True)
-            os.replace(pdir, newdir)
-            os.replace(dest, old)
-            os.replace(newdir, dest)
-            shutil.rmtree(old)
+            backup = os.path.join(backup_root, rel)
+            os.makedirs(os.path.dirname(backup), exist_ok=True)
+            shutil.rmtree(backup, ignore_errors=True)
+            os.replace(dest, backup)
+            os.replace(pdir, dest)
+            shutil.rmtree(backup)
+        shutil.rmtree(backup_root, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _heal_from_backup(path: str, backup_root: str, depth: int) -> None:
+    """Recover from a compaction that crashed mid-swap: any partition
+    parked in the backup whose table directory is missing is restored;
+    backups whose destination exists are stale duplicates (contents
+    identical — compaction preserves rows) and are dropped."""
+    import glob as _glob
+    import os
+    import shutil
+
+    if not os.path.isdir(backup_root):
+        return
+    pattern = os.path.join(backup_root, *["*=*"] * depth)
+    for parked in _glob.glob(pattern):
+        rel = os.path.relpath(parked, backup_root)
+        dest = os.path.join(path, rel)
+        if os.path.exists(dest):
+            shutil.rmtree(parked)
+        else:
+            os.replace(parked, dest)
+    shutil.rmtree(backup_root, ignore_errors=True)

@@ -375,8 +375,8 @@ def partitioned_layout_sink(events: DataFrame, table_dir: str):
     straddles two micro-batches (any feed of more files than
     maxFilesPerTrigger) would have its earlier rows silently replaced by
     the later batch's overwrite — data loss within a single healthy run.
-    Instead the sink writes the batch to a hidden `_staging_batch_<id>`
-    directory (same repartition/cluster discipline as
+    Instead the sink writes the batch to a sibling `.staging_batch_<id>`
+    directory outside the table (same repartition/cluster discipline as
     ops/layout.write_partitioned, so file counts and row-group stats are
     identical), then MOVES the files into the final partition
     directories under a `b<batch_id>-` name prefix. Appending by move is
@@ -400,7 +400,11 @@ def partitioned_layout_sink(events: DataFrame, table_dir: str):
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         staged = batch.withColumn("day", F.to_date("ts"))
-        stage_dir = os.path.join(table_dir, f"_staging_batch_{batch_id}")
+        # staging lives OUTSIDE the table: Spark's partition discovery
+        # does not skip `_`-prefixed directories, so an in-table staging
+        # dir would break concurrent/crash-window reads with
+        # CONFLICTING_PARTITION_COLUMN_NAMES
+        stage_dir = table_dir.rstrip("/") + f".staging_batch_{batch_id}"
         write_partitioned(
             staged,
             stage_dir,

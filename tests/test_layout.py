@@ -230,3 +230,40 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     got = sorted(r["event_id"] for r in spark.read.parquet(zp).collect())
     want = sorted(r["event_id"] for r in e.collect())
     assert got == want
+
+
+def test_compaction_self_heals_crashed_swap(spark, tmp_path):
+    """Crash-recovery branch of the stage-and-swap: if a previous
+    compaction died between parking the old partition in the sibling
+    backup and revealing the new one (dest missing, backup present), the
+    next compaction restores the partition first and completes normally —
+    no rows lost, no staging/backup residue, and the table stays
+    READABLE throughout (transient dirs never live inside it — an
+    in-table `_old_` dir would fail every read with
+    CONFLICTING_PARTITION_COLUMN_NAMES, which is how the earlier design
+    was caught)."""
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_heal")
+    write_partitioned(events, path, ["event_type"], files_per_partition=4)
+    want = sorted(
+        (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(path).select("event_id", "event_type").collect()
+    )
+    # simulate the crash window on one partition: dest moved to backup
+    victim = glob.glob(os.path.join(path, "event_type=*"))[0]
+    backup_root = path + ".compact_backup"
+    os.makedirs(backup_root)
+    os.replace(victim, os.path.join(backup_root, os.path.basename(victim)))
+    # the table is still READABLE, just missing the parked partition
+    assert len(
+        spark.read.parquet(path).select("event_type").distinct().collect()
+    ) < len({w[1] for w in want})
+
+    compact_partitions(spark, path, ["event_type"], files_per_partition=1)
+    got = sorted(
+        (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(path).select("event_id", "event_type").collect()
+    )
+    assert got == want
+    assert not glob.glob(os.path.join(path, "**", "_compact_*"), recursive=True)
+    assert not os.path.exists(backup_root)
