@@ -213,3 +213,61 @@ def connected_components_star(
     ).select("node", F.col("node").alias("label"))
     out = labels.groupBy("node").agg(F.min("label").alias("label")).union(roots)
     return out.select("node", F.col("label").alias("cluster_id"))
+
+
+def pagerank_int(
+    edges: DataFrame, src: str = "da", dst: str = "db", iters: int = 5
+) -> DataFrame:
+    """Integer-exact damped PageRank over an undirected graph — the
+    iterative-algorithm shape (fixed rounds, per-round localCheckpoint)
+    made fully oracle-checkable: there is not a single floating-point
+    operation anywhere.
+
+    score_0(v) = 1_000_000 micro-units;
+    score_{i+1}(v) = 150_000 + (85 * Σ_{u~v} (score_i(u) div deg(u))) div 100
+
+    Both divisions are BIGINT integer division, so every engine computes
+    bit-identical scores at any parallelism (integer addition is
+    order-free; the classic double-precision PageRank diverges across
+    summation orders). The truncation error vs the real-valued recursion
+    is < deg(v) + 1 micro-units per round — ppm-scale, irrelevant for
+    ranking. Symmetrized-distinct edges; every node of the pair graph
+    has degree >= 1, so there are no dangling-node corrections.
+
+    Scale: per round, one join edges⋈scores (shuffle on node id) and one
+    aggregation — the textbook distributed PageRank cost; iters is fixed
+    so lineage stays bounded via per-round localCheckpoint.
+    Returns (node, deg, score) after `iters` rounds.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    scores = deg.select(
+        "u", F.lit(1_000_000).cast("bigint").alias("score")
+    )
+    for _ in range(iters):
+        contrib = (
+            sym.join(scores, "u")
+            .join(deg, "u")
+            .select("v", F.expr("score div deg").alias("c"))
+        )
+        scores = (
+            contrib.groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("v").alias("u"),
+                (F.lit(150_000) + F.expr("(85 * s) div 100"))
+                .cast("bigint")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = scores.join(deg, "u").select(
+        F.col("u").alias("node"), F.col("deg").cast("bigint").alias("deg"), "score"
+    )
+    deg.unpersist()
+    return out

@@ -40,7 +40,6 @@ STANDALONE = [
     "q74_data_quality",
     "q77_corpus_curation",
     "q90_custom_source",
-    "q92_dedup_clusters_star",
     "q93_embedding_neardup_seeded",
     "q98_custom_source_join",
 ]

@@ -90,6 +90,16 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("nationkey", "n"), ("n_suppliers", "n"), ("sum_bal", "n"),
           ("min_suppkey", "n")]),
     ],
+    # near-dup cluster resolution (large-star/small-star CC) + the
+    # integer-exact PageRank over the same pair graph (iterative
+    # algorithm, zero floating point, fully hash-checkable)
+    "q92_dedup_clusters_star": [
+        ("q92", "q92_dedup_clusters_star",
+         [("doc_id", "n"), ("cluster_id", "n"), ("cluster_size", "n"),
+          ("keep", "s")]),
+        ("q108", "q108_pagerank",
+         [("node", "n"), ("deg", "n"), ("score", "n")]),
+    ],
     # D6 semi/anti EXISTS + D19 set ops
     "q08_set_semantics": [
         ("q08", "q08_semi_anti_exists", [("category", "s"), ("n", "n")]),

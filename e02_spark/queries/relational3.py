@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from ..io import load_table, register_views
 from ..ops.dedup import minhash_lsh_pairs
-from ..ops.graph import connected_components, connected_components_star
+from ..ops.graph import (
+    connected_components,
+    connected_components_star,
+    pagerank_int,
+)
 from ..ops.skew import salted_join
 from .llm_q import _Q31_SQL
 
@@ -272,6 +276,52 @@ def q92_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("node") == F.col("cluster_id")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — INTEGER-EXACT PageRank over the near-dup pair graph (ops/graph.
+# pagerank_int): the iterative-algorithm class (fixed rounds, driver
+# loop, per-round lineage truncation) surfaced as a fully hash-checkable
+# entry — every operation is BIGINT arithmetic (integer division for
+# both the degree normalization and the 0.85 damping), so the scores are
+# bit-identical across engines and parallelism, unlike any
+# floating-point PageRank. The oracle unrolls the same 5 rounds as CTE
+# stages over the identical q31 pair SQL.
+# --------------------------------------------------------------------------
+def q108_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_q import _shared_ci
+
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(
+        d, k=4, bands=2, threshold=0.8, ci=_shared_ci(spark, sf_dir)
+    ).select("da", "db")
+    with _small_graph_shuffle(spark):
+        return pagerank_int(edges, iters=5)
+
+
+def _q108_sql() -> str:
+    steps = []
+    for i in range(1, 6):
+        steps.append(f"""s{i} AS (
+  SELECT sym.v AS u,
+    CAST(150000 + (85 * SUM(p.score // d.deg)) // 100 AS BIGINT) AS score
+  FROM sym JOIN s{i - 1} p ON sym.u = p.u JOIN deg d ON sym.u = d.u
+  GROUP BY sym.v
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (SELECT da, db FROM ({_Q31_SQL})),
+sym AS (
+  SELECT da AS u, db AS v FROM pairs
+  UNION
+  SELECT db AS u, da AS v FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+s0 AS (SELECT u, CAST(1000000 AS BIGINT) AS score FROM deg),
+{chain}
+SELECT s5.u AS node, CAST(d.deg AS BIGINT) AS deg, s5.score AS score
+FROM s5 JOIN deg d ON s5.u = d.u
+"""
 
 
 # --------------------------------------------------------------------------
@@ -828,6 +878,7 @@ QUERIES = {
     "q61_range_frame": q61_range_frame,
     "q62_dedup_clusters": q62_dedup_clusters,
     "q92_dedup_clusters_star": q92_dedup_clusters_star,
+    "q108_pagerank": q108_pagerank,
     "q63_argmax": q63_argmax,
     "q64_csv_roundtrip": q64_csv_roundtrip,
     "q106_orc_roundtrip": q106_orc_roundtrip,
@@ -852,6 +903,7 @@ ORACLE = {
     "q61_range_frame": _Q61_BODY,
     "q62_dedup_clusters": _Q62_SQL,
     "q92_dedup_clusters_star": _Q62_SQL,
+    "q108_pagerank": _q108_sql(),
     "q63_argmax": _Q63_SQL,
     "q64_csv_roundtrip": _Q64_SQL,
     "q106_orc_roundtrip": _Q106_SQL,

@@ -412,3 +412,46 @@ def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[2] == w[2] and g[3] == w[3]
         assert g[1] == w[1] or g[1] == w[1].strip(), (g, w)
+
+
+def test_pagerank_int_hand_computed_and_parallelism_invariant(spark):
+    """q108's integer PageRank against hand-computed values on a star
+    graph (a-b, a-c): after one round the hub holds exactly 1_850_000
+    micro-units and each leaf 575_000; regular graphs stay at exactly
+    1_000_000 forever. Scores are bit-identical across shuffle
+    parallelism (pure integer arithmetic — the property that makes the
+    iterative algorithm hash-checkable at all)."""
+    from e02_spark.ops.graph import pagerank_int
+
+    star = spark.createDataFrame([(1, 2), (1, 3)], "da BIGINT, db BIGINT")
+    one = {
+        r["node"]: r["score"]
+        for r in pagerank_int(star, iters=1).collect()
+    }
+    assert one == {1: 1_850_000, 2: 575_000, 3: 575_000}
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "da BIGINT, db BIGINT"
+    )
+    five = {
+        r["node"]: r["score"] for r in pagerank_int(tri, iters=5).collect()
+    }
+    assert five == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+    from e02_spark.io import load_table
+    from e02_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+
+    edges = minhash_lsh_pairs(docs, k=4, bands=2, threshold=0.8).select(
+        "da", "db"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, pagerank_int(edges, iters=3).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "23")
+        b = sorted(map(tuple, pagerank_int(edges, iters=3).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and a
