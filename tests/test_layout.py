@@ -267,3 +267,28 @@ def test_compaction_self_heals_crashed_swap(spark, tmp_path):
     assert got == want
     assert not glob.glob(os.path.join(path, "**", "_compact_*"), recursive=True)
     assert not os.path.exists(backup_root)
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Lakehouse schema evolution: a table whose later partitions carry
+    an added column reads as the UNION schema under mergeSchema, with
+    NULLs for the column in pre-evolution partitions — and a plain read
+    anchored on the newest footer still works for append-only column
+    adds. Pins the exact semantics compaction/backfill jobs rely on."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id BIGINT, name STRING"
+    )
+    new = spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    path = str(tmp_path / "evolving")
+    old.write.parquet(path + "/day=1")
+    new.write.parquet(path + "/day=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "name", "score", "day"}
+    rows = {r["id"]: (r["score"], r["day"]) for r in merged.collect()}
+    assert rows[1] == (None, 1) and rows[3] == (30.0, 2)
+    # evolution-aware aggregation treats missing as NULL (skipped by SUM)
+    (tot,) = merged.agg(F.sum("score")).first()
+    assert tot == 70.0
