@@ -75,6 +75,9 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"|\b\d{3}-\d{4}\b",
         "[PHONE]",
     ),
+    # SSN-shaped 3-2-4 (dash-separated only: the spaced/undashed forms
+    # collide with phone shapes and dates far too often to scrub blind)
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     # Full-form (8-group, uncompressed) IPv6 only: the `::`-compressed
     # forms can't be matched without lookaround/backrefs, which the
@@ -88,11 +91,12 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 # Application order matters (email first: its pattern spans dots/digits
 # that the ipv4 pattern could otherwise partially claim inside a
-# user@10.0.0.1-style address; phone before ipv4 so dotted 3-3-4 phone
-# forms aren't half-claimed as address octets). Counting is per-pattern
-# on the RAW text, independent of redaction order — deterministic either
-# way.
-_PII_ORDER = ("email", "phone", "ipv4", "ipv6")
+# user@10.0.0.1-style address; ssn before phone so a 3-2-4 run is
+# claimed as SSN, not half-claimed by the local 3-4 phone form; phone
+# before ipv4 so dotted 3-3-4 phone forms aren't half-claimed as
+# address octets). Counting is per-pattern on the RAW text, independent
+# of redaction order — deterministic either way.
+_PII_ORDER = ("email", "ssn", "phone", "ipv4", "ipv6")
 
 
 def redact_pii(col: Column) -> Column:

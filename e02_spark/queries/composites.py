@@ -314,7 +314,8 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # round 5: PII scrubbing (C4/Dolma-style redaction stage)
         ("q100", "q100_pii_redaction",
          [("lang", "s"), ("n_docs", "n"), ("n_email", "n"), ("n_phone", "n"),
-          ("n_ipv4", "n"), ("n_ipv6", "n"), ("redacted_chars", "n")]),
+          ("n_ssn", "n"), ("n_ipv4", "n"), ("n_ipv6", "n"),
+          ("redacted_chars", "n")]),
     ],
     # hash-deterministic split census + stratified sampling + bigram-LM scoring
     "q83_split_sample_lm": [

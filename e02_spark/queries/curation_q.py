@@ -330,6 +330,8 @@ def planted_contact() -> F.Column:
         F.col("doc_id").cast("string"),
         F.lit("@example.com phone "),
         phone_form,
+        F.lit(" ssn 123-45-"),
+        p4,
         F.lit(" ip 10."),
         (F.col("doc_id") % 250).cast("string"),
         F.lit(".0.1 v6 2001:db8:85a3:0:0:8a2e:370:"),
@@ -348,6 +350,7 @@ def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(counts["email"]).cast("bigint").alias("n_email"),
         F.sum(counts["phone"]).cast("bigint").alias("n_phone"),
+        F.sum(counts["ssn"]).cast("bigint").alias("n_ssn"),
         F.sum(counts["ipv4"]).cast("bigint").alias("n_ipv4"),
         F.sum(counts["ipv6"]).cast("bigint").alias("n_ipv6"),
         F.sum(F.length("red")).cast("bigint").alias("redacted_chars"),
@@ -356,6 +359,7 @@ def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q100_sql() -> str:
     email, e_tok = quality.PII_PATTERNS["email"]
+    ssn, s_tok = quality.PII_PATTERNS["ssn"]
     phone, p_tok = quality.PII_PATTERNS["phone"]
     ipv4, i_tok = quality.PII_PATTERNS["ipv4"]
     ipv6, i6_tok = quality.PII_PATTERNS["ipv6"]
@@ -370,13 +374,15 @@ WITH d AS (
            WHEN 2 THEN '+1-555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
            ELSE '555123' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          END
+      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
       || ' ip 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1 v6 2001:db8:85a3:0:0:8a2e:370:'
       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
   FROM documents
 ), r AS (
   SELECT lang, raw,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
       '{email}', '{e_tok}', 'g'),
+      '{ssn}', '{s_tok}', 'g'),
       '{phone}', '{p_tok}', 'g'),
       '{ipv4}', '{i_tok}', 'g'),
       '{ipv6}', '{i6_tok}', 'g') AS red
@@ -385,6 +391,7 @@ WITH d AS (
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(len(regexp_extract_all(raw, '{email}'))) AS BIGINT) AS n_email,
   CAST(SUM(len(regexp_extract_all(raw, '{phone}'))) AS BIGINT) AS n_phone,
+  CAST(SUM(len(regexp_extract_all(raw, '{ssn}'))) AS BIGINT) AS n_ssn,
   CAST(SUM(len(regexp_extract_all(raw, '{ipv4}'))) AS BIGINT) AS n_ipv4,
   CAST(SUM(len(regexp_extract_all(raw, '{ipv6}'))) AS BIGINT) AS n_ipv6,
   CAST(SUM(length(red)) AS BIGINT) AS redacted_chars

@@ -381,6 +381,7 @@ def test_pii_redaction_scrubs_everything(spark):
         # organic digit runs in the document text — both engines agree)
         assert r["n_email"] >= r["n_docs"]
         assert r["n_phone"] >= r["n_docs"]
+        assert r["n_ssn"] >= r["n_docs"]
         assert r["n_ipv4"] >= r["n_docs"]
         assert r["n_ipv6"] >= r["n_docs"]
 
@@ -419,6 +420,7 @@ def test_pii_planted_fixtures_and_dialect_parity(spark):
         ("call 555.123.4567 now", {"phone": 1}),
         ("mail a.b+c@ex-1.example.org ok", {"email": 1}),
         ("host 192.168.0.1 up", {"ipv4": 1}),
+        ("ssn 123-45-6789 here", {"ssn": 1}),
         ("v6 2001:db8:85a3:0:0:8a2e:370:7334 up", {"ipv6": 1}),
         # negatives: clock, semver, 11-digit run, compressed ipv6 (out of
         # dialect scope by design), short digit runs
@@ -427,6 +429,7 @@ def test_pii_planted_fixtures_and_dialect_parity(spark):
         ("id 12345678901 long", {}),
         ("v6 2001:db8::7334 compressed", {}),
         ("just 555-12 and 12-3456", {}),
+        ("almost 123-45-678 and 12-34-5678", {}),
     ]
     df = spark.createDataFrame([(t,) for t, _ in fixtures], "t STRING")
     counts = {

@@ -321,7 +321,7 @@ def test_salted_band_join_matches_unsalted(spark):
 _PII_FRAGMENTS = list("abz059 .-+():@_") + [
     "555-0123", "(555) 123-4567", "+1-555-123-4567", "5551234567",
     "a@b.co", "10.0.0.1", "2001:db8:85a3:0:0:8a2e:370:7334",
-    "12:30:45", "1.2.3",
+    "12:30:45", "1.2.3", "123-45-6789", "123-45-678",
 ]
 
 
