@@ -97,6 +97,17 @@ _QUERIES = [
            o.amount, l.qty
     FROM t_orders o FULL OUTER JOIN t_lines l ON l.o_id = o.o_id
     """,
+    # RANGE window frames (D16): value-based peers over a NULLABLE
+    # partition key — frame membership, peer-row sharing, and the NULL
+    # partition group must agree across engines
+    """
+    SELECT o_id, cust, amount,
+      COUNT(*) OVER (PARTITION BY cust ORDER BY amount
+                     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near,
+      SUM(amount) OVER (PARTITION BY cust ORDER BY amount
+                        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS amt_run
+    FROM t_orders
+    """,
     # recursive CTE (D28): generate a sequence, join it against the data
     """
     WITH RECURSIVE seq(n) AS (
