@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -718,3 +719,108 @@ def incremental_corpus_dedup(
         # exactly-once-per-file contract the restart test pins
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def user_sessions_ttl(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """E15 with EVENT-TIME TIMEOUT: keyed session state that is closed by
+    WATERMARK-DRIVEN EVICTION, not only by a later in-key event.
+
+    The plain session_windows operator (and the q25 batch twin) can only
+    close a session when the same user produces a later event; a user who
+    goes quiet holds state forever. Here each user's open session arms an
+    event-time timer at session_end + gap; when the stream's watermark
+    passes it, Spark invokes the function with state.hasTimedOut=True and
+    NO rows, and the session is emitted as closed and its state REMOVED —
+    the bounded-state contract an unbounded 100 TB stream needs
+    (state size tracks ACTIVE users, not all users ever seen).
+
+    Event-time timeouts are deterministic (the watermark derives from
+    data, not wall clock) — unlike ProcessingTimeTimeout, which can never
+    be hash-checked. Emission: a session row also closes eagerly when a
+    same-user event arrives past the gap (exactly session_windows'
+    semantics); `closed_by_timeout` records which path fired.
+
+    Output: (user_id, session_start, session_end, n_events,
+    closed_by_timeout). Sessions still open when the stream ends are
+    deliberately NOT emitted (their timer has not fired) — the
+    at-the-horizon tail every watermarked operator withholds.
+    """
+    from datetime import timedelta
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by_timeout", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_iso", StringType()),
+            StructField("end_iso", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap = timedelta(minutes=gap_minutes)
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start_iso, end_iso, n = state.get
+            closed.append((key[0], start_iso, end_iso, n, True))
+            state.remove()
+        else:
+            if state.exists:
+                start_iso, end_iso, n = state.get
+                cur = [pd.Timestamp(start_iso), pd.Timestamp(end_iso), int(n)]
+            else:
+                cur = None
+            for pdf in pdfs:
+                for row in pdf.sort_values("ts").itertuples():
+                    ts = row.ts
+                    if cur is None:
+                        cur = [ts, ts, 1]
+                    elif ts - cur[1] <= gap:
+                        cur[1] = max(cur[1], ts)
+                        cur[2] += 1
+                    else:
+                        closed.append(
+                            (key[0], cur[0].isoformat(), cur[1].isoformat(),
+                             cur[2], False)
+                        )
+                        cur = [ts, ts, 1]
+            if cur is not None:
+                state.update(
+                    (cur[0].isoformat(), cur[1].isoformat(), int(cur[2]))
+                )
+                # arm the event-time timer: evict when the watermark
+                # passes session_end + gap
+                state.setTimeoutTimestamp(
+                    int((cur[1] + gap).timestamp() * 1000)
+                )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1]) for c in closed],
+                    "session_end": [pd.Timestamp(c[2]) for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "closed_by_timeout": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -827,3 +827,72 @@ def test_incremental_dedup_bucketed_index_equivalent_and_pruned(spark, tmp_path)
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+
+def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
+    """E15 event-time timeout: a user who goes quiet has their open
+    session CLOSED BY WATERMARK EVICTION (state.hasTimedOut path, state
+    removed) once later data advances the watermark past
+    session_end + gap; a same-user event past the gap still closes
+    eagerly; the at-the-horizon session is withheld. Deterministic
+    because the timers are event-time, never wall clock."""
+    from datetime import datetime
+
+    from e02_spark.streaming.jobs import user_sessions_ttl
+
+    d1 = datetime(2024, 1, 1)
+    feed = tmp_path / "ttl_feed"
+    feed.mkdir()
+    batches = [
+        # user 1: one 3-event session; user 2: two singleton sessions
+        # (the second event is past the 30-min gap -> eager close)
+        [
+            (1, datetime(2024, 1, 1, 0, 0)),
+            (1, datetime(2024, 1, 1, 0, 5)),
+            (1, datetime(2024, 1, 1, 0, 10)),
+            (2, datetime(2024, 1, 1, 0, 0)),
+            (2, datetime(2024, 1, 1, 1, 0)),
+        ],
+        [(3, datetime(2024, 1, 2, 0, 0))],   # advances watermark a day
+        [(4, datetime(2024, 1, 3, 0, 0))],   # and another day
+    ]
+    import glob as _glob
+    import os as _os
+
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP")
+        stage = str(feed / f"_w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(stage)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_sessions_ttl(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["closed_by_timeout"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 3, True),
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1, False),
+        (2, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, True),
+        (3, "2024-01-02 00:00:00", "2024-01-02 00:00:00", 1, True),
+    }
+    assert got == want  # user 4's open session is withheld at the horizon
