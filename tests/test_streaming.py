@@ -896,3 +896,79 @@ def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
         (3, "2024-01-02 00:00:00", "2024-01-02 00:00:00", 1, True),
     }
     assert got == want  # user 4's open session is withheld at the horizon
+
+
+def test_incremental_dedup_replay_ignores_half_written_state(spark, tmp_path):
+    """The at-least-once replay scenario from the round-5 advice, pinned
+    directly: after batch 0 commits, POISONED batch=1 state directories
+    (as a crashed first execution of batch 1 would leave) are planted in
+    all three state tables; the resumed stream's real batch 1 must read
+    ONLY pre-batch state (batch < 1), overwrite the poisoned dirs, and
+    still produce exactly the one-shot batch pair set — no double-counted
+    shingles, no Jaccard > 1 artifacts, no phantom verdicts."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.ops.dedup import minhash_lsh_pairs
+    from e02_spark.streaming.jobs import incremental_corpus_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = tmp_path / "replay_feed"
+    feed.mkdir()
+    state = str(tmp_path / "replay_state")
+    ckpt = str(tmp_path / "replay_ckpt")
+
+    def stage(i, part):
+        s = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(s)
+        (src,) = _glob.glob(_os.path.join(s, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(s)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = incremental_corpus_dedup(stream, state, checkpoint_dir=ckpt)
+        assert q.awaitTermination(300)
+
+    stage(0, docs.where(F.col("doc_id") <= median))
+    run()
+
+    # plant a crashed batch-1 execution's half-written state: duplicate
+    # ALL of batch 0's shingles under batch=1 (the double-count shape),
+    # bogus sizes, and a poisoned band index entry
+    sh0 = spark.read.parquet(_os.path.join(state, "shingles")).select(
+        "doc_id", "shingle"
+    )
+    sh0.write.mode("overwrite").parquet(
+        _os.path.join(state, "shingles", "batch=1")
+    )
+    sh0.groupBy("doc_id").count().selectExpr(
+        "doc_id", "count * 100 AS n_sh"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(state, "doc_sizes", "batch=1")
+    )
+    spark.read.parquet(_os.path.join(state, "band_index")).select(
+        "doc_id", "band_idx", "band_key"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(state, "band_index", "batch=1")
+    )
+
+    stage(1, docs.where(F.col("doc_id") > median))
+    run()  # resumes; its batch 1 must shadow the poisoned dirs entirely
+
+    verdicts = spark.read.parquet(_os.path.join(state, "verdicts"))
+    got = sorted(
+        (r["da"], r["db"], round(r["jaccard"], 9)) for r in verdicts.collect()
+    )
+    assert all(j <= 1.0 for _, _, j in got)
+    want = sorted(
+        (r["da"], r["db"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, k=4, bands=2, threshold=0.8).collect()
+    )
+    assert got == want
