@@ -301,3 +301,19 @@ def test_zorder_key_stays_codegen(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_join_strategy_hints_honored(spark):
+    """The hint surface a tuning pass relies on: SHUFFLE_HASH forces a
+    ShuffledHashJoin and MERGE forces a SortMergeJoin on the same join,
+    overriding the size-based default — the explicit levers when AQE's
+    estimates are wrong at 100 TB."""
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    base = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    plan_sh = _plan(base)
+    assert "ShuffledHashJoin" in plan_sh, plan_sh
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan_m = _plan(merged)
+    assert "SortMergeJoin" in plan_m, plan_m
