@@ -245,3 +245,70 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+CHUNKS_SCHEMA = (
+    "media_id BIGINT, chunk_idx BIGINT, start_ms BIGINT, end_ms BIGINT,"
+    " chunk_bytes BINARY, n_chunk_bytes BIGINT"
+)
+
+
+def chunk_audio(
+    media: DataFrame,
+    chunk_ms: int = 1000,
+    bytes_per_ms: int = 2,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched audio chunking — the audio analog of sample_frames:
+    one audio row in, one row per fixed-duration chunk out (the shape an
+    ASR/feature pipeline feeds its encoder). Production path would
+    decode the container (soundfile/ffmpeg — genuinely absent here) and
+    slice PCM at chunk_ms boundaries; the deterministic fake path treats
+    the payload as bytes_per_ms bytes per millisecond of audio and
+    slices it with the SAME timestamp arithmetic (start_ms/end_ms are
+    the chunk's position in the source timeline; a short final chunk is
+    kept, matching every real splitter's default).
+
+    Scale: mapInPandas over BINARY payloads — vectorized 1->N explosion
+    per Arrow batch, no per-row Python UDF; chunk rows shuffle nowhere
+    until the caller aggregates them.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk_bytes_len = chunk_ms * bytes_per_ms
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "audio decode requires soundfile/ffmpeg, which is not "
+                    "installed; use the deterministic fake path"
+                )
+            import numpy as np
+
+            auds = pdf[pdf["kind"] == "audio"]
+            payloads = auds["payload"].map(lambda b: b or b"")
+            sizes = payloads.map(len).to_numpy(dtype=np.int64)
+            n_chunks = -(-sizes // chunk_bytes_len)  # ceil; empty -> 0
+            total = int(n_chunks.sum())
+            row_pos = np.repeat(np.arange(len(auds), dtype=np.int64), n_chunks)
+            group_start = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+            chunk_idx = np.arange(total, dtype=np.int64) - group_start
+            pay = payloads.to_numpy(dtype=object)
+            chunks = [
+                pay[r][i * chunk_bytes_len : (i + 1) * chunk_bytes_len]
+                for r, i in zip(row_pos, chunk_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": auds["media_id"].to_numpy()[row_pos],
+                    "chunk_idx": chunk_idx,
+                    "start_ms": chunk_idx * chunk_ms,
+                    "end_ms": [
+                        int(i * chunk_ms + len(c) // bytes_per_ms)
+                        for i, c in zip(chunk_idx, chunks)
+                    ],
+                    "chunk_bytes": chunks,
+                    "n_chunk_bytes": [len(c) for c in chunks],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=CHUNKS_SCHEMA)

@@ -525,3 +525,35 @@ def test_kmeans_centroids_deterministic_and_recall_not_worse(spark):
         return sum(recs) / len(recs)
 
     assert recall("kmeans") >= recall("first_n")
+
+
+def test_chunk_audio_reconstructs_payload_exactly(spark):
+    """E9 audio chunking: chunks concatenate back to the exact payload,
+    timestamp arithmetic matches the byte arithmetic (start_ms/end_ms),
+    the final short chunk is kept, and non-audio rows produce nothing."""
+    from e02_spark.ops.multimodal import chunk_audio
+
+    media = fixtures.spark_df(spark, "media")
+    rows = chunk_audio(media, chunk_ms=3, bytes_per_ms=2).collect()
+    assert rows
+    audio_payloads = {
+        m[0]: m[4] for m in fixtures.MEDIA if m[1] == "audio"
+    }
+    assert {r["media_id"] for r in rows} == set(audio_payloads)
+    by_media: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["media_id"], r["chunk_idx"])):
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, chunks in by_media.items():
+        payload = audio_payloads[mid]
+        assert b"".join(bytes(c["chunk_bytes"]) for c in chunks) == payload
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_ms"] == c["chunk_idx"] * 3
+            assert c["end_ms"] == c["start_ms"] + c["n_chunk_bytes"] // 2
+            assert c["n_chunk_bytes"] <= 6
+        assert all(c["n_chunk_bytes"] == 6 for c in chunks[:-1])
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        chunk_audio(media, real_decode=True).collect()
