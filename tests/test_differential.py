@@ -209,6 +209,15 @@ _TIME_QUERIES = [
            LAG(v) OVER (PARTITION BY kind ORDER BY ts, e_id) AS prev_v
     FROM t_events
     """,
+    # shifted-bucket day grouping + date cast + minute extraction
+    # (EXTRACT(epoch) is DuckDB-only — excluded from the intersection)
+    """
+    SELECT e_id,
+           date_trunc('day', ts + INTERVAL '6' HOUR) AS shifted_day,
+           CAST(CAST(ts AS DATE) AS STRING) AS d,
+           CAST(EXTRACT(minute FROM ts) AS BIGINT) AS mi
+    FROM t_events
+    """,
 ]
 
 
