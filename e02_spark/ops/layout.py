@@ -200,6 +200,12 @@ def compact_partitions(
     import os
     import shutil
 
+    # Heal BEFORE reading: a partition parked in the backup by a crashed
+    # previous run must be restored first, or this run would read (and
+    # compact) the table without it — still no data loss, but the
+    # restored partition would silently skip this compaction pass.
+    backup_root = path.rstrip("/") + ".compact_backup"
+    _heal_from_backup(path, backup_root, len(partition_cols))
     df = spark.read.parquet(path)
     if where is not None:
         touched = df.where(where).select(*partition_cols).distinct()
@@ -225,8 +231,6 @@ def compact_partitions(
         # dest briefly missing, old data safe in backup (next run
         # restores it); after → both copies exist with identical
         # contents until the backup delete.
-        backup_root = path.rstrip("/") + ".compact_backup"
-        _heal_from_backup(path, backup_root, len(partition_cols))
         pattern = os.path.join(tmp, *[f"{c}=*" for c in partition_cols])
         for pdir in _glob.glob(pattern):
             rel = os.path.relpath(pdir, tmp)

@@ -267,6 +267,10 @@ def test_compaction_self_heals_crashed_swap(spark, tmp_path):
     assert got == want
     assert not glob.glob(os.path.join(path, "**", "_compact_*"), recursive=True)
     assert not os.path.exists(backup_root)
+    # healing happens BEFORE the read, so the restored partition took
+    # part in THIS compaction pass (1 file like everyone else)
+    for d in glob.glob(os.path.join(path, "event_type=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
 
 
 def test_schema_evolution_mergeschema_read(spark, tmp_path):
