@@ -498,6 +498,10 @@ def incremental_corpus_dedup(
     this turns the per-batch index read from an O(corpus) scan into
     partition-pruned O(corpus × touched/index_buckets) — the file-layout
     stand-in for the key-value store a production probe would use.
+    index_buckets must stay constant for a state_dir's lifetime: mixing
+    bucketed and unbucketed batch directories gives the reader
+    inconsistent partition depths (a loud discovery error, not silent
+    corruption, but still a restart-blocker).
 
     Invariant (pinned by tests/test_streaming.py): the union of per-batch
     verdicts over any batch split equals the one-shot batch
@@ -798,7 +802,11 @@ def user_sessions_ttl(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     (cur[0].isoformat(), cur[1].isoformat(), int(cur[2]))
                 )
                 # arm the event-time timer: evict when the watermark
-                # passes session_end + gap
+                # passes session_end + gap. The naive pandas timestamp is
+                # epoch-converted as UTC, which matches Spark's event-time
+                # domain when spark.sql.session.timeZone is UTC (this
+                # engine's sessions; a non-UTC deployment must localize
+                # before the epoch conversion).
                 state.setTimeoutTimestamp(
                     int((cur[1] + gap).timestamp() * 1000)
                 )
