@@ -429,6 +429,192 @@ def _centroids_for(
     raise ValueError(f"train must be 'first_n' or 'kmeans', got {train!r}")
 
 
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_cap: int = 2048,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> list[list[list[int]]]:
+    """Train product-quantization codebooks: split the vector into `m`
+    contiguous subspaces of dim/m components and run a small k-means with
+    `n_codes` centroids in EACH subspace independently (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search" — the IVF-PQ
+    building block every 100 TB ANN deployment uses: PQ codes compress a
+    64-dim float vector to m bytes, so the candidate scan reads codes, not
+    vectors).
+
+    Determinism mirrors train_centroids_kmeans: the sample is the
+    `sample_cap` lowest xxhash64(vec_id) vectors, per-subspace init is the
+    sample's n_codes lowest vec_ids, Lloyd runs a FIXED `iters`
+    iterations (L2 assignment, first-min tie-break, empty clusters keep
+    their centroid), all in float64 over the in-memory sample only.
+
+    Returns codebooks[j][c] = the c-th centroid of subspace j, QUANTIZED
+    to the engine's integer micro-unit grid (floor(x*1e6) as int) — the
+    same grid stored vectors quantize through, so encode/ADC distances
+    are exact BIGINT arithmetic and bit-deterministic at any parallelism.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy(F.xxhash64(F.col("vec_id").cast("bigint")), F.col("vec_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in sample])
+    order = np.argsort(ids, kind="stable")
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[order[:n_codes]].copy()
+        for _ in range(iters):
+            # squared L2 to each code; np.argmin takes the FIRST min —
+            # the same tie rule pq_encode's array_position uses
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(
+            [[int(np.floor(v * 1e6)) for v in C[c]] for c in range(n_codes)]
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach `out_col`: ARRAY<INT> of length m — per subspace, the index
+    of the nearest codebook entry by exact integer squared-L2 distance.
+
+    Stays entirely JVM-side (transform/aggregate/array_position over
+    literal codebook arrays — no UDF): encoding 100 TB of vectors is a
+    map-only pass. Distances are exact BIGINTs on the shared micro-unit
+    grid (|q| <= 2e6 ⇒ per-component square <= 1.6e13, × dsub << 2^63),
+    and array_position returns the FIRST minimum — the same tie-break as
+    the trainer's np.argmin, so codes are bit-stable across engines,
+    partitionings, and re-runs."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j in range(m):
+        book = F.array(
+            *[
+                F.array(*[F.lit(v) for v in code]).cast("array<bigint>")
+                for code in codebooks[j]
+            ]
+        )
+        sub = F.expr(
+            f"transform(slice({vec_col}, {j * dsub + 1}, {dsub}), "
+            "x -> cast(floor(cast(x as double) * 1000000d) as bigint))"
+        )
+        dists = F.transform(
+            book,
+            lambda code: F.aggregate(
+                F.zip_with(
+                    sub,
+                    code,
+                    lambda x, c: (
+                        (F.coalesce(x, F.lit(0)) - F.coalesce(c, F.lit(0)))
+                        * (F.coalesce(x, F.lit(0)) - F.coalesce(c, F.lit(0)))
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*code_cols))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    rerank: int = 100,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by cosine via PQ asymmetric distance computation
+    (ADC) + exact rerank — the memory-bound scan shape of a production
+    ANN: the corpus is scanned as m-byte codes, per-candidate cost is m
+    table lookups (the per-query LUT of query-subvector-to-code distances,
+    built once driver-side), the `rerank` best ADC candidates are then
+    re-scored with the exact quantized cosine, and the top `k` of those
+    returned. Recall trades against rerank width, the standard PQ
+    contract; exact duplicates of the query always ADC to ~0 so
+    plant-copy recall is 1.0.
+
+    Fully deterministic: codebooks are deterministic (pq_codebooks), ADC
+    distances are exact BIGINT sums of LUT entries, and both the ADC
+    cut and the final order tie-break on vec_id.
+
+    Returns (vec_id, adc_dist, cosine) — k rows, best cosine first."""
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m=m, n_codes=n_codes)
+    dsub = len(codebooks[0][0])
+    encoded = with_quantized(pq_encode(embeddings, codebooks))
+    qrows = (
+        encoded.where(F.col("vec_id") == query_vec_id)
+        .select("q", "n2")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    qrow = qrows[0]
+    qvec = np.array(qrow["q"], dtype=np.int64)
+    # per-query LUT: lut[j][c] = exact squared-L2 between the query's
+    # j-th quantized subvector and codebook entry c — m * n_codes bigints
+    luts = []
+    for j in range(m):
+        sub = qvec[j * dsub : (j + 1) * dsub]
+        lut = [
+            int(((sub - np.array(code, dtype=np.int64)) ** 2).sum())
+            for code in codebooks[j]
+        ]
+        luts.append(F.array(*[F.lit(v) for v in lut]).cast("array<bigint>"))
+    adc = None
+    for j in range(m):
+        term = F.element_at(luts[j], F.col("pq_codes").getItem(j) + 1)
+        adc = term if adc is None else adc + term
+    cands = (
+        encoded.where((F.col("vec_id") != query_vec_id) & (F.col("n2") > 0))
+        .select("vec_id", "q", "n2", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+    qq = F.array(*[F.lit(int(v)) for v in qvec]).cast("array<bigint>")
+    qn2 = F.lit(int(qrow["n2"])).cast("bigint")
+    rescored = (
+        cands.withColumn("qq_lit", qq)
+        .select(
+            "vec_id",
+            "adc_dist",
+            cosine_q(_dot_q("q", "qq_lit"), "n2", qn2).alias("cosine"),
+        )
+    )
+    return rescored.orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    ).limit(k)
+
+
 def _sign_bucket_q(vec: str, offset: int, bits: int) -> Column:
     """Sign bucket of quantized components [offset, offset+bits) — one
     band of the multi-band sign-LSH, computed over the BIGINT quantized

@@ -1,0 +1,317 @@
+"""Manifest-based snapshot table: atomic versioned commits over plain
+parquet — the minimal transactional-table-format core (Iceberg/Delta
+shape) the layout sinks in this repo otherwise approximate with rename
+dances.
+
+Why this exists at 100 TB: directory-listing tables (ops/layout.py) have
+three structural gaps a manifest log closes —
+  * ATOMICITY: a multi-file write is visible file-by-file as it lands;
+    a manifest commit flips the whole snapshot in one atomic
+    create-if-absent of `v{N}.json`. Data files without a committed
+    manifest are invisible garbage, never half-read tables.
+  * SNAPSHOT ISOLATION / TIME TRAVEL: readers resolve a manifest once
+    and read exactly its file list; a concurrent compaction or append
+    commits a NEW version and disturbs nobody. Old versions stay
+    readable until expired.
+  * SCAN PLANNING: the manifest records per-file row counts and
+    min/max stats for declared columns (harvested from the parquet
+    footers at commit time), so a reader prunes files DRIVER-SIDE
+    before Spark ever lists or opens them — the manifest is the file
+    index, the analog of Iceberg manifest-entry stats.
+
+Storage layout (all under the table root):
+    data/<commit-uuid>/part-*.parquet   -- immutable once written
+    _manifests/v{N:012d}.json           -- snapshot N's file list + stats
+
+Commit protocol: write data files to a fresh `data/<uuid>/` directory,
+then publish `_manifests/v{N}.json` with O_EXCL create. Version
+collisions (two writers racing to N) make the loser's create fail
+loudly; an APPEND loser re-reads the new latest (picking up the
+winner's files) and retries at N+1 — optimistic concurrency with
+rebase, exactly the Iceberg commit loop. A crash before the manifest
+create leaves orphan data files that no reader ever sees;
+`snapshot_expire(clean_orphans=True)` removes them.
+
+Scale honesty: one JSON manifest listing every live file is O(#files)
+driver state — fine to ~10^5 files; production formats shard manifests
+and tree them (manifest lists). The protocol and stats shapes here are
+the same; only the manifest fan-out is simplified.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFESTS, f"v{version:012d}.json")
+
+
+def snapshot_versions(table: str) -> list[int]:
+    """Committed versions, ascending. Ignores anything not matching the
+    v{N}.json commit name — tmp files never look like commits."""
+    out = []
+    for p in _glob.glob(os.path.join(table, _MANIFESTS, "v*.json")):
+        stem = os.path.basename(p)[1:-5]
+        if stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _harvest_stats(
+    files: list[str], stats_cols: list[str], table: str
+) -> list[dict]:
+    """Per-file entries from the parquet FOOTERS (row count + min/max per
+    stats column) — driver-side metadata reads, no Spark job. Column
+    chunk stats are aggregated across row groups; a column missing stats
+    in any row group gets null bounds (reader then cannot prune on it,
+    which is the safe direction)."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for path in sorted(files):
+        meta = pq.ParquetFile(path).metadata
+        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        bounds: dict[str, list] = {}
+        for col in stats_cols:
+            if col not in schema_names:
+                continue
+            ci = schema_names.index(col)
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                bounds[col] = [
+                    lo.isoformat() if hasattr(lo, "isoformat") else lo,
+                    hi.isoformat() if hasattr(hi, "isoformat") else hi,
+                ]
+        entries.append(
+            {
+                # TABLE-relative: the manifest stays valid if the table
+                # root moves or the reader's CWD differs from the writer's
+                "path": os.path.relpath(path, table),
+                "rows": meta.num_rows,
+                "stats": bounds,
+            }
+        )
+    return entries
+
+
+def _try_commit(table: str, version: int, manifest: dict) -> bool:
+    """Atomic publish of v{version}: write a tmp file, then hard-link it
+    to the final name — link(2) fails with EEXIST if the version is
+    already taken (create-if-absent), and the manifest content appears
+    fully written or not at all. Returns False on version collision."""
+    mdir = os.path.join(table, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f"tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def snapshot_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    n_files: int = 1,
+    cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 10,
+) -> int:
+    """Write `df` as a new snapshot commit. mode='append' adds the new
+    files to the current snapshot's list; mode='overwrite' replaces the
+    list (logical truncate-and-load — old files stay on disk for old
+    versions until expired).
+
+    The data write happens ONCE into an immutable `data/<uuid>/` dir;
+    only the manifest create retries on a version race, and an append
+    rebase re-reads the latest manifest so concurrent appends all
+    survive (last committer sees every earlier committer's files).
+    `n_files` sizes the output (repartition), cluster_by sorts within
+    files so the harvested min/max stats are tight, stats_cols declares
+    which columns get manifest-level bounds. Returns the committed
+    version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+    out = df.repartition(n_files)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    out.write.mode("error").parquet(commit_dir)
+    new_files = _glob.glob(os.path.join(commit_dir, "*.parquet"))
+    new_entries = _harvest_stats(new_files, stats_cols or [], table)
+    for _ in range(max_retries):
+        versions = snapshot_versions(table)
+        base = versions[-1] if versions else 0
+        if mode == "append" and versions:
+            entries = _read_manifest(table, base)["files"] + new_entries
+        else:
+            entries = new_entries
+        manifest = {
+            "version": base + 1,
+            "mode": mode,
+            "stats_cols": sorted(stats_cols or []),
+            "files": entries,
+        }
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+    raise RuntimeError(
+        f"snapshot_write lost {max_retries} consecutive commit races on {table}"
+    )
+
+
+def snapshot_read(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read snapshot `version` (default: latest). The file list comes
+    from the manifest — never from directory listing, so uncommitted
+    data dirs and files belonging only to other versions are invisible.
+
+    prune=(col, lo, hi) drops files whose manifest [min,max] for `col`
+    cannot intersect [lo, hi] BEFORE Spark sees the paths (manifest-level
+    scan planning); files without bounds for the column are kept (safe).
+    Pruning is an optimization only — the caller still applies its row
+    filter; an empty post-prune list returns an empty frame with the
+    table's schema (read from one manifest file path's footer)."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    manifest = _read_manifest(table, v)
+    files = manifest["files"]
+    kept = []
+    for e in files:
+        if prune is not None:
+            col, lo, hi = prune
+            b = e["stats"].get(col)
+            if b is not None and (b[1] < lo or b[0] > hi):
+                continue
+        kept.append(os.path.join(table, e["path"]))
+    if not kept and files:
+        # preserve schema for an empty (fully pruned) scan
+        return spark.read.parquet(
+            os.path.join(table, files[0]["path"])
+        ).limit(0)
+    return spark.read.parquet(*kept)
+
+
+def snapshot_rows(table: str, version: int | None = None) -> int:
+    """Exact row count from manifest stats alone — zero data IO (the
+    COUNT(*) fast path a manifest-backed table answers from metadata)."""
+    versions = snapshot_versions(table)
+    v = (versions[-1] if versions else None) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    return sum(e["rows"] for e in _read_manifest(table, v)["files"])
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table: str,
+    n_files: int = 1,
+    cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Rewrite the CURRENT snapshot into n_files files and commit the
+    result as a new overwrite version. Contents are preserved exactly;
+    readers of any prior version are untouched (their files are not
+    deleted until snapshot_expire) — compaction under snapshot isolation,
+    the durable answer to the stage-and-swap dance compact_partitions
+    needs on a bare directory table."""
+    cur = snapshot_read(spark, table)
+    sc = stats_cols
+    if sc is None:
+        versions = snapshot_versions(table)
+        sc = _read_manifest(table, versions[-1]).get("stats_cols", [])
+    return snapshot_write(
+        cur,
+        table,
+        mode="overwrite",
+        n_files=n_files,
+        cluster_by=cluster_by,
+        stats_cols=sc,
+    )
+
+
+def snapshot_expire(
+    table: str, keep_last: int = 1, clean_orphans: bool = False
+) -> dict:
+    """Garbage collection: drop all but the last `keep_last` manifests,
+    then delete data files referenced by NO surviving manifest.
+    clean_orphans additionally removes files no manifest EVER referenced
+    (crashed writes). Only run when no in-flight writer exists (a real
+    deployment fences by commit-age; orphans younger than the oldest
+    in-flight write must be kept — simplified here to an explicit flag).
+    Returns {'manifests_dropped': n, 'files_deleted': n}."""
+    versions = snapshot_versions(table)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    dropped = 0
+    live: set[str] = set()
+    for v in keep:
+        live.update(
+            os.path.abspath(os.path.join(table, e["path"]))
+            for e in _read_manifest(table, v)["files"]
+        )
+    referenced_dead: set[str] = set()
+    for v in versions:
+        if v in keep:
+            continue
+        referenced_dead.update(
+            os.path.abspath(os.path.join(table, e["path"]))
+            for e in _read_manifest(table, v)["files"]
+        )
+        os.remove(_manifest_path(table, v))
+        dropped += 1
+    deleted = 0
+    victims = referenced_dead - live
+    if clean_orphans:
+        on_disk = {
+            os.path.abspath(p)
+            for p in _glob.glob(os.path.join(table, _DATA, "*", "*.parquet"))
+        }
+        victims |= on_disk - live
+    for path in victims:
+        if os.path.exists(path):
+            os.remove(path)
+            deleted += 1
+    # drop commit dirs holding no parquet anymore (only _SUCCESS/.crc
+    # write crumbs remain once their data files were collected)
+    import shutil
+
+    for d in _glob.glob(os.path.join(table, _DATA, "*")):
+        if os.path.isdir(d) and not _glob.glob(os.path.join(d, "*.parquet")):
+            shutil.rmtree(d)
+    return {"manifests_dropped": dropped, "files_deleted": deleted}

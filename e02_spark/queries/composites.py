@@ -216,6 +216,10 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # round 6: mergeable quantile sketch, rank-error property boolean
         ("q104", "q104_approx_percentile",
          [("o_orderstatus", "s"), ("n_rows", "n"), ("approx_median_ok", "s")]),
+        # round 6: mergeable heavy-hitters sketch (accumulate/combine/
+        # estimate), exact in the small-domain regime -> hash-checked
+        ("q109", "q109_heavy_hitters_sketch",
+         [("qty", "n"), ("est_n", "n"), ("rk", "n")]),
         ("q12", "q12_distinct_exact",
          [("l_returnflag", "s"), ("n_parts", "n"), ("n_supps", "n"), ("n_rows", "n")]),
     ],

@@ -325,6 +325,58 @@ FROM s5 JOIN deg d ON s5.u = d.u
 
 
 # --------------------------------------------------------------------------
+# q109 — MERGEABLE heavy-hitters sketch (D10-approx family, the frequency
+# twin of q104's quantile sketch): Spark 4's approx_top_k sketch-state
+# algebra run end-to-end — per-group approx_top_k_accumulate builds one
+# sketch state per l_returnflag, approx_top_k_combine merges the states,
+# approx_top_k_estimate extracts (item, count) — exactly the
+# pre-aggregated-sketch serving shape a 100 TB frequency dashboard uses
+# (accumulate once per partition/day, combine at query time, never rescan).
+# Hash-exactness: l_quantity has 50 distinct values << maxItemsTracked
+# (10000), and a frequent-items sketch below tracking capacity never
+# evicts, so estimates are EXACT counts whatever the partitioning or merge
+# order — the same small-domain-exact regime q104 exploits for rank error.
+# The final ranking re-sorts by (est_n DESC, qty ASC) — a total order, so
+# the top-10 cut is deterministic on both engines. DuckDB oracle is the
+# exact GROUP BY it degenerates to.
+# Scale: accumulate partial-aggregates map-side (one sketch per task, not
+# per row); combine sees #groups rows; estimate is driver-trivial.
+# --------------------------------------------------------------------------
+def q109_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    acc = li.groupBy("l_returnflag").agg(
+        F.expr("approx_top_k_accumulate(qty, 10000)").alias("st")
+    )
+    comb = acc.agg(F.expr("approx_top_k_combine(st, 10000)").alias("cst"))
+    est = comb.select(
+        F.explode(F.expr("approx_top_k_estimate(cst, 60)")).alias("e")
+    ).select(F.col("e.item").alias("qty"), F.col("e.count").alias("est_n"))
+    w = Window.orderBy(F.col("est_n").desc(), F.col("qty").asc())
+    return (
+        est.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 10)
+        .select("qty", "est_n", "rk")
+    )
+
+
+_Q109_SQL = """
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS est_n
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT qty, est_n,
+         ROW_NUMBER() OVER (ORDER BY est_n DESC, qty ASC) AS rk
+  FROM c
+)
+SELECT qty, est_n, rk FROM r WHERE rk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # q63 — argmax/argmin aggregation: max_by/min_by with a composite
 # (value, unique-key) ordering struct so ties are impossible. Oracle uses
 # the window formulation (arg_max's composite-key support differs across
@@ -879,6 +931,7 @@ QUERIES = {
     "q62_dedup_clusters": q62_dedup_clusters,
     "q92_dedup_clusters_star": q92_dedup_clusters_star,
     "q108_pagerank": q108_pagerank,
+    "q109_heavy_hitters_sketch": q109_heavy_hitters_sketch,
     "q63_argmax": q63_argmax,
     "q64_csv_roundtrip": q64_csv_roundtrip,
     "q106_orc_roundtrip": q106_orc_roundtrip,
@@ -904,6 +957,7 @@ ORACLE = {
     "q62_dedup_clusters": _Q62_SQL,
     "q92_dedup_clusters_star": _Q62_SQL,
     "q108_pagerank": _q108_sql(),
+    "q109_heavy_hitters_sketch": _Q109_SQL,
     "q63_argmax": _Q63_SQL,
     "q64_csv_roundtrip": _Q64_SQL,
     "q106_orc_roundtrip": _Q106_SQL,

@@ -296,3 +296,174 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     # evolution-aware aggregation treats missing as NULL (skipped by SUM)
     (tot,) = merged.agg(F.sum("score")).first()
     assert tot == 70.0
+
+
+# --------------------------------------------------------------------------
+# snapshot table (ops/snapshot.py): manifest commits, isolation, pruning
+# --------------------------------------------------------------------------
+
+
+def test_snapshot_commit_append_time_travel(spark, tmp_path):
+    """v1 overwrite + v2 append: latest reads the union, version=1 reads
+    exactly the original, and snapshot_rows answers COUNT(*) from
+    manifest metadata alone."""
+    from e02_spark.ops.snapshot import (
+        snapshot_read,
+        snapshot_rows,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "tbl")
+    nation = load_table(spark, SF, "nation")
+    v1 = snapshot_write(nation.where(F.col("n_nationkey") < 10), table,
+                        mode="overwrite")
+    v2 = snapshot_write(nation.where(F.col("n_nationkey") >= 10), table,
+                        mode="append")
+    assert (v1, v2) == (1, 2)
+    assert snapshot_versions(table) == [1, 2]
+    assert snapshot_read(spark, table).count() == nation.count()
+    assert snapshot_read(spark, table, version=1).count() == 10
+    assert snapshot_rows(table) == nation.count()
+    assert snapshot_rows(table, version=1) == 10
+
+
+def test_snapshot_uncommitted_files_invisible_and_gc(spark, tmp_path):
+    """Atomicity: data files without a committed manifest (a crashed
+    write) are invisible to readers; expire(clean_orphans=True) removes
+    them. Expire also drops dead versions' manifests + files while the
+    kept snapshot stays readable."""
+    import glob as g
+    import os
+
+    from e02_spark.ops.snapshot import (
+        snapshot_expire,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "tbl")
+    nation = load_table(spark, SF, "nation")
+    snapshot_write(nation, table, mode="overwrite")
+    n = nation.count()
+
+    # simulate a crashed writer: data lands, manifest never commits
+    orphan_dir = os.path.join(table, "data", "deadbeefcafe")
+    nation.limit(3).write.parquet(orphan_dir)
+    assert snapshot_read(spark, table).count() == n  # invisible
+
+    snapshot_write(nation.limit(5), table, mode="overwrite")  # v2
+    res = snapshot_expire(table, keep_last=1, clean_orphans=True)
+    assert res["manifests_dropped"] == 1
+    assert res["files_deleted"] >= 2  # v1's file(s) + the orphan(s)
+    assert not os.path.exists(orphan_dir) or not os.listdir(orphan_dir)
+    assert snapshot_read(spark, table).count() == 5
+    # every remaining data file is referenced by the one kept manifest
+    assert len(g.glob(os.path.join(table, "data", "*", "*.parquet"))) == 1
+
+
+def test_snapshot_commit_race_rebase(spark, tmp_path):
+    """Optimistic concurrency: a manifest version taken by another writer
+    makes _try_commit refuse (create-if-absent), and snapshot_write's
+    retry loop rebases an append onto the NEW latest so both writers'
+    rows survive."""
+    import json
+    import os
+
+    from e02_spark.ops.snapshot import (
+        _read_manifest,
+        _try_commit,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "tbl")
+    nation = load_table(spark, SF, "nation")
+    snapshot_write(nation.where(F.col("n_nationkey") < 10), table,
+                   mode="overwrite")
+    # a rival writer takes v2 first, appending nothing new (its manifest
+    # carries v1's file list) — the direct collision must be refused
+    rival = {"version": 2, "mode": "append", "stats_cols": [],
+             "files": _read_manifest(table, 1)["files"]}
+    assert _try_commit(table, 2, rival)
+    assert not _try_commit(table, 2, rival)  # create-if-absent holds
+    # our append must land at v3 and still see v2 as its base
+    v = snapshot_write(nation.where(F.col("n_nationkey") >= 10), table,
+                       mode="append")
+    assert v == 3
+    assert snapshot_read(spark, table).count() == nation.count()
+
+
+def test_snapshot_manifest_prunes_files_by_stats(spark, tmp_path):
+    """Manifest-level scan planning: with cluster_by making per-file
+    min/max tight, a prune range must cut the planned file list below
+    the total while returning exactly the rows a full-scan filter
+    returns."""
+    from e02_spark.ops.snapshot import snapshot_read, snapshot_write
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # four appends of disjoint o_orderkey slices -> four files with
+    # non-overlapping manifest bounds (the ingest pattern — daily loads of
+    # a monotone key — that makes manifest stats prune hardest)
+    table2 = str(tmp_path / "tbl2")
+    lo, hi = 0, orders.agg(F.max("o_orderkey")).first()[0]
+    step = (hi + 4) // 4
+    for i in range(4):
+        snapshot_write(
+            orders.where(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            ),
+            table2,
+            mode="append" if i else "overwrite",
+            cluster_by=["o_orderkey"],
+            stats_cols=["o_orderkey"],
+        )
+    probe_lo, probe_hi = step // 2, step // 2 + step // 4
+    pruned = snapshot_read(
+        spark, table2, prune=("o_orderkey", probe_lo, probe_hi)
+    )
+    assert len(pruned.inputFiles()) < len(
+        snapshot_read(spark, table2).inputFiles()
+    )
+    want = orders.where(F.col("o_orderkey").between(probe_lo, probe_hi)).count()
+    got = pruned.where(F.col("o_orderkey").between(probe_lo, probe_hi)).count()
+    assert got == want > 0
+
+
+def test_snapshot_compact_under_isolation(spark, tmp_path):
+    """Compaction commits a new version; the pre-compaction version stays
+    byte-for-byte readable until expired — no reader disruption, no
+    stage-and-swap window."""
+    import glob as g
+    import os
+
+    from e02_spark.ops.snapshot import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "tbl")
+    supplier = load_table(spark, SF, "supplier")
+    for i in range(3):  # 3 commits -> 3 small files
+        snapshot_write(
+            supplier.where(F.col("s_suppkey") % 3 == i),
+            table,
+            mode="append" if i else "overwrite",
+        )
+    n = supplier.count()
+    before = snapshot_read(spark, table)
+    assert len(before.inputFiles()) == 3
+    v = snapshot_compact(spark, table, n_files=1)
+    after = snapshot_read(spark, table)
+    assert len(after.inputFiles()) == 1
+    assert after.count() == n
+    # exact content preservation
+    a = {tuple(r) for r in after.collect()}
+    b = {tuple(r) for r in before.collect()}
+    assert a == b
+    # time travel to the pre-compaction version still works
+    assert snapshot_read(spark, table, version=v - 1).count() == n

@@ -527,6 +527,60 @@ def test_kmeans_centroids_deterministic_and_recall_not_worse(spark):
     assert recall("kmeans") >= recall("first_n")
 
 
+def test_pq_full_rerank_equals_bruteforce(spark):
+    """Product quantization exactness limit: when the rerank width covers
+    the whole corpus, the exact-cosine rescoring pass sees every vector,
+    so pq_topk must equal topk_bruteforce EXACTLY (same ids, same order,
+    same scores) — the ADC stage then only reorders candidates it cannot
+    drop. This pins the rerank stage's scoring as the same bit-exact
+    quantized cosine the brute-force path uses."""
+    from e02_spark.ops.similarity import pq_codebooks, pq_topk
+
+    e = load_table(spark, SF, "embeddings")
+    n = e.count()
+    books = pq_codebooks(e)
+    pq = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk(e, 7, k=10, rerank=n, codebooks=books).collect()
+    ]
+    bf = [
+        (r["vec_id"], r["cosine"])
+        for r in topk_bruteforce(e, 7, k=10).collect()
+    ]
+    assert pq == bf
+
+
+def test_pq_encode_jvm_side_recall_and_determinism(spark):
+    """PQ ANN contracts on the sf0.01 corpus: (a) encoding is pure JVM
+    expression work (no Python UDF in the plan — a 100 TB encode pass is
+    map-only codegen); (b) codes have shape m with values in [0, n_codes);
+    (c) recall@10 at rerank=100 clears a floor the deterministic corpus
+    gives margin on; (d) two full runs (re-trained codebooks included)
+    return identical rows — nothing RNG-dependent anywhere."""
+    from e02_spark.ops.similarity import pq_codebooks, pq_encode, pq_topk
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = pq_codebooks(e)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = pq_encode(e, books)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    row = enc.select("pq_codes").first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
+
+    def run():
+        return [
+            (r["vec_id"], r["adc_dist"], r["cosine"])
+            for r in pq_topk(e, 17, k=10, rerank=100).collect()
+        ]
+
+    first = run()
+    bf = {r["vec_id"] for r in topk_bruteforce(e, 17, k=10).collect()}
+    assert len({v for v, _, _ in first} & bf) / 10 >= 0.6
+    assert run() == first
+
+
 def test_chunk_audio_reconstructs_payload_exactly(spark):
     """E9 audio chunking: chunks concatenate back to the exact payload,
     timestamp arithmetic matches the byte arithmetic (start_ms/end_ms),

@@ -317,3 +317,53 @@ def test_join_strategy_hints_honored(spark):
     merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
     plan_m = _plan(merged)
     assert "SortMergeJoin" in plan_m, plan_m
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime bloom-filter join pruning — the lever that shrinks a
+    shuffle join's fact-side exchange when the dim carries a selective
+    non-partition filter: Spark builds a bloom filter from the filtered
+    dim's join keys and injects `might_contain` into the fact scan's
+    Filter, so non-matching fact rows die BEFORE the shuffle instead of
+    after the join. At 100 TB this is often the difference between
+    shuffling 100 TB and shuffling the ~1% that survives; DPP covers the
+    partition-column case, this covers every other selective dim filter.
+    Thresholds are scoped down because the default application-side
+    trigger is 10 GB — far above any test fixture."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        n_filtered = j.collect()[0]["n"]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # result identity: the injected filter must not change the answer
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "might_contain" not in _plan(plain)
+    assert plain.collect()[0]["n"] == n_filtered
