@@ -615,6 +615,88 @@ def pq_topk(
     ).limit(k)
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    rerank: int = 100,
+    train: str = "first_n",
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composition every production-scale ANN index runs
+    (faiss IndexIVFPQ) — the coarse quantizer (IVF centroids) prunes the
+    corpus to the query's cell, PQ asymmetric distances rank the cell's
+    codes, and the best `rerank` candidates are re-scored with the exact
+    quantized cosine. At 100 TB: centroids broadcast, the cell probe is
+    a partition-pruned read of a centroid-partitioned code table (m bytes
+    per vector scanned, not the raw vectors), per-candidate cost is m LUT
+    lookups, and only `rerank` full vectors are ever touched per query.
+
+    Both stages reuse their standalone parts (ivf_topk's assignment via
+    _assign_centroids, pq_topk's codebooks/ADC), so the determinism
+    contracts compose: same inputs → same cells, same codes, same order.
+
+    Returns (vec_id, centroid_id, adc_dist, cosine) — k rows, best
+    cosine first; recall trades against BOTH the single-probe cell and
+    the rerank width (the standard IVF-PQ contract)."""
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m=m, n_codes=n_codes)
+    dsub = len(codebooks[0][0])
+    qd = with_quantized(pq_encode(embeddings, codebooks))
+    centroids = _centroids_for(qd, embeddings, n_centroids, train)
+    assigned = _assign_centroids(qd, centroids).select("vec_id", "cid")
+    coded = qd.join(assigned, "vec_id")
+    qrows = (
+        coded.where(F.col("vec_id") == query_vec_id)
+        .select("q", "n2", "cid")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    qrow = qrows[0]
+    qvec = np.array(qrow["q"], dtype=np.int64)
+    luts = []
+    for j in range(m):
+        sub = qvec[j * dsub : (j + 1) * dsub]
+        lut = [
+            int(((sub - np.array(code, dtype=np.int64)) ** 2).sum())
+            for code in codebooks[j]
+        ]
+        luts.append(F.array(*[F.lit(v) for v in lut]).cast("array<bigint>"))
+    adc = None
+    for j in range(m):
+        term = F.element_at(luts[j], F.col("pq_codes").getItem(j) + 1)
+        adc = term if adc is None else adc + term
+    cands = (
+        coded.where(
+            (F.col("cid") == qrow["cid"])
+            & (F.col("vec_id") != query_vec_id)
+            & (F.col("n2") > 0)
+        )
+        .select("vec_id", "cid", "q", "n2", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+    qq = F.array(*[F.lit(int(v)) for v in qvec]).cast("array<bigint>")
+    qn2 = F.lit(int(qrow["n2"])).cast("bigint")
+    return (
+        cands.withColumn("qq_lit", qq)
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("centroid_id"),
+            "adc_dist",
+            cosine_q(_dot_q("q", "qq_lit"), "n2", qn2).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def _sign_bucket_q(vec: str, offset: int, bits: int) -> Column:
     """Sign bucket of quantized components [offset, offset+bits) — one
     band of the multi-band sign-LSH, computed over the BIGINT quantized

@@ -137,6 +137,17 @@ def _try_commit(table: str, version: int, manifest: dict) -> bool:
         os.remove(tmp)
 
 
+def committed_keys(table: str) -> set[str]:
+    """Idempotency keys of every committed manifest still on disk (see
+    snapshot_write's idempotency_key)."""
+    keys = set()
+    for v in snapshot_versions(table):
+        k = _read_manifest(table, v).get("idempotency_key")
+        if k is not None:
+            keys.add(k)
+    return keys
+
+
 def snapshot_write(
     df: DataFrame,
     table: str,
@@ -145,6 +156,7 @@ def snapshot_write(
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
     max_retries: int = 10,
+    idempotency_key: str | None = None,
 ) -> int:
     """Write `df` as a new snapshot commit. mode='append' adds the new
     files to the current snapshot's list; mode='overwrite' replaces the
@@ -158,9 +170,21 @@ def snapshot_write(
     `n_files` sizes the output (repartition), cluster_by sorts within
     files so the harvested min/max stats are tight, stats_cols declares
     which columns get manifest-level bounds. Returns the committed
-    version number."""
+    version number.
+
+    idempotency_key makes the commit EXACTLY-ONCE under at-least-once
+    re-execution (the streaming-sink contract): if any committed
+    manifest already carries the key, the write is a no-op returning the
+    current version — a replayed micro-batch appends nothing twice.
+    The key check re-runs inside the commit retry loop, so a racing
+    duplicate that commits first is also caught. Caveat: keys live in
+    manifests, so snapshot_expire must keep at least the replay window's
+    worth of versions (the stream's checkpoint offset log already fences
+    batches older than that)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if idempotency_key is not None and idempotency_key in committed_keys(table):
+        return snapshot_versions(table)[-1]
     commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
     out = df.repartition(n_files)
     if cluster_by:
@@ -171,6 +195,10 @@ def snapshot_write(
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         base = versions[-1] if versions else 0
+        if idempotency_key is not None and idempotency_key in committed_keys(
+            table
+        ):
+            return base  # a racing duplicate committed our key first
         if mode == "append" and versions:
             entries = _read_manifest(table, base)["files"] + new_entries
         else:
@@ -179,6 +207,7 @@ def snapshot_write(
             "version": base + 1,
             "mode": mode,
             "stats_cols": sorted(stats_cols or []),
+            "idempotency_key": idempotency_key,
             "files": entries,
         }
         if _try_commit(table, base + 1, manifest):
@@ -264,6 +293,41 @@ def snapshot_compact(
         cluster_by=cluster_by,
         stats_cols=sc,
     )
+
+
+def snapshot_stream_sink(
+    events: DataFrame,
+    table: str,
+    n_files: int = 1,
+    stats_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Structured Streaming sink with EXACTLY-ONCE appends into a
+    snapshot table: each micro-batch commits one manifest version keyed
+    `batch-<id>`, so an at-least-once re-execution of a batch (crash
+    after the data write / manifest commit but before the streaming
+    commit) is de-duplicated by the idempotency key instead of by file
+    naming conventions. Compare streaming/jobs.partitioned_layout_sink,
+    which gets replay safety from per-batch file-name prefixes and
+    straddle safety from append-by-move: here BOTH fall out of the
+    manifest protocol structurally — a batch is atomically visible, a
+    replay is a no-op, concurrent maintenance (compaction) just makes
+    its own version. Returns the started StreamingQuery."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        snapshot_write(
+            batch,
+            table,
+            mode="append",
+            n_files=n_files,
+            stats_cols=stats_cols,
+            idempotency_key=f"batch-{batch_id}",
+        )
+
+    writer = events.writeStream.foreachBatch(_write).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def snapshot_expire(

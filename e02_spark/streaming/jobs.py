@@ -832,3 +832,139 @@ def user_sessions_ttl(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def tws_runtime_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the Python worker
+    runtime (its state-server protocol) — absent in some environments.
+    The plan CONSTRUCTION below works either way; only execution needs
+    the dependency, so callers/tests gate on this."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_sessions_ttl_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """user_sessions_ttl re-expressed on transformWithStateInPandas —
+    Spark 4's arbitrary-state API (the successor to
+    applyInPandasWithState): typed state handles (ValueState) instead of
+    one monolithic state tuple, EXPLICIT named timers
+    (registerTimer/deleteTimer, many per key) instead of the single
+    implicit timeout slot, and a separate handleExpiredTimer callback
+    instead of a hasTimedOut flag threaded through the row path.
+
+    Semantics are IDENTICAL to user_sessions_ttl by construction (the
+    equivalence is pinned by test): same gap rule, same eager close on a
+    late same-user event, same watermark-driven eviction with
+    closed_by_timeout=True, same horizon withholding. On session extension
+    the stale timer is deleted and a new one registered at end+gap —
+    replicating the old API's replace-on-set timeout slot; a stale timer
+    that fires anyway (belt-and-braces) is ignored unless its expiry
+    matches the live session's end+gap.
+
+    Same session-timezone assumption as user_sessions_ttl: naive pandas
+    timestamps are epoch-converted as UTC, matching Spark's event-time
+    domain when spark.sql.session.timeZone is UTC.
+    """
+    from datetime import timedelta
+
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by_timeout", BooleanType()),
+        ]
+    )
+    gap = timedelta(minutes=gap_minutes)
+    gap_ms = int(gap.total_seconds() * 1000)
+
+    def _expiry_ms(end_iso: str) -> int:
+        return int(pd.Timestamp(end_iso).timestamp() * 1000) + gap_ms
+
+    def _frame(closed: list[tuple]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1]) for c in closed],
+                "session_end": [pd.Timestamp(c[2]) for c in closed],
+                "n_events": [c[3] for c in closed],
+                "closed_by_timeout": [c[4] for c in closed],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "start_iso STRING, end_iso STRING, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            closed: list[tuple] = []
+            if self.sess.exists():
+                start_iso, end_iso, n = self.sess.get()
+                cur = [pd.Timestamp(start_iso), pd.Timestamp(end_iso), int(n)]
+                old_expiry = _expiry_ms(end_iso)
+            else:
+                cur, old_expiry = None, None
+            for pdf in rows:
+                for row in pdf.sort_values("ts").itertuples():
+                    ts = row.ts
+                    if cur is None:
+                        cur = [ts, ts, 1]
+                    elif ts - cur[1] <= gap:
+                        cur[1] = max(cur[1], ts)
+                        cur[2] += 1
+                    else:
+                        closed.append(
+                            (key[0], cur[0].isoformat(), cur[1].isoformat(),
+                             cur[2], False)
+                        )
+                        cur = [ts, ts, 1]
+            if cur is not None:
+                self.sess.update(
+                    (cur[0].isoformat(), cur[1].isoformat(), int(cur[2]))
+                )
+                new_expiry = int(cur[1].timestamp() * 1000) + gap_ms
+                if old_expiry is not None and old_expiry != new_expiry:
+                    self.handle.deleteTimer(old_expiry)
+                self.handle.registerTimer(new_expiry)
+            if closed:
+                yield _frame(closed)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            if not self.sess.exists():
+                return
+            start_iso, end_iso, n = self.sess.get()
+            if expiredTimerInfo.getExpiryTimeInMs() != _expiry_ms(end_iso):
+                return  # stale timer for an already-extended session
+            self.sess.clear()
+            yield _frame([(key[0], start_iso, end_iso, int(n), True)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -91,6 +91,24 @@ _QUERIES = [
              WHERE l.o_id = o.o_id AND l.tag IS NOT NULL) AS tagged_qty
     FROM t_orders o
     """,
+    # three-valued NOT IN: one NULL in the subquery's result makes the
+    # predicate UNKNOWN for every non-matching row (standard SQL's most
+    # notorious trap) — both engines must agree row-for-row, including
+    # the all-rows-vanish case when any l.o_id IS NULL
+    """
+    SELECT o_id FROM t_orders
+    WHERE o_id NOT IN (SELECT o_id FROM t_lines)
+    """,
+    # IN with NULL probe values, WHERE context only. KNOWN ENGINE
+    # DIVERGENCE (found by this harness): in a PROJECTION,
+    # `NULL IN (subquery)` is NULL per the standard (DuckDB agrees) but
+    # Spark's ExistenceJoin rewrite yields FALSE. In WHERE context
+    # UNKNOWN and FALSE both drop the row, so the engines agree — the
+    # repo's queries only use IN-subqueries as predicates.
+    """
+    SELECT o_id FROM t_orders
+    WHERE cust IN (SELECT qty FROM t_lines)
+    """,
     # full outer join: unmatched rows from BOTH sides, NULL keys never match
     """
     SELECT COALESCE(o.o_id, -1) AS ok, COALESCE(l.l_id, -1) AS lk,
@@ -323,5 +341,99 @@ def test_spark_duckdb_aggregate_differential(spark, tables):
             got = _norm(spark.sql(q).toPandas())
             want = _norm(con.sql(q).df())
             assert got == want, (q, got, want, orders)
+    finally:
+        con.close()
+
+
+# --- fourth property: DECIMAL arithmetic surface (num.py's doctrine) -------
+# The engine's numeric-determinism rules (e02_spark/num.py) assert that
+# decimal-accumulated aggregates, scale-explicit casts, and ROUND survive
+# engine translation exactly. This property fuzzes that claim over random
+# cent-valued decimals, including exact .5 rounding ties (both engines
+# round decimal ties AWAY FROM ZERO — Spark HALF_UP, DuckDB's decimal
+# round) and negative amounts. Deliberately EXCLUDED divergences:
+# CAST(decimal AS BIGINT) (Spark truncates toward zero, DuckDB rounds) —
+# the repo's queries use FLOOR/CEIL instead, which agree and are fuzzed
+# here; AVG(decimal) (engine-specific internal result scales) — the
+# repo's queries compute decimal SUM / COUNT explicitly.
+
+_DEC_QUERIES = [
+    # exact decimal accumulation + exact double cast
+    """
+    SELECT status, CAST(SUM(amt) AS DOUBLE) AS total,
+           CAST(MIN(amt) AS DOUBLE) AS lo, CAST(MAX(amt) AS DOUBLE) AS hi,
+           COUNT(amt) AS n
+    FROM t_dec GROUP BY status
+    """,
+    # scale-growing multiplication pinned back to an explicit scale
+    """
+    SELECT d_id, CAST(CAST(amt * 3 AS DECIMAL(30,4)) AS DOUBLE) AS tripled,
+           CAST(ROUND(amt * amt, 2) AS DOUBLE) AS sq2
+    FROM t_dec
+    """,
+    # tie rounding at reduced scale (exact .x5 inputs generated below)
+    """
+    SELECT d_id, CAST(ROUND(amt, 1) AS DOUBLE) AS r1,
+           CAST(ROUND(amt, 0) AS DOUBLE) AS r0
+    FROM t_dec
+    """,
+    # integral bracketing: FLOOR/CEIL agree across engines (CAST-to-int
+    # does not — see header)
+    """
+    SELECT d_id, CAST(FLOOR(amt) AS BIGINT) AS fl,
+           CAST(CEIL(amt) AS BIGINT) AS ce
+    FROM t_dec
+    """,
+    # decimal comparisons / ordering / conditional sums
+    """
+    SELECT COALESCE(SUM(CASE WHEN amt >= 0.5 THEN amt END), 0.0) IS NOT NULL AS has_hi,
+           COUNT(*) FILTER (WHERE amt < 0) AS n_neg,
+           CAST(COALESCE(SUM(CASE WHEN amt < 0 THEN amt END), 0) AS DOUBLE) AS neg_total
+    FROM t_dec
+    """,
+]
+
+
+@st.composite
+def _decimals(draw):
+    n = draw(st.integers(min_value=0, max_value=20))
+    # cents in [-10000, 10000]; multiples of 5 are frequent so ROUND ties
+    # (x.x5, x.5) actually occur
+    rows = []
+    for i in range(n):
+        cents = draw(st.integers(min_value=-2000, max_value=2000)) * draw(
+            st.sampled_from([1, 5, 5, 25])
+        )
+        rows.append((i + 1, cents, draw(st.sampled_from(["A", "B", None]))))
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(rows=_decimals())
+def test_spark_duckdb_decimal_differential(spark, rows):
+    from decimal import Decimal
+
+    dec_rows = [
+        (i, Decimal(c) / Decimal(100), s) for i, c, s in rows
+    ]
+    spark.createDataFrame(
+        dec_rows, schema="d_id BIGINT, amt DECIMAL(18,2), status STRING"
+    ).createOrReplaceTempView("t_dec")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t_dec (d_id BIGINT, amt DECIMAL(18,2), status VARCHAR)")
+    if dec_rows:
+        con.executemany("INSERT INTO t_dec VALUES (?, ?, ?)", dec_rows)
+    try:
+        for q in _DEC_QUERIES:
+            got = _norm(spark.sql(q).toPandas())
+            want = _norm(con.sql(q).df())
+            assert got == want, (q, got, want, rows)
     finally:
         con.close()

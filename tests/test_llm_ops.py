@@ -611,3 +611,42 @@ def test_chunk_audio_reconstructs_payload_exactly(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
         chunk_audio(media, real_decode=True).collect()
+
+
+def test_ivf_pq_composes_cell_and_code_contracts(spark):
+    """IVF-PQ composition contracts: (a) results are a subset of the
+    query's IVF cell (the coarse prune really gates the scan); (b) with
+    ONE centroid and corpus-wide rerank it degenerates to exact search —
+    identical rows to topk_bruteforce; (c) determinism across runs."""
+    from e02_spark.ops.similarity import ivf_pq_topk, ivf_topk, pq_codebooks
+
+    e = load_table(spark, SF, "embeddings")
+    n = e.count()
+    books = pq_codebooks(e)
+
+    # (b) exactness limit: 1 cell + full rerank == brute force
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_pq_topk(
+            e, 7, n_centroids=1, k=10, rerank=n, codebooks=books
+        ).collect()
+    ]
+    bf = [
+        (r["vec_id"], r["cosine"])
+        for r in topk_bruteforce(e, 7, k=10).collect()
+    ]
+    assert full == bf
+
+    # (a) cell-subset + (c) determinism at production-shaped settings
+    def run():
+        return [
+            (r["vec_id"], r["centroid_id"], r["adc_dist"], r["cosine"])
+            for r in ivf_pq_topk(
+                e, 7, n_centroids=8, k=10, rerank=20, codebooks=books
+            ).collect()
+        ]
+
+    first = run()
+    assert run() == first
+    cell = {r["vec_id"] for r in ivf_topk(e, 7, n_centroids=8, k=n).collect()}
+    assert {v for v, _, _, _ in first} <= cell

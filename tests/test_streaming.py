@@ -829,20 +829,15 @@ def test_incremental_dedup_bucketed_index_equivalent_and_pruned(spark, tmp_path)
     assert "PartitionFilters" in plan and "bucket" in plan, plan
 
 
-def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
-    """E15 event-time timeout: a user who goes quiet has their open
-    session CLOSED BY WATERMARK EVICTION (state.hasTimedOut path, state
-    removed) once later data advances the watermark past
-    session_end + gap; a same-user event past the gap still closes
-    eagerly; the at-the-horizon session is withheld. Deterministic
-    because the timers are event-time, never wall clock."""
+def _ttl_feed(spark, tmp_path):
+    """3-batch session-TTL scenario feed: eager closes, a timeout close,
+    a watermark-advancing stranger, and an at-the-horizon open session."""
+    import glob as _glob
+    import os as _os
     from datetime import datetime
 
-    from e02_spark.streaming.jobs import user_sessions_ttl
-
-    d1 = datetime(2024, 1, 1)
     feed = tmp_path / "ttl_feed"
-    feed.mkdir()
+    feed.mkdir(parents=True)
     batches = [
         # user 1: one 3-event session; user 2: two singleton sessions
         # (the second event is past the 30-min gap -> eager close)
@@ -856,9 +851,6 @@ def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
         [(3, datetime(2024, 1, 2, 0, 0))],   # advances watermark a day
         [(4, datetime(2024, 1, 3, 0, 0))],   # and another day
     ]
-    import glob as _glob
-    import os as _os
-
     for i, rows in enumerate(batches):
         df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP")
         stage = str(feed / f"_w{i}")
@@ -867,7 +859,18 @@ def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
         _os.rename(src, str(feed / f"d{i}.parquet"))
         shutil.rmtree(stage)
         _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+    return feed
 
+
+_TTL_WANT = {
+    (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 3, True),
+    (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1, False),
+    (2, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, True),
+    (3, "2024-01-02 00:00:00", "2024-01-02 00:00:00", 1, True),
+}
+
+
+def _run_ttl_operator(spark, feed, op):
     stream = (
         spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1)
@@ -875,7 +878,7 @@ def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
     )
     name = f"ttl_{uuid.uuid4().hex[:8]}"
     q = (
-        user_sessions_ttl(stream, gap_minutes=30)
+        op(stream, gap_minutes=30)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -883,19 +886,62 @@ def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
         .start()
     )
     assert q.awaitTermination(300)
-
-    got = {
+    return {
         (r["user_id"], str(r["session_start"]), str(r["session_end"]),
          r["n_events"], r["closed_by_timeout"])
         for r in spark.table(name).collect()
     }
-    want = {
-        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 3, True),
-        (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1, False),
-        (2, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, True),
-        (3, "2024-01-02 00:00:00", "2024-01-02 00:00:00", 1, True),
-    }
-    assert got == want  # user 4's open session is withheld at the horizon
+
+
+def test_sessions_event_time_timeout_evicts_state(spark, tmp_path):
+    """E15 event-time timeout: a user who goes quiet has their open
+    session CLOSED BY WATERMARK EVICTION (state.hasTimedOut path, state
+    removed) once later data advances the watermark past
+    session_end + gap; a same-user event past the gap still closes
+    eagerly; the at-the-horizon session is withheld. Deterministic
+    because the timers are event-time, never wall clock."""
+    from e02_spark.streaming.jobs import user_sessions_ttl
+
+    got = _run_ttl_operator(spark, _ttl_feed(spark, tmp_path), user_sessions_ttl)
+    assert got == _TTL_WANT  # user 4's open session withheld at horizon
+
+
+def test_sessions_ttl_transform_with_state_twin(spark, tmp_path):
+    """The transformWithStateInPandas re-expression (Spark 4 arbitrary
+    state API: ValueState + named event-time timers + handleExpiredTimer)
+    must produce EXACTLY the sessions of the applyInPandasWithState
+    original on the same 3-batch feed — eager closes, the
+    watermark-evicted timeout closes, and horizon withholding all
+    included.
+
+    EXECUTION needs protobuf in the worker runtime (the TWS state-server
+    protocol) — absent here by container design, same class as the
+    Pillow codec gate: the plan must still CONSTRUCT (API/schema shape
+    verified), and the equivalence run is skipped with the dependency
+    named."""
+    from e02_spark.streaming.jobs import (
+        tws_runtime_available,
+        user_sessions_ttl_tws,
+    )
+
+    feed = _ttl_feed(spark, tmp_path)
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    plan = user_sessions_ttl_tws(stream, gap_minutes=30)
+    assert plan.isStreaming
+    assert [f.name for f in plan.schema.fields] == [
+        "user_id", "session_start", "session_end", "n_events",
+        "closed_by_timeout",
+    ]
+    if not tws_runtime_available():
+        pytest.skip("protobuf absent: TWS worker runtime unavailable")
+    got = _run_ttl_operator(
+        spark, _ttl_feed(spark, tmp_path / "run2"), user_sessions_ttl_tws
+    )
+    assert got == _TTL_WANT
 
 
 def test_incremental_dedup_replay_ignores_half_written_state(spark, tmp_path):
@@ -972,3 +1018,66 @@ def test_incremental_dedup_replay_ignores_half_written_state(spark, tmp_path):
         for r in minhash_lsh_pairs(docs, k=4, bands=2, threshold=0.8).collect()
     )
     assert got == want
+
+
+def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
+    """Snapshot-table streaming sink (ops/snapshot.snapshot_stream_sink):
+    a multi-batch feed lands exactly-once — each micro-batch is one
+    atomic manifest commit keyed batch-<id>, so (a) no rows are lost
+    across batch boundaries, (b) a fresh-checkpoint replay of the whole
+    feed appends NOTHING (keys already committed), and (c) a direct
+    snapshot_write reusing a committed key is a version-preserving
+    no-op."""
+    import glob as _glob
+    import os as _os
+
+    from e02_spark.ops.snapshot import (
+        snapshot_read,
+        snapshot_stream_sink,
+        snapshot_versions,
+        snapshot_write,
+    )
+    from e02_spark.streaming.jobs import read_events_stream
+
+    events = load_table(spark, SF, "events")
+    feed = tmp_path / "snap_feed"
+    feed.mkdir()
+    for i in range(8):
+        part = events.where(F.pmod(F.hash("event_id"), F.lit(8)) == i)
+        stage = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(stage)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    table = str(tmp_path / "snap_table")
+
+    def run():
+        q = snapshot_stream_sink(read_events_stream(spark, str(feed)), table)
+        assert q.awaitTermination(300)
+
+    run()
+    want = sorted((r["event_id"], str(r["ts"])) for r in events.collect())
+    got1 = sorted(
+        (r["event_id"], str(r["ts"]))
+        for r in snapshot_read(spark, table).collect()
+    )
+    assert got1 == want
+    v_after = snapshot_versions(table)[-1]
+    assert v_after == 2  # 8 files / maxFilesPerTrigger=4 -> 2 batches
+
+    run()  # fresh checkpoint, same feed: every batch key already committed
+    assert snapshot_versions(table)[-1] == v_after
+    got2 = sorted(
+        (r["event_id"], str(r["ts"]))
+        for r in snapshot_read(spark, table).collect()
+    )
+    assert got2 == want
+
+    # direct replay of one committed batch key: no-op, version unchanged
+    v = snapshot_write(
+        events.limit(5), table, mode="append", idempotency_key="batch-0"
+    )
+    assert v == v_after
+    assert snapshot_read(spark, table).count() == len(want)
