@@ -442,18 +442,63 @@ def _sql_part(sql: str, tag: str, cols, k: int, m: int) -> str:
 PART_TIMINGS: dict[str, float] = {}
 
 
+# Streaming composites run their parts' WHOLE jobs eagerly inside the
+# part callable, so sequential part order pays sum-of-walls. These groups
+# run concurrently (threads; Spark schedules concurrent jobs in one
+# session) — groups execute in order, members of a group together. Only
+# parts with the SAME scoped shuffle width may share a group (the
+# refcounted scoped_shuffle_partitions enforces it); q96 wants the full
+# 32-wide shuffle so it runs alone after the 8-wide group. Results are
+# value-identical to sequential execution — every job writes its own
+# uniquely-named sink/state and the engine's determinism rules are
+# parallelism-independent; the driver's hash check pins it every round.
+PARALLEL_GROUPS: dict[str, list[set[str]]] = {
+    "q95_stateful_stream": [{"q95", "q97", "q102"}, {"q96"}],
+    "q86_streaming_parity": [{"q86", "q87", "q88"}],
+}
+
+for _name, _groups in PARALLEL_GROUPS.items():
+    _declared = {t for g in _groups for t in g}
+    _actual = {t for t, _, _ in SPEC[_name]}
+    assert _declared == _actual, (
+        f"PARALLEL_GROUPS[{_name}] must partition the composite's parts: "
+        f"{_declared} != {_actual}"
+    )
+
+
 def _make_query(name, parts):
     k, m = _dims(parts)
 
-    def run(spark, sf_dir: str) -> DataFrame:
+    def run_part(spark, sf_dir, qname):
         import time
 
-        dfs = []
-        for tag, qname, cols in parts:
-            t0 = time.time()
-            df = _ALL_Q[qname](spark, sf_dir)
-            PART_TIMINGS[f"{name}/{qname}"] = round(time.time() - t0, 3)
-            dfs.append(_spark_part(df, tag, cols, k, m))
+        t0 = time.time()
+        df = _ALL_Q[qname](spark, sf_dir)
+        PART_TIMINGS[f"{name}/{qname}"] = round(time.time() - t0, 3)
+        return df
+
+    def run(spark, sf_dir: str) -> DataFrame:
+        groups = PARALLEL_GROUPS.get(name)
+        results: dict[str, DataFrame] = {}
+        if groups:
+            from concurrent.futures import ThreadPoolExecutor
+
+            for group in groups:
+                members = [p for p in parts if p[0] in group]
+                with ThreadPoolExecutor(max_workers=len(members)) as ex:
+                    futs = {
+                        tag: ex.submit(run_part, spark, sf_dir, qname)
+                        for tag, qname, _ in members
+                    }
+                    for tag, fut in futs.items():
+                        results[tag] = fut.result()
+        else:
+            for tag, qname, cols in parts:
+                results[tag] = run_part(spark, sf_dir, qname)
+        dfs = [
+            _spark_part(results[tag], tag, cols, k, m)
+            for tag, _, cols in parts
+        ]
         return reduce(DataFrame.unionByName, dfs)
 
     return run

@@ -67,7 +67,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+import threading
 from contextlib import contextmanager
+
+_SCOPE_LOCK = threading.Lock()
+_SCOPE_STATE: dict[int, dict] = {}
 
 
 @contextmanager
@@ -77,11 +81,38 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
     Shared by the streaming entries (state-store count per stateful
     operator) and the iterative small-graph pipelines (per-round exchange
     width) — both size the shuffle to the DATA, not the session default.
-    """
+
+    THREAD-SAFE and refcounted: the streaming composites start several
+    same-width jobs concurrently from worker threads, and the session
+    conf is global — so the outer value is saved exactly once (first
+    scope in) and restored exactly once (last scope out), never the
+    torn save/restore interleaving a naive per-scope save would produce
+    (which can permanently leak the scoped value into the session).
+    Concurrent scopes MUST agree on `n` (a conflicting width raises:
+    the conf is captured by each streaming query at .start(), so two
+    different widths genuinely cannot coexist on one session)."""
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    sid = id(spark)
+    with _SCOPE_LOCK:
+        st = _SCOPE_STATE.get(sid)
+        if st is None:
+            outer = spark.conf.get(key)
+            spark.conf.set(key, str(n))
+            st = {"outer": outer, "count": 1, "n": int(n)}
+            _SCOPE_STATE[sid] = st
+        elif st["n"] == int(n):
+            st["count"] += 1
+        else:
+            raise RuntimeError(
+                "scoped_shuffle_partitions conflict: active scope has "
+                f"width {st['n']}, requested {n} — concurrent scopes on "
+                "one session must agree"
+            )
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        with _SCOPE_LOCK:
+            st["count"] -= 1
+            if st["count"] == 0:
+                spark.conf.set(key, st["outer"])
+                del _SCOPE_STATE[sid]
