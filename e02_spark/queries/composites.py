@@ -447,15 +447,24 @@ PART_TIMINGS: dict[str, float] = {}
 # run concurrently (threads; Spark schedules concurrent jobs in one
 # session) — groups execute in order, members of a group together. Only
 # parts with the SAME scoped shuffle width may share a group (the
-# refcounted scoped_shuffle_partitions enforces it); q96 wants the full
-# 32-wide shuffle so it runs alone after the 8-wide group. Results are
+# refcounted scoped_shuffle_partitions enforces it). Results are
 # value-identical to sequential execution — every job writes its own
 # uniquely-named sink/state and the engine's determinism rules are
 # parallelism-independent; the driver's hash check pins it every round.
 PARALLEL_GROUPS: dict[str, list[set[str]]] = {
-    "q95_stateful_stream": [{"q95", "q97", "q102"}, {"q96"}],
+    "q95_stateful_stream": [{"q95", "q97", "q102", "q96"}],
     "q86_streaming_parity": [{"q86", "q87", "q88"}],
 }
+
+# Parts that want a DIFFERENT shuffle width than their group run on a
+# cloned SparkSession (spark.newSession(): shared SparkContext and
+# executors, but an ISOLATED SQLConf) — the per-query shuffle-width
+# isolation a multi-tenant Spark deployment gets from separate sessions.
+# q96's sliding expansion is 4x the event count and wants the full
+# session-default width while its groupmates scope down to 8. The clone
+# inherits NOTHING runtime-set, so tune_session() is re-applied (UTC
+# timezone is correctness-critical for its date_format output).
+CLONE_SESSION: set[str] = {"q96"}
 
 for _name, _groups in PARALLEL_GROUPS.items():
     _declared = {t for g in _groups for t in g}
@@ -469,9 +478,13 @@ for _name, _groups in PARALLEL_GROUPS.items():
 def _make_query(name, parts):
     k, m = _dims(parts)
 
-    def run_part(spark, sf_dir, qname):
+    def run_part(spark, sf_dir, tag, qname):
         import time
 
+        if tag in CLONE_SESSION:
+            from e02_spark.session import tune_session
+
+            spark = tune_session(spark.newSession())
         t0 = time.time()
         df = _ALL_Q[qname](spark, sf_dir)
         PART_TIMINGS[f"{name}/{qname}"] = round(time.time() - t0, 3)
@@ -487,14 +500,14 @@ def _make_query(name, parts):
                 members = [p for p in parts if p[0] in group]
                 with ThreadPoolExecutor(max_workers=len(members)) as ex:
                     futs = {
-                        tag: ex.submit(run_part, spark, sf_dir, qname)
+                        tag: ex.submit(run_part, spark, sf_dir, tag, qname)
                         for tag, qname, _ in members
                     }
                     for tag, fut in futs.items():
                         results[tag] = fut.result()
         else:
             for tag, qname, cols in parts:
-                results[tag] = run_part(spark, sf_dir, qname)
+                results[tag] = run_part(spark, sf_dir, tag, qname)
         dfs = [
             _spark_part(results[tag], tag, cols, k, m)
             for tag, _, cols in parts
