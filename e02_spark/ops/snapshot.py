@@ -21,21 +21,35 @@ three structural gaps a manifest log closes —
 
 Storage layout (all under the table root):
     data/<commit-uuid>/part-*.parquet   -- immutable once written
-    _manifests/v{N:012d}.json           -- snapshot N's file list + stats
+    _manifests/m-<uuid>.json            -- manifest SHARD: one commit's
+                                           file entries (path/rows/stats),
+                                           immutable once referenced
+    _manifests/v{N:012d}.json           -- snapshot N's manifest LIST:
+                                           shard refs + per-shard
+                                           aggregate stats
 
 Commit protocol: write data files to a fresh `data/<uuid>/` directory,
-then publish `_manifests/v{N}.json` with O_EXCL create. Version
-collisions (two writers racing to N) make the loser's create fail
-loudly; an APPEND loser re-reads the new latest (picking up the
-winner's files) and retries at N+1 — optimistic concurrency with
-rebase, exactly the Iceberg commit loop. A crash before the manifest
-create leaves orphan data files that no reader ever sees;
-`snapshot_expire(clean_orphans=True)` removes them.
+write ONE new manifest shard holding only this commit's entries, then
+publish `_manifests/v{N}.json` with O_EXCL create. Version collisions
+(two writers racing to N) make the loser's create fail loudly; an
+APPEND loser re-reads the new latest (picking up the winner's shard
+refs) and retries at N+1 — optimistic concurrency with rebase, exactly
+the Iceberg commit loop. A crash before the list create leaves orphan
+data files and an orphan shard that no reader ever sees;
+`snapshot_expire(clean_orphans=True)` removes both.
 
-Scale honesty: one JSON manifest listing every live file is O(#files)
-driver state — fine to ~10^5 files; production formats shard manifests
-and tree them (manifest lists). The protocol and stats shapes here are
-the same; only the manifest fan-out is simplified.
+Two-level metadata (the Iceberg manifest-list shape): an append commit
+writes O(batch) shard entries plus an O(#shards) list — never the
+O(#live-files) full-listing rewrite a single-manifest design pays, so
+steady appends stay flat as the table grows. Readers prune at BOTH
+levels: a shard whose aggregate [min,max] cannot intersect the probe is
+skipped without even opening it, then surviving shards' entries prune
+per-file. #shards is #commits since the last overwrite/compaction —
+compaction collapses the tree back to one shard. Remaining honesty gap
+vs production: Iceberg additionally splits one commit's entries across
+partition-aligned shards so a single giant commit also fans out; here a
+commit is one shard, fine to ~10^5 files per COMMIT rather than per
+table.
 """
 
 from __future__ import annotations
@@ -69,6 +83,51 @@ def snapshot_versions(table: str) -> list[int]:
 def _read_manifest(table: str, version: int) -> dict:
     with open(_manifest_path(table, version)) as f:
         return json.load(f)
+
+
+def _write_shard(table: str, entries: list[dict]) -> dict:
+    """Write one immutable manifest shard (tmp + rename so a crash never
+    leaves a half-written file under a referenced name) and return its
+    list-level ref: table-relative path, file/row totals, and per-column
+    aggregate bounds. A column gets shard-level bounds only if EVERY
+    entry bounds it — otherwise a matching file could hide in the shard
+    and shard-skipping would be unsound (per-file pruning still applies
+    to the entries that do carry bounds)."""
+    mdir = os.path.join(table, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"m-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(mdir, f"tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"files": entries}, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, name))
+    stats: dict[str, list] = {}
+    if entries:
+        cols = set.intersection(*(set(e["stats"]) for e in entries))
+        for col in sorted(cols):
+            stats[col] = [
+                min(e["stats"][col][0] for e in entries),
+                max(e["stats"][col][1] for e in entries),
+            ]
+    return {
+        "path": os.path.join(_MANIFESTS, name),
+        "n_files": len(entries),
+        "rows": sum(e["rows"] for e in entries),
+        "stats": stats,
+    }
+
+
+def _read_shard(table: str, ref: dict) -> list[dict]:
+    with open(os.path.join(table, ref["path"])) as f:
+        return json.load(f)["files"]
+
+
+def _all_entries(table: str, manifest: dict) -> list[dict]:
+    out: list[dict] = []
+    for ref in manifest["manifests"]:
+        out.extend(_read_shard(table, ref))
+    return out
 
 
 def _harvest_stats(
@@ -192,6 +251,7 @@ def snapshot_write(
     out.write.mode("error").parquet(commit_dir)
     new_files = _glob.glob(os.path.join(commit_dir, "*.parquet"))
     new_entries = _harvest_stats(new_files, stats_cols or [], table)
+    new_ref = _write_shard(table, new_entries)
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         base = versions[-1] if versions else 0
@@ -200,15 +260,15 @@ def snapshot_write(
         ):
             return base  # a racing duplicate committed our key first
         if mode == "append" and versions:
-            entries = _read_manifest(table, base)["files"] + new_entries
+            refs = _read_manifest(table, base)["manifests"] + [new_ref]
         else:
-            entries = new_entries
+            refs = [new_ref]
         manifest = {
             "version": base + 1,
             "mode": mode,
             "stats_cols": sorted(stats_cols or []),
             "idempotency_key": idempotency_key,
-            "files": entries,
+            "manifests": refs,
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -229,10 +289,32 @@ def snapshot_read(
 
     prune=(col, lo, hi) drops files whose manifest [min,max] for `col`
     cannot intersect [lo, hi] BEFORE Spark sees the paths (manifest-level
-    scan planning); files without bounds for the column are kept (safe).
-    Pruning is an optimization only — the caller still applies its row
-    filter; an empty post-prune list returns an empty frame with the
-    table's schema (read from one manifest file path's footer)."""
+    scan planning), at both levels: a SHARD whose aggregate bounds miss
+    the range is skipped without being opened, then surviving shards'
+    entries prune per-file. Files/shards without bounds for the column
+    are kept (safe). Pruning is an optimization only — the caller still
+    applies its row filter; an empty post-prune list returns an empty
+    frame with the table's schema (read from one manifest file path's
+    footer)."""
+    kept, fallback = _plan_files(table, version, prune)
+    if not kept:
+        if fallback is None:
+            return spark.createDataFrame([], schema="__empty string")
+        # preserve schema for an empty (fully pruned) scan
+        return spark.read.parquet(fallback).limit(0)
+    return spark.read.parquet(*kept)
+
+
+def _plan_files(
+    table: str,
+    version: int | None,
+    prune: tuple[str, object, object] | None,
+    shards_opened: list | None = None,
+) -> tuple[list[str], str | None]:
+    """Manifest-level scan planning: (pruned file paths, one schema
+    fallback path or None if the snapshot is empty). shards_opened, if
+    given, collects the shard refs actually loaded — the two-level-prune
+    observability hook the tests pin."""
     versions = snapshot_versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {table}")
@@ -240,31 +322,45 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     manifest = _read_manifest(table, v)
-    files = manifest["files"]
-    kept = []
-    for e in files:
+    kept: list[str] = []
+    for ref in manifest["manifests"]:
         if prune is not None:
             col, lo, hi = prune
-            b = e["stats"].get(col)
+            b = ref["stats"].get(col)
             if b is not None and (b[1] < lo or b[0] > hi):
-                continue
-        kept.append(os.path.join(table, e["path"]))
-    if not kept and files:
-        # preserve schema for an empty (fully pruned) scan
-        return spark.read.parquet(
-            os.path.join(table, files[0]["path"])
-        ).limit(0)
-    return spark.read.parquet(*kept)
+                continue  # whole shard skipped, never opened
+        entries = _read_shard(table, ref)
+        if shards_opened is not None:
+            shards_opened.append(ref["path"])
+        for e in entries:
+            if prune is not None:
+                col, lo, hi = prune
+                b = e["stats"].get(col)
+                if b is not None and (b[1] < lo or b[0] > hi):
+                    continue
+            kept.append(os.path.join(table, e["path"]))
+    fallback: str | None = None
+    if not kept:
+        # schema fallback for a fully-pruned scan: any one entry works —
+        # O(1 extra shard read, only on the empty-plan path
+        for ref in manifest["manifests"]:
+            if ref["n_files"]:
+                fallback = os.path.join(
+                    table, _read_shard(table, ref)[0]["path"]
+                )
+                break
+    return kept, fallback
 
 
 def snapshot_rows(table: str, version: int | None = None) -> int:
-    """Exact row count from manifest stats alone — zero data IO (the
-    COUNT(*) fast path a manifest-backed table answers from metadata)."""
+    """Exact row count from the manifest LIST alone — zero data IO and
+    zero shard IO (the COUNT(*) fast path a manifest-backed table
+    answers from O(#shards) metadata)."""
     versions = snapshot_versions(table)
     v = (versions[-1] if versions else None) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshots under {table}")
-    return sum(e["rows"] for e in _read_manifest(table, v)["files"])
+    return sum(r["rows"] for r in _read_manifest(table, v)["manifests"])
 
 
 def snapshot_compact(
@@ -333,44 +429,66 @@ def snapshot_stream_sink(
 def snapshot_expire(
     table: str, keep_last: int = 1, clean_orphans: bool = False
 ) -> dict:
-    """Garbage collection: drop all but the last `keep_last` manifests,
-    then delete data files referenced by NO surviving manifest.
-    clean_orphans additionally removes files no manifest EVER referenced
-    (crashed writes). Only run when no in-flight writer exists (a real
-    deployment fences by commit-age; orphans younger than the oldest
-    in-flight write must be kept — simplified here to an explicit flag).
+    """Garbage collection: drop all but the last `keep_last` manifest
+    lists, then delete manifest shards and data files referenced by NO
+    surviving list. clean_orphans additionally removes shards/files no
+    list EVER referenced (crashed writes). Only run when no in-flight
+    writer exists (a real deployment fences by commit-age; orphans
+    younger than the oldest in-flight write must be kept — simplified
+    here to an explicit flag).
     Returns {'manifests_dropped': n, 'files_deleted': n}."""
     versions = snapshot_versions(table)
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = 0
     live: set[str] = set()
+    live_shards: set[str] = set()
     for v in keep:
+        m = _read_manifest(table, v)
+        live_shards.update(
+            os.path.abspath(os.path.join(table, r["path"]))
+            for r in m["manifests"]
+        )
         live.update(
             os.path.abspath(os.path.join(table, e["path"]))
-            for e in _read_manifest(table, v)["files"]
+            for e in _all_entries(table, m)
         )
     referenced_dead: set[str] = set()
+    dead_shards: set[str] = set()
     for v in versions:
         if v in keep:
             continue
+        m = _read_manifest(table, v)
+        dead_shards.update(
+            os.path.abspath(os.path.join(table, r["path"]))
+            for r in m["manifests"]
+        )
         referenced_dead.update(
             os.path.abspath(os.path.join(table, e["path"]))
-            for e in _read_manifest(table, v)["files"]
+            for e in _all_entries(table, m)
         )
         os.remove(_manifest_path(table, v))
         dropped += 1
     deleted = 0
     victims = referenced_dead - live
+    shard_victims = dead_shards - live_shards
     if clean_orphans:
         on_disk = {
             os.path.abspath(p)
             for p in _glob.glob(os.path.join(table, _DATA, "*", "*.parquet"))
         }
         victims |= on_disk - live
+        shards_on_disk = {
+            os.path.abspath(p)
+            for p in _glob.glob(os.path.join(table, _MANIFESTS, "m-*.json"))
+        }
+        shard_victims |= shards_on_disk - live_shards
     for path in victims:
         if os.path.exists(path):
             os.remove(path)
             deleted += 1
+    for path in shard_victims:
+        if os.path.exists(path):
+            os.remove(path)
     # drop commit dirs holding no parquet anymore (only _SUCCESS/.crc
     # write crumbs remain once their data files were collected)
     import shutil

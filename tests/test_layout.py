@@ -382,9 +382,9 @@ def test_snapshot_commit_race_rebase(spark, tmp_path):
     snapshot_write(nation.where(F.col("n_nationkey") < 10), table,
                    mode="overwrite")
     # a rival writer takes v2 first, appending nothing new (its manifest
-    # carries v1's file list) — the direct collision must be refused
+    # list carries v1's shard refs) — the direct collision must be refused
     rival = {"version": 2, "mode": "append", "stats_cols": [],
-             "files": _read_manifest(table, 1)["files"]}
+             "manifests": _read_manifest(table, 1)["manifests"]}
     assert _try_commit(table, 2, rival)
     assert not _try_commit(table, 2, rival)  # create-if-absent holds
     # our append must land at v3 and still see v2 as its base
@@ -431,6 +431,61 @@ def test_snapshot_manifest_prunes_files_by_stats(spark, tmp_path):
     want = orders.where(F.col("o_orderkey").between(probe_lo, probe_hi)).count()
     got = pruned.where(F.col("o_orderkey").between(probe_lo, probe_hi)).count()
     assert got == want > 0
+
+
+def test_snapshot_sharded_manifest_two_level_prune(spark, tmp_path):
+    """Manifest-list sharding: each append commit writes one immutable
+    shard with ONLY its own entries (flat O(batch + #shards) commit
+    metadata, never an O(#live-files) rewrite), a point probe skips
+    non-intersecting shards WITHOUT opening them, and expire GCs the
+    shards of dropped versions."""
+    import glob as g
+    import json
+    import os
+
+    from e02_spark.ops.snapshot import (
+        _manifest_path,
+        _plan_files,
+        snapshot_expire,
+        snapshot_rows,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    table = str(tmp_path / "tbl")
+    for i in range(4):  # 4 disjoint key slices -> 4 shards, tight bounds
+        snapshot_write(
+            nation.where(
+                (F.col("n_nationkey") >= i * 7)
+                & (F.col("n_nationkey") < (i + 1) * 7)
+            ),
+            table,
+            mode="append" if i else "overwrite",
+            cluster_by=["n_nationkey"],
+            stats_cols=["n_nationkey"],
+        )
+    # flat commit metadata: 4 shards on disk, the latest list refs all 4,
+    # and every shard holds only its own commit's files (1 each here)
+    shards = g.glob(os.path.join(table, "_manifests", "m-*.json"))
+    assert len(shards) == 4
+    with open(_manifest_path(table, 4)) as f:
+        refs = json.load(f)["manifests"]
+    assert len(refs) == 4 and all(r["n_files"] == 1 for r in refs)
+    assert snapshot_rows(table) == nation.where(F.col("n_nationkey") < 28).count()
+    # two-level prune: a probe inside slice 2's bounds opens ONE shard
+    opened: list = []
+    kept, _ = _plan_files(table, None, ("n_nationkey", 15, 16), opened)
+    assert len(opened) == 1 and len(kept) == 1
+    # expire to the latest version: dead versions' shards stay only if
+    # the kept list still references them (append chains do) — here all
+    # 4 shards are live in v4, so nothing is lost; after an overwrite,
+    # expire drops the now-unreferenced shards
+    snapshot_write(nation.limit(3), table, mode="overwrite",
+                   stats_cols=["n_nationkey"])
+    snapshot_expire(table, keep_last=1, clean_orphans=True)
+    left = g.glob(os.path.join(table, "_manifests", "m-*.json"))
+    assert len(left) == 1
+    assert snapshot_rows(table) == 3
 
 
 def test_snapshot_compact_under_isolation(spark, tmp_path):
