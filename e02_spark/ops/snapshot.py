@@ -118,9 +118,20 @@ def _write_shard(table: str, entries: list[dict]) -> dict:
     }
 
 
+_SHARD_CACHE: dict[str, list[dict]] = {}
+
+
 def _read_shard(table: str, ref: dict) -> list[dict]:
-    with open(os.path.join(table, ref["path"])) as f:
-        return json.load(f)["files"]
+    """Shards are immutable once referenced, so reads memoize by path —
+    expire walks every version's full ref chain (append chains make that
+    O(versions x shards) refs but only O(unique shards) actual reads).
+    Entries are returned by reference: callers must not mutate."""
+    path = os.path.abspath(os.path.join(table, ref["path"]))
+    hit = _SHARD_CACHE.get(path)
+    if hit is None:
+        with open(path) as f:
+            hit = _SHARD_CACHE[path] = json.load(f)["files"]
+    return hit
 
 
 def _all_entries(table: str, manifest: dict) -> list[dict]:
@@ -216,6 +227,7 @@ def snapshot_write(
     stats_cols: list[str] | None = None,
     max_retries: int = 10,
     idempotency_key: str | None = None,
+    max_files_per_shard: int = 100_000,
 ) -> int:
     """Write `df` as a new snapshot commit. mode='append' adds the new
     files to the current snapshot's list; mode='overwrite' replaces the
@@ -226,10 +238,13 @@ def snapshot_write(
     only the manifest create retries on a version race, and an append
     rebase re-reads the latest manifest so concurrent appends all
     survive (last committer sees every earlier committer's files).
-    `n_files` sizes the output (repartition), cluster_by sorts within
-    files so the harvested min/max stats are tight, stats_cols declares
-    which columns get manifest-level bounds. Returns the committed
-    version number.
+    `n_files` sizes the output; cluster_by range-partitions across files
+    and sorts within them so harvested min/max stats are tight AND
+    disjoint file-to-file; stats_cols declares which columns get
+    manifest-level bounds. max_files_per_shard fans one commit's entries
+    across multiple manifest shards (entries are path-ordered = cluster
+    order, keeping shard aggregate bounds tight), so even a single giant
+    load stays shard-prunable. Returns the committed version number.
 
     idempotency_key makes the commit EXACTLY-ONCE under at-least-once
     re-execution (the streaming-sink contract): if any committed
@@ -245,13 +260,26 @@ def snapshot_write(
     if idempotency_key is not None and idempotency_key in committed_keys(table):
         return snapshot_versions(table)[-1]
     commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
-    out = df.repartition(n_files)
     if cluster_by:
+        # range partitioning + in-file sort: per-FILE [min,max] on the
+        # cluster key are disjoint (round-robin repartition would smear
+        # every file across the full range and defeat stats pruning)
+        out = df.repartitionByRange(n_files, *cluster_by)
         out = out.sortWithinPartitions(*cluster_by)
+    else:
+        out = df.repartition(n_files)
     out.write.mode("error").parquet(commit_dir)
     new_files = _glob.glob(os.path.join(commit_dir, "*.parquet"))
     new_entries = _harvest_stats(new_files, stats_cols or [], table)
-    new_ref = _write_shard(table, new_entries)
+    # A giant commit fans out across shards too (the Iceberg behavior):
+    # _harvest_stats sorts entries by path = Spark's part-NNNNN order,
+    # which under cluster_by's repartitionByRange IS cluster-key order,
+    # so per-shard aggregate bounds stay tight and shard-level pruning
+    # works WITHIN one commit.
+    new_refs = [
+        _write_shard(table, new_entries[i : i + max_files_per_shard])
+        for i in range(0, max(len(new_entries), 1), max_files_per_shard)
+    ]
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         base = versions[-1] if versions else 0
@@ -260,9 +288,9 @@ def snapshot_write(
         ):
             return base  # a racing duplicate committed our key first
         if mode == "append" and versions:
-            refs = _read_manifest(table, base)["manifests"] + [new_ref]
+            refs = _read_manifest(table, base)["manifests"] + new_refs
         else:
-            refs = [new_ref]
+            refs = new_refs
         manifest = {
             "version": base + 1,
             "mode": mode,

@@ -488,6 +488,40 @@ def test_snapshot_sharded_manifest_two_level_prune(spark, tmp_path):
     assert snapshot_rows(table) == 3
 
 
+def test_snapshot_single_commit_shard_fanout(spark, tmp_path):
+    """One giant commit fans out across manifest shards
+    (max_files_per_shard): cluster_by range-partitions the files so both
+    file- and shard-level bounds are disjoint, and a point probe opens
+    one shard and plans one file — intra-commit two-level pruning."""
+    from e02_spark.ops.snapshot import (
+        _manifest_path,
+        _plan_files,
+        snapshot_read,
+        snapshot_write,
+    )
+    import json
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    table = str(tmp_path / "tbl")
+    snapshot_write(orders, table, mode="overwrite", n_files=8,
+                   cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+                   max_files_per_shard=2)
+    with open(_manifest_path(table, 1)) as f:
+        refs = json.load(f)["manifests"]
+    assert len(refs) == 4 and all(r["n_files"] == 2 for r in refs)
+    # shard bounds disjoint -> a point probe opens exactly one shard
+    key = orders.agg(F.min("o_orderkey")).first()[0]
+    opened: list = []
+    kept, _ = _plan_files(table, None, ("o_orderkey", key, key), opened)
+    assert len(opened) == 1 and len(kept) == 1
+    got = (
+        snapshot_read(spark, table, prune=("o_orderkey", key, key))
+        .where(F.col("o_orderkey") == key)
+        .count()
+    )
+    assert got == orders.where(F.col("o_orderkey") == key).count() > 0
+
+
 def test_snapshot_compact_under_isolation(spark, tmp_path):
     """Compaction commits a new version; the pre-compaction version stays
     byte-for-byte readable until expired — no reader disruption, no
