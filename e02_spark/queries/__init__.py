@@ -6,9 +6,9 @@ Each submodule exposes:
                             # (omit a key -> driver does a rows-only check)
 
 The driver's correctness gate records at most ~50 entries, so the declared
-surface is consolidated: the 16 widest queries stay standalone and the rest
-are folded into 33 operator-dense composites (`composites.SPEC`), for 50
-declared entries / 99 underlying queries total — every SURVEY §2 operator
+surface is consolidated: the 14 widest queries stay standalone and the rest
+are folded into 36 operator-dense composites (`composites.SPEC`), for 50
+declared entries / 110 underlying queries total — every SURVEY §2 operator
 (including every Structured Streaming job: q86_streaming_parity for
 IVM/dedup/tumbling, q95_stateful_stream for the applyInPandasWithState
 gate and the sliding/session twins) lands inside a driver-checked entry,
@@ -37,7 +37,6 @@ STANDALONE = [
     "q67_scd2",
     "q68_view_click_attribution",
     "q69_embedding_centroids",
-    "q74_data_quality",
     "q77_corpus_curation",
     "q90_custom_source",
     "q93_embedding_neardup_seeded",

@@ -308,6 +308,16 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q99", "q99_semantic_dedup",
          [("vec_id", "n"), ("cluster_id", "n"), ("dup_of", "n"), ("kept", "s")]),
     ],
+    # data-quality expectations (declared-rule violations) + one-pass
+    # column profiler (discovered shape) — the ingest gate pair
+    "q74_data_quality": [
+        ("q74", "q74_data_quality",
+         [("rule", "s"), ("violations", "n")]),
+        ("q110", "q110_profile_documents",
+         [("col", "s"), ("n_rows", "n"), ("n_nulls", "n"), ("n_distinct", "n"),
+          ("min_num", "n"), ("max_num", "n"), ("min_str", "s"),
+          ("max_str", "s"), ("sum_len", "n")]),
+    ],
     # Gopher-style repetition gate + benchmark n-gram decontamination
     "q81_curation_gates": [
         ("q81", "q81_repetition_gate",

@@ -557,6 +557,87 @@ FROM rr LEFT JOIN k ON rr.source = k.source
 """
 
 
+# --------------------------------------------------------------------------
+# q110 — one-pass column profiler over documents: per column null count,
+# exact distinct count, min/max (numeric as double, string as binary-
+# collation string), and total string length — the ingest-side data
+# profile a pipeline records per table before gating (complements q74's
+# rule expectations: q74 checks declared invariants, q110 DISCOVERS the
+# shape). ONE aggregation job over one scan: Spark plans the multi-
+# DISTINCT via a single expand + two-stage agg (partial combine map-side
+# for the algebraic metrics), then the per-column rows are unstacked from
+# the single result row — no per-column scans, no driver loop over
+# columns at execution time. At 100 TB the exact multi-DISTINCT is the
+# one expensive leg (expand multiplies rows by #distinct-aggs);
+# approx_count_distinct (q32's HLL family) is the drop-in scale
+# alternative — exact here so every cell is driver-hash-checkable.
+# --------------------------------------------------------------------------
+_PROF_NUM = ["doc_id", "n_chars"]
+_PROF_STR = ["text", "lang", "source"]
+
+
+def q110_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROF_NUM + _PROF_STR:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    for c in _PROF_NUM:
+        aggs.append(F.min(c).cast("double").alias(f"min_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"max_{c}"))
+    for c in _PROF_STR:
+        aggs.append(F.min(c).alias(f"smin_{c}"))
+        aggs.append(F.max(c).alias(f"smax_{c}"))
+        aggs.append(F.sum(F.length(c)).cast("bigint").alias(f"len_{c}"))
+    one = docs.agg(*aggs)
+    rows = [
+        f"'{c}', n_rows, nulls_{c}, nd_{c}, min_{c}, max_{c}, "
+        "CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS BIGINT)"
+        for c in _PROF_NUM
+    ] + [
+        f"'{c}', n_rows, nulls_{c}, nd_{c}, "
+        f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smin_{c}, smax_{c}, len_{c}"
+        for c in _PROF_STR
+    ]
+    stack = (
+        f"stack({len(rows)}, " + ", ".join(rows) + ") AS "
+        "(col, n_rows, n_nulls, n_distinct, min_num, max_num, "
+        "min_str, max_str, sum_len)"
+    )
+    return one.selectExpr(stack)
+
+
+def _q110_col_sql(c: str, numeric: bool) -> str:
+    base = (
+        f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+        f"  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+        f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+    )
+    if numeric:
+        base += (
+            f"  CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num,\n"
+            "  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,\n"
+            "  CAST(NULL AS BIGINT) AS sum_len\n"
+        )
+    else:
+        base += (
+            "  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,\n"
+            f"  MIN({c}) AS min_str, MAX({c}) AS max_str,\n"
+            f"  CAST(SUM(LENGTH({c})) AS BIGINT) AS sum_len\n"
+        )
+    return base + "FROM documents"
+
+
+_Q110_SQL = "\nUNION ALL\n".join(
+    [_q110_col_sql(c, True) for c in _PROF_NUM]
+    + [_q110_col_sql(c, False) for c in _PROF_STR]
+)
+
+
 QUERIES = {
     "q81_repetition_gate": q81_repetition_gate,
     "q82_decontamination": q82_decontamination,
@@ -566,6 +647,7 @@ QUERIES = {
     "q100_pii_redaction": q100_pii_redaction,
     "q101_sequence_packing": q101_sequence_packing,
     "q105_temperature_mixture": q105_temperature_mixture,
+    "q110_profile_documents": q110_profile_documents,
 }
 
 ORACLE = {
@@ -577,4 +659,5 @@ ORACLE = {
     "q100_pii_redaction": _q100_sql(),
     "q101_sequence_packing": _Q101_SQL,
     "q105_temperature_mixture": _Q105_SQL,
+    "q110_profile_documents": _Q110_SQL,
 }
