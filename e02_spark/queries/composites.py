@@ -223,12 +223,16 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q12", "q12_distinct_exact",
          [("l_returnflag", "s"), ("n_parts", "n"), ("n_supps", "n"), ("n_rows", "n")]),
     ],
-    # sequential event funnel + cohort retention
+    # sequential event funnel + cohort retention + regex sequence matching
     "q76_funnel_cohort": [
         ("q76", "q76_event_funnel",
          [("n_signup", "n"), ("n_signup_view", "n"), ("n_full_funnel", "n")]),
         ("q78", "q78_cohort_retention",
          [("cohort_day", "n"), ("day_offset", "n"), ("active_users", "n")]),
+        # round 6: MATCH_RECOGNIZE-shape sequence patterns over per-user
+        # encoded event strings
+        ("q111", "q111_sequence_match",
+         [("pattern", "s"), ("n_users", "n"), ("n_matches", "n")]),
     ],
     # C1-C10 kimball mart: UDF-composing-UDF CASE view + TRY_CAST DECIMAL +
     # non-ASCII literal filter (parity: deployer/patch/DWH/kimball/*.sql)

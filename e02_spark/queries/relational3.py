@@ -923,6 +923,74 @@ def q78_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q78_SQL = _q78_body("epoch_us")
 
 
+# --------------------------------------------------------------------------
+# q111 — sequence-pattern matching over per-user event streams (the
+# MATCH_RECOGNIZE shape, expressed Spark-first): each user's events are
+# ordered by (ts, event_id) and encoded as a code string (event-type
+# initials — distinct across the 5 types), then plain regexes count
+# non-overlapping pattern occurrences. ONE shuffle (groupBy user_id);
+# the encode (array_sort of structs + transform + array_join) and the
+# regexp_count are whole-stage-codegen JVM expressions — no UDF, no
+# per-row Python. Greedy leftmost non-overlapping counting is identical
+# in Java regex and RE2 for these patterns (no empty matches; '$' is
+# end-of-input on both — code strings contain no newlines).
+# Scale: per-user sequences are bounded by events-per-user; a hot user
+# at 100 TB caps via the same salting family the agg ops use. The
+# pattern set: views-then-purchase (conversion), 2+ consecutive errors
+# (reliability), signup never followed by purchase (activation gap).
+# --------------------------------------------------------------------------
+_Q111_PATTERNS = [
+    ("view_to_purchase", "v+p"),
+    ("error_streak", "e{2,}"),
+    ("signup_no_purchase", "s[^p]*$"),
+]
+
+
+def q111_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    st = F.struct(
+        F.col("ts"), F.col("event_id"),
+        F.substring("event_type", 1, 1).alias("code"),
+    )
+    seq = (
+        ev.select("user_id", st.alias("st"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("st")), lambda x: x["code"]),
+                "",
+            ).alias("seq")
+        )
+    )
+    aggs = []
+    for i, (_, pat) in enumerate(_Q111_PATTERNS):
+        cnt = F.regexp_count("seq", F.lit(pat))
+        aggs.append(
+            F.sum(F.when(cnt > 0, 1).otherwise(0)).cast("bigint").alias(f"u{i}")
+        )
+        aggs.append(F.sum(cnt).cast("bigint").alias(f"m{i}"))
+    rows = ", ".join(
+        f"'{name}', u{i}, m{i}" for i, (name, _) in enumerate(_Q111_PATTERNS)
+    )
+    return seq.agg(*aggs).selectExpr(
+        f"stack({len(_Q111_PATTERNS)}, {rows}) AS (pattern, n_users, n_matches)"
+    )
+
+
+_Q111_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS pattern,
+  CAST(SUM(CASE WHEN len(regexp_extract_all(seq, '{pat}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+  CAST(SUM(len(regexp_extract_all(seq, '{pat}'))) AS BIGINT) AS n_matches
+FROM (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)"""
+    for name, pat in _Q111_PATTERNS
+)
+
+
 QUERIES = {
     "q58_grouping_sets": q58_grouping_sets,
     "q59_string_agg": q59_string_agg,
@@ -947,6 +1015,7 @@ QUERIES = {
     "q74_data_quality": q74_data_quality,
     "q76_event_funnel": q76_event_funnel,
     "q78_cohort_retention": q78_cohort_retention,
+    "q111_sequence_match": q111_sequence_match,
 }
 
 ORACLE = {
@@ -973,4 +1042,5 @@ ORACLE = {
     "q74_data_quality": _Q74_SQL,
     "q76_event_funnel": _Q76_SQL,
     "q78_cohort_retention": _Q78_SQL,
+    "q111_sequence_match": _Q111_SQL,
 }
