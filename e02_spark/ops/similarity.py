@@ -490,6 +490,40 @@ def pq_codebooks(
     return books
 
 
+def pq_codebooks_first_n(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> list[list[list[int]]]:
+    """Oracle-convention PQ codebooks: codebook[j][c] is the quantized
+    j-th subvector of stored vector vec_id=c (the first n_codes vectors) —
+    the PQ twin of ivf_topk's 'first_n' centroid convention. No training
+    loop, so the codebook is a pure SQL-expressible function of the data:
+    a DuckDB oracle can derive the identical codebook from the same
+    parquet and mirror encode/ADC/rerank exactly (queries/llm_q.py q112).
+    k-means-trained books (pq_codebooks) remain the production default;
+    encode/ADC/rerank are codebook-agnostic."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        embeddings.where(F.col("vec_id") < n_codes)
+        .select("vec_id", quantize(vec_col).alias("qv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(rows) != n_codes:
+        raise ValueError(
+            f"first_n codebooks need vec_ids 0..{n_codes - 1}; got {len(rows)}"
+        )
+    return [
+        [list(r["qv"][j * dsub : (j + 1) * dsub]) for r in rows]
+        for j in range(m)
+    ]
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[int]]],

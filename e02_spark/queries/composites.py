@@ -309,6 +309,12 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q40", "q40_knn_per_group",
          [("label", "n"), ("rk", "n"), ("va", "n"), ("vb", "n"), ("cosine", "n")]),
         ("q42", "q42_ann_ivf", [("vec_id", "n"), ("centroid_id", "n"), ("cosine", "n")]),
+        # round 7: PQ ADC + IVF-PQ promoted from pytest-only to
+        # driver-hash-checked (first-n codebook convention, ops/similarity)
+        ("q112", "q112_pq_ann",
+         [("vec_id", "n"), ("adc_dist", "n"), ("cosine", "n")]),
+        ("q113", "q113_ivfpq_ann",
+         [("vec_id", "n"), ("centroid_id", "n"), ("adc_dist", "n"), ("cosine", "n")]),
         ("q99", "q99_semantic_dedup",
          [("vec_id", "n"), ("cluster_id", "n"), ("dup_of", "n"), ("kept", "s")]),
     ],

@@ -596,6 +596,143 @@ def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q112 — PQ asymmetric-distance ANN (Jégou et al. 2011), driver-checked:
+# codebooks use the SQL-expressible 'first_n' convention (codebook[j][c] =
+# quantized j-th subvector of stored vec_id c), so the DuckDB oracle
+# derives the identical codebook from the same parquet and mirrors
+# encode → ADC scan → exact rerank bit-for-bit. The scan shape is the
+# 100 TB one: the corpus is ranked on m-byte codes via m LUT lookups per
+# candidate; only `rerank` full vectors are re-scored. k-means-trained
+# codebooks (the production path) stay property-pinned in pytest.
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_CODES, _PQ_DSUB = 8, 16, 8
+
+
+def q112_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.similarity import pq_codebooks_first_n, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_first_n(e, m=_PQ_M, n_codes=_PQ_CODES)
+    return pq_topk(e, query_vec_id=0, k=10, rerank=50, codebooks=books)
+
+
+# Shared DuckDB front half for the PQ family: quantized components, norms,
+# per-(vector, subspace, code) exact squared-L2 distances to the first-16
+# codebook, and the argmin code assignment (ties -> lowest code id, the
+# same FIRST-minimum rule as pq_encode's array_position).
+_DUCK_PQ_FRONT = f"""
+quant AS (
+  SELECT e.vec_id, t.i,
+    CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS qc
+  FROM embeddings e CROSS JOIN generate_series(1, 64) AS t(i)
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(qc * qc) AS DOUBLE) AS n2 FROM quant GROUP BY vec_id
+),
+pq_dists AS (
+  SELECT v.vec_id, (v.i - 1) // {_PQ_DSUB} AS j, c.vec_id AS code_id,
+         SUM((v.qc - c.qc) * (v.qc - c.qc)) AS d2
+  FROM quant v JOIN quant c ON c.i = v.i AND c.vec_id < {_PQ_CODES}
+  GROUP BY v.vec_id, (v.i - 1) // {_PQ_DSUB}, c.vec_id
+),
+pq_codes AS (
+  SELECT vec_id, j, code_id FROM (
+    SELECT vec_id, j, code_id,
+      row_number() OVER (PARTITION BY vec_id, j
+                         ORDER BY d2 ASC, code_id ASC) AS rn
+    FROM pq_dists
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT v.vec_id, SUM(qd.d2) AS adc_dist
+  FROM pq_codes v
+  JOIN pq_dists qd ON qd.vec_id = 0 AND qd.j = v.j AND qd.code_id = v.code_id
+  GROUP BY v.vec_id
+)"""
+
+_Q112_SQL = f"""
+WITH {_DUCK_PQ_FRONT},
+cands AS (
+  SELECT a.vec_id, a.adc_dist
+  FROM adc a JOIN norms n ON n.vec_id = a.vec_id
+  WHERE a.vec_id <> 0 AND n.n2 > 0
+  ORDER BY a.adc_dist ASC, a.vec_id ASC LIMIT 50
+),
+rescored AS (
+  SELECT c.vec_id, c.adc_dist,
+    CAST(SUM(qv.qc * qq.qc) AS DOUBLE) / (sqrt(nv.n2) * sqrt(nq.n2)) AS cosine
+  FROM cands c
+  JOIN quant qv ON qv.vec_id = c.vec_id
+  JOIN quant qq ON qq.vec_id = 0 AND qq.i = qv.i
+  JOIN norms nv ON nv.vec_id = c.vec_id
+  JOIN norms nq ON nq.vec_id = 0
+  GROUP BY c.vec_id, c.adc_dist, nv.n2, nq.n2
+)
+SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist, cosine
+FROM rescored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q113 — IVF-PQ (the faiss IndexIVFPQ composition) driver-checked: the
+# coarse quantizer (q42's first-8 centroids, exact-cosine argmax) prunes
+# to the query's cell, PQ ADC ranks the cell's codes, exact rerank on the
+# best 20. Both stages reuse their standalone oracle conventions, so the
+# DuckDB twin is the q42 assignment CTE composed with the q112 PQ front.
+# --------------------------------------------------------------------------
+def q113_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.similarity import ivf_pq_topk, pq_codebooks_first_n
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_first_n(e, m=_PQ_M, n_codes=_PQ_CODES)
+    return ivf_pq_topk(
+        e, query_vec_id=0, n_centroids=8, k=5, rerank=20, codebooks=books
+    )
+
+
+_Q113_SQL = f"""
+WITH {_DUCK_PQ_FRONT},
+acomp AS (
+  SELECT v.vec_id, c.vec_id AS cid, CAST(SUM(v.qc * c.qc) AS DOUBLE) AS dot
+  FROM quant v JOIN quant c ON c.i = v.i AND c.vec_id < 8
+  GROUP BY v.vec_id, c.vec_id
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, a.cid,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY a.dot / (sqrt(nv.n2) * sqrt(nc.n2)) DESC, a.cid ASC) AS arn
+    FROM acomp a
+    JOIN norms nv ON nv.vec_id = a.vec_id
+    JOIN norms nc ON nc.vec_id = a.cid
+  ) WHERE arn = 1
+),
+cands AS (
+  SELECT a.vec_id, s.cid, a.adc_dist
+  FROM adc a
+  JOIN assigned s ON s.vec_id = a.vec_id
+  JOIN norms n ON n.vec_id = a.vec_id
+  WHERE s.cid = (SELECT cid FROM assigned WHERE vec_id = 0)
+    AND a.vec_id <> 0 AND n.n2 > 0
+  ORDER BY a.adc_dist ASC, a.vec_id ASC LIMIT 20
+),
+rescored AS (
+  SELECT c.vec_id, c.cid, c.adc_dist,
+    CAST(SUM(qv.qc * qq.qc) AS DOUBLE) / (sqrt(nv.n2) * sqrt(nq.n2)) AS cosine
+  FROM cands c
+  JOIN quant qv ON qv.vec_id = c.vec_id
+  JOIN quant qq ON qq.vec_id = 0 AND qq.i = qv.i
+  JOIN norms nv ON nv.vec_id = c.vec_id
+  JOIN norms nq ON nq.vec_id = 0
+  GROUP BY c.vec_id, c.cid, c.adc_dist, nv.n2, nq.n2
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+       CAST(adc_dist AS BIGINT) AS adc_dist, cosine
+FROM rescored ORDER BY cosine DESC, vec_id ASC LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
 # q99 — SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
 # the embedding space (q42's deterministic IVF centroids + exact-cosine
 # argmax assignment), then mark near-duplicates WITHIN each cluster only —
@@ -1159,6 +1296,8 @@ QUERIES = {
     "q93_embedding_neardup_seeded": q93_embedding_neardup_seeded,
     "q40_knn_per_group": q40_knn_per_group,
     "q42_ann_ivf": q42_ann_ivf,
+    "q112_pq_ann": q112_pq_ann,
+    "q113_ivfpq_ann": q113_ivfpq_ann,
     "q99_semantic_dedup": q99_semantic_dedup,
 }
 
@@ -1188,5 +1327,7 @@ ORACLE = {
     "q93_embedding_neardup_seeded": _Q93_SQL,
     "q40_knn_per_group": _Q40_SQL,
     "q42_ann_ivf": _Q42_SQL,
+    "q112_pq_ann": _Q112_SQL,
+    "q113_ivfpq_ann": _Q113_SQL,
     "q99_semantic_dedup": _Q99_SQL,
 }
