@@ -474,6 +474,12 @@ PART_TIMINGS: dict[str, float] = {}
 PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     "q95_stateful_stream": [{"q95", "q97", "q102", "q96"}],
     "q86_streaming_parity": [{"q86", "q87", "q88"}],
+    # Not streaming, but q112/q113 do small eager collects at build time
+    # (PQ codebook + query row); building the seven parts concurrently
+    # overlaps those job latencies. No part scopes the shuffle width.
+    "q27_embedding_search": [
+        {"q27", "q39", "q40", "q42", "q112", "q113", "q99"}
+    ],
 }
 
 # Parts that want a DIFFERENT shuffle width than their group run on a
@@ -481,10 +487,14 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
 # executors, but an ISOLATED SQLConf) — the per-query shuffle-width
 # isolation a multi-tenant Spark deployment gets from separate sessions.
 # q96's sliding expansion is 4x the event count and wants the full
-# session-default width while its groupmates scope down to 8. The clone
+# session-default width while its groupmates scope down to 8; q97's
+# per-user session state is likewise real parallel work that wants the
+# session default — without the clone, the width its streaming query
+# captured at .start() depended on whether q95/q102's scoped-to-8 window
+# was active at that instant (timing-dependent, usually 8). The clone
 # inherits NOTHING runtime-set, so tune_session() is re-applied (UTC
-# timezone is correctness-critical for its date_format output).
-CLONE_SESSION: set[str] = {"q96"}
+# timezone is correctness-critical for q96's date_format output).
+CLONE_SESSION: set[str] = {"q96", "q97"}
 
 for _name, _groups in PARALLEL_GROUPS.items():
     _declared = {t for g in _groups for t in g}
