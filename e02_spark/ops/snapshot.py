@@ -58,6 +58,7 @@ import glob as _glob
 import json
 import os
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -118,19 +119,29 @@ def _write_shard(table: str, entries: list[dict]) -> dict:
     }
 
 
-_SHARD_CACHE: dict[str, list[dict]] = {}
+_SHARD_CACHE: OrderedDict[str, list[dict]] = OrderedDict()
+# Bounded LRU: a long-lived driver touching many tables/commits must not
+# accumulate every shard it ever read.  4096 shards x ~100k entries is far
+# beyond any single driver's working set; eviction only costs a re-read.
+_SHARD_CACHE_MAX = 4096
 
 
 def _read_shard(table: str, ref: dict) -> list[dict]:
     """Shards are immutable once referenced, so reads memoize by path —
     expire walks every version's full ref chain (append chains make that
     O(versions x shards) refs but only O(unique shards) actual reads).
+    The memo is a bounded LRU (oldest-touched evicted past
+    _SHARD_CACHE_MAX) and snapshot_expire evicts deleted shards eagerly.
     Entries are returned by reference: callers must not mutate."""
     path = os.path.abspath(os.path.join(table, ref["path"]))
     hit = _SHARD_CACHE.get(path)
     if hit is None:
         with open(path) as f:
             hit = _SHARD_CACHE[path] = json.load(f)["files"]
+        while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+            _SHARD_CACHE.popitem(last=False)
+    else:
+        _SHARD_CACHE.move_to_end(path)
     return hit
 
 
@@ -141,14 +152,52 @@ def _all_entries(table: str, manifest: dict) -> list[dict]:
     return out
 
 
+def _stat_value(v):
+    """Coerce one footer min/max value to a JSON-storable, order-preserving
+    form, or None if the type has no such form (the column then simply
+    carries no bounds — pruning stays sound, just less effective).
+
+    Whitelist, not best-effort: bool/int/float/str store as-is;
+    datetime/date/time store as isoformat STRINGS — ISO-8601 compares
+    lexicographically in chronological order (zero-padded fields; a
+    seconds-precision value is a prefix of its subsecond refinement, and
+    prefix < extension matches chronological <=), so string comparison
+    against an equally-coerced probe is correct. Everything else — bytes
+    (binary columns), Decimal, nested — returns None; previously bytes
+    reached json.dump and raised TypeError AFTER the data files were
+    written, orphaning them until expire."""
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if hasattr(v, "isoformat"):  # datetime.datetime / date / time
+        # normalize aware datetimes to naive-UTC first: a '+00:00' suffix
+        # would break lexicographic comparison against a naive (session-UTC)
+        # probe at exact-boundary instants
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    return None
+
+
+def _probe_value(v):
+    """Coerce a prune-probe bound with the same rules as _stat_value so
+    temporal probes (datetime/date objects) compare against the stored
+    isoformat strings instead of raising TypeError. A probe type we can't
+    coerce disables pruning for that call (None bound = keep everything
+    on that side), never a crash."""
+    return _stat_value(v)
+
+
 def _harvest_stats(
     files: list[str], stats_cols: list[str], table: str
 ) -> list[dict]:
     """Per-file entries from the parquet FOOTERS (row count + min/max per
     stats column) — driver-side metadata reads, no Spark job. Column
     chunk stats are aggregated across row groups; a column missing stats
-    in any row group gets null bounds (reader then cannot prune on it,
-    which is the safe direction)."""
+    in any row group — or whose stat type has no JSON-safe ordered
+    encoding (see _stat_value) — gets null bounds (reader then cannot
+    prune on it, which is the safe direction)."""
     import pyarrow.parquet as pq
 
     entries = []
@@ -169,11 +218,9 @@ def _harvest_stats(
                     break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            if ok and lo is not None:
-                bounds[col] = [
-                    lo.isoformat() if hasattr(lo, "isoformat") else lo,
-                    hi.isoformat() if hasattr(hi, "isoformat") else hi,
-                ]
+            jlo, jhi = _stat_value(lo), _stat_value(hi)
+            if ok and jlo is not None and jhi is not None:
+                bounds[col] = [jlo, jhi]
         entries.append(
             {
                 # TABLE-relative: the manifest stays valid if the table
@@ -208,10 +255,20 @@ def _try_commit(table: str, version: int, manifest: dict) -> bool:
 
 
 def committed_keys(table: str) -> set[str]:
-    """Idempotency keys of every committed manifest still on disk (see
-    snapshot_write's idempotency_key)."""
-    keys = set()
-    for v in snapshot_versions(table):
+    """Idempotency keys visible at the CURRENT version (see
+    snapshot_write's idempotency_key). Each manifest list carries the
+    accumulated key set forward (`keys`), so this is ONE manifest read —
+    O(1) per micro-batch commit instead of the O(#versions) full-history
+    walk that grew linearly over a stream's lifetime. Manifests written
+    before the `keys` field existed fall back to that legacy walk."""
+    versions = snapshot_versions(table)
+    if not versions:
+        return set()
+    latest = _read_manifest(table, versions[-1])
+    if "keys" in latest:
+        return set(latest["keys"])
+    keys = set()  # legacy manifests: reconstruct from the full history
+    for v in versions:
         k = _read_manifest(table, v).get("idempotency_key")
         if k is not None:
             keys.add(k)
@@ -247,14 +304,16 @@ def snapshot_write(
     load stays shard-prunable. Returns the committed version number.
 
     idempotency_key makes the commit EXACTLY-ONCE under at-least-once
-    re-execution (the streaming-sink contract): if any committed
-    manifest already carries the key, the write is a no-op returning the
+    re-execution (the streaming-sink contract): if the accumulated key
+    set already carries the key, the write is a no-op returning the
     current version — a replayed micro-batch appends nothing twice.
     The key check re-runs inside the commit retry loop, so a racing
-    duplicate that commits first is also caught. Caveat: keys live in
-    manifests, so snapshot_expire must keep at least the replay window's
-    worth of versions (the stream's checkpoint offset log already fences
-    batches older than that)."""
+    duplicate that commits first is also caught. Keys are carried
+    forward in each manifest list (`keys`), making the check one
+    manifest read (O(1) per commit, not O(#versions)) AND surviving
+    snapshot_expire of old versions; the set grows one short string per
+    keyed commit ever — bytes per commit, and the stream's checkpoint
+    offset log fences batches old enough to ever matter truncating."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if idempotency_key is not None and idempotency_key in committed_keys(table):
@@ -283,19 +342,25 @@ def snapshot_write(
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         base = versions[-1] if versions else 0
-        if idempotency_key is not None and idempotency_key in committed_keys(
-            table
-        ):
+        prev = _read_manifest(table, base) if versions else None
+        if prev is not None and "keys" in prev:
+            prev_keys = set(prev["keys"])
+        else:
+            prev_keys = committed_keys(table)  # legacy-manifest fallback
+        if idempotency_key is not None and idempotency_key in prev_keys:
             return base  # a racing duplicate committed our key first
-        if mode == "append" and versions:
-            refs = _read_manifest(table, base)["manifests"] + new_refs
+        if mode == "append" and prev is not None:
+            refs = prev["manifests"] + new_refs
         else:
             refs = new_refs
+        if idempotency_key is not None:
+            prev_keys.add(idempotency_key)
         manifest = {
             "version": base + 1,
             "mode": mode,
             "stats_cols": sorted(stats_cols or []),
             "idempotency_key": idempotency_key,
+            "keys": sorted(prev_keys),
             "manifests": refs,
         }
         if _try_commit(table, base + 1, manifest):
@@ -350,21 +415,29 @@ def _plan_files(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     manifest = _read_manifest(table, v)
+    if prune is not None:
+        # coerce temporal probe bounds to the stored isoformat-string
+        # encoding once, up front (see _probe_value); an uncoercible
+        # bound becomes None = unbounded on that side
+        col, lo, hi = prune[0], _probe_value(prune[1]), _probe_value(prune[2])
     kept: list[str] = []
     for ref in manifest["manifests"]:
         if prune is not None:
-            col, lo, hi = prune
             b = ref["stats"].get(col)
-            if b is not None and (b[1] < lo or b[0] > hi):
+            if b is not None and (
+                (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
+            ):
                 continue  # whole shard skipped, never opened
         entries = _read_shard(table, ref)
         if shards_opened is not None:
             shards_opened.append(ref["path"])
         for e in entries:
             if prune is not None:
-                col, lo, hi = prune
                 b = e["stats"].get(col)
-                if b is not None and (b[1] < lo or b[0] > hi):
+                if b is not None and (
+                    (hi is not None and b[0] > hi)
+                    or (lo is not None and b[1] < lo)
+                ):
                     continue
             kept.append(os.path.join(table, e["path"]))
     fallback: str | None = None
@@ -515,6 +588,7 @@ def snapshot_expire(
             os.remove(path)
             deleted += 1
     for path in shard_victims:
+        _SHARD_CACHE.pop(path, None)  # deleted shard must not ghost-serve
         if os.path.exists(path):
             os.remove(path)
     # drop commit dirs holding no parquet anymore (only _SUCCESS/.crc

@@ -399,6 +399,12 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q87", "q87_stream_dedup_agg", [("event_type", "s"), ("n_events", "n")]),
         ("q88", "q88_stream_tumbling",
          [("hour_start", "s"), ("event_type", "s"), ("n_events", "n")]),
+        # round 8: A9+/E17+ snapshot-manifest table promoted — clustered
+        # overwrite + exactly-once streamed appends + replay-noop proof +
+        # manifest-stats-pruned read, hash-checked vs raw orders
+        ("q114", "q114_snapshot_table",
+         [("o_orderpriority", "s"), ("meta_rows_match", "s"),
+          ("replay_noop", "s"), ("n_orders", "n"), ("total_price", "n")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -473,7 +479,7 @@ PART_TIMINGS: dict[str, float] = {}
 # parallelism-independent; the driver's hash check pins it every round.
 PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     "q95_stateful_stream": [{"q95", "q97", "q102", "q96"}],
-    "q86_streaming_parity": [{"q86", "q87", "q88"}],
+    "q86_streaming_parity": [{"q86", "q87", "q88", "q114"}],
     # Not streaming, but q112/q113 do small eager collects at build time
     # (PQ codebook + query row); building the seven parts concurrently
     # overlaps those job latencies. No part scopes the shuffle width.

@@ -491,6 +491,133 @@ def q102_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# q114 — snapshot-manifest table end-to-end (A9+/E17+) driver-visible:
+# the ops/snapshot.py lakehouse core exercised exactly the way a 100 TB
+# deployment would use it —
+#   1. base load: one clustered OVERWRITE commit (range-partitioned files,
+#      footer stats harvested into the manifest),
+#   2. incremental ingest: the remaining rows streamed through
+#      snapshot_stream_sink (one exactly-once append commit per
+#      micro-batch, keyed batch-<id>),
+#   3. REPLAY: the same feed re-run from a FRESH checkpoint — every batch
+#      re-executes with the same ids, and the manifest idempotency keys
+#      must make all of them no-ops (`replay_noop`),
+#   4. read back through snapshot_read with a manifest-level prune
+#      (files whose [min,max] miss the probe are dropped driver-side
+#      before Spark lists them) and aggregate.
+# The aggregate values hash-check against DuckDB running the same
+# filter+GROUP BY on the raw orders parquet — green iff overwrite +
+# streamed appends + replay dedup + stats-pruned read reproduce the
+# source content exactly. `meta_rows_match` pins the COUNT(*)-from-
+# metadata fast path (snapshot_rows == true row count, zero data IO).
+# --------------------------------------------------------------------------
+_ORDERS_FEED_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _stage_orders_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the streamed slice of orders (o_orderkey % 4 != 0) as 3
+    parquet files with ascending mtimes: maxFilesPerTrigger=1 then yields
+    a deterministic file->micro-batch assignment (batch i = file i), which
+    the replay leg relies on for stable batch ids. Memoized per
+    (session, sf_dir): input staging only — every q114 run still builds a
+    fresh table, checkpoints, and commits from scratch."""
+    from ..io import load_table
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ORDERS_FEED_MEMO.get(memo_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    base = _tracked_mkdtemp(prefix="e02_orders_feed_")
+    rest = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 != 0)
+    for i in range(3):
+        stage = os.path.join(base, f"_w{i}")
+        rest.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(base, f"b{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(stage)
+    _ORDERS_FEED_MEMO[memo_key] = base
+    return base
+
+
+def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+    from ..ops.snapshot import (
+        snapshot_read,
+        snapshot_rows,
+        snapshot_stream_sink,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = os.path.join(_tracked_mkdtemp(prefix="e02_snaptbl_"), "tbl")
+    snapshot_write(
+        orders.where(F.col("o_orderkey") % 4 == 0),
+        table,
+        mode="overwrite",
+        n_files=4,
+        cluster_by=["o_orderkey"],
+        stats_cols=["o_orderkey"],
+    )
+    feed = _stage_orders_feed(spark, sf_dir)
+
+    def run_stream() -> None:
+        ckpt = _tracked_mkdtemp(prefix="e02_snapckpt_")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with _stream_shuffle(spark):
+            q = snapshot_stream_sink(
+                stream, table, n_files=2, stats_cols=["o_orderkey"],
+                checkpoint_dir=ckpt,
+            )
+            _await(q)
+
+    run_stream()
+    rows_v1, ver_v1 = snapshot_rows(table), snapshot_versions(table)[-1]
+    run_stream()  # fresh checkpoint -> batches 0..2 replay -> all no-ops
+    replay_noop = (
+        snapshot_rows(table) == rows_v1
+        and snapshot_versions(table)[-1] == ver_v1
+    )
+    meta_rows_match = snapshot_rows(table) == orders.count()
+    # stats-pruned read: manifest [min,max] drops upper-half files before
+    # Spark ever lists them; values prove the prune kept every needed row
+    mid = orders.agg(F.max("o_orderkey")).first()[0] // 2
+    from ..num import dsum
+
+    return (
+        snapshot_read(spark, table, prune=("o_orderkey", None, mid))
+        .where(F.col("o_orderkey") <= mid)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .withColumn("meta_rows_match", F.lit(bool(meta_rows_match)))
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+    )
+
+
+_Q114_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  TRUE AS meta_rows_match,
+  TRUE AS replay_noop
+FROM orders
+WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q86_stream_incremental_counts": q86_stream_incremental_counts,
     "q87_stream_dedup_agg": q87_stream_dedup_agg,
@@ -499,6 +626,7 @@ QUERIES = {
     "q96_stream_sliding": q96_stream_sliding,
     "q97_stream_sessions": q97_stream_sessions,
     "q102_incremental_dedup_stream": q102_incremental_dedup_stream,
+    "q114_snapshot_table": q114_snapshot_table,
 }
 
 
@@ -528,4 +656,7 @@ ORACLE = {
     "q97_stream_sessions": _Q97_SQL,
     # batch-equality invariant: incremental verdicts == q31's pair set
     "q102_incremental_dedup_stream": _q102_oracle(),
+    # lakehouse-equality invariant: overwrite + exactly-once streamed
+    # appends + replay dedup + stats-pruned read == the raw source
+    "q114_snapshot_table": _Q114_SQL,
 }

@@ -42,6 +42,11 @@ def get_spark(app_name: str = "e02-spark", master: str | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # INT96 (the legacy default) carries NO parquet footer min/max
+        # stats, which kills file-level stats pruning on timestamp
+        # columns (ops/snapshot.py harvests footers at commit time);
+        # MICROS is the modern encoding every reader here handles.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
@@ -60,6 +65,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # coalesces the excess; on a cluster the driver would own this knob)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    # stats-bearing timestamp encoding (see get_spark) — runtime-settable
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

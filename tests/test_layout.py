@@ -556,3 +556,128 @@ def test_snapshot_compact_under_isolation(spark, tmp_path):
     assert a == b
     # time travel to the pre-compaction version still works
     assert snapshot_read(spark, table, version=v - 1).count() == n
+
+
+def test_snapshot_binary_stats_no_crash_and_no_bounds(spark, tmp_path):
+    """ADVICE r7 fix: a BINARY stats column must not TypeError inside
+    json.dump AFTER the data files were written (orphaning them).
+    Footer min/max for bytes has no JSON-safe ordered encoding, so the
+    column simply carries no bounds; other declared columns still do."""
+    import json
+
+    from e02_spark.ops.snapshot import (
+        _manifest_path,
+        _read_shard,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    df = (
+        load_table(spark, SF, "nation")
+        .select(
+            "n_nationkey",
+            F.sha2(F.col("n_name"), 256).cast("binary").alias("blob"),
+        )
+    )
+    table = str(tmp_path / "tbl")
+    v = snapshot_write(
+        df, table, mode="overwrite", stats_cols=["n_nationkey", "blob"]
+    )
+    assert v == 1
+    with open(_manifest_path(table, 1)) as f:
+        refs = json.load(f)["manifests"]
+    entries = _read_shard(table, refs[0])
+    for e in entries:
+        assert "blob" not in e["stats"]  # bytes: no bounds, no crash
+        assert "n_nationkey" in e["stats"]  # int bounds still harvested
+    assert snapshot_read(spark, table).count() == df.count()
+
+
+def test_snapshot_temporal_bounds_prune_with_datetime_probe(spark, tmp_path):
+    """Temporal footer stats are stored as isoformat strings; a prune
+    probe passed as datetime objects must coerce to the same encoding
+    (lexicographic == chronological) instead of raising TypeError."""
+    import datetime as dt
+
+    from e02_spark.ops.snapshot import _plan_files, snapshot_write
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("ts")
+    )
+    lo, hi = orders.agg(F.min("ts"), F.max("ts")).first()
+    table = str(tmp_path / "tbl")
+    snapshot_write(orders, table, mode="overwrite", n_files=4,
+                   cluster_by=["ts"], stats_cols=["ts"])
+    # probe below the data's range with datetime objects: everything pruned
+    kept, fb = _plan_files(
+        table, None,
+        ("ts", lo - dt.timedelta(days=900), lo - dt.timedelta(days=800)),
+    )
+    assert kept == [] and fb is not None
+    # probe covering only the earliest day: strictly fewer than all files
+    kept2, _ = _plan_files(table, None, ("ts", lo, lo))
+    assert 1 <= len(kept2) < 4
+    # full-range probe keeps all
+    kept3, _ = _plan_files(table, None, ("ts", lo, hi))
+    assert len(kept3) == 4
+
+
+def test_snapshot_committed_keys_is_one_manifest_read(spark, tmp_path, monkeypatch):
+    """ADVICE r7 fix: the idempotency check is O(1) — keys are carried
+    forward in each manifest list, so committed_keys reads ONE manifest
+    regardless of version count, and keys survive expire of the old
+    versions that originally carried them."""
+    from e02_spark.ops import snapshot as S
+
+    nation = load_table(spark, SF, "nation")
+    table = str(tmp_path / "tbl")
+    for i in range(5):
+        S.snapshot_write(
+            nation.limit(i + 1), table,
+            mode="append" if i else "overwrite",
+            idempotency_key=f"batch-{i}",
+        )
+    calls = []
+    real = S._read_manifest
+    monkeypatch.setattr(
+        S, "_read_manifest", lambda t, v: (calls.append(v), real(t, v))[1]
+    )
+    keys = S.committed_keys(table)
+    assert keys == {f"batch-{i}" for i in range(5)}
+    assert len(calls) == 1  # one manifest read, not O(#versions)
+    monkeypatch.undo()
+    # replay of an old batch is still a no-op
+    v = S.snapshot_write(nation.limit(1), table, mode="append",
+                         idempotency_key="batch-2")
+    assert v == 5 and S.snapshot_versions(table)[-1] == 5
+    # keys survive expiring the manifests that introduced them
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True)
+    assert S.committed_keys(table) == keys
+    v2 = S.snapshot_write(nation.limit(1), table, mode="append",
+                          idempotency_key="batch-0")
+    assert v2 == 5  # still deduplicated post-expire
+
+
+def test_snapshot_shard_cache_bounded_and_evicted_on_expire(spark, tmp_path, monkeypatch):
+    """ADVICE r7 fix: the shard memo is a bounded LRU and expire evicts
+    deleted shards eagerly (no ghost entries for removed files)."""
+    import os
+
+    from e02_spark.ops import snapshot as S
+
+    nation = load_table(spark, SF, "nation")
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        S.snapshot_write(nation.limit(i + 1), table,
+                         mode="append" if i else "overwrite")
+    monkeypatch.setattr(S, "_SHARD_CACHE_MAX", 2)
+    S._SHARD_CACHE.clear()
+    S.snapshot_read(spark, table)  # walks all 4 shards
+    assert len(S._SHARD_CACHE) == 2  # LRU bound enforced
+    S.snapshot_write(nation.limit(9), table, mode="overwrite")
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True)
+    live = {
+        os.path.abspath(p)
+        for p in glob.glob(os.path.join(table, "_manifests", "m-*.json"))
+    }
+    assert all(p in live for p in S._SHARD_CACHE)  # no ghosts
