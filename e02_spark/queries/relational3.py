@@ -928,16 +928,31 @@ _Q78_SQL = _q78_body("epoch_us")
 # MATCH_RECOGNIZE shape, expressed Spark-first): each user's events are
 # ordered by (ts, event_id) and encoded as a code string (event-type
 # initials — distinct across the 5 types), then plain regexes count
-# non-overlapping pattern occurrences. ONE shuffle (groupBy user_id);
-# the encode (array_sort of structs + transform + array_join) and the
-# regexp_count are whole-stage-codegen JVM expressions — no UDF, no
-# per-row Python. Greedy leftmost non-overlapping counting is identical
-# in Java regex and RE2 for these patterns (no empty matches; '$' is
-# end-of-input on both — code strings contain no newlines).
-# Scale: per-user sequences are bounded by events-per-user; a hot user
-# at 100 TB caps via the same salting family the agg ops use. The
-# pattern set: views-then-purchase (conversion), 2+ consecutive errors
-# (reliability), signup never followed by purchase (activation gap).
+# non-overlapping pattern occurrences. The encode and the regexp_count
+# are whole-stage-codegen JVM expressions — no UDF, no per-row Python.
+# Greedy leftmost non-overlapping counting is identical in Java regex
+# and RE2 for these patterns (no empty matches; '$' is end-of-input on
+# both — code strings contain no newlines).
+#
+# BOUNDED PER-KEY STATE (round 8): the sequence is built in TWO levels —
+# collect_list of (ts, event_id, code) structs per (user, TIME SEGMENT),
+# then the per-segment code strings concatenated per user in segment
+# order. The expensive intermediate (the struct array: ~64 B/event vs
+# 1 B/event for the code string) is therefore bounded by a hot key's
+# events-per-SEGMENT, not events-per-lifetime: a bot emitting 10M
+# events/user at 100 TB holds one hour's structs per task instead of a
+# multi-GB lifetime array. The final string (1 B/event) is the
+# irreducible cost of exact full-sequence regex. Correctness: the
+# segment id floor(unix_micros(ts)/SEG) is monotone non-decreasing in
+# ts, so sorting by (seg, ts, event_id) equals sorting by (ts,
+# event_id) — the concatenated string is IDENTICAL to the single-level
+# build, and the DuckDB oracle (plain string_agg ORDER BY ts, event_id)
+# is unchanged. Pinned by tests/test_graph_and_coverage3.py (hot-key
+# pytest: 1 user x 50k events == ground-truth Python re counts, with
+# the struct state split across >100 segment groups).
+# The pattern set: views-then-purchase (conversion), 2+ consecutive
+# errors (reliability), signup never followed by purchase (activation
+# gap).
 # --------------------------------------------------------------------------
 _Q111_PATTERNS = [
     ("view_to_purchase", "v+p"),
@@ -945,23 +960,43 @@ _Q111_PATTERNS = [
     ("signup_no_purchase", "s[^p]*$"),
 ]
 
+_Q111_SEG_US = 3_600_000_000  # 1-hour segments bound per-task struct state
 
-def q111_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+
+def _q111_user_sequences(ev: DataFrame, seg_us: int = _Q111_SEG_US) -> DataFrame:
+    """(user_id, seq): each user's full event-code string, ordered by
+    (ts, event_id), built with per-(user, time-segment) bounded state
+    (see the q111 header comment for the equivalence argument)."""
     st = F.struct(
         F.col("ts"), F.col("event_id"),
         F.substring("event_type", 1, 1).alias("code"),
     )
-    seq = (
-        ev.select("user_id", st.alias("st"))
-        .groupBy("user_id")
+    seg = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(seg_us))) / F.lit(
+        seg_us
+    )
+    per_seg = (
+        ev.select("user_id", seg.cast("bigint").alias("seg"), st.alias("st"))
+        .groupBy("user_id", "seg")
         .agg(
             F.array_join(
                 F.transform(F.array_sort(F.collect_list("st")), lambda x: x["code"]),
                 "",
-            ).alias("seq")
+            ).alias("seg_str")
         )
     )
+    return per_seg.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "seg_str"))),
+                lambda x: x["seg_str"],
+            ),
+            "",
+        ).alias("seq")
+    )
+
+
+def q111_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _q111_user_sequences(_t(spark, sf_dir, "events"))
     aggs = []
     for i, (_, pat) in enumerate(_Q111_PATTERNS):
         cnt = F.regexp_count("seq", F.lit(pat))

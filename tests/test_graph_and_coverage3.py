@@ -455,3 +455,61 @@ def test_pagerank_int_hand_computed_and_parallelism_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and a
+
+
+# --------------------------------------------------------------------------
+# q111 bounded per-key sequence state (round-8 task): one hot user with
+# 50k events must (a) produce exactly the ground-truth regex counts and
+# (b) have its struct-collect state split across many (user, segment)
+# groups — the multi-GB-lifetime-array hazard the two-level build removes.
+# --------------------------------------------------------------------------
+def test_q111_hot_key_bounded_segments_exact(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from e02_spark.queries.relational3 import (
+        _Q111_PATTERNS,
+        _q111_user_sequences,
+    )
+
+    n = 50_000
+    # one bot user, events every 7 s across ~4 days, deterministic codes
+    ev = spark.range(n).select(
+        F.lit("bot-1").alias("user_id"),
+        F.timestamp_micros((F.col("id") * 7_000_000) + 1_000_000).alias("ts"),
+        F.format_string("e%07d", F.col("id")).alias("event_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in
+                      ["view", "view", "purchase", "error", "error",
+                       "signup", "view", "error", "click", "view"]]),
+            (F.col("id") % 10 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    seqs = _q111_user_sequences(ev, seg_us=3_600_000_000)
+    rows = seqs.collect()
+    assert len(rows) == 1
+    got = rows[0]["seq"]
+    truth = "".join(
+        ["v", "v", "p", "e", "e", "s", "v", "e", "c", "v"][i % 10]
+        for i in range(n)
+    )
+    assert got == truth  # two-level build == exact (ts, event_id) order
+    for _, pat in _Q111_PATTERNS:
+        assert len(re.findall(pat, got)) == len(re.findall(pat, truth))
+
+    # the struct state is split across one group per hour, not one
+    # lifetime group: 50k events * 7s ≈ 97 hours of segments
+    seg = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"),
+                                        F.lit(3_600_000_000))) / F.lit(3_600_000_000)
+    n_groups = (
+        ev.select(seg.cast("bigint").alias("seg"))
+        .distinct()
+        .count()
+    )
+    assert n_groups > 90  # bounded: ~517 events max per segment group
+    per_seg_max = (
+        ev.groupBy(seg.cast("bigint").alias("seg")).count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert per_seg_max < 600
