@@ -500,8 +500,12 @@ def incremental_corpus_dedup(
     stand-in for the key-value store a production probe would use.
     index_buckets must stay constant for a state_dir's lifetime: mixing
     bucketed and unbucketed batch directories gives the reader
-    inconsistent partition depths (a loud discovery error, not silent
-    corruption, but still a restart-blocker).
+    inconsistent partition depths. ENFORCED (round 8): the chosen value
+    is persisted atomically to `<state_dir>/_index_meta.json` at sink
+    construction; reattaching with a different value raises a named
+    ValueError up front, before any batch can interleave layouts —
+    instead of the accidental (and layout-dependent) partition-discovery
+    error it used to rely on. Unchanged restarts validate and resume.
 
     Invariant (pinned by tests/test_streaming.py): the union of per-batch
     verdicts over any batch split equals the one-shot batch
@@ -510,7 +514,9 @@ def incremental_corpus_dedup(
 
     Returns the started StreamingQuery.
     """
+    import json
     import os
+    import uuid
 
     from e02_spark.ops.dedup import band_keys
     from e02_spark.ops.text import minhash_signature, shingles
@@ -519,6 +525,30 @@ def incremental_corpus_dedup(
     shingle_dir = os.path.join(state_dir, "shingles")
     sizes_dir = os.path.join(state_dir, "doc_sizes")
     out_dir = os.path.join(state_dir, "verdicts")
+
+    # index_buckets lifetime marker: written once (atomic tmp+replace) when
+    # the state_dir is first attached, validated on every reattach. A
+    # mismatch is a config error the operator must resolve (resume with
+    # the recorded value, or clear the state_dir) — never a silent
+    # re-layout of the band index.
+    meta_path = os.path.join(state_dir, "_index_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            recorded = json.load(f)["index_buckets"]
+        if recorded != index_buckets:
+            raise ValueError(
+                "incremental_corpus_dedup index_buckets mismatch: state dir "
+                f"{state_dir!r} was created with index_buckets={recorded}, "
+                f"reattached with index_buckets={index_buckets}. The band "
+                "index layout is fixed for a state dir's lifetime — resume "
+                f"with index_buckets={recorded} or start a fresh state dir."
+            )
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"index_buckets": index_buckets}, f)
+        os.replace(tmp, meta_path)
 
     def _read_state(
         spark, path: str, schema: str, batch_id: int, extra=None

@@ -1081,3 +1081,75 @@ def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
     )
     assert v == v_after
     assert snapshot_read(spark, table).count() == len(want)
+
+
+def test_incremental_dedup_index_buckets_marker(spark, tmp_path):
+    """The index_buckets lifetime contract is ENFORCED: the first attach
+    records the value in _index_meta.json; reattaching with a different
+    value raises a named error up front; unchanged restarts resume and
+    keep producing the batch-equal verdict set."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from e02_spark.ops.dedup import minhash_lsh_pairs
+    from e02_spark.streaming.jobs import incremental_corpus_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    feed = tmp_path / "marker_feed"
+    feed.mkdir()
+
+    def _deliver(i, part):
+        stage = str(feed / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _os.rename(src, str(feed / f"d{i}.parquet"))
+        shutil.rmtree(stage)
+        _os.utime(str(feed / f"d{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    _deliver(0, docs.where(F.col("doc_id") <= median))
+    state, ckpt = str(tmp_path / "marker_state"), str(tmp_path / "marker_ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = incremental_corpus_dedup(
+            stream, state, checkpoint_dir=ckpt, index_buckets=8
+        )
+        assert q.awaitTermination(300)
+
+    _run()
+    meta = _os.path.join(state, "_index_meta.json")
+    with open(meta) as f:
+        assert _json.load(f)["index_buckets"] == 8
+
+    # reattach with a DIFFERENT bucket count: loud named failure, and it
+    # happens at construction — before any batch could interleave layouts
+    stream2 = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    with pytest.raises(ValueError, match="index_buckets mismatch"):
+        incremental_corpus_dedup(
+            stream2, state, checkpoint_dir=ckpt, index_buckets=4
+        )
+    assert not _glob.glob(_os.path.join(state, "band_index", "batch=1*"))
+
+    # unchanged restart: resumes from the checkpoint, processes only the
+    # new delivery, and the accumulated verdicts equal the one-shot batch
+    _deliver(1, docs.where(F.col("doc_id") > median))
+    _run()
+    got = {
+        (r["da"], r["db"])
+        for r in spark.read.parquet(_os.path.join(state, "verdicts")).collect()
+    }
+    want = {
+        (r["da"], r["db"])
+        for r in minhash_lsh_pairs(docs, k=4, bands=2, threshold=0.8).collect()
+    }
+    assert want and got == want
