@@ -75,6 +75,10 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # round 6: fuzz-promoted FULL OUTER null/dangling-key shape
         ("q103", "q103_fuzz_full_outer_nullkeys",
          [("ok", "n"), ("lk", "n"), ("price_c", "n"), ("qty", "n")]),
+        # round 8: fuzz-promoted NOT-IN/IN over nullable keys (the
+        # three-valued-logic ExistenceJoin edges, deterministic)
+        ("q115", "q115_fuzz_null_in_subquery",
+         [("branch", "s"), ("n_rows", "n"), ("id_sum", "n")]),
     ],
     # A10+ source-format matrix: CSV + ORC + XML write/read roundtrips,
     # each oracle-checked against the same aggregation on parquet (green

@@ -527,6 +527,67 @@ FROM o FULL OUTER JOIN li ON o.ok = li.lk
 
 
 # --------------------------------------------------------------------------
+# q115 — fuzz-promoted NOT-IN / IN over NULLABLE keys (the ExistenceJoin
+# shape from tests/test_differential.py, now deterministic and
+# driver-hash-checked every round instead of only when the hypothesis
+# suite runs). Four branches over the same planted-NULL probe/sub pair,
+# each a standard-SQL three-valued-logic edge:
+#   notin_clean   — NOT IN over a NULL-free subquery: NULL probes drop
+#                   (UNKNOWN in WHERE), non-matching non-NULLs survive.
+#   notin_nullsub — the notorious trap: ONE NULL in the subquery makes
+#                   NOT IN UNKNOWN for every non-matching row, so ZERO
+#                   rows survive — but the 0 comes from each engine's
+#                   own rewrite (Spark: null-aware anti join), not a
+#                   literal.
+#   in_sub        — IN with NULL probe values in WHERE context (UNKNOWN
+#                   and FALSE both drop; the engines' one agreed-on IN
+#                   context — the projection-context divergence is
+#                   documented in test_differential.py).
+#   notin_empty   — NOT IN (empty set) is TRUE for EVERY probe row,
+#                   including NULL probes (zero comparisons happen).
+# id_sum makes the hash row-identity-sensitive, not just count-level.
+# Both engines run the IDENTICAL ANSI text — the parity claim is that
+# their independent subquery rewrites agree, not that the text matches.
+# Scale: each branch is one semi/anti join shuffled on the key; the
+# planted-NULL CASE keys are scan-level projections (pushdown intact).
+# --------------------------------------------------------------------------
+_Q115_BODY = """
+WITH probe AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS k,
+         o_orderkey AS id
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+sub AS (
+  SELECT CASE WHEN l_linenumber = 3 THEN NULL ELSE l_suppkey END AS k
+  FROM lineitem WHERE l_orderkey % 11 = 0
+)
+SELECT 'notin_clean' AS branch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(id), 0) AS BIGINT) AS id_sum
+FROM probe WHERE k NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)
+UNION ALL
+SELECT 'notin_nullsub', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(id), 0) AS BIGINT)
+FROM probe WHERE k NOT IN (SELECT k FROM sub)
+UNION ALL
+SELECT 'in_sub', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(id), 0) AS BIGINT)
+FROM probe WHERE k IN (SELECT k FROM sub)
+UNION ALL
+SELECT 'notin_empty', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(id), 0) AS BIGINT)
+FROM probe WHERE k NOT IN (SELECT k FROM sub WHERE 1 = 0)
+"""
+
+
+def q115_fuzz_null_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q115_BODY)
+
+
+_Q115_SQL = _Q115_BODY
+
+
+# --------------------------------------------------------------------------
 # q51 — HAVING (D13) + lead/first_value window analytics (D15): monthly
 # revenue kept only above a threshold, with next-month lookahead and the
 # year's first month value.
@@ -693,6 +754,7 @@ QUERIES = {
     "q49_tfidf_top_terms": q49_tfidf_top_terms,
     "q50_full_outer": q50_full_outer,
     "q103_fuzz_full_outer_nullkeys": q103_fuzz_full_outer_nullkeys,
+    "q115_fuzz_null_in_subquery": q115_fuzz_null_in_subquery,
     "q104_approx_percentile": q104_approx_percentile,
 }
 
@@ -712,5 +774,6 @@ ORACLE = {
     "q49_tfidf_top_terms": _Q49_SQL,
     "q50_full_outer": _Q50_SQL,
     "q103_fuzz_full_outer_nullkeys": _Q103_SQL,
+    "q115_fuzz_null_in_subquery": _Q115_SQL,
     "q104_approx_percentile": _Q104_SQL,
 }
