@@ -6,9 +6,10 @@ struct, or binaryFile datasets). The Spark-side plumbing — schema, Arrow
 batch shape, mapInPandas signatures, partition sizing — is real and tested;
 the actual image codec decode/resize runs through Pillow when it is
 installed (real_decode=True) and raises NotImplementedError only when the
-library is genuinely absent; audio/video demux stays stubbed (no
-PyAV/ffmpeg). A deterministic fake path used by tests and queries always
-exercises the same plumbing.
+library is genuinely absent; audio decode is REAL for WAV containers
+(stdlib `wave` — sample-accurate chunking, always executable); video
+demux stays stubbed (no PyAV/ffmpeg). A deterministic fake path used by
+tests and queries always exercises the same plumbing.
 
 Scale: decode/feature-extract runs as mapInPandas over Arrow batches —
 one Python worker per partition, vectorized transfer, no per-row pickling.
@@ -261,27 +262,70 @@ def chunk_audio(
 ) -> DataFrame:
     """Arrow-batched audio chunking — the audio analog of sample_frames:
     one audio row in, one row per fixed-duration chunk out (the shape an
-    ASR/feature pipeline feeds its encoder). Production path would
-    decode the container (soundfile/ffmpeg — genuinely absent here) and
-    slice PCM at chunk_ms boundaries; the deterministic fake path treats
-    the payload as bytes_per_ms bytes per millisecond of audio and
-    slices it with the SAME timestamp arithmetic (start_ms/end_ms are
-    the chunk's position in the source timeline; a short final chunk is
-    kept, matching every real splitter's default).
+    ASR/feature pipeline feeds its encoder).
+
+    real_decode=True is a REAL container decode (round 8): payloads are
+    parsed as WAV with the stdlib `wave` module — sample rate, channel
+    count, and sample width come from the header, and the PCM stream is
+    sliced at SAMPLE-ACCURATE chunk boundaries: chunk i covers source
+    frames [i*chunk_ms*rate//1000, (i+1)*chunk_ms*rate//1000) — per-chunk
+    integer arithmetic, so a non-divisible rate*chunk_ms accumulates no
+    drift — and end_ms is derived back from the END FRAME position
+    (end_frame*1000//rate), not from byte length. chunk_bytes is the raw
+    PCM for those frames (byte-exact: frame = nchannels*sampwidth bytes),
+    a short final chunk is kept, and bytes_per_ms is ignored (the header
+    is authoritative). A payload that is not a RIFF/WAV container raises
+    wave.Error loudly — compressed containers (mp3/ogg/flac) would need
+    soundfile/ffmpeg and are out of scope in this environment.
+
+    The deterministic fake path (default) treats the payload as
+    bytes_per_ms bytes per millisecond of audio and slices it with the
+    SAME timestamp arithmetic (start_ms/end_ms are the chunk's position
+    in the source timeline).
 
     Scale: mapInPandas over BINARY payloads — vectorized 1->N explosion
     per Arrow batch, no per-row Python UDF; chunk rows shuffle nowhere
-    until the caller aggregates them.
+    until the caller aggregates them. The real path decodes each payload
+    ONCE per row and slices frames by offset (no per-chunk re-decode).
     """
+
+    def _wav_chunks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave
+
+        for pdf in it:
+            auds = pdf[pdf["kind"] == "audio"]
+            out: dict[str, list] = {
+                "media_id": [], "chunk_idx": [], "start_ms": [],
+                "end_ms": [], "chunk_bytes": [], "n_chunk_bytes": [],
+            }
+            for mid, payload in zip(auds["media_id"], auds["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    rate = w.getframerate()
+                    fw = w.getnchannels() * w.getsampwidth()
+                    n_frames = w.getnframes()
+                    pcm = w.readframes(n_frames)
+                i = 0
+                while True:
+                    start_f = i * chunk_ms * rate // 1000
+                    if start_f >= n_frames:
+                        break
+                    end_f = min((i + 1) * chunk_ms * rate // 1000, n_frames)
+                    if end_f == start_f:  # sub-frame chunk_ms at a low
+                        i += 1            # rate: no frame lands here
+                        continue
+                    chunk = pcm[start_f * fw : end_f * fw]
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(i * chunk_ms)
+                    out["end_ms"].append(end_f * 1000 // rate)
+                    out["chunk_bytes"].append(chunk)
+                    out["n_chunk_bytes"].append(len(chunk))
+                    i += 1
+            yield pd.DataFrame(out)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk_bytes_len = chunk_ms * bytes_per_ms
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "audio decode requires soundfile/ffmpeg, which is not "
-                    "installed; use the deterministic fake path"
-                )
             import numpy as np
 
             auds = pdf[pdf["kind"] == "audio"]
@@ -311,4 +355,6 @@ def chunk_audio(
                 }
             )
 
-    return media.mapInPandas(batches, schema=CHUNKS_SCHEMA)
+    return media.mapInPandas(
+        _wav_chunks if real_decode else batches, schema=CHUNKS_SCHEMA
+    )

@@ -514,9 +514,15 @@ def pq_codebooks_first_n(
         .orderBy("vec_id")
         .collect()
     )
-    if len(rows) != n_codes:
+    got_ids = [r["vec_id"] for r in rows]
+    if got_ids != list(range(n_codes)):
+        # exact-identity check, not just a count: duplicate vec_ids under
+        # n_codes would pass a len() check while leaving orderBy's choice
+        # among duplicates nondeterministic — breaking the bit-determinism
+        # contract the DuckDB twin relies on
         raise ValueError(
-            f"first_n codebooks need vec_ids 0..{n_codes - 1}; got {len(rows)}"
+            f"first_n codebooks need vec_ids exactly 0..{n_codes - 1}; "
+            f"got {got_ids}"
         )
     return [
         [list(r["qv"][j * dsub : (j + 1) * dsub]) for r in rows]

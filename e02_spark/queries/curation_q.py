@@ -569,15 +569,23 @@ FROM rr LEFT JOIN k ON rr.source = k.source
 # the single result row — no per-column scans, no driver loop over
 # columns at execution time. At 100 TB the exact multi-DISTINCT is the
 # one expensive leg (expand multiplies rows by #distinct-aggs);
-# approx_count_distinct (q32's HLL family) is the drop-in scale
-# alternative — exact here so every cell is driver-hash-checkable.
+# exact=False (round 8) swaps every distinct leg for
+# approx_count_distinct — HLL++ sketches are algebraic (no expand, pure
+# partial-merge aggregation, one unmultiplied scan), the 100 TB mode.
+# The DECLARED query stays exact=True so every cell is
+# driver-hash-checkable; the HLL mode's ±10% accuracy property is pinned
+# in tests/test_skew_and_properties.py (the q32 pattern: sketch outputs
+# can't hash-match across engines, their defining property can't flip).
 # --------------------------------------------------------------------------
 _PROF_NUM = ["doc_id", "n_chars"]
 _PROF_STR = ["text", "lang", "source"]
 
 
-def q110_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q110_profile_documents(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    nd = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROF_NUM + _PROF_STR:
         aggs.append(
@@ -585,7 +593,7 @@ def q110_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"nulls_{c}")
         )
-        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        aggs.append(nd(c).alias(f"nd_{c}"))
     for c in _PROF_NUM:
         aggs.append(F.min(c).cast("double").alias(f"min_{c}"))
         aggs.append(F.max(c).cast("double").alias(f"max_{c}"))

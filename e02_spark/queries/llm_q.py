@@ -609,21 +609,45 @@ _PQ_M, _PQ_CODES, _PQ_DSUB = 8, 16, 8
 
 # The first-n codebook is a pure function of the embeddings table, so the
 # 16-row collect is shared across q112/q113 (and across bench re-runs)
-# instead of spinning one Spark job per caller. Keyed by sf_dir: the
-# test corpora are immutable per directory. Thread-safe enough for the
-# composite's concurrent part builds (worst case both threads compute the
-# same value and one wins — identical by determinism).
-_PQ_BOOK_CACHE: dict[str, list] = {}
+# instead of spinning one Spark job per caller. Keyed by (sf_dir, file
+# fingerprint) — size+mtime of the parquet under the directory — so a
+# regenerated fixture invalidates the entry instead of silently serving
+# stale codebooks (the immutability assumption is now checked, not
+# assumed). Thread-safe enough for the composite's concurrent part
+# builds (worst case both threads compute the same value and one wins —
+# identical by determinism).
+_PQ_BOOK_CACHE: dict[tuple, list] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    import glob as _glob
+    import os as _os
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet"))) or [path]
+    out = []
+    for f in files:
+        try:
+            st = _os.stat(f)
+            out.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((f, -1, -1))
+    return tuple(out)
 
 
 def _pq_books(e: DataFrame, sf_dir: str) -> list[list[list[int]]]:
     from ..ops.similarity import pq_codebooks_first_n
 
-    if sf_dir not in _PQ_BOOK_CACHE:
-        _PQ_BOOK_CACHE[sf_dir] = pq_codebooks_first_n(
+    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    if key not in _PQ_BOOK_CACHE:
+        # at most one live fingerprint per sf_dir: a regenerated fixture
+        # evicts its own stale entry, other sf_dirs keep theirs
+        for stale in [k for k in _PQ_BOOK_CACHE if k[0] == sf_dir]:
+            del _PQ_BOOK_CACHE[stale]
+        _PQ_BOOK_CACHE[key] = pq_codebooks_first_n(
             e, m=_PQ_M, n_codes=_PQ_CODES
         )
-    return _PQ_BOOK_CACHE[sf_dir]
+    return _PQ_BOOK_CACHE[key]
 
 
 def q112_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,8 +665,15 @@ def q112_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same FIRST-minimum rule as pq_encode's array_position).
 _DUCK_PQ_FRONT = f"""
 quant AS (
+  -- COALESCE(..., 0) mirrors Spark's pq_encode NULL handling exactly: a
+  -- missing/NULL component quantizes to 0 on BOTH engines (the fixture
+  -- is all-64-dim today, so this is a parity guard, not a behavior
+  -- change; without it SUM would silently skip NULL components here
+  -- while Spark counts them as 0)
   SELECT e.vec_id, t.i,
-    CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS qc
+    COALESCE(
+      CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT),
+      0) AS qc
   FROM embeddings e CROSS JOIN generate_series(1, 64) AS t(i)
 ),
 norms AS (

@@ -974,8 +974,15 @@ def _q111_user_sequences(ev: DataFrame, seg_us: int = _Q111_SEG_US) -> DataFrame
     seg = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(seg_us))) / F.lit(
         seg_us
     )
+    # ONE shuffle total: hash-partitioning on user_id satisfies the
+    # clustering requirement of BOTH aggregations ((user_id, seg) is a
+    # superset of the partitioning key, (user_id) is the key itself), so
+    # neither groupBy adds an Exchange — the two-level build costs the
+    # same shuffle as the old single collect_list (plan-pinned in
+    # tests/test_plans.py)
     per_seg = (
         ev.select("user_id", seg.cast("bigint").alias("seg"), st.alias("st"))
+        .repartition("user_id")
         .groupBy("user_id", "seg")
         .agg(
             F.array_join(

@@ -379,7 +379,9 @@ GROUP BY ws, event_type
 # --------------------------------------------------------------------------
 def q97_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Like q96: per-user session state over the full event stream is real
-    # parallel work — keep the session's 32 shuffle partitions.
+    # parallel work — q97 is in composites.CLONE_SESSION, so it runs on a
+    # fresh newSession() whose tune_session width applies (full cpu-count
+    # shuffle partitions), unscoped by its groupmates' _stream_shuffle(8).
     events_dir = _stage_events_dir(sf_dir, copies=1)
     name = f"q97_sink_{uuid.uuid4().hex[:12]}"
     stream = _events_stream(spark, events_dir, files_per_trigger=4)

@@ -95,31 +95,50 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
     scope in) and restored exactly once (last scope out), never the
     torn save/restore interleaving a naive per-scope save would produce
     (which can permanently leak the scoped value into the session).
-    Concurrent scopes MUST agree on `n` (a conflicting width raises:
-    the conf is captured by each streaming query at .start(), so two
-    different widths genuinely cannot coexist on one session)."""
+
+    Width rules (round 8 — the nesting the old save/restore supported is
+    back, without losing the cross-thread safety):
+    - concurrent scopes of the SAME width merge (refcounted frame);
+    - the SAME thread may NEST a different width (LIFO frames: the inner
+      scope sets its width and exit restores the enclosing frame's);
+    - a different width while ANOTHER thread holds any active frame
+      raises: the conf is captured by each streaming query at .start(),
+      so two widths genuinely cannot coexist across threads."""
     key = "spark.sql.shuffle.partitions"
     sid = id(spark)
+    tid = threading.get_ident()
+    n = int(n)
     with _SCOPE_LOCK:
         st = _SCOPE_STATE.get(sid)
         if st is None:
-            outer = spark.conf.get(key)
-            spark.conf.set(key, str(n))
-            st = {"outer": outer, "count": 1, "n": int(n)}
+            st = {"outer": spark.conf.get(key), "frames": []}
             _SCOPE_STATE[sid] = st
-        elif st["n"] == int(n):
-            st["count"] += 1
+            spark.conf.set(key, str(n))
+            st["frames"].append({"n": n, "count": 1, "tids": {tid}})
+        elif st["frames"][-1]["n"] == n:
+            top = st["frames"][-1]
+            top["count"] += 1
+            top["tids"].add(tid)
+        elif all(f["tids"] == {tid} for f in st["frames"]):
+            spark.conf.set(key, str(n))  # same-thread nested scope
+            st["frames"].append({"n": n, "count": 1, "tids": {tid}})
         else:
             raise RuntimeError(
                 "scoped_shuffle_partitions conflict: active scope has "
-                f"width {st['n']}, requested {n} — concurrent scopes on "
-                "one session must agree"
+                f"width {st['frames'][-1]['n']}, requested {n} — "
+                "differing widths are only allowed as same-thread nested "
+                "scopes; concurrent scopes across threads must agree"
             )
     try:
         yield
     finally:
         with _SCOPE_LOCK:
-            st["count"] -= 1
-            if st["count"] == 0:
-                spark.conf.set(key, st["outer"])
-                del _SCOPE_STATE[sid]
+            top = st["frames"][-1]
+            top["count"] -= 1
+            if top["count"] == 0:
+                st["frames"].pop()
+                if st["frames"]:
+                    spark.conf.set(key, str(st["frames"][-1]["n"]))
+                else:
+                    spark.conf.set(key, st["outer"])
+                    del _SCOPE_STATE[sid]

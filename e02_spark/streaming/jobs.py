@@ -609,7 +609,11 @@ def incremental_corpus_dedup(
                 f"{prev_max}; 'earlier doc == smaller id' no longer "
                 "holds, (old>new) pairs would be silently dropped"
             )
-        sh_new = shingles(batch).localCheckpoint(eager=True)
+        # persisted (not eagerly checkpointed — the eager job was pure
+        # scheduling overhead; lineage never leaves this batch closure):
+        # computed once on first use, reused by sizes_new, keys_new, the
+        # exact-verify corpus, and the state write
+        sh_new = shingles(batch).persist()
         # persisted: feeds both the Jaccard denominators and its own
         # doc_sizes state write
         sizes_new = sh_new.groupBy("doc_id").agg(
@@ -685,7 +689,12 @@ def incremental_corpus_dedup(
             .join(maybe_bc(cand_ids), "doc_id", "left_semi")
             .persist()
         )
-        sizes = sizes_old.unionByName(sizes_new)
+        # persisted: the doc_sizes state feeds BOTH denominator joins
+        # (na and nb) of the same verdict job — cached on the first scan
+        # instead of re-reading the O(#docs-ever) state parquet twice per
+        # batch (the round-7 advice: cache state reads across the
+        # probe/verify joins)
+        sizes = sizes_old.unionByName(sizes_new).persist()
         inter = (
             corpus.select(F.col("doc_id").alias("da"), "shingle")
             .join(maybe_bc(cand), "da")
@@ -723,23 +732,45 @@ def incremental_corpus_dedup(
         def _bdir(base: str) -> str:
             return os.path.join(base, f"batch={batch_id}")
 
-        jac.write.mode("overwrite").parquet(_bdir(out_dir))
-        if index_buckets > 0:
-            keys_new.withColumn(
-                "bucket", F.pmod(F.xxhash64("band_key"), F.lit(index_buckets))
-            ).coalesce(state_writers).write.partitionBy("bucket").mode(
-                "overwrite"
-            ).parquet(_bdir(index_dir))
-        else:
-            keys_new.coalesce(state_writers).write.mode("overwrite").parquet(
-                _bdir(index_dir)
-            )
-        sh_new.coalesce(state_writers).write.mode("overwrite").parquet(
-            _bdir(shingle_dir)
-        )
-        sizes_new.coalesce(1).write.mode("overwrite").parquet(_bdir(sizes_dir))
+        def _write_index() -> None:
+            if index_buckets > 0:
+                keys_new.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("band_key"), F.lit(index_buckets)),
+                ).coalesce(state_writers).write.partitionBy("bucket").mode(
+                    "overwrite"
+                ).parquet(_bdir(index_dir))
+            else:
+                keys_new.coalesce(state_writers).write.mode(
+                    "overwrite"
+                ).parquet(_bdir(index_dir))
+
+        # The four per-batch outputs (verdicts + 3 state tables) are
+        # independent jobs over already-persisted inputs — submit them
+        # from worker threads so their fixed job-scheduling latencies
+        # overlap instead of summing (Spark's scheduler interleaves
+        # concurrent jobs; per-batch replay safety is unchanged — each
+        # lands in its own batch=<id> dir with mode=overwrite, and state
+        # READS filter batch < batch_id regardless of write order).
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: jac.write.mode("overwrite").parquet(_bdir(out_dir)),
+            _write_index,
+            lambda: sh_new.coalesce(state_writers)
+            .write.mode("overwrite")
+            .parquet(_bdir(shingle_dir)),
+            lambda: sizes_new.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_bdir(sizes_dir)),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for f in [pool.submit(w) for w in writes]:
+                f.result()  # re-raise the first failure
         keys_new.unpersist()
         sizes_new.unpersist()
+        sizes.unpersist()
+        sh_new.unpersist()
         cand.unpersist()
         corpus.unpersist()
         _wm["max"] = int(bounds["hi"])

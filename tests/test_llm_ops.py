@@ -609,8 +609,85 @@ def test_chunk_audio_reconstructs_payload_exactly(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
+    # real_decode on NON-WAV payloads (the fixtures are raw bytes, not
+    # RIFF containers) fails loudly from the wave parser, never silently
+    # falls back to byte slicing
+    with _pytest.raises(Exception, match="wave.Error|RIFF|Error"):
         chunk_audio(media, real_decode=True).collect()
+
+
+def test_chunk_audio_real_wav_decode_sample_accurate(spark):
+    """E9 real audio decode (round 8, runs in-sandbox — no skip): WAV
+    payloads are decoded with the stdlib wave module; chunk boundaries
+    are SAMPLE-accurate (frames [i*ms*rate//1000, (i+1)*ms*rate//1000)),
+    chunk bytes are byte-exact PCM slices (sha256-pinned), the short
+    final chunk is kept, end_ms derives from the end-frame position, and
+    the chunks concatenate back to the full decoded PCM stream."""
+    import hashlib
+    import io as _io
+    import wave
+
+    from e02_spark.ops.multimodal import chunk_audio
+
+    def make_wav(rate: int, channels: int, sampwidth: int, n_frames: int,
+                 seed: int) -> tuple[bytes, bytes]:
+        pcm = bytes(
+            (seed + i * 31) % 256 for i in range(n_frames * channels * sampwidth)
+        )
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            w.writeframes(pcm)
+        return buf.getvalue(), pcm
+
+    # mono 16-bit 8 kHz, 1/3 s (2666 frames -> short final chunk at 25ms
+    # = 200-frame chunks); stereo 8-bit 11025 Hz (25ms*11025/1000 is
+    # NON-integer: per-chunk floor arithmetic, no drift)
+    wav_a, pcm_a = make_wav(8000, 1, 2, 2666, seed=7)
+    wav_b, pcm_b = make_wav(11025, 2, 1, 3000, seed=99)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", 0, 0, bytearray(wav_a)),
+            (2, "audio", 0, 0, bytearray(wav_b)),
+            (3, "image", 4, 4, bytearray(b"\x89PNGnotaudio")),
+        ],
+        "media_id BIGINT, kind STRING, width INT, height INT, payload BINARY",
+    )
+    rows = chunk_audio(media, chunk_ms=25, real_decode=True).collect()
+    assert {r["media_id"] for r in rows} == {1, 2}  # non-audio ignored
+
+    for mid, pcm, rate, fw in ((1, pcm_a, 8000, 2), (2, pcm_b, 11025, 2)):
+        chunks = sorted(
+            (r for r in rows if r["media_id"] == mid),
+            key=lambda r: r["chunk_idx"],
+        )
+        n_frames = len(pcm) // fw
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        recon = b""
+        for c in chunks:
+            i = c["chunk_idx"]
+            start_f = i * 25 * rate // 1000
+            end_f = min((i + 1) * 25 * rate // 1000, n_frames)
+            want = pcm[start_f * fw : end_f * fw]
+            got = bytes(c["chunk_bytes"])
+            assert hashlib.sha256(got).hexdigest() == hashlib.sha256(want).hexdigest()
+            assert c["start_ms"] == i * 25
+            assert c["end_ms"] == end_f * 1000 // rate
+            assert c["n_chunk_bytes"] == len(want)
+            recon += got
+        assert recon == pcm  # full decoded stream reconstructed
+    # sample-accuracy spot check: 8 kHz @ 25 ms = exactly 200 frames/chunk
+    a_sorted = sorted(
+        (r for r in rows if r["media_id"] == 1), key=lambda r: r["chunk_idx"]
+    )
+    assert all(r["n_chunk_bytes"] == 200 * 2 for r in a_sorted[:-1])
+    # 2666 % 200 = 66-frame short final chunk kept
+    last_a = max(
+        (r for r in rows if r["media_id"] == 1), key=lambda r: r["chunk_idx"]
+    )
+    assert last_a["n_chunk_bytes"] == 66 * 2
 
 
 def test_ivf_pq_composes_cell_and_code_contracts(spark):

@@ -367,3 +367,18 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     )
     assert "might_contain" not in _plan(plain)
     assert plain.collect()[0]["n"] == n_filtered
+
+
+def test_q111_two_level_build_single_shuffle(spark):
+    """q111's bounded-state sequence build costs ONE data shuffle: the
+    user_id repartition satisfies the clustering requirement of both the
+    (user_id, seg) and the (user_id) aggregations, so neither groupBy
+    plans its own Exchange (the only other exchange is the final
+    SinglePartition scalar agg over ~1 row per user-pattern)."""
+    from e02_spark.queries.relational3 import q111_sequence_match
+
+    plan = _plan(q111_sequence_match(spark, SF))
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    data_ex = [ln for ln in ex if "SinglePartition" not in ln]
+    assert len(data_ex) == 1, plan
+    assert "REPARTITION_BY_COL" in data_ex[0], plan

@@ -90,3 +90,41 @@ def test_stream_shuffle_scope_restores_conf(spark):
         with _stream_shuffle(spark, 8):
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before
+
+
+def test_shuffle_scope_same_thread_nesting_and_cross_thread_conflict(spark):
+    """Round-8 session.py behavior: the same thread may NEST different
+    widths (inner exit restores the enclosing frame's width, outermost
+    exit restores the session value); a different width from ANOTHER
+    thread while a frame is active still raises; concurrent same-width
+    scopes still merge refcounted."""
+    import threading
+
+    from e02_spark.session import scoped_shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with scoped_shuffle_partitions(spark, 8):
+        assert spark.conf.get(key) == "8"
+        with scoped_shuffle_partitions(spark, 4):  # same-thread nest
+            assert spark.conf.get(key) == "4"
+            with scoped_shuffle_partitions(spark, 4):  # merge on nested
+                assert spark.conf.get(key) == "4"
+            assert spark.conf.get(key) == "4"
+        assert spark.conf.get(key) == "8"  # enclosing frame restored
+
+        errs: list[BaseException] = []
+
+        def other():
+            try:
+                with scoped_shuffle_partitions(spark, 16):
+                    pass
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+        assert len(errs) == 1 and "conflict" in str(errs[0])
+        assert spark.conf.get(key) == "8"  # conflict left state intact
+    assert spark.conf.get(key) == before

@@ -364,3 +364,32 @@ def test_pii_dialect_parity_fuzz(spark, texts):
             for t in texts
         ]
         assert got_spark == got_duck, (name, texts, got_spark, got_duck)
+
+
+def test_q110_hll_mode_within_10pct_and_no_expand(spark):
+    """q110 profiler exact=False (the 100 TB mode): every per-column
+    approx_count_distinct lands within 10% of the exact distinct count
+    (HLL++ default rsd is 5% — 2x headroom, regeneration-stable), all
+    non-distinct cells are IDENTICAL, and the plan property that makes
+    it the scale mode holds: the exact multi-DISTINCT plans an Expand
+    (row multiplication by #distinct-aggs), the HLL plan does NOT."""
+    from tests.conftest import SF_SMALL
+
+    from e02_spark.queries.curation_q import q110_profile_documents
+
+    exact_df = q110_profile_documents(spark, SF_SMALL, exact=True)
+    hll_df = q110_profile_documents(spark, SF_SMALL, exact=False)
+    exact = {r["col"]: r.asDict() for r in exact_df.collect()}
+    hll = {r["col"]: r.asDict() for r in hll_df.collect()}
+    assert set(exact) == set(hll)
+    for c, e in exact.items():
+        h = hll[c]
+        nd_e, nd_h = e["n_distinct"], h["n_distinct"]
+        assert abs(nd_h - nd_e) <= max(1, 0.10 * nd_e), (c, nd_e, nd_h)
+        for k in e:
+            if k != "n_distinct":
+                assert e[k] == h[k], (c, k)
+    plan_exact = exact_df._jdf.queryExecution().executedPlan().toString()
+    plan_hll = hll_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan_exact
+    assert "Expand" not in plan_hll
