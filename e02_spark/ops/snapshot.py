@@ -527,6 +527,289 @@ def snapshot_stream_sink(
     return writer.start()
 
 
+def _local_path(p: str) -> str:
+    """Normalize a Spark file-source `_metadata.file_path` URI (file:///x,
+    file:/x) to a plain absolute filesystem path for comparison against
+    manifest-derived paths."""
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+    return os.path.abspath(p)
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+    n_files_new: int = 1,
+    cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """MERGE `source` into the snapshot table by key columns `on` —
+    copy-on-write upsert/delete, the Delta/Iceberg MERGE INTO shape:
+
+      when_matched='update': target rows whose key appears in `source`
+        are REPLACED by the source row (full-row upsert);
+      when_matched='delete': matched target rows are REMOVED;
+      insert_not_matched: source rows matching NO target key are
+        INSERTED (the upsert default; delete-mode defaults are set by
+        the caller — pass False for a pure delete).
+
+    Why this scales (the whole point at 100 TB — a merge must cost
+    O(changed data), never O(table)):
+      1. MANIFEST-STATS PRUNE: files whose [min,max] on `on[0]` cannot
+         intersect the source's key range are kept WITHOUT being read
+         (driver-side, from the manifest alone — no Spark job).
+      2. SEMI-JOIN TOUCHED-FILE DISCOVERY: surviving candidate files are
+         scanned key-columns-only with `_metadata.file_path`; a join
+         against the distinct source keys names exactly the files that
+         contain a matched key. Candidates with no hit are kept as-is —
+         never rewritten, never even re-read by the rewrite.
+      3. SHARD-LEVEL METADATA REUSE: a manifest shard none of whose
+         files were touched keeps its EXISTING shard file in the new
+         manifest list (zero metadata IO); a partially-touched shard
+         gets one replacement shard with its surviving entries. Shard
+         aggregate bounds can only tighten by dropping entries, so the
+         conservative reuse of the old ref stays prune-sound.
+    Only touched files are rewritten: their unmatched rows survive,
+    matched rows are replaced/dropped, and inserts append — one write
+    into a fresh immutable `data/<uuid>/` dir, committed atomically as a
+    new version. A commit race (another writer landed a version first)
+    discards the attempt's files (orphans until expire — the Iceberg
+    loser's fate) and REPLANS against the new latest snapshot, so a
+    merge never clobbers a concurrent append's rows; after `max_retries`
+    lost races it raises.
+
+    Semantics notes (both mirrored by the DuckDB twin in queries):
+    NULL source keys never match (SQL join semantics) — they delete
+    nothing and, when insert_not_matched, land as inserts; duplicate
+    source keys under 'update' raise (the MERGE ambiguity error every
+    engine throws) — under 'delete' duplicates are harmless and allowed.
+    In delete mode `source` may carry the key columns only.
+
+    Returns {'version', 'files_rewritten', 'files_kept', 'files_added',
+    'rows_before', 'rows_after'} (row counts from manifest metadata —
+    no extra jobs)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if not on:
+        raise ValueError("merge needs at least one key column")
+    versions = snapshot_versions(table)
+    if not versions:
+        if not insert_not_matched:
+            raise FileNotFoundError(f"no committed snapshots under {table}")
+        v = snapshot_write(
+            source, table, mode="overwrite", n_files=n_files_new,
+            cluster_by=cluster_by, stats_cols=stats_cols,
+        )
+        return {
+            "version": v, "files_rewritten": 0, "files_kept": 0,
+            "files_added": n_files_new, "rows_before": 0,
+            "rows_after": snapshot_rows(table, v),
+        }
+
+    from pyspark.sql import functions as F
+
+    source = source.persist()
+    try:
+        target_cols = snapshot_read(spark, table).columns
+        if when_matched == "update" or insert_not_matched:
+            if set(source.columns) != set(target_cols):
+                raise ValueError(
+                    f"update/insert merge source columns {sorted(source.columns)} "
+                    f"must match target {sorted(target_cols)}"
+                )
+        elif not set(on) <= set(source.columns):
+            raise ValueError(f"delete merge source must carry key columns {on}")
+        # One driver agg does double duty: the key-range probe for the
+        # manifest-stats prune (None bounds = all-NULL keys = pruning off,
+        # still correct) and, in update mode, the MERGE-ambiguity check —
+        # count vs count_distinct over the key STRUCT (struct equality
+        # groups NULL fields the way groupBy does, so two NULL-key rows
+        # still count as duplicates) in the same job instead of a second
+        # groupBy pass over the source.
+        k0 = on[0]
+        aggs = [F.min(k0).alias("lo"), F.max(k0).alias("hi")]
+        if when_matched == "update":
+            aggs += [
+                F.count(F.lit(1)).alias("cnt"),
+                F.count_distinct(F.struct(*on)).alias("dcnt"),
+            ]
+        b = source.agg(*aggs).first()
+        if when_matched == "update" and b["cnt"] != b["dcnt"]:
+            raise ValueError(
+                "merge source has duplicate key rows — 'update' would be "
+                "nondeterministic (the standard MERGE ambiguity error)"
+            )
+        skeys = source.select(*on).distinct()
+
+        for _ in range(max_retries):
+            base = snapshot_versions(table)[-1]
+            prev = _read_manifest(table, base)
+            candidates, _ = _plan_files(table, base, (k0, b["lo"], b["hi"]))
+            n_all = sum(r["n_files"] for r in prev["manifests"])
+            touched: set[str] = set()
+            if candidates:
+                cand_keyed = spark.read.parquet(*candidates).select(
+                    *on, F.col("_metadata.file_path").alias("_path")
+                )
+                touched = {
+                    _local_path(r["_path"])
+                    for r in cand_keyed.join(skeys, on, "left_semi")
+                    .select("_path")
+                    .distinct()
+                    .collect()
+                }
+            # the rewritten relation: unmatched rows of touched files
+            # survive; matched rows are replaced (update: the source row
+            # rides in via `adds`) or dropped (delete); inserts are the
+            # source rows matching NO candidate key (keys outside the
+            # candidate files cannot match — the prune is sound)
+            parts = []
+            if touched:
+                parts.append(
+                    spark.read.parquet(*sorted(touched))
+                    .join(skeys, on, "left_anti")
+                    .select(*target_cols)
+                )
+            if when_matched == "update":
+                adds = source
+                if not insert_not_matched:
+                    cand_keys = (
+                        spark.read.parquet(*candidates).select(*on)
+                        if candidates
+                        else None
+                    )
+                    adds = (
+                        source.join(cand_keys, on, "left_semi")
+                        if cand_keys is not None
+                        else source.limit(0)
+                    )
+                parts.append(adds.select(*target_cols))
+            elif insert_not_matched:
+                cand_keys = (
+                    spark.read.parquet(*candidates).select(*on)
+                    if candidates
+                    else None
+                )
+                inserts = (
+                    source.join(cand_keys, on, "left_anti")
+                    if cand_keys is not None
+                    else source
+                )
+                parts.append(inserts.select(*target_cols))
+            if not parts and not touched:
+                return {  # provably nothing to do: no matches, no inserts
+                    "version": base, "files_rewritten": 0,
+                    "files_kept": n_all, "files_added": 0,
+                    "rows_before": snapshot_rows(table, base),
+                    "rows_after": snapshot_rows(table, base),
+                }
+            from functools import reduce
+
+            new_rows = reduce(DataFrame.unionByName, parts)
+            if cluster_by:
+                out = new_rows.repartitionByRange(n_files_new, *cluster_by)
+                out = out.sortWithinPartitions(*cluster_by)
+            else:
+                out = new_rows.repartition(n_files_new)
+            commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+            out.write.mode("error").parquet(commit_dir)
+            sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
+            new_entries = _harvest_stats(
+                _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+            )
+            # metadata rebuild: untouched shards keep their existing file
+            touched_rel = {os.path.relpath(p, table) for p in touched}
+            refs = []
+            for ref in prev["manifests"]:
+                entries = _read_shard(table, ref)
+                surviving = [e for e in entries if e["path"] not in touched_rel]
+                if len(surviving) == len(entries):
+                    refs.append(ref)
+                elif surviving:
+                    refs.append(_write_shard(table, surviving))
+            refs.extend(
+                _write_shard(table, new_entries[i : i + 100_000])
+                for i in range(0, len(new_entries), 100_000)
+            )
+            manifest = {
+                "version": base + 1,
+                "mode": "merge",
+                "stats_cols": sorted(sc),
+                "idempotency_key": None,
+                "keys": prev.get("keys", sorted(committed_keys(table))),
+                "manifests": refs,
+            }
+            if _try_commit(table, base + 1, manifest):
+                return {
+                    "version": base + 1,
+                    "files_rewritten": len(touched),
+                    "files_kept": n_all - len(touched),
+                    "files_added": len(new_entries),
+                    "rows_before": snapshot_rows(table, base),
+                    "rows_after": snapshot_rows(table, base + 1),
+                }
+            # lost the race: the snapshot we planned against is stale —
+            # this attempt's data files become expire-collectable orphans
+            # and the loop replans against the new latest (matched keys /
+            # touched files may have changed under us)
+        raise RuntimeError(
+            f"snapshot_merge lost {max_retries} consecutive commit races on {table}"
+        )
+    finally:
+        source.unpersist()
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int,
+    files_read: list | None = None,
+) -> DataFrame:
+    """Row-accurate change-data-feed between two committed versions:
+    returns the table's columns plus `_change_type` ('insert' rows are in
+    `to` but not `from`, 'delete' rows the reverse; an update appears as
+    its delete+insert pair — the CDF contract of a format without
+    row-lineage tracking).
+
+    Scale: data files are immutable, so any file present in BOTH
+    versions contributes identical rows to both sides — only files
+    ADDED or REMOVED between the versions are read at all, and the
+    exceptAll pair cancels rewritten-but-unchanged rows within them.
+    Cost is O(changed files), never O(table); `files_read`, if passed,
+    collects the file paths actually scanned (the observability hook the
+    tests pin that claim on)."""
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(table)
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    a = {
+        os.path.abspath(os.path.join(table, e["path"]))
+        for e in _all_entries(table, _read_manifest(table, from_version))
+    }
+    bset = {
+        os.path.abspath(os.path.join(table, e["path"]))
+        for e in _all_entries(table, _read_manifest(table, to_version))
+    }
+    added, removed = sorted(bset - a), sorted(a - bset)
+    if files_read is not None:
+        files_read.extend(added + removed)
+    base = snapshot_read(spark, table, version=to_version).limit(0)
+    cols = base.columns
+    add_df = spark.read.parquet(*added).select(*cols) if added else base
+    rem_df = spark.read.parquet(*removed).select(*cols) if removed else base
+    ins = add_df.exceptAll(rem_df).withColumn("_change_type", F.lit("insert"))
+    dels = rem_df.exceptAll(add_df).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def snapshot_expire(
     table: str, keep_last: int = 1, clean_orphans: bool = False
 ) -> dict:

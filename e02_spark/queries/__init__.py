@@ -90,8 +90,12 @@ def reset_shared_state(spark: SparkSession) -> None:
     unpersisted plan and every consumer recomputes it). Explicitly
     unpersist + clear all three; the next access rebuilds and re-persists.
     """
-    from . import depgraph_q, llm_q
+    from . import depgraph_q, llm_q, streaming_q
 
+    # q116/q117's merged snapshot table is filesystem state in a tracked
+    # tmpdir; dropping the memo makes the next pass rebuild the whole
+    # write->merge->merge chain cold (the point of the bench reset)
+    streaming_q._MERGE_MEMO.clear()
     for memo in (llm_q._SH_MEMO, llm_q._CI_MEMO):
         for df in memo.values():
             try:

@@ -409,6 +409,19 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q114", "q114_snapshot_table",
          [("o_orderpriority", "s"), ("meta_rows_match", "s"),
           ("replay_noop", "s"), ("n_orders", "n"), ("total_price", "n")]),
+        # round 8: lakehouse MERGE (copy-on-write upsert/delete with
+        # manifest-stats prune + semi-join touched-file discovery) and the
+        # change-data-feed read between versions — post-merge content,
+        # metadata row accounting, and the v2->v3 row diff all
+        # hash-checked against a pure-SQL derivation from orders. q116
+        # builds the write->delete-merge->upsert-merge chain (memoized);
+        # q117 reads the CDF between its v2 and v3.
+        ("q116", "q116_merge_upsert",
+         [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
+          ("total_price", "n"), ("meta_rows", "n")]),
+        ("q117", "q117_change_feed",
+         [("_change_type", "s"), ("n_rows", "n"), ("n_keys", "n"),
+          ("total_price", "n")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -483,7 +496,12 @@ PART_TIMINGS: dict[str, float] = {}
 # parallelism-independent; the driver's hash check pins it every round.
 PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     "q95_stateful_stream": [{"q95", "q97", "q102", "q96"}],
-    "q86_streaming_parity": [{"q86", "q87", "q88", "q114"}],
+    # q116 rides in group 1 on a CLONE_SESSION (its merge joins want the
+    # session-default shuffle width, not the streamers' scoped 8) and
+    # builds the memoized merge chain while the streaming jobs run; q117
+    # then reads the chain's CDF — its part callable is lazy, so the
+    # second group adds no sequential wall.
+    "q86_streaming_parity": [{"q86", "q87", "q88", "q114", "q116"}, {"q117"}],
     # Not streaming, but q112/q113 do small eager collects at build time
     # (PQ codebook + query row); building the seven parts concurrently
     # overlaps those job latencies. No part scopes the shuffle width.
@@ -504,7 +522,7 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
 # was active at that instant (timing-dependent, usually 8). The clone
 # inherits NOTHING runtime-set, so tune_session() is re-applied (UTC
 # timezone is correctness-critical for q96's date_format output).
-CLONE_SESSION: set[str] = {"q96", "q97"}
+CLONE_SESSION: set[str] = {"q96", "q97", "q116"}
 
 for _name, _groups in PARALLEL_GROUPS.items():
     _declared = {t for g in _groups for t in g}

@@ -620,6 +620,164 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# q116/q117 — lakehouse MERGE (copy-on-write upsert/delete) + change-data-
+# feed over the snapshot-manifest table (ops/snapshot.snapshot_merge /
+# snapshot_changes), driver-hash-checked: the DuckDB twin derives the
+# post-merge content and the version-to-version row diff PURELY from the
+# orders table and the same deterministic merge predicates, so every
+# content cell and the metadata row count are hash-comparable.
+#
+# The chain (built once per (session, sf_dir), memoized like the staged
+# feeds; reset_shared_state clears it so bench passes rebuild cold):
+#   v1: overwrite load of the full orders table, 8 files clustered by
+#       o_orderkey with manifest stats on it;
+#   v2: DELETE merge of keys {k % 13 = 0, k < max/4} — a range-limited
+#       CDC purge whose manifest-stats prune + semi-join discovery keep
+#       upper-range files untouched;
+#   v3: UPSERT merge — updates (keys {k % 7 = 0} in the [max/4, max/2)
+#       band get o_orderpriority rewritten to 'X-MERGED') + inserts
+#       (keys {k % 97 = 0} shifted by +10M, o_orderstatus 'N').
+# The update band is disjoint from the delete band by construction, so
+# every update-source key matches (pure logic, mirrored in SQL).
+# --------------------------------------------------------------------------
+_MERGE_MEMO: dict[tuple, dict] = {}
+
+
+def _merge_chain(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MERGE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from ..io import load_table
+    from ..ops.snapshot import snapshot_merge, snapshot_write
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = os.path.join(_tracked_mkdtemp(prefix="e02_mergetbl_"), "tbl")
+    v1 = snapshot_write(
+        orders, table, mode="overwrite", n_files=8,
+        cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+    )
+    q = orders.agg(F.max("o_orderkey")).first()[0] // 4
+    dels = orders.where(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") < q)
+    ).select("o_orderkey")
+    m1 = snapshot_merge(
+        spark, table, dels, on=["o_orderkey"],
+        when_matched="delete", insert_not_matched=False,
+    )
+    upd = orders.where(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderkey") >= q)
+        & (F.col("o_orderkey") < 2 * q)
+    ).withColumn("o_orderpriority", F.lit("X-MERGED"))
+    ins = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    m2 = snapshot_merge(
+        spark, table, upd.unionByName(ins), on=["o_orderkey"],
+        when_matched="update", insert_not_matched=True,
+        n_files_new=2, cluster_by=["o_orderkey"],
+    )
+    hit = {
+        "table": table, "v1": v1, "v2": m1["version"], "v3": m2["version"],
+        "m1": m1, "m2": m2,
+    }
+    _MERGE_MEMO[key] = hit
+    return hit
+
+
+def q116_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..num import dsum
+    from ..ops.snapshot import snapshot_read, snapshot_rows
+
+    ch = _merge_chain(spark, sf_dir)
+    # meta_rows: COUNT(*) answered from the manifest LIST alone — equality
+    # with the oracle's computed total hash-checks the merge's metadata
+    # row accounting on top of the content cells
+    return (
+        snapshot_read(spark, ch["table"])
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .withColumn(
+            "meta_rows", F.lit(snapshot_rows(ch["table"])).cast("bigint")
+        )
+    )
+
+
+def q117_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..num import dsum
+    from ..ops.snapshot import snapshot_changes
+
+    ch = _merge_chain(spark, sf_dir)
+    return (
+        snapshot_changes(spark, ch["table"], ch["v2"], ch["v3"])
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+# shared CTEs: the merged table's logical content, derived from orders
+_Q116_CTES = """
+bnd AS (SELECT MAX(o_orderkey) // 4 AS q FROM orders),
+v2 AS (
+  SELECT * FROM orders
+  WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey < (SELECT q FROM bnd))
+),
+v3 AS (
+  SELECT * FROM v2
+  WHERE NOT (o_orderkey % 7 = 0
+             AND o_orderkey >= (SELECT q FROM bnd)
+             AND o_orderkey < 2 * (SELECT q FROM bnd))
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         'X-MERGED' AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 7 = 0
+    AND o_orderkey >= (SELECT q FROM bnd)
+    AND o_orderkey < 2 * (SELECT q FROM bnd)
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+"""
+
+_Q116_SQL = f"""
+WITH {_Q116_CTES}
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  CAST((SELECT COUNT(*) FROM v3) AS BIGINT) AS meta_rows
+FROM v3 GROUP BY o_orderstatus, o_orderpriority
+"""
+
+_Q117_SQL = f"""
+WITH {_Q116_CTES},
+ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2),
+del AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3),
+ch AS (
+  SELECT 'insert' AS _change_type, * FROM ins
+  UNION ALL
+  SELECT 'delete' AS _change_type, * FROM del
+)
+SELECT _change_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM ch GROUP BY _change_type
+"""
+
+
 QUERIES = {
     "q86_stream_incremental_counts": q86_stream_incremental_counts,
     "q87_stream_dedup_agg": q87_stream_dedup_agg,
@@ -629,6 +787,8 @@ QUERIES = {
     "q97_stream_sessions": q97_stream_sessions,
     "q102_incremental_dedup_stream": q102_incremental_dedup_stream,
     "q114_snapshot_table": q114_snapshot_table,
+    "q116_merge_upsert": q116_merge_upsert,
+    "q117_change_feed": q117_change_feed,
 }
 
 
@@ -661,4 +821,6 @@ ORACLE = {
     # lakehouse-equality invariant: overwrite + exactly-once streamed
     # appends + replay dedup + stats-pruned read == the raw source
     "q114_snapshot_table": _Q114_SQL,
+    "q116_merge_upsert": _Q116_SQL,
+    "q117_change_feed": _Q117_SQL,
 }

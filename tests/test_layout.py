@@ -681,3 +681,199 @@ def test_snapshot_shard_cache_bounded_and_evicted_on_expire(spark, tmp_path, mon
         for p in glob.glob(os.path.join(table, "_manifests", "m-*.json"))
     }
     assert all(p in live for p in S._SHARD_CACHE)  # no ghosts
+
+
+# ---------------------------------------------------------------------------
+# snapshot_merge / snapshot_changes (round 8): copy-on-write MERGE + CDF
+# ---------------------------------------------------------------------------
+def _kv(spark, keys, tag="a"):
+    return spark.createDataFrame(
+        [(int(k), f"{tag}{k}", int(k) * 10) for k in keys],
+        "id BIGINT, tag STRING, amt BIGINT",
+    )
+
+
+def test_merge_upsert_delete_insert_semantics(spark, tmp_path):
+    """Full-row upsert: matched target rows are replaced by the source
+    row, unmatched source rows insert, everything else survives byte-
+    identically; delete-mode removes matched keys (key-only source) and
+    duplicate delete keys are harmless."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(10)), table, mode="overwrite",
+                     n_files=2, cluster_by=["id"], stats_cols=["id"])
+    src = _kv(spark, [3, 7, 20, 21], tag="NEW")
+    info = S.snapshot_merge(spark, table, src, on=["id"])
+    got = {(r["id"], r["tag"], r["amt"])
+           for r in S.snapshot_read(spark, table).collect()}
+    want = {(k, f"a{k}", k * 10) for k in range(10) if k not in (3, 7)}
+    want |= {(k, f"NEW{k}", k * 10) for k in (3, 7, 20, 21)}
+    assert got == want
+    assert info["rows_after"] == 12
+    assert S.snapshot_rows(table) == 12  # metadata accounting tracks
+
+    # delete with key-only source; key 999 matches nothing, dup 4 is fine
+    dels = spark.createDataFrame([(4,), (4,), (8,), (999,)], "id BIGINT")
+    S.snapshot_merge(spark, table, dels, on=["id"],
+                     when_matched="delete", insert_not_matched=False)
+    left = {r["id"] for r in S.snapshot_read(spark, table).collect()}
+    assert left == {0, 1, 2, 3, 5, 6, 7, 9, 20, 21}
+
+
+def test_merge_rewrites_only_touched_files_and_reuses_shards(spark, tmp_path):
+    """The scale contract: manifest-stats prune + semi-join discovery
+    rewrite ONLY files that contain a matched key, and a shard none of
+    whose files were touched keeps its existing shard file (zero metadata
+    IO for untouched commits)."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(100)), table, mode="overwrite",
+                     n_files=4, cluster_by=["id"], stats_cols=["id"])
+    S.snapshot_write(_kv(spark, range(100, 200)), table, mode="append",
+                     n_files=4, cluster_by=["id"], stats_cols=["id"])
+    before = S._read_manifest(table, 2)["manifests"]
+    assert len(before) == 2
+    info = S.snapshot_merge(
+        spark, table, _kv(spark, [5], tag="NEW"), on=["id"],
+        cluster_by=["id"],
+    )
+    assert info["files_rewritten"] == 1  # only the file holding key 5
+    assert info["files_kept"] == 7
+    assert info["files_added"] == 1
+    after = S._read_manifest(table, info["version"])["manifests"]
+    # commit 2's shard (keys 100-199, untouched) is the SAME file
+    assert before[1]["path"] in {r["path"] for r in after}
+    # commit 1's shard was partially touched -> replaced, 3 survivors
+    repl = [r for r in after if r["path"] != before[1]["path"]
+            and r["n_files"] == 3]
+    assert len(repl) == 1 and repl[0]["path"] != before[0]["path"]
+    assert S.snapshot_read(spark, table).count() == 200
+    assert {r["tag"] for r in S.snapshot_read(spark, table)
+            .where(F.col("id") == 5).collect()} == {"NEW5"}
+
+
+def test_merge_duplicate_update_keys_raise(spark, tmp_path):
+    import pytest
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(5)), table, mode="overwrite")
+    with pytest.raises(ValueError, match="duplicate key"):
+        S.snapshot_merge(spark, table, _kv(spark, [1, 1]), on=["id"])
+
+
+def test_merge_null_source_keys_never_match(spark, tmp_path):
+    """SQL join semantics: a NULL source key matches nothing — it deletes
+    nothing and, under insert_not_matched, lands as an insert row."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(3)), table, mode="overwrite")
+    src = spark.createDataFrame(
+        [(None, "nullkey", 0), (1, "NEW1", 10)],
+        "id BIGINT, tag STRING, amt BIGINT",
+    )
+    S.snapshot_merge(spark, table, src, on=["id"])
+    got = {(r["id"], r["tag"]) for r in S.snapshot_read(spark, table).collect()}
+    assert got == {(0, "a0"), (1, "NEW1"), (2, "a2"), (None, "nullkey")}
+
+
+def test_merge_commit_race_replans_against_new_latest(spark, tmp_path):
+    """A writer landing a version between merge planning and commit makes
+    the merge LOSE the race, replan against the new latest, and commit a
+    result that preserves the concurrent append's rows — never clobbers
+    them. The loser attempt's data files become expire-collectable."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(10)), table, mode="overwrite",
+                     n_files=1, cluster_by=["id"], stats_cols=["id"])
+    orig = S._try_commit
+    state = {"fired": False}
+
+    def hijack(t, version, manifest):
+        if not state["fired"] and manifest.get("mode") == "merge":
+            state["fired"] = True
+            S._try_commit = orig
+            try:  # concurrent append wins the version
+                S.snapshot_write(_kv(spark, range(50, 53)), t, mode="append")
+            finally:
+                S._try_commit = hijack
+        return orig(t, version, manifest)
+
+    S._try_commit = hijack
+    try:
+        info = S.snapshot_merge(
+            spark, table, _kv(spark, [2, 52], tag="NEW"), on=["id"]
+        )
+    finally:
+        S._try_commit = orig
+    assert state["fired"]
+    got = {(r["id"], r["tag"]) for r in S.snapshot_read(spark, table).collect()}
+    # the replanned merge saw the appended 50..52 AND updated 52 in place
+    want = {(k, f"a{k}") for k in range(10) if k != 2}
+    want |= {(50, "a50"), (51, "a51"), (2, "NEW2"), (52, "NEW52")}
+    assert got == want
+    assert info["rows_after"] == 13
+    # loser attempt's files are orphans: expire collects, content intact
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True)
+    assert S.snapshot_read(spark, table).count() == 13
+
+
+def test_snapshot_changes_row_accurate_and_reads_only_changed_files(
+    spark, tmp_path
+):
+    """CDF: append shows pure inserts; an update shows as its delete+
+    insert pair; and ONLY files added/removed between the versions are
+    read (the files_read observability hook) — O(changed files), never
+    O(table)."""
+    import os
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(100)), table, mode="overwrite",
+                     n_files=4, cluster_by=["id"], stats_cols=["id"])
+    S.snapshot_write(_kv(spark, range(100, 150)), table, mode="append",
+                     n_files=1, cluster_by=["id"], stats_cols=["id"])
+    read1: list = []
+    ch = S.snapshot_changes(spark, table, 1, 2, files_read=read1)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert {r["id"] for r in rows} == set(range(100, 150))
+    v1_files = {
+        os.path.abspath(os.path.join(table, e["path"]))
+        for e in S._all_entries(table, S._read_manifest(table, 1))
+    }
+    assert not (set(read1) & v1_files)  # none of v1's files were read
+    assert len(read1) == 1
+
+    info = S.snapshot_merge(
+        spark, table, _kv(spark, [7], tag="NEW"), on=["id"],
+        cluster_by=["id"],
+    )
+    read2: list = []
+    ch2 = S.snapshot_changes(spark, table, 2, info["version"],
+                             files_read=read2).collect()
+    assert {(r["_change_type"], r["id"], r["tag"]) for r in ch2} == {
+        ("delete", 7, "a7"), ("insert", 7, "NEW7")
+    }
+    # only the rewritten file + its replacement were read: 1 out + 1 in
+    assert len(read2) == 2
+
+
+def test_merge_into_empty_table_is_insert_only(spark, tmp_path):
+    import pytest
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_merge(spark, table, _kv(spark, [1]), on=["id"],
+                         when_matched="delete", insert_not_matched=False)
+    info = S.snapshot_merge(spark, table, _kv(spark, range(4)), on=["id"])
+    assert info["version"] == 1 and info["rows_after"] == 4
+    assert S.snapshot_read(spark, table).count() == 4
