@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+_DELETES = "deletes"
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -145,9 +146,9 @@ def _read_shard(table: str, ref: dict) -> list[dict]:
     return hit
 
 
-def _all_entries(table: str, manifest: dict) -> list[dict]:
+def _all_entries(table: str, manifest: dict, key: str = "manifests") -> list[dict]:
     out: list[dict] = []
-    for ref in manifest["manifests"]:
+    for ref in manifest.get(key, []):
         out.extend(_read_shard(table, ref))
     return out
 
@@ -351,8 +352,12 @@ def snapshot_write(
             return base  # a racing duplicate committed our key first
         if mode == "append" and prev is not None:
             refs = prev["manifests"] + new_refs
+            # tombstones ride along: an append must not resurrect rows a
+            # prior merge-on-read delete tombstoned
+            del_refs = prev.get("deletes", [])
         else:
             refs = new_refs
+            del_refs = []  # overwrite replaces content, tombstones and all
         if idempotency_key is not None:
             prev_keys.add(idempotency_key)
         manifest = {
@@ -362,6 +367,7 @@ def snapshot_write(
             "idempotency_key": idempotency_key,
             "keys": sorted(prev_keys),
             "manifests": refs,
+            "deletes": del_refs,
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -388,14 +394,23 @@ def snapshot_read(
     are kept (safe). Pruning is an optimization only — the caller still
     applies its row filter; an empty post-prune list returns an empty
     frame with the table's schema (read from one manifest file path's
-    footer)."""
+    footer).
+
+    Snapshots carrying positional delete files (merge-on-read commits)
+    get the tombstones subtracted here via one anti-join — see
+    _apply_deletes. Tombstones aimed at files this prune dropped are
+    inert in the anti-join (their _file never appears on the probe
+    side), so pruning and DV application compose without coordination."""
     kept, fallback = _plan_files(table, version, prune)
     if not kept:
         if fallback is None:
             return spark.createDataFrame([], schema="__empty string")
         # preserve schema for an empty (fully pruned) scan
         return spark.read.parquet(fallback).limit(0)
-    return spark.read.parquet(*kept)
+    versions = snapshot_versions(table)
+    v = versions[-1] if version is None else version
+    dv = _dv_frame(spark, table, _read_manifest(table, v))
+    return _apply_deletes(spark.read.parquet(*kept), dv)
 
 
 def _plan_files(
@@ -456,12 +471,18 @@ def _plan_files(
 def snapshot_rows(table: str, version: int | None = None) -> int:
     """Exact row count from the manifest LIST alone — zero data IO and
     zero shard IO (the COUNT(*) fast path a manifest-backed table
-    answers from O(#shards) metadata)."""
+    answers from O(#shards) metadata). Tombstone rows subtract exactly:
+    every DV commit enforces (file, pos) uniqueness against the existing
+    tombstone set, and data-file-dropping ops drop the tombstones aimed
+    at them, so data-rows minus delete-rows IS the live count."""
     versions = snapshot_versions(table)
     v = (versions[-1] if versions else None) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshots under {table}")
-    return sum(r["rows"] for r in _read_manifest(table, v)["manifests"])
+    m = _read_manifest(table, v)
+    return sum(r["rows"] for r in m["manifests"]) - sum(
+        r["rows"] for r in m.get("deletes", [])
+    )
 
 
 def snapshot_compact(
@@ -489,6 +510,88 @@ def snapshot_compact(
         n_files=n_files,
         cluster_by=cluster_by,
         stats_cols=sc,
+    )
+
+
+def snapshot_rewrite_deletes(
+    spark: SparkSession,
+    table: str,
+    n_files_new: int = 1,
+    cluster_by: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """Minor compaction: fold the current snapshot's positional delete
+    files back into the data by rewriting ONLY the tombstoned data files
+    (live rows survive, tombstoned rows drop) and committing a version
+    with no delete files. Untouched files — the overwhelming majority on
+    a large table — keep their existing manifest shards byte-for-byte.
+    This is the maintenance half of the merge-on-read bargain: deletes
+    stay O(matched rows) at write time, and ONE targeted pass per
+    maintenance window restores anti-join-free reads; contrast
+    snapshot_compact, which rewrites the whole table. Returns {'version',
+    'files_rewritten', 'files_added', 'tombstones_removed'} (version
+    unchanged and zero counts when the snapshot carries no tombstones)."""
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        dv = _dv_frame(spark, table, prev)
+        if dv is None:
+            return {
+                "version": base, "files_rewritten": 0,
+                "files_added": 0, "tombstones_removed": 0,
+            }
+        n_tombs = sum(r["rows"] for r in prev["deletes"])
+        # driver-side list of tombstoned files: bounded by files touched
+        # since the last rewrite, not by table size
+        touched_rel = sorted(
+            r["_file"] for r in dv.select("_file").distinct().collect()
+        )
+        surv = _apply_deletes(
+            spark.read.parquet(*(os.path.join(table, p) for p in touched_rel)),
+            dv,
+        )
+        if cluster_by:
+            out = surv.repartitionByRange(n_files_new, *cluster_by)
+            out = out.sortWithinPartitions(*cluster_by)
+        else:
+            out = surv.repartition(n_files_new)
+        commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+        out.write.mode("error").parquet(commit_dir)
+        sc = prev.get("stats_cols", [])
+        new_entries = _harvest_stats(
+            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+        )
+        touched_set = set(touched_rel)
+        refs = []
+        for ref in prev["manifests"]:
+            entries = _read_shard(table, ref)
+            surviving = [e for e in entries if e["path"] not in touched_set]
+            if len(surviving) == len(entries):
+                refs.append(ref)
+            elif surviving:
+                refs.append(_write_shard(table, surviving))
+        refs.extend(
+            _write_shard(table, new_entries[i : i + 100_000])
+            for i in range(0, len(new_entries), 100_000)
+        )
+        manifest = {
+            "version": base + 1,
+            "mode": "rewrite_deletes",
+            "stats_cols": sorted(sc),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": refs,
+            "deletes": [],
+        }
+        if _try_commit(table, base + 1, manifest):
+            return {
+                "version": base + 1,
+                "files_rewritten": len(touched_rel),
+                "files_added": len(new_entries),
+                "tombstones_removed": n_tombs,
+            }
+    raise RuntimeError(
+        f"snapshot_rewrite_deletes lost {max_retries} consecutive commit races on {table}"
     )
 
 
@@ -536,6 +639,92 @@ def _local_path(p: str) -> str:
     return os.path.abspath(p)
 
 
+# --------------------------------------------------------------------------
+# Positional delete vectors (merge-on-read) — the Iceberg-v2 delete-file
+# shape. A DV file is plain parquet with two columns:
+#   _file: STRING  -- TABLE-RELATIVE data file path (data/<uuid>/part-*)
+#   _pos:  BIGINT  -- parquet row index within that file
+# and tombstones one physical row. DV files live under `deletes/<uuid>/`,
+# are committed through manifest shard refs in the manifest list's
+# `deletes` key (absent = no tombstones — every pre-DV manifest stays
+# readable), and obey two invariants every mutation below preserves:
+#   * UNIQUE: a (file, pos) pair is tombstoned at most once, so
+#     COUNT(*) stays answerable from metadata alone as
+#     sum(data rows) - sum(tombstone rows);
+#   * LIVE TARGETS ONLY: a tombstone always references a data file of
+#     the same snapshot — any op that drops data files (CoW merge,
+#     rewrite/compact/overwrite) also drops or rewrites the tombstones
+#     aimed at them.
+# Why merge-on-read at 100 TB: a CoW delete of k rows rewrites every
+# touched FILE (amplification = file size / matched rows); a MoR delete
+# writes O(k) tombstone bytes and no data files at all, deferring the
+# rewrite to one explicit `snapshot_rewrite_deletes` maintenance pass
+# that touches only tombstoned files. Readers pay one anti-join whose
+# build side is the (small) tombstone set until then.
+# --------------------------------------------------------------------------
+
+
+def _rel_file_col():
+    """Spark column: `_metadata.file_path` (a file: URI) reduced to the
+    table-relative `data/<uuid>/<name>` form stored in DV files — anchored
+    at the tail so it is invariant to the table root moving and to the
+    reader's URI flavor (file:/x vs file:///x)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract(
+        F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
+    )
+
+
+def _dv_frame(spark: SparkSession, table: str, manifest: dict) -> DataFrame | None:
+    """All tombstones visible in `manifest` as a DataFrame(_file, _pos),
+    or None when the snapshot carries no delete files (the fast path —
+    readers then skip the anti-join entirely)."""
+    paths = [
+        os.path.join(table, e["path"])
+        for e in _all_entries(table, manifest, "deletes")
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths).select("_file", "_pos")
+
+
+def _apply_deletes(df: DataFrame, dv: DataFrame | None) -> DataFrame:
+    """Subtract tombstoned positions from a raw file scan. One anti-join
+    on (_file, _pos): the probe side keeps its scan partitioning, the
+    build side is the tombstone set — tiny relative to the table between
+    maintenance passes, so AQE plans it as a broadcast; no row widens
+    past the join (helper columns are dropped immediately)."""
+    if dv is None:
+        return df
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    return (
+        df.withColumn("_file", _rel_file_col())
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .join(dv, ["_file", "_pos"], "left_anti")
+        .select(*cols)
+    )
+
+
+def _write_delete_commit(tombs: DataFrame, table: str) -> tuple[dict, int]:
+    """Materialize a tombstone DataFrame(_file, _pos) as one immutable DV
+    commit dir + manifest shard; returns (shard ref, n_tombstones).
+    Written as a single file sorted by (_file, _pos) — tombstone sets are
+    small by construction (bounded by matched rows since the last
+    rewrite), and a deterministic layout keeps replays byte-stable."""
+    dv_dir = os.path.join(table, _DELETES, uuid.uuid4().hex)
+    tombs.coalesce(1).sortWithinPartitions("_file", "_pos").write.mode(
+        "error"
+    ).parquet(dv_dir)
+    entries = _harvest_stats(
+        _glob.glob(os.path.join(dv_dir, "*.parquet")), ["_file"], table
+    )
+    ref = _write_shard(table, entries)
+    return ref, sum(e["rows"] for e in entries)
+
+
 def snapshot_merge(
     spark: SparkSession,
     table: str,
@@ -547,6 +736,7 @@ def snapshot_merge(
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
     max_retries: int = 3,
+    strategy: str = "cow",
 ) -> dict:
     """MERGE `source` into the snapshot table by key columns `on` —
     copy-on-write upsert/delete, the Delta/Iceberg MERGE INTO shape:
@@ -590,11 +780,25 @@ def snapshot_merge(
     engine throws) — under 'delete' duplicates are harmless and allowed.
     In delete mode `source` may carry the key columns only.
 
+    strategy='mor' (merge-on-read) produces the SAME logical result
+    without rewriting any data file: matched live rows are tombstoned by
+    a positional delete file (see the DV block above _rel_file_col) and
+    replacement/insert rows append as new files — write cost O(matched
+    rows + source), zero read-rewrite amplification; readers pay the DV
+    anti-join until `snapshot_rewrite_deletes` folds tombstones back in.
+    strategy='cow' rewrites touched files as before, and on a table that
+    already carries tombstones it purges them physically: the rewrite
+    scan subtracts the DVs, and tombstones aimed at rewritten files are
+    dropped from the new manifest (survivors are re-committed as one
+    fresh DV file).
+
     Returns {'version', 'files_rewritten', 'files_kept', 'files_added',
-    'rows_before', 'rows_after'} (row counts from manifest metadata —
-    no extra jobs)."""
+    'tombstones_added', 'rows_before', 'rows_after'} (row counts from
+    manifest metadata — no extra jobs)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     if not on:
         raise ValueError("merge needs at least one key column")
     versions = snapshot_versions(table)
@@ -607,8 +811,8 @@ def snapshot_merge(
         )
         return {
             "version": v, "files_rewritten": 0, "files_kept": 0,
-            "files_added": n_files_new, "rows_before": 0,
-            "rows_after": snapshot_rows(table, v),
+            "files_added": n_files_new, "tombstones_added": 0,
+            "rows_before": 0, "rows_after": snapshot_rows(table, v),
         }
 
     from pyspark.sql import functions as F
@@ -649,110 +853,44 @@ def snapshot_merge(
         for _ in range(max_retries):
             base = snapshot_versions(table)[-1]
             prev = _read_manifest(table, base)
+            dv = _dv_frame(spark, table, prev)
             candidates, _ = _plan_files(table, base, (k0, b["lo"], b["hi"]))
             n_all = sum(r["n_files"] for r in prev["manifests"])
-            touched: set[str] = set()
+            # live matched rows, keyed by physical position: candidate
+            # files scanned key-columns-only, existing tombstones
+            # subtracted (a row deleted by an earlier MoR merge is
+            # logically absent — it must neither match again nor suppress
+            # an insert), then semi-joined to the source keys. Feeds both
+            # strategies: its _file set is CoW's touched list, its
+            # (_file,_pos) pairs are MoR's new tombstones, and its key set
+            # decides which source rows are matched vs inserts.
+            matched = None
             if candidates:
-                cand_keyed = spark.read.parquet(*candidates).select(
-                    *on, F.col("_metadata.file_path").alias("_path")
+                raw = spark.read.parquet(*candidates).select(
+                    *on,
+                    _rel_file_col().alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
                 )
-                touched = {
-                    _local_path(r["_path"])
-                    for r in cand_keyed.join(skeys, on, "left_semi")
-                    .select("_path")
-                    .distinct()
-                    .collect()
-                }
-            # the rewritten relation: unmatched rows of touched files
-            # survive; matched rows are replaced (update: the source row
-            # rides in via `adds`) or dropped (delete); inserts are the
-            # source rows matching NO candidate key (keys outside the
-            # candidate files cannot match — the prune is sound)
-            parts = []
-            if touched:
-                parts.append(
-                    spark.read.parquet(*sorted(touched))
-                    .join(skeys, on, "left_anti")
-                    .select(*target_cols)
-                )
-            if when_matched == "update":
-                adds = source
-                if not insert_not_matched:
-                    cand_keys = (
-                        spark.read.parquet(*candidates).select(*on)
-                        if candidates
-                        else None
-                    )
-                    adds = (
-                        source.join(cand_keys, on, "left_semi")
-                        if cand_keys is not None
-                        else source.limit(0)
-                    )
-                parts.append(adds.select(*target_cols))
-            elif insert_not_matched:
-                cand_keys = (
-                    spark.read.parquet(*candidates).select(*on)
-                    if candidates
-                    else None
-                )
-                inserts = (
-                    source.join(cand_keys, on, "left_anti")
-                    if cand_keys is not None
-                    else source
-                )
-                parts.append(inserts.select(*target_cols))
-            if not parts and not touched:
-                return {  # provably nothing to do: no matches, no inserts
-                    "version": base, "files_rewritten": 0,
-                    "files_kept": n_all, "files_added": 0,
-                    "rows_before": snapshot_rows(table, base),
-                    "rows_after": snapshot_rows(table, base),
-                }
-            from functools import reduce
-
-            new_rows = reduce(DataFrame.unionByName, parts)
-            if cluster_by:
-                out = new_rows.repartitionByRange(n_files_new, *cluster_by)
-                out = out.sortWithinPartitions(*cluster_by)
-            else:
-                out = new_rows.repartition(n_files_new)
-            commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
-            out.write.mode("error").parquet(commit_dir)
-            sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
-            new_entries = _harvest_stats(
-                _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+                if dv is not None:
+                    raw = raw.join(dv, ["_file", "_pos"], "left_anti")
+                matched = raw.join(skeys, on, "left_semi").persist()
+            matched_keys = (
+                matched.select(*on).distinct()
+                if matched is not None
+                else source.select(*on).limit(0)
             )
-            # metadata rebuild: untouched shards keep their existing file
-            touched_rel = {os.path.relpath(p, table) for p in touched}
-            refs = []
-            for ref in prev["manifests"]:
-                entries = _read_shard(table, ref)
-                surviving = [e for e in entries if e["path"] not in touched_rel]
-                if len(surviving) == len(entries):
-                    refs.append(ref)
-                elif surviving:
-                    refs.append(_write_shard(table, surviving))
-            refs.extend(
-                _write_shard(table, new_entries[i : i + 100_000])
-                for i in range(0, len(new_entries), 100_000)
-            )
-            manifest = {
-                "version": base + 1,
-                "mode": "merge",
-                "stats_cols": sorted(sc),
-                "idempotency_key": None,
-                "keys": prev.get("keys", sorted(committed_keys(table))),
-                "manifests": refs,
-            }
-            if _try_commit(table, base + 1, manifest):
-                return {
-                    "version": base + 1,
-                    "files_rewritten": len(touched),
-                    "files_kept": n_all - len(touched),
-                    "files_added": len(new_entries),
-                    "rows_before": snapshot_rows(table, base),
-                    "rows_after": snapshot_rows(table, base + 1),
-                }
+            try:
+                res = _merge_attempt(
+                    spark, table, base, prev, dv, matched, matched_keys,
+                    skeys, source, on, when_matched, insert_not_matched,
+                    strategy, n_files_new, cluster_by, stats_cols,
+                    target_cols, n_all,
+                )
+            finally:
+                if matched is not None:
+                    matched.unpersist()
+            if res is not None:
+                return res
             # lost the race: the snapshot we planned against is stale —
             # this attempt's data files become expire-collectable orphans
             # and the loop replans against the new latest (matched keys /
@@ -762,6 +900,155 @@ def snapshot_merge(
         )
     finally:
         source.unpersist()
+
+
+def _merge_attempt(
+    spark, table, base, prev, dv, matched, matched_keys, skeys,
+    source, on, when_matched, insert_not_matched,
+    strategy, n_files_new, cluster_by, stats_cols, target_cols, n_all,
+):
+    """One optimistic attempt of snapshot_merge against snapshot `base`:
+    returns the result dict on a won commit race, None on a lost one
+    (the caller replans). `matched` is the live-matched-row frame
+    (on + _file + _pos) or None when no candidate files survived the
+    stats prune."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity with caller)
+
+    sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
+
+    def _noop():
+        return {
+            "version": base, "files_rewritten": 0, "files_kept": n_all,
+            "files_added": 0, "tombstones_added": 0,
+            "rows_before": snapshot_rows(table, base),
+            "rows_after": snapshot_rows(table, base),
+        }
+
+    def _result(version, rewritten, added, tombs):
+        return {
+            "version": version, "files_rewritten": rewritten,
+            "files_kept": n_all - rewritten, "files_added": added,
+            "tombstones_added": tombs,
+            "rows_before": snapshot_rows(table, base),
+            "rows_after": snapshot_rows(table, version),
+        }
+
+    def _write_data(parts):
+        if not parts:
+            return []
+        new_rows = reduce(DataFrame.unionByName, parts)
+        if cluster_by:
+            out = new_rows.repartitionByRange(n_files_new, *cluster_by)
+            out = out.sortWithinPartitions(*cluster_by)
+        else:
+            out = new_rows.repartition(n_files_new)
+        commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+        out.write.mode("error").parquet(commit_dir)
+        return _harvest_stats(
+            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+        )
+
+    def _manifest(refs, del_refs):
+        return {
+            "version": base + 1,
+            "mode": "merge",
+            "stats_cols": sorted(sc),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": refs,
+            "deletes": del_refs,
+        }
+
+    # the append relation, shared by both strategies: update replaces
+    # matched rows with their source row (all of source when inserting,
+    # else only the matched subset); delete+insert appends the source
+    # rows whose key matched no live target row
+    parts = []
+    if when_matched == "update":
+        adds = (
+            source
+            if insert_not_matched
+            else source.join(matched_keys, on, "left_semi")
+        )
+        parts.append(adds.select(*target_cols))
+    elif insert_not_matched:
+        parts.append(
+            source.join(matched_keys, on, "left_anti").select(*target_cols)
+        )
+
+    if strategy == "mor":
+        tomb_ref, n_tombs = None, 0
+        if matched is not None:
+            tomb_ref, n_tombs = _write_delete_commit(
+                matched.select("_file", "_pos"), table
+            )
+        if n_tombs == 0 and not parts:
+            return _noop()  # provably nothing to do
+        new_entries = _write_data(parts)
+        refs = prev["manifests"] + [
+            _write_shard(table, new_entries[i : i + 100_000])
+            for i in range(0, len(new_entries), 100_000)
+        ]
+        del_refs = list(prev.get("deletes", []))
+        if n_tombs:
+            del_refs.append(tomb_ref)
+        if _try_commit(table, base + 1, _manifest(refs, del_refs)):
+            return _result(base + 1, 0, len(new_entries), n_tombs)
+        return None
+
+    # ---- copy-on-write ----
+    touched_rel: set[str] = set()
+    if matched is not None:
+        touched_rel = {
+            r["_file"] for r in matched.select("_file").distinct().collect()
+        }
+    if touched_rel:
+        # the rewritten relation: live unmatched rows of touched files
+        # survive — existing tombstones are purged physically here, and
+        # matched rows are replaced (via `parts`' adds) or dropped
+        surv = spark.read.parquet(
+            *sorted(os.path.join(table, p) for p in touched_rel)
+        )
+        surv = _apply_deletes(surv, dv)
+        parts.insert(
+            0, surv.join(skeys, on, "left_anti").select(*target_cols)
+        )
+    if not parts and not touched_rel:
+        return _noop()
+    new_entries = _write_data(parts)
+    # metadata rebuild: untouched shards keep their existing file
+    refs = []
+    for ref in prev["manifests"]:
+        entries = _read_shard(table, ref)
+        surviving = [e for e in entries if e["path"] not in touched_rel]
+        if len(surviving) == len(entries):
+            refs.append(ref)
+        elif surviving:
+            refs.append(_write_shard(table, surviving))
+    refs.extend(
+        _write_shard(table, new_entries[i : i + 100_000])
+        for i in range(0, len(new_entries), 100_000)
+    )
+    # tombstones aimed at rewritten files die with them; survivors are
+    # re-committed as one fresh DV file (only when the set actually
+    # shrank — one small count() over the tombstone set decides)
+    del_refs = list(prev.get("deletes", []))
+    if dv is not None and touched_rel:
+        tdf = spark.createDataFrame(
+            [(p,) for p in sorted(touched_rel)], "_file string"
+        )
+        keep_dv = dv.join(tdf, "_file", "left_anti")
+        n_keep = keep_dv.count()
+        if n_keep == 0:
+            del_refs = []
+        elif n_keep < sum(r["rows"] for r in del_refs):
+            ref2, _ = _write_delete_commit(keep_dv, table)
+            del_refs = [ref2]
+    if _try_commit(table, base + 1, _manifest(refs, del_refs)):
+        return _result(base + 1, len(touched_rel), len(new_entries), 0)
+    return None
 
 
 def snapshot_changes(
@@ -783,30 +1070,93 @@ def snapshot_changes(
     exceptAll pair cancels rewritten-but-unchanged rows within them.
     Cost is O(changed files), never O(table); `files_read`, if passed,
     collects the file paths actually scanned (the observability hook the
-    tests pin that claim on)."""
+    tests pin that claim on).
+
+    Merge-on-read versions compose: a version's live rows are its data
+    files minus its tombstones, so added/removed files are scanned with
+    the owning version's DVs applied, and tombstone DELTAS on files
+    common to both versions materialize as changes too — a position
+    tombstoned in `to` but not `from` is a delete, one tombstoned in
+    `from` but not `to` (a rewrite resurrected nothing in practice, but
+    the algebra allows it) is an insert. Only data files named by the
+    tombstone delta are read for that — still O(changed), never
+    O(table)."""
     from pyspark.sql import functions as F
 
     versions = snapshot_versions(table)
     for v in (from_version, to_version):
         if v not in versions:
             raise ValueError(f"version {v} not in {versions}")
+    ma = _read_manifest(table, from_version)
+    mb = _read_manifest(table, to_version)
     a = {
         os.path.abspath(os.path.join(table, e["path"]))
-        for e in _all_entries(table, _read_manifest(table, from_version))
+        for e in _all_entries(table, ma)
     }
     bset = {
         os.path.abspath(os.path.join(table, e["path"]))
-        for e in _all_entries(table, _read_manifest(table, to_version))
+        for e in _all_entries(table, mb)
     }
     added, removed = sorted(bset - a), sorted(a - bset)
     if files_read is not None:
         files_read.extend(added + removed)
     base = snapshot_read(spark, table, version=to_version).limit(0)
     cols = base.columns
-    add_df = spark.read.parquet(*added).select(*cols) if added else base
-    rem_df = spark.read.parquet(*removed).select(*cols) if removed else base
-    ins = add_df.exceptAll(rem_df).withColumn("_change_type", F.lit("insert"))
-    dels = rem_df.exceptAll(add_df).withColumn("_change_type", F.lit("delete"))
+    dv_a = _dv_frame(spark, table, ma)
+    dv_b = _dv_frame(spark, table, mb)
+    add_df = (
+        _apply_deletes(spark.read.parquet(*added), dv_b).select(*cols)
+        if added
+        else base
+    )
+    rem_df = (
+        _apply_deletes(spark.read.parquet(*removed), dv_a).select(*cols)
+        if removed
+        else base
+    )
+    ins_side, del_side = add_df, rem_df
+    if dv_a is not None or dv_b is not None:
+        empty_dv = spark.createDataFrame([], "_file string, _pos bigint")
+        da = dv_a if dv_a is not None else empty_dv
+        db = dv_b if dv_b is not None else empty_dv
+        # tombstone deltas, restricted to files COMMON to both versions:
+        # deltas on added files are already excluded by add_df's DV
+        # subtraction, deltas on removed files by rem_df's
+        arel = {os.path.relpath(p, table) for p in added}
+        rrel = {os.path.relpath(p, table) for p in removed}
+        new_t = db.exceptAll(da)
+        if arel:
+            new_t = new_t.where(~F.col("_file").isin(sorted(arel)))
+        gone_t = da.exceptAll(db)
+        if rrel:
+            gone_t = gone_t.where(~F.col("_file").isin(sorted(rrel)))
+
+        def _rows_at(tombs: DataFrame) -> DataFrame | None:
+            tfiles = sorted(
+                r["_file"] for r in tombs.select("_file").distinct().collect()
+            )
+            if not tfiles:
+                return None
+            if files_read is not None:
+                files_read.extend(
+                    os.path.abspath(os.path.join(table, p)) for p in tfiles
+                )
+            return (
+                spark.read.parquet(*(os.path.join(table, p) for p in tfiles))
+                .withColumn("_file", _rel_file_col())
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(tombs, ["_file", "_pos"], "left_semi")
+                .select(*cols)
+            )
+
+        newly_tombed = _rows_at(new_t)
+        resurrected = _rows_at(gone_t)
+        if newly_tombed is not None:
+            del_side = del_side.unionByName(newly_tombed)
+        if resurrected is not None:
+            ins_side = ins_side.unionByName(resurrected)
+    ins = ins_side.exceptAll(del_side).withColumn("_change_type", F.lit("insert"))
+    dels = del_side.exceptAll(ins_side).withColumn("_change_type", F.lit("delete"))
     return ins.unionByName(dels)
 
 
@@ -830,11 +1180,11 @@ def snapshot_expire(
         m = _read_manifest(table, v)
         live_shards.update(
             os.path.abspath(os.path.join(table, r["path"]))
-            for r in m["manifests"]
+            for r in m["manifests"] + m.get("deletes", [])
         )
         live.update(
             os.path.abspath(os.path.join(table, e["path"]))
-            for e in _all_entries(table, m)
+            for e in _all_entries(table, m) + _all_entries(table, m, "deletes")
         )
     referenced_dead: set[str] = set()
     dead_shards: set[str] = set()
@@ -844,11 +1194,11 @@ def snapshot_expire(
         m = _read_manifest(table, v)
         dead_shards.update(
             os.path.abspath(os.path.join(table, r["path"]))
-            for r in m["manifests"]
+            for r in m["manifests"] + m.get("deletes", [])
         )
         referenced_dead.update(
             os.path.abspath(os.path.join(table, e["path"]))
-            for e in _all_entries(table, m)
+            for e in _all_entries(table, m) + _all_entries(table, m, "deletes")
         )
         os.remove(_manifest_path(table, v))
         dropped += 1
@@ -859,6 +1209,9 @@ def snapshot_expire(
         on_disk = {
             os.path.abspath(p)
             for p in _glob.glob(os.path.join(table, _DATA, "*", "*.parquet"))
+        } | {
+            os.path.abspath(p)
+            for p in _glob.glob(os.path.join(table, _DELETES, "*", "*.parquet"))
         }
         victims |= on_disk - live
         shards_on_disk = {
@@ -878,7 +1231,9 @@ def snapshot_expire(
     # write crumbs remain once their data files were collected)
     import shutil
 
-    for d in _glob.glob(os.path.join(table, _DATA, "*")):
+    for d in _glob.glob(os.path.join(table, _DATA, "*")) + _glob.glob(
+        os.path.join(table, _DELETES, "*")
+    ):
         if os.path.isdir(d) and not _glob.glob(os.path.join(d, "*.parquet")):
             shutil.rmtree(d)
     return {"manifests_dropped": dropped, "files_deleted": deleted}

@@ -877,3 +877,225 @@ def test_merge_into_empty_table_is_insert_only(spark, tmp_path):
     info = S.snapshot_merge(spark, table, _kv(spark, range(4)), on=["id"])
     assert info["version"] == 1 and info["rows_after"] == 4
     assert S.snapshot_read(spark, table).count() == 4
+
+
+# --------------------------------------------------------------------------
+# merge-on-read positional delete vectors (strategy='mor') + maintenance
+# --------------------------------------------------------------------------
+
+
+def _dv_files(table):
+    import glob as g
+
+    return g.glob(os.path.join(table, "deletes", "*", "*.parquet"))
+
+
+def test_mor_delete_writes_tombstones_not_files(spark, tmp_path):
+    """A MoR delete rewrites ZERO data files — it commits one positional
+    delete file; reads subtract it, snapshot_rows answers from metadata,
+    time travel to the pre-delete version still sees every row, and
+    re-deleting the same keys is a no-op (tombstone uniqueness)."""
+    import glob as g
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    v1 = S.snapshot_write(_kv(spark, range(40)), table, mode="overwrite",
+                          n_files=4, cluster_by=["id"], stats_cols=["id"])
+    data_before = set(g.glob(os.path.join(table, "data", "*", "*.parquet")))
+    info = S.snapshot_merge(
+        spark, table, _kv(spark, range(0, 40, 4)).select("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    assert info["files_rewritten"] == 0 and info["files_added"] == 0
+    assert info["tombstones_added"] == 10
+    assert set(g.glob(os.path.join(table, "data", "*", "*.parquet"))) == data_before
+    assert len(_dv_files(table)) == 1
+    assert S.snapshot_rows(table) == 30 == info["rows_after"]
+    got = S.snapshot_read(spark, table)
+    assert got.count() == 30 and got.where("id % 4 = 0").count() == 0
+    assert set(got.columns) == {"id", "tag", "amt"}  # helper cols dropped
+    # time travel: the pre-delete version is untouched
+    assert S.snapshot_read(spark, table, version=v1).count() == 40
+    assert S.snapshot_rows(table, version=v1) == 40
+    # idempotent re-delete: nothing live matches -> same version, no DV
+    again = S.snapshot_merge(
+        spark, table, _kv(spark, range(0, 40, 4)).select("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    assert again["version"] == info["version"]
+    assert again["tombstones_added"] == 0
+
+
+def test_mor_upsert_tombstones_and_appends(spark, tmp_path):
+    """MoR update: matched live rows are tombstoned and the replacement
+    rows append as new files; a key whose only physical row is already
+    tombstoned counts as NOT matched (it inserts, never double-deletes);
+    pruned reads compose with DV application."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(20)), table, mode="overwrite",
+                     n_files=2, cluster_by=["id"], stats_cols=["id"])
+    S.snapshot_merge(spark, table, _kv(spark, [5]).select("id"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    info = S.snapshot_merge(
+        spark, table, _kv(spark, [4, 5, 6, 30], tag="U"), on=["id"],
+        when_matched="update", insert_not_matched=True, strategy="mor",
+    )
+    # 4 and 6 matched live rows (tombstoned); 5 was dead, 30 never existed
+    assert info["files_rewritten"] == 0
+    assert info["tombstones_added"] == 2
+    assert info["files_added"] >= 1
+    got = {(r["id"], r["tag"]) for r in S.snapshot_read(spark, table).collect()}
+    assert ("U4" == dict(got)[4]) and dict(got)[5] == "U5" and dict(got)[30] == "U30"
+    assert len(got) == 21 == S.snapshot_rows(table)
+    # prune to the low half: DV anti-join still applies within kept files
+    low = S.snapshot_read(spark, table, prune=("id", 0, 9))
+    assert low.where("id <= 9 AND tag LIKE 'a%'").count() == 7  # 0..9 minus 4,5,6
+    # update-mode duplicate source keys still raise under mor
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        S.snapshot_merge(spark, table,
+                         _kv(spark, [1]).unionAll(_kv(spark, [1])),
+                         on=["id"], strategy="mor")
+
+
+def test_rewrite_deletes_folds_tombstones_targeted(spark, tmp_path):
+    """snapshot_rewrite_deletes rewrites ONLY tombstoned files: untouched
+    files keep their exact paths, the new version carries no delete
+    files, contents are preserved exactly, and a second call is a no-op."""
+    import glob as g
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(40)), table, mode="overwrite",
+                     n_files=4, cluster_by=["id"], stats_cols=["id"])
+    # tombstone two rows that land in the FIRST file (ids 0..9)
+    S.snapshot_merge(spark, table, _kv(spark, [1, 2]).select("id"),
+                     on=["id"], when_matched="delete",
+                     insert_not_matched=False, strategy="mor")
+    before = S.snapshot_read(spark, table).collect()
+    files_before = set(g.glob(os.path.join(table, "data", "*", "*.parquet")))
+    info = S.snapshot_rewrite_deletes(spark, table, n_files_new=1,
+                                      cluster_by=["id"])
+    assert info["files_rewritten"] == 1 and info["tombstones_removed"] == 2
+    files_after = set(g.glob(os.path.join(table, "data", "*", "*.parquet")))
+    # 3 of the 4 original files survive in place (plus 1 new, plus the
+    # old rewritten file still on disk for time travel until expire)
+    assert len(files_before & files_after) >= 3
+    m = S._read_manifest(table, info["version"])
+    assert m["deletes"] == []
+    after = S.snapshot_read(spark, table).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert S.snapshot_rows(table) == 38
+    noop = S.snapshot_rewrite_deletes(spark, table)
+    assert noop["version"] == info["version"]
+    assert noop["files_rewritten"] == 0
+
+
+def test_append_carries_tombstones_forward(spark, tmp_path):
+    """mode='append' on a DV-carrying table must NOT resurrect tombstoned
+    rows: the new manifest keeps the delete refs."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(10)), table, mode="overwrite")
+    S.snapshot_merge(spark, table, _kv(spark, [3, 7]).select("id"),
+                     on=["id"], when_matched="delete",
+                     insert_not_matched=False, strategy="mor")
+    S.snapshot_write(_kv(spark, range(100, 105)), table, mode="append")
+    assert S.snapshot_rows(table) == 13
+    got = S.snapshot_read(spark, table)
+    assert got.count() == 13 and got.where("id IN (3, 7)").count() == 0
+    # overwrite drops content AND tombstones
+    S.snapshot_write(_kv(spark, range(5)), table, mode="overwrite")
+    assert S.snapshot_rows(table) == 5
+    assert S.snapshot_read(spark, table).count() == 5
+
+
+def test_cow_merge_purges_tombstones_on_touched_files(spark, tmp_path):
+    """A CoW merge over a table carrying tombstones subtracts them in the
+    rewrite (physically purging them) and drops DV entries aimed at the
+    rewritten files; tombstones on untouched files survive. Tombstoned
+    rows never match: a CoW update of a dead key inserts instead."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(40)), table, mode="overwrite",
+                     n_files=4, cluster_by=["id"], stats_cols=["id"])
+    # tombstones in two different files: id=2 (file 1), id=35 (file 4)
+    S.snapshot_merge(spark, table, _kv(spark, [2, 35]).select("id"),
+                     on=["id"], when_matched="delete",
+                     insert_not_matched=False, strategy="mor")
+    # CoW update touching id=3 (same file as the id=2 tombstone) AND the
+    # dead id=2 itself -> 2 must insert, 3 must update, file rewritten
+    info = S.snapshot_merge(
+        spark, table, _kv(spark, [2, 3], tag="U"), on=["id"],
+        when_matched="update", insert_not_matched=True, strategy="cow",
+    )
+    assert info["files_rewritten"] == 1
+    got = {r["id"]: r["tag"] for r in S.snapshot_read(spark, table).collect()}
+    assert got[2] == "U2" and got[3] == "U3" and 35 not in got
+    assert len(got) == 39 == S.snapshot_rows(table)
+    # the id=35 tombstone survived the rebuild; 2's died with its file
+    m = S._read_manifest(table, info["version"])
+    assert sum(r["rows"] for r in m["deletes"]) == 1
+
+
+def test_snapshot_changes_across_mor_versions(spark, tmp_path):
+    """CDF over MoR commits: a tombstoned row surfaces as a 'delete'
+    change read from ONLY the data files the tombstone delta names, and
+    an appended file as 'insert' rows — no full-table scan."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(30)), table, mode="overwrite",
+                     n_files=3, cluster_by=["id"], stats_cols=["id"])
+    v2 = S.snapshot_merge(
+        spark, table, _kv(spark, [11, 12]).select("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )["version"]
+    v3 = S.snapshot_merge(
+        spark, table, _kv(spark, [13, 50], tag="U"), on=["id"],
+        when_matched="update", insert_not_matched=True, strategy="mor",
+    )["version"]
+    read: list = []
+    ch = S.snapshot_changes(spark, table, v2, v3, files_read=read).collect()
+    got = {(r["_change_type"], r["id"], r["tag"]) for r in ch}
+    assert got == {
+        ("delete", 13, "a13"), ("insert", 13, "U13"), ("insert", 50, "U50"),
+    }
+    # reads: the appended data file + the ONE data file the new tombstone
+    # targets — never the other two base files
+    assert len(read) <= 2
+    # full span: base -> v3 nets deletes of 11,12 and the 13-update pair
+    ch_full = S.snapshot_changes(spark, table, 1, v3).collect()
+    full = {(r["_change_type"], r["id"]) for r in ch_full}
+    assert full == {("delete", 11), ("delete", 12), ("delete", 13),
+                    ("insert", 13), ("insert", 50)}
+
+
+def test_expire_collects_dead_delete_files(spark, tmp_path):
+    """snapshot_expire treats DV files/shards like data: dead versions'
+    delete files are collected, the kept snapshot's survive, and
+    clean_orphans sweeps never-committed DV dirs."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(20)), table, mode="overwrite")
+    S.snapshot_merge(spark, table, _kv(spark, [1]).select("id"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    S.snapshot_merge(spark, table, _kv(spark, [2]).select("id"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    assert len(_dv_files(table)) == 2
+    S.snapshot_rewrite_deletes(spark, table)  # v4: no tombstones
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True)
+    assert _dv_files(table) == []
+    got = S.snapshot_read(spark, table)
+    assert got.count() == 18 and got.where("id IN (1,2)").count() == 0
