@@ -422,6 +422,15 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q117", "q117_change_feed",
          [("_change_type", "s"), ("n_rows", "n"), ("n_keys", "n"),
           ("total_price", "n")]),
+        # round 8: the SAME merge chain executed merge-on-read (positional
+        # delete vectors) then folded back via snapshot_rewrite_deletes —
+        # the oracle is q116's identical v3 CTE, so the hash pins CoW/MoR
+        # convergence; boolean columns pin zero-rewrite writes, metadata
+        # row accounting across the rewrite, and the tombstone-delta CDF.
+        ("q118", "q118_mor_merge",
+         [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
+          ("total_price", "n"), ("mor_no_rewrite", "s"),
+          ("meta_rows_match", "s"), ("cdf_tomb_delta_ok", "s")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -501,7 +510,10 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     # builds the memoized merge chain while the streaming jobs run; q117
     # then reads the chain's CDF — its part callable is lazy, so the
     # second group adds no sequential wall.
-    "q86_streaming_parity": [{"q86", "q87", "q88", "q114", "q116"}, {"q117"}],
+    "q86_streaming_parity": [
+        {"q86", "q87", "q88", "q114", "q116", "q118"},
+        {"q117"},
+    ],
     # Not streaming, but q112/q113 do small eager collects at build time
     # (PQ codebook + query row); building the seven parts concurrently
     # overlaps those job latencies. No part scopes the shuffle width.
@@ -522,7 +534,7 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
 # was active at that instant (timing-dependent, usually 8). The clone
 # inherits NOTHING runtime-set, so tune_session() is re-applied (UTC
 # timezone is correctness-critical for q96's date_format output).
-CLONE_SESSION: set[str] = {"q96", "q97", "q116"}
+CLONE_SESSION: set[str] = {"q96", "q97", "q116", "q118"}
 
 for _name, _groups in PARALLEL_GROUPS.items():
     _declared = {t for g in _groups for t in g}

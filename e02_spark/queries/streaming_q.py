@@ -761,6 +761,132 @@ SELECT o_orderstatus, o_orderpriority,
 FROM v3 GROUP BY o_orderstatus, o_orderpriority
 """
 
+# --------------------------------------------------------------------------
+# q118 — the SAME logical merge chain as q116, executed MERGE-ON-READ
+# (ops/snapshot positional delete vectors) and then folded back via
+# snapshot_rewrite_deletes. The oracle is the identical v3 CTE: the
+# driver hash thereby pins that CoW and MoR converge to one logical
+# result. Boolean pins ride as columns:
+#   mor_no_rewrite     -- neither MoR merge rewrote or dropped a data file
+#   meta_rows_match    -- metadata COUNT(*) identical pre/post rewrite and
+#                         equal to the oracle's computed total
+#   cdf_tomb_delta_ok  -- the CDF between the MoR v2 and v3 (which
+#                         exercises the tombstone-delta path: deletes come
+#                         from DV diffs, not removed files) balances with
+#                         the merge's own metadata accounting
+# --------------------------------------------------------------------------
+_MOR_MEMO: dict[tuple, dict] = {}
+
+
+def _mor_chain(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MOR_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from ..io import load_table
+    from ..ops.snapshot import (
+        snapshot_merge,
+        snapshot_rewrite_deletes,
+        snapshot_rows,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = os.path.join(_tracked_mkdtemp(prefix="e02_mortbl_"), "tbl")
+    snapshot_write(
+        orders, table, mode="overwrite", n_files=8,
+        cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+    )
+    q = orders.agg(F.max("o_orderkey")).first()[0] // 4
+    dels = orders.where(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") < q)
+    ).select("o_orderkey")
+    m1 = snapshot_merge(
+        spark, table, dels, on=["o_orderkey"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    upd = orders.where(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderkey") >= q)
+        & (F.col("o_orderkey") < 2 * q)
+    ).withColumn("o_orderpriority", F.lit("X-MERGED"))
+    ins = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    m2 = snapshot_merge(
+        spark, table, upd.unionByName(ins), on=["o_orderkey"],
+        when_matched="update", insert_not_matched=True,
+        n_files_new=2, cluster_by=["o_orderkey"], strategy="mor",
+    )
+    rows_v3 = snapshot_rows(table)
+    # the CDF between the two MoR versions BEFORE the rewrite: deletes
+    # surface from tombstone deltas alone (no data file was removed)
+    from ..ops.snapshot import snapshot_changes
+
+    cdf = {
+        r["_change_type"]: r["n"]
+        for r in snapshot_changes(spark, table, m1["version"], m2["version"])
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rw = snapshot_rewrite_deletes(spark, table, n_files_new=8,
+                                  cluster_by=["o_orderkey"])
+    hit = {
+        "table": table,
+        "m1": m1, "m2": m2, "rw": rw,
+        "rows_v3": rows_v3, "cdf": cdf,
+    }
+    _MOR_MEMO[key] = hit
+    return hit
+
+
+def q118_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..num import dsum
+    from ..ops.snapshot import snapshot_read, snapshot_rows
+
+    ch = _mor_chain(spark, sf_dir)
+    m1, m2, rw = ch["m1"], ch["m2"], ch["rw"]
+    mor_no_rewrite = (
+        m1["files_rewritten"] == 0 and m1["files_added"] == 0
+        and m2["files_rewritten"] == 0
+    )
+    meta_rows_match = snapshot_rows(ch["table"]) == ch["rows_v3"]
+    # every update tombstones exactly one live row and appends exactly one
+    # replacement; inserts append with no tombstone — so the CDF must show
+    # delete = m2's tombstones and insert = tombstones + net row growth
+    net = m2["rows_after"] - m2["rows_before"]
+    cdf_tomb_delta_ok = (
+        ch["cdf"].get("delete", 0) == m2["tombstones_added"]
+        and ch["cdf"].get("insert", 0) == m2["tombstones_added"] + net
+    )
+    return (
+        snapshot_read(spark, ch["table"])
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .withColumn("mor_no_rewrite", F.lit(bool(mor_no_rewrite)))
+        .withColumn("meta_rows_match", F.lit(bool(meta_rows_match)))
+        .withColumn("cdf_tomb_delta_ok", F.lit(bool(cdf_tomb_delta_ok)))
+    )
+
+
+_Q118_SQL = f"""
+WITH {_Q116_CTES}
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  TRUE AS mor_no_rewrite,
+  TRUE AS meta_rows_match,
+  TRUE AS cdf_tomb_delta_ok
+FROM v3 GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 _Q117_SQL = f"""
 WITH {_Q116_CTES},
 ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2),
@@ -789,6 +915,7 @@ QUERIES = {
     "q114_snapshot_table": q114_snapshot_table,
     "q116_merge_upsert": q116_merge_upsert,
     "q117_change_feed": q117_change_feed,
+    "q118_mor_merge": q118_mor_merge,
 }
 
 
@@ -823,4 +950,5 @@ ORACLE = {
     "q114_snapshot_table": _Q114_SQL,
     "q116_merge_upsert": _Q116_SQL,
     "q117_change_feed": _Q117_SQL,
+    "q118_mor_merge": _Q118_SQL,
 }
