@@ -431,6 +431,13 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("mor_no_rewrite", "s"),
           ("meta_rows_match", "s"), ("cdf_tomb_delta_ok", "s")]),
+        # round 8: incremental view maintenance (ops/ivm.py) — a v1
+        # aggregate maintained to v3 from the chain's CDF alone, oracle =
+        # full recompute over the v3 CTE; the boolean pins Spark-side
+        # maintained-state == recompute bitwise equality.
+        ("q119", "q119_incremental_view",
+         [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
+          ("ivm_matches_recompute", "s")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -512,7 +519,7 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     # second group adds no sequential wall.
     "q86_streaming_parity": [
         {"q86", "q87", "q88", "q114", "q116", "q118"},
-        {"q117"},
+        {"q117", "q119"},
     ],
     # Not streaming, but q112/q113 do small eager collects at build time
     # (PQ codebook + query row); building the seven parts concurrently

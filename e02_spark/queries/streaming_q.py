@@ -762,6 +762,56 @@ FROM v3 GROUP BY o_orderstatus, o_orderpriority
 """
 
 # --------------------------------------------------------------------------
+# q119 — incremental view maintenance over the q116 merge chain's CDF
+# (ops/ivm.py): a materialized per-priority aggregate built at v1 is
+# maintained to v3 purely from snapshot_changes deltas — O(changed rows),
+# the base table is never re-scanned — then hash-checked against the
+# oracle's full recompute over the v3 CTE. `ivm_matches_recompute`
+# additionally pins, Spark-side, that the maintained state equals a
+# genuine recompute over the final snapshot (exact-decimal state, so the
+# comparison is bitwise, not approximate).
+# --------------------------------------------------------------------------
+
+
+def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.ivm import apply_agg_delta, finish_agg, materialize_agg
+    from ..ops.snapshot import snapshot_changes, snapshot_read
+
+    ch = _merge_chain(spark, sf_dir)
+    keys, sums = ["o_orderpriority"], {"total_price": "o_totalprice"}
+    state = materialize_agg(
+        snapshot_read(spark, ch["table"], version=ch["v1"]), keys, sums
+    )
+    delta = snapshot_changes(spark, ch["table"], ch["v1"], ch["v3"])
+    maintained = apply_agg_delta(state, delta, keys, sums).persist()
+    try:
+        recompute = materialize_agg(
+            snapshot_read(spark, ch["table"], version=ch["v3"]), keys, sums
+        )
+        matches = (
+            maintained.exceptAll(recompute).limit(1).count() == 0
+            and recompute.exceptAll(maintained).limit(1).count() == 0
+        )
+        out = finish_agg(maintained, keys, sums, count_alias="n_orders")
+        return out.withColumn(
+            "ivm_matches_recompute", F.lit(bool(matches))
+        ).localCheckpoint()
+    finally:
+        maintained.unpersist()
+
+
+_Q119_SQL = f"""
+WITH {_Q116_CTES}
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+    AS total_price,
+  TRUE AS ivm_matches_recompute
+FROM v3 GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # q118 — the SAME logical merge chain as q116, executed MERGE-ON-READ
 # (ops/snapshot positional delete vectors) and then folded back via
 # snapshot_rewrite_deletes. The oracle is the identical v3 CTE: the
@@ -916,6 +966,7 @@ QUERIES = {
     "q116_merge_upsert": q116_merge_upsert,
     "q117_change_feed": q117_change_feed,
     "q118_mor_merge": q118_mor_merge,
+    "q119_incremental_view": q119_incremental_view,
 }
 
 
@@ -951,4 +1002,5 @@ ORACLE = {
     "q116_merge_upsert": _Q116_SQL,
     "q117_change_feed": _Q117_SQL,
     "q118_mor_merge": _Q118_SQL,
+    "q119_incremental_view": _Q119_SQL,
 }

@@ -1,0 +1,117 @@
+"""Incremental view maintenance (ops/ivm.py): maintained aggregate state
+== full recompute, under inserts, deletes, NULL keys, NULL measures,
+group extinction, and sum extinction."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from e02_spark.ops.ivm import apply_agg_delta, finish_agg, materialize_agg
+
+SUMS = {"amt_sum": "amt"}
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k STRING, amt DOUBLE")
+
+
+def _norm(df):
+    return sorted(
+        (
+            (r["k"], r["n_rows"], r["amt_sum"])
+            for r in finish_agg(df, ["k"], SUMS).collect()
+        ),
+        key=lambda t: (t[0] is None, t[0] or ""),
+    )
+
+
+def test_ivm_matches_recompute_basic(spark):
+    base = _rows(spark, [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 7.0)])
+    state = materialize_agg(base, ["k"], SUMS)
+    ch = (
+        _rows(spark, [("a", 10.0), ("d", 4.0)])
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            _rows(spark, [("b", 5.0), ("c", 7.0)])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    )
+    new_state = apply_agg_delta(state, ch, ["k"], SUMS)
+    # recompute: base + inserts - deletes = a:{1,2,10}, d:{4}; b,c extinct
+    expect = _rows(spark, [("a", 1.0), ("a", 2.0), ("a", 10.0), ("d", 4.0)])
+    assert _norm(new_state) == _norm(materialize_agg(expect, ["k"], SUMS))
+    assert _norm(new_state) == [("a", 3, 13.0), ("d", 1, 4.0)]
+
+
+def test_ivm_null_keys_and_null_measures(spark):
+    """NULL keys group together (null-safe join), and a group whose last
+    non-null measure is deleted reverts its sum to NULL while the group
+    itself survives on remaining all-NULL rows."""
+    base = _rows(spark, [(None, 3.0), (None, None), ("x", None), ("x", 1.0)])
+    state = materialize_agg(base, ["k"], SUMS)
+    ch = (
+        _rows(spark, [(None, 3.0), ("x", 1.0)])
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            _rows(spark, [(None, None)])
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    )
+    new_state = apply_agg_delta(state, ch, ["k"], SUMS)
+    expect = _rows(spark, [(None, None), (None, None), ("x", None)])
+    assert _norm(new_state) == _norm(materialize_agg(expect, ["k"], SUMS))
+    got = {r[0]: (r[1], r[2]) for r in _norm(new_state)}
+    assert got[None] == (2, None) and got["x"] == (1, None)
+
+
+def test_ivm_sum_zero_vs_sum_extinct_stay_distinct(spark):
+    """A sum that cancels to exactly 0.0 with live non-null values must
+    stay 0.0, not NULL — and further deltas keep the distinction."""
+    base = _rows(spark, [("z", 5.0), ("z", -5.0), ("w", 9.0)])
+    state = materialize_agg(base, ["k"], SUMS)
+    ch1 = _rows(spark, [("w", 9.0)]).withColumn("_change_type", F.lit("delete")) \
+        .unionByName(_rows(spark, [("w", None)]).withColumn("_change_type", F.lit("insert")))
+    s1 = apply_agg_delta(state, ch1, ["k"], SUMS)
+    got = {r[0]: (r[1], r[2]) for r in _norm(s1)}
+    assert got["z"] == (2, 0.0)  # cancelled but live -> 0.0
+    assert got["w"] == (1, None)  # extinct measure -> NULL
+    # second delta on top of the maintained state: resurrection of w's sum
+    ch2 = _rows(spark, [("w", 2.5)]).withColumn("_change_type", F.lit("insert"))
+    s2 = apply_agg_delta(s1, ch2, ["k"], SUMS)
+    got2 = {r[0]: (r[1], r[2]) for r in _norm(s2)}
+    assert got2["w"] == (2, 2.5)
+
+
+def test_ivm_chain_over_snapshot_cdf(spark, tmp_path):
+    """End to end over the snapshot table: maintain an aggregate through
+    two MERGE commits using only snapshot_changes deltas; equals the
+    recompute over the final snapshot."""
+    import os
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    base = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS k", "CAST(id AS DOUBLE) AS amt"
+    )
+    v1 = S.snapshot_write(base, table, mode="overwrite", n_files=4,
+                          cluster_by=["id"], stats_cols=["id"])
+    state = materialize_agg(
+        S.snapshot_read(spark, table, version=v1), ["k"], SUMS
+    ).persist()
+    state.count()
+    # merge 1: MoR delete of id % 10 == 0
+    S.snapshot_merge(spark, table, spark.range(0, 100, 10).selectExpr("id"),
+                     on=["id"], when_matched="delete",
+                     insert_not_matched=False, strategy="mor")
+    # merge 2: CoW upsert rewriting ids 50..59 and inserting 200..204
+    upd = spark.range(50, 60).selectExpr(
+        "id", "'U' AS k", "CAST(-1.0 AS DOUBLE) AS amt")
+    ins = spark.range(200, 205).selectExpr(
+        "id", "'new' AS k", "CAST(id AS DOUBLE) AS amt")
+    v3 = S.snapshot_merge(spark, table, upd.unionByName(ins), on=["id"])["version"]
+    ch = S.snapshot_changes(spark, table, v1, v3).drop("id")
+    new_state = apply_agg_delta(state, ch, ["k"], SUMS)
+    recompute = materialize_agg(S.snapshot_read(spark, table), ["k"], SUMS)
+    assert _norm(new_state) == _norm(recompute)
+    state.unpersist()
