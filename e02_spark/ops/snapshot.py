@@ -276,6 +276,50 @@ def committed_keys(table: str) -> set[str]:
     return keys
 
 
+def _nullable_schema(schema):
+    """Top-level-nullable copy of a StructType: the stored table schema
+    must admit files that predate a column (explicit-schema reads fill
+    the missing column with NULL — a non-nullable field there would lie
+    to codegen)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema]
+    )
+
+
+def _evolve_schema(prev_schema: dict | None, df: DataFrame, mode: str):
+    """The schema an append/overwrite commits. Overwrite replaces it.
+    Append UNION-BY-NAME evolves it: existing columns must keep their
+    exact type (add-only evolution — renames/widening are out of scope,
+    the Iceberg-v1 baseline), genuinely new columns append after the
+    existing ones; columns the incoming frame OMITS stay in the schema
+    and read as NULL from the new files. Returns a JSON-able dict, or
+    None for appends onto legacy manifests that never recorded a schema
+    (their file union stays the reader's source of truth)."""
+    from pyspark.sql.types import StructType
+
+    if mode != "append":
+        return _nullable_schema(df.schema).jsonValue()
+    if prev_schema is None:
+        return None  # legacy table: the file union stays authoritative
+    prev_st = StructType.fromJson(prev_schema)
+    by_name = {f.name: f for f in df.schema.fields}
+    for f in prev_st.fields:
+        nf = by_name.get(f.name)
+        if nf is not None and nf.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution supports ADDING columns only: column "
+                f"{f.name!r} is {f.dataType.simpleString()} in the table "
+                f"but {nf.dataType.simpleString()} in the append"
+            )
+    known = {f.name for f in prev_st.fields}
+    out = list(prev_st.fields) + [
+        f for f in df.schema.fields if f.name not in known
+    ]
+    return _nullable_schema(StructType(out)).jsonValue()
+
+
 def snapshot_write(
     df: DataFrame,
     table: str,
@@ -355,9 +399,11 @@ def snapshot_write(
             # tombstones ride along: an append must not resurrect rows a
             # prior merge-on-read delete tombstoned
             del_refs = prev.get("deletes", [])
+            sch = _evolve_schema(prev.get("schema"), df, "append")
         else:
             refs = new_refs
             del_refs = []  # overwrite replaces content, tombstones and all
+            sch = _evolve_schema(None, df, "overwrite")
         if idempotency_key is not None:
             prev_keys.add(idempotency_key)
         manifest = {
@@ -368,6 +414,7 @@ def snapshot_write(
             "keys": sorted(prev_keys),
             "manifests": refs,
             "deletes": del_refs,
+            "schema": sch,
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -402,15 +449,28 @@ def snapshot_read(
     inert in the anti-join (their _file never appears on the probe
     side), so pruning and DV application compose without coordination."""
     kept, fallback = _plan_files(table, version, prune)
+    versions = snapshot_versions(table)
+    v = versions[-1] if version is None else version
+    m = _read_manifest(table, v)
+    sch = m.get("schema")
+    if sch is not None:
+        from pyspark.sql.types import StructType
+
+        sch = StructType.fromJson(sch)
     if not kept:
+        if sch is not None:
+            return spark.createDataFrame([], schema=sch)
         if fallback is None:
             return spark.createDataFrame([], schema="__empty string")
         # preserve schema for an empty (fully pruned) scan
         return spark.read.parquet(fallback).limit(0)
-    versions = snapshot_versions(table)
-    v = versions[-1] if version is None else version
-    dv = _dv_frame(spark, table, _read_manifest(table, v))
-    return _apply_deletes(spark.read.parquet(*kept), dv)
+    # the manifest schema — not the file union — is the read contract:
+    # files that predate an added column serve NULL for it (explicit-
+    # schema parquet reads fill missing columns), so add-only schema
+    # evolution needs no file rewrite and no mergeSchema footer sweep
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    dv = _dv_frame(spark, table, m)
+    return _apply_deletes(reader.parquet(*kept), dv)
 
 
 def _plan_files(
@@ -547,7 +607,9 @@ def snapshot_rewrite_deletes(
             r["_file"] for r in dv.select("_file").distinct().collect()
         )
         surv = _apply_deletes(
-            spark.read.parquet(*(os.path.join(table, p) for p in touched_rel)),
+            _reader(spark, prev).parquet(
+                *(os.path.join(table, p) for p in touched_rel)
+            ),
             dv,
         )
         if cluster_by:
@@ -582,6 +644,7 @@ def snapshot_rewrite_deletes(
             "keys": prev.get("keys", sorted(committed_keys(table))),
             "manifests": refs,
             "deletes": [],
+            "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
             return {
@@ -674,6 +737,18 @@ def _rel_file_col():
     return F.regexp_extract(
         F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
     )
+
+
+def _reader(spark: SparkSession, manifest: dict):
+    """DataFrameReader honoring the manifest's recorded table schema (see
+    _evolve_schema): every direct scan of a snapshot's data files must go
+    through this, or a file predating an added column breaks the read."""
+    sch = manifest.get("schema")
+    if sch is None:
+        return spark.read
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType.fromJson(sch))
 
 
 def _dv_frame(spark: SparkSession, table: str, manifest: dict) -> DataFrame | None:
@@ -866,7 +941,7 @@ def snapshot_merge(
             # decides which source rows are matched vs inserts.
             matched = None
             if candidates:
-                raw = spark.read.parquet(*candidates).select(
+                raw = _reader(spark, prev).parquet(*candidates).select(
                     *on,
                     _rel_file_col().alias("_file"),
                     F.col("_metadata.row_index").alias("_pos"),
@@ -959,6 +1034,7 @@ def _merge_attempt(
             "keys": prev.get("keys", sorted(committed_keys(table))),
             "manifests": refs,
             "deletes": del_refs,
+            "schema": prev.get("schema"),
         }
 
     # the append relation, shared by both strategies: update replaces
@@ -1008,7 +1084,7 @@ def _merge_attempt(
         # the rewritten relation: live unmatched rows of touched files
         # survive — existing tombstones are purged physically here, and
         # matched rows are replaced (via `parts`' adds) or dropped
-        surv = spark.read.parquet(
+        surv = _reader(spark, prev).parquet(
             *sorted(os.path.join(table, p) for p in touched_rel)
         )
         surv = _apply_deletes(surv, dv)
@@ -1104,13 +1180,16 @@ def snapshot_changes(
     cols = base.columns
     dv_a = _dv_frame(spark, table, ma)
     dv_b = _dv_frame(spark, table, mb)
+    # both sides read with the `to` version's schema (a superset under
+    # add-only evolution): the feed's schema IS the `to` schema, so rows
+    # from files predating an added column surface with NULL in it
     add_df = (
-        _apply_deletes(spark.read.parquet(*added), dv_b).select(*cols)
+        _apply_deletes(_reader(spark, mb).parquet(*added), dv_b).select(*cols)
         if added
         else base
     )
     rem_df = (
-        _apply_deletes(spark.read.parquet(*removed), dv_a).select(*cols)
+        _apply_deletes(_reader(spark, mb).parquet(*removed), dv_a).select(*cols)
         if removed
         else base
     )
@@ -1142,7 +1221,8 @@ def snapshot_changes(
                     os.path.abspath(os.path.join(table, p)) for p in tfiles
                 )
             return (
-                spark.read.parquet(*(os.path.join(table, p) for p in tfiles))
+                _reader(spark, mb)
+                .parquet(*(os.path.join(table, p) for p in tfiles))
                 .withColumn("_file", _rel_file_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))
                 .join(tombs, ["_file", "_pos"], "left_semi")

@@ -438,6 +438,13 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q119", "q119_incremental_view",
          [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
           ("ivm_matches_recompute", "s")]),
+        # round 8: add-only schema evolution — an append carrying a new
+        # column evolves the manifest schema; old files NULL-backfill at
+        # read (grouped BY the evolved column so the hash pins it), and
+        # time travel keeps the narrower v1 schema.
+        ("q120", "q120_schema_evolution",
+         [("o_orderstatus", "s"), ("band", "s"), ("n_orders", "n"),
+          ("total_price", "n"), ("schema_stable", "s")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -518,7 +525,7 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     # then reads the chain's CDF — its part callable is lazy, so the
     # second group adds no sequential wall.
     "q86_streaming_parity": [
-        {"q86", "q87", "q88", "q114", "q116", "q118"},
+        {"q86", "q87", "q88", "q114", "q116", "q118", "q120"},
         {"q117", "q119"},
     ],
     # Not streaming, but q112/q113 do small eager collects at build time

@@ -762,6 +762,63 @@ FROM v3 GROUP BY o_orderstatus, o_orderpriority
 """
 
 # --------------------------------------------------------------------------
+# q120 — add-only schema evolution on the snapshot table: v1 loads the
+# low-key half of orders under the original schema; v2 appends the high
+# half carrying a NEW column (band = o_orderkey % 3). The manifest-
+# recorded schema makes v1's files serve NULL for band with no rewrite
+# and no mergeSchema footer sweep; the aggregate below groups BY the
+# evolved column, so the driver hash pins the NULL backfill exactly.
+# schema_stable pins that time travel still reads v1 with v1's narrower
+# schema.
+# --------------------------------------------------------------------------
+
+
+def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+    from ..num import dsum
+    from ..ops.snapshot import snapshot_read, snapshot_rows, snapshot_write
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = os.path.join(_tracked_mkdtemp(prefix="e02_evotbl_"), "tbl")
+    mid = orders.agg(F.max("o_orderkey")).first()[0] // 2
+    v1 = snapshot_write(
+        orders.where(F.col("o_orderkey") <= mid), table, mode="overwrite",
+        n_files=4, cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+    )
+    high = orders.where(F.col("o_orderkey") > mid).withColumn(
+        "band", (F.col("o_orderkey") % 3).cast("string")
+    )
+    snapshot_write(high, table, mode="append", n_files=4,
+                   cluster_by=["o_orderkey"], stats_cols=["o_orderkey"])
+    cur = snapshot_read(spark, table)
+    schema_stable = (
+        snapshot_read(spark, table, version=v1).columns
+        == orders.columns
+        and cur.columns == orders.columns + ["band"]
+        and snapshot_rows(table) == orders.count()
+    )
+    return (
+        cur.groupBy("o_orderstatus", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .withColumn("schema_stable", F.lit(bool(schema_stable)))
+    )
+
+
+_Q120_SQL = """
+SELECT o_orderstatus,
+  CASE WHEN o_orderkey > (SELECT MAX(o_orderkey) // 2 FROM orders)
+       THEN CAST(o_orderkey % 3 AS VARCHAR) END AS band,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  TRUE AS schema_stable
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # q119 — incremental view maintenance over the q116 merge chain's CDF
 # (ops/ivm.py): a materialized per-priority aggregate built at v1 is
 # maintained to v3 purely from snapshot_changes deltas — O(changed rows),
@@ -967,6 +1024,7 @@ QUERIES = {
     "q117_change_feed": q117_change_feed,
     "q118_mor_merge": q118_mor_merge,
     "q119_incremental_view": q119_incremental_view,
+    "q120_schema_evolution": q120_schema_evolution,
 }
 
 
@@ -1003,4 +1061,5 @@ ORACLE = {
     "q117_change_feed": _Q117_SQL,
     "q118_mor_merge": _Q118_SQL,
     "q119_incremental_view": _Q119_SQL,
+    "q120_schema_evolution": _Q120_SQL,
 }

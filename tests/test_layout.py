@@ -1099,3 +1099,77 @@ def test_expire_collects_dead_delete_files(spark, tmp_path):
     assert _dv_files(table) == []
     got = S.snapshot_read(spark, table)
     assert got.count() == 18 and got.where("id IN (1,2)").count() == 0
+
+
+# --------------------------------------------------------------------------
+# add-only schema evolution (manifest-recorded schema)
+# --------------------------------------------------------------------------
+
+
+def test_schema_evolution_add_column_null_backfill(spark, tmp_path):
+    """An append carrying a NEW column evolves the table schema; files
+    that predate the column serve NULL for it — no rewrite, no
+    mergeSchema sweep. An append OMITTING an existing column backfills
+    NULL for its own rows. Type conflicts raise."""
+    import pytest
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(6)), table, mode="overwrite",
+                     stats_cols=["id"])
+    evolved = _kv(spark, range(100, 103)).withColumn("score", F.lit(1.5))
+    S.snapshot_write(evolved, table, mode="append", stats_cols=["id"])
+    got = S.snapshot_read(spark, table)
+    assert got.columns == ["id", "tag", "amt", "score"]
+    assert got.where("score IS NULL").count() == 6
+    assert got.where("score = 1.5").count() == 3
+    # third append omits 'amt' AND 'score': both NULL-backfill
+    skinny = spark.createDataFrame([(500, "x")], "id BIGINT, tag STRING")
+    S.snapshot_write(skinny, table, mode="append")
+    got = S.snapshot_read(spark, table)
+    assert got.columns == ["id", "tag", "amt", "score"]
+    assert got.where("id = 500 AND amt IS NULL AND score IS NULL").count() == 1
+    assert S.snapshot_rows(table) == 10
+    # time travel reads v1 with v1's three-column schema
+    assert S.snapshot_read(spark, table, version=1).columns == ["id", "tag", "amt"]
+    # type conflict: amt as STRING must raise, not corrupt
+    bad = spark.createDataFrame([(9, "t", "oops")],
+                                "id BIGINT, tag STRING, amt STRING")
+    with pytest.raises(ValueError, match="ADDING columns only"):
+        S.snapshot_write(bad, table, mode="append")
+
+
+def test_schema_evolution_merge_and_rewrite_preserve_schema(spark, tmp_path):
+    """MERGE (both strategies) and rewrite_deletes on an evolved table:
+    touched files predating the added column rewrite cleanly (NULL
+    backfill inside the rewrite scan) and the manifest keeps the evolved
+    schema."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(8)), table, mode="overwrite",
+                     stats_cols=["id"])
+    S.snapshot_write(
+        _kv(spark, [100]).withColumn("score", F.lit(2.0)), table,
+        mode="append",
+    )
+    # CoW upsert touching an OLD file: source carries the evolved schema
+    src = _kv(spark, [3], tag="U").withColumn("score", F.lit(9.0))
+    S.snapshot_merge(spark, table, src, on=["id"])
+    got = {r["id"]: (r["tag"], r["score"])
+           for r in S.snapshot_read(spark, table).collect()}
+    assert got[3] == ("U3", 9.0) and got[2] == ("a2", None)
+    # MoR delete + rewrite on the evolved table
+    S.snapshot_merge(spark, table, _kv(spark, [5]).select("id"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    info = S.snapshot_rewrite_deletes(spark, table)
+    assert info["tombstones_removed"] == 1
+    got = S.snapshot_read(spark, table)
+    assert got.columns == ["id", "tag", "amt", "score"]
+    assert got.count() == 8 == S.snapshot_rows(table)
+    # CDF across the evolution boundary carries the `to` schema
+    ch = S.snapshot_changes(spark, table, 1, 2)
+    assert set(ch.columns) == {"id", "tag", "amt", "score", "_change_type"}
+    assert ch.count() == 1  # the appended row, NULL-free score
