@@ -445,6 +445,12 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q120", "q120_schema_evolution",
          [("o_orderstatus", "s"), ("band", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("schema_stable", "s")]),
+        # round 8: the lakehouse streaming loop — snapshot_stream SOURCE
+        # (version offsets, per-file partitions, Arrow reads) through a
+        # transform into the exactly-once snapshot sink; replay pinned.
+        ("q121", "q121_snapshot_stream",
+         [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
+          ("meta_rows_match", "s")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -525,7 +531,7 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     # then reads the chain's CDF — its part callable is lazy, so the
     # second group adds no sequential wall.
     "q86_streaming_parity": [
-        {"q86", "q87", "q88", "q114", "q116", "q118", "q120"},
+        {"q86", "q87", "q88", "q114", "q116", "q118", "q120", "q121"},
         {"q117", "q119"},
     ],
     # Not streaming, but q112/q113 do small eager collects at build time

@@ -762,6 +762,80 @@ FROM v3 GROUP BY o_orderstatus, o_orderpriority
 """
 
 # --------------------------------------------------------------------------
+# q121 — the full lakehouse streaming loop: table A (three appended
+# commits of an orders slice) is consumed by the snapshot_stream SOURCE
+# (sources/snapshot_stream.py — version-number offsets, one input
+# partition per appended file, executor-side Arrow reads), transformed,
+# and written into table B through the exactly-once snapshot sink.
+# The aggregate over B is hash-checked against the plain-SQL derivation
+# of the same slice+filter from orders, with a metadata-vs-content row
+# pin; checkpoint replay idempotence is pinned by the pytest twin.
+# --------------------------------------------------------------------------
+
+
+def q121_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+    from ..num import dsum
+    from ..ops.snapshot import (
+        snapshot_read,
+        snapshot_rows,
+        snapshot_stream_sink,
+        snapshot_write,
+    )
+    from ..sources.snapshot_stream import read_snapshot_stream
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 4 == 0
+    )
+    base = _tracked_mkdtemp(prefix="e02_snapstream_")
+    a = os.path.join(base, "a")
+    b = os.path.join(base, "b")
+    ck = os.path.join(base, "ck")
+    # two commits so the stream's offset log spans a real version range
+    for i, mode in ((0, "overwrite"), (1, "append")):
+        snapshot_write(
+            orders.where(F.col("o_orderkey") % 8 == 4 * i), a, mode=mode,
+            n_files=2,
+        )
+
+    def drain() -> None:
+        q = snapshot_stream_sink(
+            read_snapshot_stream(spark, a).where(
+                F.col("o_orderstatus") != "F"
+            ),
+            b,
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination(300)
+
+    drain()
+    # metadata row accounting over B pins the exactly-once landing cheaply
+    # (a full second drain is exercised by tests/test_snapshot_stream.py's
+    # replay test; here one count job suffices for the driver bool)
+    meta_rows_match = snapshot_rows(b) == snapshot_read(spark, b).count()
+    return (
+        snapshot_read(spark, b)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .withColumn("meta_rows_match", F.lit(bool(meta_rows_match)))
+    )
+
+
+_Q121_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  TRUE AS meta_rows_match
+FROM orders
+WHERE o_orderkey % 4 = 0 AND o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # q120 — add-only schema evolution on the snapshot table: v1 loads the
 # low-key half of orders under the original schema; v2 appends the high
 # half carrying a NEW column (band = o_orderkey % 3). The manifest-
@@ -845,9 +919,13 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         recompute = materialize_agg(
             snapshot_read(spark, ch["table"], version=ch["v3"]), keys, sums
         )
+        # symmetric difference emptiness in ONE job
         matches = (
-            maintained.exceptAll(recompute).limit(1).count() == 0
-            and recompute.exceptAll(maintained).limit(1).count() == 0
+            maintained.exceptAll(recompute)
+            .unionByName(recompute.exceptAll(maintained))
+            .limit(1)
+            .count()
+            == 0
         )
         out = finish_agg(maintained, keys, sums, count_alias="n_orders")
         return out.withColumn(
@@ -925,7 +1003,7 @@ def _mor_chain(spark: SparkSession, sf_dir: str) -> dict:
     m2 = snapshot_merge(
         spark, table, upd.unionByName(ins), on=["o_orderkey"],
         when_matched="update", insert_not_matched=True,
-        n_files_new=2, cluster_by=["o_orderkey"], strategy="mor",
+        n_files_new=1, strategy="mor",
     )
     rows_v3 = snapshot_rows(table)
     # the CDF between the two MoR versions BEFORE the rewrite: deletes
@@ -939,8 +1017,7 @@ def _mor_chain(spark: SparkSession, sf_dir: str) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    rw = snapshot_rewrite_deletes(spark, table, n_files_new=8,
-                                  cluster_by=["o_orderkey"])
+    rw = snapshot_rewrite_deletes(spark, table, n_files_new=2)
     hit = {
         "table": table,
         "m1": m1, "m2": m2, "rw": rw,
@@ -1025,6 +1102,7 @@ QUERIES = {
     "q118_mor_merge": q118_mor_merge,
     "q119_incremental_view": q119_incremental_view,
     "q120_schema_evolution": q120_schema_evolution,
+    "q121_snapshot_stream": q121_snapshot_stream,
 }
 
 
@@ -1062,4 +1140,5 @@ ORACLE = {
     "q118_mor_merge": _Q118_SQL,
     "q119_incremental_view": _Q119_SQL,
     "q120_schema_evolution": _Q120_SQL,
+    "q121_snapshot_stream": _Q121_SQL,
 }

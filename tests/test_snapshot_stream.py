@@ -1,0 +1,116 @@
+"""Streaming source over the snapshot table (sources/snapshot_stream.py):
+version offsets, per-file partitions, schema-evolution backfill, restart
+incrementality, the append-only fence, and end-to-end exactly-once into
+the snapshot stream sink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from e02_spark.ops import snapshot as S
+from e02_spark.sources.snapshot_stream import (
+    SnapshotStreamReader,
+    read_snapshot_stream,
+)
+
+
+def _drain(spark, df, ck):
+    out = []
+    q = (
+        df.writeStream.foreachBatch(lambda b, i: out.append((i, b.collect())))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(120)
+    return [r for _, b in out for r in b]
+
+
+def test_snapshot_stream_replay_evolution_and_restart(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    S.snapshot_write(spark.range(0, 10).selectExpr("id", "id*2 AS v"),
+                     tbl, mode="overwrite", n_files=2)
+    S.snapshot_write(spark.range(10, 25).selectExpr("id", "id*2 AS v"),
+                     tbl, mode="append", n_files=3)
+    S.snapshot_write(
+        spark.range(25, 30).selectExpr("id", "id*2 AS v", "'x' AS tag"),
+        tbl, mode="append",
+    )
+    df = read_snapshot_stream(spark, tbl)
+    assert df.schema.simpleString() == "struct<id:bigint,v:bigint,tag:string>"
+    rows = _drain(spark, df, ck)
+    assert len(rows) == 30
+    got = {r["id"]: (r["v"], r["tag"]) for r in rows}
+    assert got[5] == (10, None)  # pre-evolution file NULL-backfills
+    assert got[27] == (54, "x")
+    # restart from the same checkpoint: only the new commit is emitted
+    S.snapshot_write(
+        spark.range(100, 103).selectExpr("id", "id*2 AS v", "'y' AS tag"),
+        tbl, mode="append",
+    )
+    rows2 = _drain(spark, read_snapshot_stream(spark, tbl), ck)
+    assert sorted(r["id"] for r in rows2) == [100, 101, 102]
+
+
+def test_snapshot_stream_partitions_are_per_added_file(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(6).selectExpr("id"), tbl,
+                     mode="overwrite", n_files=2)
+    S.snapshot_write(spark.range(6, 12).selectExpr("id"), tbl,
+                     mode="append", n_files=3)
+    r = SnapshotStreamReader({"table": tbl})
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}
+    assert len(r.partitions({"version": 0}, {"version": 1})) == 2
+    assert len(r.partitions({"version": 1}, {"version": 2})) == 3
+    # replay stability: same range -> same file list
+    p1 = [p.path for p in r.partitions({"version": 0}, {"version": 2})]
+    p2 = [p.path for p in r.partitions({"version": 0}, {"version": 2})]
+    assert p1 == p2 and len(p1) == 5
+
+
+def test_snapshot_stream_append_only_fence(spark, tmp_path):
+    """A version range that removes files (CoW merge / compaction) or
+    adds tombstones (MoR merge) raises the named contract error."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(10).selectExpr("id", "id AS v"), tbl,
+                     mode="overwrite", n_files=2)
+    r = SnapshotStreamReader({"table": tbl})
+    S.snapshot_merge(spark, tbl, spark.range(1, 3).selectExpr("id"),
+                     on=["id"], when_matched="delete",
+                     insert_not_matched=False, strategy="mor")
+    with pytest.raises(ValueError, match="append-only contract"):
+        r.partitions({"version": 1}, {"version": 2})
+    S.snapshot_compact(spark, tbl, n_files=1)
+    with pytest.raises(ValueError, match="append-only contract"):
+        r.partitions({"version": 1}, {"version": 3})
+    # but a fresh stream STARTING at the post-maintenance version is fine
+    assert len(r.partitions({"version": 3}, {"version": 3})) == 0
+
+
+def test_snapshot_stream_to_snapshot_sink_exactly_once(spark, tmp_path):
+    """The full lakehouse loop: table A streamed through a transform into
+    table B via the exactly-once snapshot sink; a replayed drain appends
+    nothing twice."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ck = str(tmp_path / "ck")
+    S.snapshot_write(spark.range(0, 50).selectExpr("id", "id % 5 AS g"),
+                     a, mode="overwrite", n_files=4)
+    S.snapshot_write(spark.range(50, 80).selectExpr("id", "id % 5 AS g"),
+                     a, mode="append", n_files=2)
+
+    def run():
+        df = read_snapshot_stream(spark, a).where("id % 2 = 0")
+        q = S.snapshot_stream_sink(df, b, checkpoint_dir=ck)
+        q.awaitTermination(120)
+
+    run()
+    n1 = S.snapshot_rows(b)
+    assert n1 == 40
+    run()  # no new upstream commits: replay must be a structural no-op
+    assert S.snapshot_rows(b) == 40
+    assert S.snapshot_read(spark, b).where("id % 2 = 1").count() == 0
