@@ -545,6 +545,53 @@ def snapshot_rows(table: str, version: int | None = None) -> int:
     )
 
 
+def snapshot_agg(
+    table: str, col: str | None = None, version: int | None = None
+) -> dict:
+    """Metadata-only aggregates — zero data IO: exact COUNT(*) from the
+    manifest list (see snapshot_rows), and exact MIN/MAX for `col` when
+    they are provably derivable from file stats alone: every data file
+    must carry bounds for the column AND the snapshot must carry no
+    tombstones (a positional delete could hide exactly the extreme row,
+    so min/max stop being metadata-answerable until a rewrite folds the
+    DVs — the same honesty rule Iceberg's scan-level agg pushdown
+    applies). Returns {'rows', 'min', 'max', 'exact_bounds'}: min/max
+    are None with exact_bounds=False when not derivable; callers then
+    fall back to a scan.
+
+    Caveat carried from parquet itself: footer min/max for LONG string
+    values may be writer-truncated (a truncated max is a valid bound but
+    not the exact MAX); fixed-width types — ints, floats, dates,
+    timestamps — are always exact. Declare stats_cols accordingly."""
+    versions = snapshot_versions(table)
+    v = (versions[-1] if versions else None) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    m = _read_manifest(table, v)
+    out = {
+        "rows": snapshot_rows(table, v),
+        "min": None,
+        "max": None,
+        "exact_bounds": False,
+    }
+    if col is None:
+        return out
+    if m.get("deletes"):
+        return out
+    lo = hi = None
+    for e in _all_entries(table, m):
+        if e["rows"] == 0:
+            continue  # an empty file bounds nothing and hides nothing
+        b = e["stats"].get(col)
+        if b is None:
+            return out  # a boundless file could hide either extreme
+        lo = b[0] if lo is None else min(lo, b[0])
+        hi = b[1] if hi is None else max(hi, b[1])
+    if lo is not None:
+        out.update({"min": lo, "max": hi, "exact_bounds": True})
+    return out
+
+
 def snapshot_compact(
     spark: SparkSession,
     table: str,
@@ -570,6 +617,105 @@ def snapshot_compact(
         n_files=n_files,
         cluster_by=cluster_by,
         stats_cols=sc,
+    )
+
+
+def snapshot_binpack(
+    spark: SparkSession,
+    table: str,
+    target_rows: int,
+    small_fraction: float = 0.75,
+    cluster_by: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """Targeted small-file compaction (the Iceberg binpack rewrite): data
+    files holding fewer than small_fraction * target_rows rows are read,
+    any tombstones aimed at them folded in, and their rows rewritten as
+    ~target_rows-sized files; every file already at a healthy size keeps
+    its manifest entry byte-for-byte. This is the steady-state answer to
+    streaming-ingest file sprawl — each micro-batch appends one small
+    file, and a periodic binpack touches ONLY the sprawl, never the
+    accumulated bulk, so maintenance cost tracks ingest rate instead of
+    table size (contrast snapshot_compact's whole-table rewrite).
+    Tombstones aimed at untouched files survive untouched. Returns
+    {'version', 'files_rewritten', 'files_added', 'rows_rewritten'}
+    (version unchanged, zero counts, when nothing qualifies — a single
+    small file also doesn't qualify unless tombstones make rewriting it
+    productive)."""
+    threshold = max(1, int(target_rows * small_fraction))
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        dv = _dv_frame(spark, table, prev)
+        tombed: set[str] = set()
+        if dv is not None:
+            tombed = {
+                r["_file"] for r in dv.select("_file").distinct().collect()
+            }
+        small = [
+            e
+            for e in _all_entries(table, prev)
+            if e["rows"] < threshold or e["path"] in tombed
+        ]
+        # one lonely small file with no tombstones: rewriting it buys
+        # nothing — the no-op guard that keeps periodic maintenance cheap
+        if len(small) <= 1 and not any(e["path"] in tombed for e in small):
+            return {
+                "version": base, "files_rewritten": 0,
+                "files_added": 0, "rows_rewritten": 0,
+            }
+        touched_rel = {e["path"] for e in small}
+        rows_in = sum(e["rows"] for e in small)
+        surv = _reader(spark, prev).parquet(
+            *sorted(os.path.join(table, p) for p in touched_rel)
+        )
+        surv = _apply_deletes(surv, dv)
+        n_out = max(1, -(-rows_in // target_rows))  # ceil
+        if cluster_by:
+            out = surv.repartitionByRange(n_out, *cluster_by)
+            out = out.sortWithinPartitions(*cluster_by)
+        else:
+            out = surv.repartition(n_out)
+        commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+        out.write.mode("error").parquet(commit_dir)
+        sc = prev.get("stats_cols", [])
+        new_entries = _harvest_stats(
+            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+        )
+        refs = []
+        for ref in prev["manifests"]:
+            entries = _read_shard(table, ref)
+            surviving = [e for e in entries if e["path"] not in touched_rel]
+            if len(surviving) == len(entries):
+                refs.append(ref)
+            elif surviving:
+                refs.append(_write_shard(table, surviving))
+        refs.extend(
+            _write_shard(table, new_entries[i : i + 100_000])
+            for i in range(0, len(new_entries), 100_000)
+        )
+        # tombstones on rewritten files were folded in; the rest carry.
+        # every tombstoned file qualified as `small`, so the survivor set
+        # is provably empty — deletes reset without a probe job.
+        manifest = {
+            "version": base + 1,
+            "mode": "binpack",
+            "stats_cols": sorted(sc),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": refs,
+            "deletes": [],
+            "schema": prev.get("schema"),
+        }
+        if _try_commit(table, base + 1, manifest):
+            return {
+                "version": base + 1,
+                "files_rewritten": len(touched_rel),
+                "files_added": len(new_entries),
+                "rows_rewritten": rows_in,
+            }
+    raise RuntimeError(
+        f"snapshot_binpack lost {max_retries} consecutive commit races on {table}"
     )
 
 

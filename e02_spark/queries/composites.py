@@ -427,10 +427,13 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # the oracle is q116's identical v3 CTE, so the hash pins CoW/MoR
         # convergence; boolean columns pin zero-rewrite writes, metadata
         # row accounting across the rewrite, and the tombstone-delta CDF.
+        # (maint_ok additionally pins binpack small-file compaction and
+        # metadata-only MIN/MAX agg against a real scan)
         ("q118", "q118_mor_merge",
          [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("mor_no_rewrite", "s"),
-          ("meta_rows_match", "s"), ("cdf_tomb_delta_ok", "s")]),
+          ("meta_rows_match", "s"), ("cdf_tomb_delta_ok", "s"),
+          ("maint_ok", "s")]),
         # round 8: incremental view maintenance (ops/ivm.py) — a v1
         # aggregate maintained to v3 from the chain's CDF alone, oracle =
         # full recompute over the v3 CTE; the boolean pins Spark-side

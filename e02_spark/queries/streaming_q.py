@@ -1003,7 +1003,7 @@ def _mor_chain(spark: SparkSession, sf_dir: str) -> dict:
     m2 = snapshot_merge(
         spark, table, upd.unionByName(ins), on=["o_orderkey"],
         when_matched="update", insert_not_matched=True,
-        n_files_new=1, strategy="mor",
+        n_files_new=2, strategy="mor",
     )
     rows_v3 = snapshot_rows(table)
     # the CDF between the two MoR versions BEFORE the rewrite: deletes
@@ -1018,9 +1018,18 @@ def _mor_chain(spark: SparkSession, sf_dir: str) -> dict:
         .collect()
     }
     rw = snapshot_rewrite_deletes(spark, table, n_files_new=2)
+    # maintenance pass: binpack coalesces m2's two small appended files
+    # (the chain's simulated ingest sprawl) and leaves the bulk alone;
+    # the table's content hash downstream pins that it changed nothing
+    from ..ops.snapshot import snapshot_agg, snapshot_binpack
+
+    bp = snapshot_binpack(
+        spark, table, target_rows=max(1000, rows_v3 // 8)
+    )
+    ag = snapshot_agg(table, "o_orderkey")
     hit = {
         "table": table,
-        "m1": m1, "m2": m2, "rw": rw,
+        "m1": m1, "m2": m2, "rw": rw, "bp": bp, "agg": ag,
         "rows_v3": rows_v3, "cdf": cdf,
     }
     _MOR_MEMO[key] = hit
@@ -1046,9 +1055,21 @@ def q118_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch["cdf"].get("delete", 0) == m2["tombstones_added"]
         and ch["cdf"].get("insert", 0) == m2["tombstones_added"] + net
     )
+    cur = snapshot_read(spark, ch["table"])
+    # maintenance pins: binpack packed m2's two small files and nothing
+    # else, preserved the metadata row count, and restored metadata-
+    # answerable MIN/MAX that agree with a real scan (one tiny job)
+    ext = cur.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    ag = ch["agg"]
+    maint_ok = (
+        ch["bp"]["files_rewritten"] == 2
+        and snapshot_rows(ch["table"]) == ch["rows_v3"]
+        and ag["exact_bounds"]
+        and ag["rows"] == ch["rows_v3"]
+        and (ag["min"], ag["max"]) == (ext[0], ext[1])
+    )
     return (
-        snapshot_read(spark, ch["table"])
-        .groupBy("o_orderstatus", "o_orderpriority")
+        cur.groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             dsum("o_totalprice", "total_price"),
@@ -1056,6 +1077,7 @@ def q118_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mor_no_rewrite", F.lit(bool(mor_no_rewrite)))
         .withColumn("meta_rows_match", F.lit(bool(meta_rows_match)))
         .withColumn("cdf_tomb_delta_ok", F.lit(bool(cdf_tomb_delta_ok)))
+        .withColumn("maint_ok", F.lit(bool(maint_ok)))
     )
 
 
@@ -1066,7 +1088,8 @@ SELECT o_orderstatus, o_orderpriority,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
   TRUE AS mor_no_rewrite,
   TRUE AS meta_rows_match,
-  TRUE AS cdf_tomb_delta_ok
+  TRUE AS cdf_tomb_delta_ok,
+  TRUE AS maint_ok
 FROM v3 GROUP BY o_orderstatus, o_orderpriority
 """
 

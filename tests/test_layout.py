@@ -1173,3 +1173,78 @@ def test_schema_evolution_merge_and_rewrite_preserve_schema(spark, tmp_path):
     ch = S.snapshot_changes(spark, table, 1, 2)
     assert set(ch.columns) == {"id", "tag", "amt", "score", "_change_type"}
     assert ch.count() == 1  # the appended row, NULL-free score
+
+
+def test_snapshot_agg_metadata_only(spark, tmp_path):
+    """COUNT(*) always; MIN/MAX from file stats only when every file has
+    bounds and no tombstones exist."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(10, 50)), table, mode="overwrite",
+                     n_files=4, cluster_by=["id"], stats_cols=["id"])
+    a = S.snapshot_agg(table, "id")
+    assert a == {"rows": 40, "min": 10, "max": 49, "exact_bounds": True}
+    # a column never declared in stats_cols: bounds not derivable
+    assert S.snapshot_agg(table, "amt")["exact_bounds"] is False
+    # tombstones forbid metadata min/max (the extreme row might be dead)
+    S.snapshot_merge(spark, table, _kv(spark, [49]).select("id"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    a2 = S.snapshot_agg(table, "id")
+    assert a2["rows"] == 39 and a2["exact_bounds"] is False
+    # folding the DV restores metadata-answerable bounds
+    S.snapshot_rewrite_deletes(spark, table)
+    a3 = S.snapshot_agg(table, "id")
+    assert a3 == {"rows": 39, "min": 10, "max": 48, "exact_bounds": True}
+
+
+def test_snapshot_binpack_rewrites_only_small_files(spark, tmp_path):
+    """Bin-pack: small appended files coalesce to ~target_rows files, the
+    healthy bulk file keeps its manifest entry untouched, contents are
+    exact, and a second pass is a no-op."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(1000)), table, mode="overwrite",
+                     n_files=1, stats_cols=["id"])
+    for i in range(4):  # streaming-ingest sprawl: four 5-row files
+        S.snapshot_write(_kv(spark, range(2000 + 5 * i, 2005 + 5 * i)),
+                         table, mode="append", n_files=1)
+    before = sorted(map(tuple, S.snapshot_read(spark, table).collect()))
+    bulk = {e["path"] for e in S._all_entries(
+        table, S._read_manifest(table, 1))}
+    info = S.snapshot_binpack(spark, table, target_rows=500)
+    assert info["files_rewritten"] == 4 and info["rows_rewritten"] == 20
+    assert info["files_added"] == 1
+    m = S._read_manifest(table, info["version"])
+    paths = {e["path"] for e in S._all_entries(table, m)}
+    assert bulk <= paths  # the 1000-row file was never touched
+    assert sorted(map(tuple, S.snapshot_read(spark, table).collect())) == before
+    noop = S.snapshot_binpack(spark, table, target_rows=500)
+    assert noop["version"] == info["version"]
+    assert noop["files_rewritten"] == 0
+    assert S.snapshot_rows(table) == 1020
+
+
+def test_snapshot_binpack_folds_tombstones(spark, tmp_path):
+    """A tombstoned file qualifies for rewrite regardless of size, so a
+    binpack pass leaves the table DV-free; tombstoned rows drop and row
+    accounting holds."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(800)), table, mode="overwrite",
+                     n_files=1, stats_cols=["id"])
+    S.snapshot_write(_kv(spark, range(900, 910)), table, mode="append")
+    S.snapshot_merge(spark, table, _kv(spark, [3, 905]).select("id"),
+                     on=["id"], when_matched="delete",
+                     insert_not_matched=False, strategy="mor")
+    info = S.snapshot_binpack(spark, table, target_rows=600)
+    # both files rewritten: the small one by size, the big one by DV
+    assert info["files_rewritten"] == 2
+    m = S._read_manifest(table, info["version"])
+    assert m["deletes"] == []
+    got = S.snapshot_read(spark, table)
+    assert got.count() == 808 == S.snapshot_rows(table)
+    assert got.where("id IN (3, 905)").count() == 0
