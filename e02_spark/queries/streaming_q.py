@@ -1023,9 +1023,9 @@ def _mor_chain(spark: SparkSession, sf_dir: str) -> dict:
     # the table's content hash downstream pins that it changed nothing
     from ..ops.snapshot import snapshot_agg, snapshot_binpack
 
-    bp = snapshot_binpack(
-        spark, table, target_rows=max(1000, rows_v3 // 8)
-    )
+    # target scales WITH the table (rows/8 = the v1 file size) so at every
+    # SF only m2's two small appended files qualify — never the bulk
+    bp = snapshot_binpack(spark, table, target_rows=max(50, rows_v3 // 8))
     ag = snapshot_agg(table, "o_orderkey")
     hit = {
         "table": table,

