@@ -1248,3 +1248,45 @@ def test_snapshot_binpack_folds_tombstones(spark, tmp_path):
     got = S.snapshot_read(spark, table)
     assert got.count() == 808 == S.snapshot_rows(table)
     assert got.where("id IN (3, 905)").count() == 0
+
+
+def test_mor_merge_commit_race_replans(spark, tmp_path):
+    """The MoR strategy loses a commit race the same way CoW does: the
+    replanned attempt tombstones against the NEW latest (seeing the
+    concurrent append's rows as live match candidates) and its loser
+    DV file becomes an expire-collectable orphan."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(10)), table, mode="overwrite",
+                     n_files=1, cluster_by=["id"], stats_cols=["id"])
+    orig = S._try_commit
+    state = {"fired": False}
+
+    def hijack(t, version, manifest):
+        if not state["fired"] and manifest.get("mode") == "merge":
+            state["fired"] = True
+            S._try_commit = orig
+            try:  # a concurrent append takes the version AND adds id=60
+                S.snapshot_write(_kv(spark, [60, 61]), t, mode="append")
+            finally:
+                S._try_commit = hijack
+        return orig(t, version, manifest)
+
+    S._try_commit = hijack
+    try:
+        info = S.snapshot_merge(
+            spark, table, _kv(spark, [3, 60]).select("id"), on=["id"],
+            when_matched="delete", insert_not_matched=False, strategy="mor",
+        )
+    finally:
+        S._try_commit = orig
+    assert state["fired"]
+    # the replanned delete matched BOTH 3 (original) and 60 (the racer's
+    # append) — a stale plan would have missed 60 entirely
+    assert info["tombstones_added"] == 2
+    got = {r["id"] for r in S.snapshot_read(spark, table).collect()}
+    assert got == set(range(10)) - {3} | {61}
+    assert S.snapshot_rows(table) == 10
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True)
+    assert S.snapshot_rows(table) == 10 == S.snapshot_read(spark, table).count()

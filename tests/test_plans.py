@@ -382,3 +382,27 @@ def test_q111_two_level_build_single_shuffle(spark):
     data_ex = [ln for ln in ex if "SinglePartition" not in ln]
     assert len(data_ex) == 1, plan
     assert "REPARTITION_BY_COL" in data_ex[0], plan
+
+
+def test_snapshot_dv_antijoin_broadcasts(spark, tmp_path):
+    """The merge-on-read read path: subtracting positional delete vectors
+    plans as a BROADCAST anti-join (the tombstone set is the build side),
+    never a sort-merge shuffle of the table — the property that keeps
+    MoR reads ~free between maintenance passes at 100 TB."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(5000).selectExpr("id", "id * 2 AS v"), table,
+        mode="overwrite", n_files=4, cluster_by=["id"], stats_cols=["id"],
+    )
+    S.snapshot_merge(
+        spark, table, spark.range(0, 5000, 100).selectExpr("id"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    df = S.snapshot_read(spark, table)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert df.count() == 4950
