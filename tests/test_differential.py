@@ -437,3 +437,86 @@ def test_spark_duckdb_decimal_differential(spark, rows):
             assert got == want, (q, got, want, rows)
     finally:
         con.close()
+
+
+# --- fifth property: RANDOM QUERY SHAPES (join-tree fuzz) ------------------
+# The fixed texts above pin known traps; this generator explores the
+# shape space itself: random join type x join-condition augmentation x
+# WHERE predicate x grouping keys x aggregate, over the same adversarial
+# random relations (NULL keys, dangling keys, duplicates, empties). Every
+# generated text is ANSI intersection by construction.
+
+
+@st.composite
+def _join_query(draw):
+    jt = draw(st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL"]))
+    extra_on = draw(st.sampled_from(
+        ["", " AND l.qty > 2", " AND o.amount < 50", " AND l.tag = 'x'"]
+    ))
+    where = draw(st.sampled_from(
+        ["", "WHERE o.cust IS NULL OR o.amount > 10",
+         "WHERE l.qty IS NULL OR l.qty < 7",
+         "WHERE COALESCE(o.status, 'Z') <> 'A'"]
+    ))
+    keys = draw(st.sampled_from(
+        [["o.status"], ["o.cust"], ["l.tag"], ["o.status", "l.tag"],
+         ["o.cust", "l.qty"]]
+    ))
+    agg = draw(st.sampled_from(
+        ["COALESCE(SUM(o.amount), 0)", "COUNT(l.l_id)", "COUNT(*)",
+         "COALESCE(MIN(l.qty), -1)", "COALESCE(MAX(o.amount), -1)"]
+    ))
+    key_list = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    group_list = ", ".join(keys)
+    return (
+        f"SELECT {key_list}, CAST({agg} AS BIGINT) AS m "
+        f"FROM t_orders o {jt} JOIN t_lines l ON l.o_id = o.o_id{extra_on} "
+        f"{where} GROUP BY {group_list}"
+    )
+
+
+@st.composite
+def _exists_query(draw):
+    neg = draw(st.sampled_from(["EXISTS", "NOT EXISTS"]))
+    corr = draw(st.sampled_from(
+        ["l.o_id = o.o_id", "l.o_id = o.o_id AND l.qty > o.amount",
+         "l.qty = o.cust"]
+    ))
+    proj = draw(st.sampled_from(["o.o_id", "o.o_id, o.status"]))
+    return (
+        f"SELECT {proj} FROM t_orders o "
+        f"WHERE {neg} (SELECT 1 FROM t_lines l WHERE {corr})"
+    )
+
+
+@settings(
+    max_examples=14,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(tables=_tables(), jq=_join_query(), eq=_exists_query())
+def test_spark_duckdb_join_shape_differential(spark, tables, jq, eq):
+    orders, lines = tables
+    o_pdf = pd.DataFrame(orders, columns=["o_id", "cust", "status", "amount"])
+    l_pdf = pd.DataFrame(lines, columns=["l_id", "o_id", "qty", "tag"])
+    spark.createDataFrame(
+        orders, schema="o_id BIGINT, cust BIGINT, status STRING, amount BIGINT"
+    ).createOrReplaceTempView("t_orders")
+    spark.createDataFrame(
+        lines, schema="l_id BIGINT, o_id BIGINT, qty BIGINT, tag STRING"
+    ).createOrReplaceTempView("t_lines")
+    con = duckdb.connect()
+    con.register("t_orders", o_pdf.astype(
+        {"o_id": "Int64", "cust": "Int64", "amount": "Int64"}))
+    con.register("t_lines", l_pdf.astype(
+        {"l_id": "Int64", "o_id": "Int64", "qty": "Int64"}))
+    try:
+        for q in (jq, eq):
+            got = _norm(spark.sql(q).toPandas())
+            want = _norm(con.sql(q).df())
+            assert got == want, (q, got, want, orders, lines)
+    finally:
+        con.close()
