@@ -44,6 +44,13 @@ from pyspark.sql import functions as F
 from ..num import DEC
 
 _COUNT = "_ivm_count"
+# Sums are stored at a FIXED decimal type: Spark widens sum(decimal)
+# results per aggregation (28,4) and again per addition, so without the
+# normalizing cast the state schema would drift one digit of precision
+# per delta application until the 38 cap — breaking schema-stable
+# persistence of the state and exact frame comparison. (38,4) holds any
+# realistic accumulated sum and is closed under the + in apply.
+_SUM_T = "decimal(38,4)"
 
 
 def _nn(dst: str) -> str:
@@ -61,7 +68,7 @@ def materialize_agg(
     aggs = [F.count(F.lit(1)).cast("bigint").alias(_COUNT)]
     for dst, src in sums.items():
         c = F.col(src) if isinstance(src, str) else src
-        aggs.append(F.sum(c.cast(DEC)).alias(dst))
+        aggs.append(F.sum(c.cast(DEC)).cast(_SUM_T).alias(dst))
         aggs.append(F.count(c).cast("bigint").alias(_nn(dst)))
     return df.groupBy(*keys).agg(*aggs)
 
@@ -83,7 +90,7 @@ def apply_agg_delta(
     aggs = [F.sum(sign).cast("bigint").alias(_COUNT)]
     for dst, src in sums.items():
         c = F.col(src) if isinstance(src, str) else src
-        aggs.append(F.sum(c.cast(DEC) * sign).alias(dst))
+        aggs.append(F.sum(c.cast(DEC) * sign).cast(_SUM_T).alias(dst))
         aggs.append(
             F.sum(F.when(c.isNotNull(), sign).otherwise(F.lit(0)))
             .cast("bigint")
@@ -112,7 +119,7 @@ def apply_agg_delta(
         nn = _add(_nn(dst)).cast("bigint")
         # NULL-out an extinct sum BEFORE storing: 0-from-cancellation and
         # 0-from-no-values must stay distinguishable across further deltas
-        out_cols.append(F.when(nn > 0, _add(dst)).alias(dst))
+        out_cols.append(F.when(nn > 0, _add(dst)).cast(_SUM_T).alias(dst))
         out_cols.append(nn.alias(_nn(dst)))
     return joined.select(*out_cols).where(F.col(_COUNT) > 0)
 

@@ -53,7 +53,15 @@ def _manifest_state(table: str, version: int) -> tuple[set[str], int]:
 
     if version == 0:
         return set(), 0
-    m = _read_manifest(table, version)
+    try:
+        m = _read_manifest(table, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"snapshot_stream offset v{version} of {table} no longer "
+            f"exists — snapshot_expire collected it while this "
+            f"checkpoint was behind; restart from a fresh checkpoint "
+            f"(keep expire's keep_last above the slowest consumer's lag)"
+        ) from None
     files = {e["path"] for e in _all_entries(table, m)}
     tombs = sum(r["rows"] for r in m.get("deletes", []))
     return files, tombs

@@ -115,3 +115,20 @@ def test_ivm_chain_over_snapshot_cdf(spark, tmp_path):
     recompute = materialize_agg(S.snapshot_read(spark, table), ["k"], SUMS)
     assert _norm(new_state) == _norm(recompute)
     state.unpersist()
+
+
+def test_ivm_state_schema_stable_across_applications(spark):
+    """The state's column types must not drift as deltas fold in — sums
+    are normalized to one fixed decimal type, so the state can be
+    persisted and re-applied indefinitely with a stable schema."""
+    base = _rows(spark, [("a", 1.0)])
+    state = materialize_agg(base, ["k"], SUMS)
+    schema0 = state.schema
+    for i in range(3):
+        ch = _rows(spark, [("a", float(i))]).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        state = apply_agg_delta(state, ch, ["k"], SUMS)
+        assert state.schema == schema0, (i, state.schema, schema0)
+    got = finish_agg(state, ["k"], SUMS).collect()[0]
+    assert (got["n_rows"], got["amt_sum"]) == (4, 4.0)
