@@ -839,15 +839,6 @@ def snapshot_stream_sink(
     return writer.start()
 
 
-def _local_path(p: str) -> str:
-    """Normalize a Spark file-source `_metadata.file_path` URI (file:///x,
-    file:/x) to a plain absolute filesystem path for comparison against
-    manifest-derived paths."""
-    if p.startswith("file:"):
-        p = p[len("file:") :]
-    return os.path.abspath(p)
-
-
 # --------------------------------------------------------------------------
 # Positional delete vectors (merge-on-read) — the Iceberg-v2 delete-file
 # shape. A DV file is plain parquet with two columns:
