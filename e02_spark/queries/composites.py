@@ -528,11 +528,12 @@ PART_TIMINGS: dict[str, float] = {}
 # parallelism-independent; the driver's hash check pins it every round.
 PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     "q95_stateful_stream": [{"q95", "q97", "q102", "q96"}],
-    # q116 rides in group 1 on a CLONE_SESSION (its merge joins want the
-    # session-default shuffle width, not the streamers' scoped 8) and
-    # builds the memoized merge chain while the streaming jobs run; q117
-    # then reads the chain's CDF — its part callable is lazy, so the
-    # second group adds no sequential wall.
+    # q116/q118 ride in group 1 on CLONE_SESSIONs (their merge joins want
+    # the session-default shuffle width, not the streamers' scoped 8) and
+    # build the memoized CoW/MoR chains while the streaming jobs and the
+    # q120/q121 snapshot pipelines run; group 2's q117 (CDF read) and
+    # q119 (IVM over the same chain) consume q116's memo — q117's part
+    # callable is lazy, q119's eager recompute-pin job is small.
     "q86_streaming_parity": [
         {"q86", "q87", "q88", "q114", "q116", "q118", "q120", "q121"},
         {"q117", "q119"},
