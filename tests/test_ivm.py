@@ -132,3 +132,47 @@ def test_ivm_state_schema_stable_across_applications(spark):
         assert state.schema == schema0, (i, state.schema, schema0)
     got = finish_agg(state, ["k"], SUMS).collect()[0]
     assert (got["n_rows"], got["amt_sum"]) == (4, 4.0)
+
+
+def test_ivm_random_delta_sequences_match_recompute(spark):
+    """Property: ANY sequence of model-consistent deltas (inserts of new
+    rows, deletes of existing rows — an update is its pair) folded into
+    the state equals the recompute over the final multiset."""
+    import random
+
+    for seed in (7, 19, 53):
+        rng = random.Random(seed)
+        keys = ["a", "b", "c", None]
+        model = [
+            (rng.choice(keys),
+             None if rng.random() < 0.2 else float(rng.randrange(-50, 50)))
+            for _ in range(rng.randrange(3, 12))
+        ]
+        state = materialize_agg(_rows(spark, model), ["k"], SUMS)
+        for _step in range(3):
+            dels = rng.sample(model, rng.randrange(0, len(model) + 1))
+            ins = [
+                (rng.choice(keys),
+                 None if rng.random() < 0.2 else float(rng.randrange(-50, 50)))
+                for _ in range(rng.randrange(0, 6))
+            ]
+            for d in dels:
+                model.remove(d)
+            model.extend(ins)
+            parts = []
+            if ins:
+                parts.append(_rows(spark, ins).withColumn(
+                    "_change_type", F.lit("insert")))
+            if dels:
+                parts.append(_rows(spark, dels).withColumn(
+                    "_change_type", F.lit("delete")))
+            if not parts:
+                continue
+            ch = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            state = apply_agg_delta(state, ch, ["k"], SUMS)
+            if not model:
+                assert state.count() == 0, seed
+                continue
+            assert _norm(state) == _norm(
+                materialize_agg(_rows(spark, model), ["k"], SUMS)
+            ), (seed, _step, model)
