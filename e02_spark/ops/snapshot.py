@@ -1377,16 +1377,60 @@ def snapshot_changes(
     return ins.unionByName(dels)
 
 
+def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int:
+    """Roll the table back to `to_version`'s state by committing a NEW
+    version whose manifest references exactly the old version's shards,
+    delete files, schema, and idempotency keys — an O(metadata) flip,
+    zero data IO (the Iceberg rollback shape: history moves forward,
+    content moves back). The rolled-past versions stay readable until
+    expired, and their data files are only collectable once no surviving
+    manifest references them — which the shard reuse here guarantees for
+    everything `to_version` still needs. Returns the new version."""
+    versions = snapshot_versions(table)
+    if to_version not in versions:
+        raise ValueError(f"version {to_version} not in {versions}")
+    src = _read_manifest(table, to_version)
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        if base == to_version:
+            return base  # already there: nothing to flip
+        cur_keys = committed_keys(table)
+        manifest = {
+            "version": base + 1,
+            "mode": "rollback",
+            "rolled_back_to": to_version,
+            "stats_cols": src.get("stats_cols", []),
+            "idempotency_key": None,
+            # keys accumulate MONOTONICALLY even across a rollback: a
+            # replayed micro-batch whose append is being rolled past must
+            # still be recognized as already-committed, not re-appended
+            "keys": sorted(cur_keys),
+            "manifests": src["manifests"],
+            "deletes": src.get("deletes", []),
+            "schema": src.get("schema"),
+        }
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+    raise RuntimeError(
+        f"snapshot_rollback lost {max_retries} consecutive commit races on {table}"
+    )
+
+
 def snapshot_expire(
-    table: str, keep_last: int = 1, clean_orphans: bool = False
+    table: str,
+    keep_last: int = 1,
+    clean_orphans: bool = False,
+    orphan_grace_s: float = 0.0,
 ) -> dict:
     """Garbage collection: drop all but the last `keep_last` manifest
     lists, then delete manifest shards and data files referenced by NO
     surviving list. clean_orphans additionally removes shards/files no
-    list EVER referenced (crashed writes). Only run when no in-flight
-    writer exists (a real deployment fences by commit-age; orphans
-    younger than the oldest in-flight write must be kept — simplified
-    here to an explicit flag).
+    list EVER referenced (crashed writes); orphan_grace_s is the
+    commit-age fence a live deployment needs — an unreferenced file
+    younger than the grace window is presumed to belong to an IN-FLIGHT
+    write (data lands before its manifest commit) and is kept for a
+    later pass. The 0 default sweeps everything, correct only when the
+    caller knows no writer is active (the tests' posture).
     Returns {'manifests_dropped': n, 'files_deleted': n}."""
     versions = snapshot_versions(table)
     keep = versions[-keep_last:] if keep_last > 0 else []
@@ -1423,17 +1467,30 @@ def snapshot_expire(
     victims = referenced_dead - live
     shard_victims = dead_shards - live_shards
     if clean_orphans:
+        import time as _time
+
+        cutoff = _time.time() - orphan_grace_s
+
+        def _expired(p: str) -> bool:
+            try:
+                return os.path.getmtime(p) <= cutoff
+            except OSError:
+                return False  # vanished underneath us: nothing to delete
+
         on_disk = {
             os.path.abspath(p)
             for p in _glob.glob(os.path.join(table, _DATA, "*", "*.parquet"))
+            if _expired(p)
         } | {
             os.path.abspath(p)
             for p in _glob.glob(os.path.join(table, _DELETES, "*", "*.parquet"))
+            if _expired(p)
         }
         victims |= on_disk - live
         shards_on_disk = {
             os.path.abspath(p)
             for p in _glob.glob(os.path.join(table, _MANIFESTS, "m-*.json"))
+            if _expired(p)
         }
         shard_victims |= shards_on_disk - live_shards
     for path in victims:
@@ -1445,12 +1502,20 @@ def snapshot_expire(
         if os.path.exists(path):
             os.remove(path)
     # drop commit dirs holding no parquet anymore (only _SUCCESS/.crc
-    # write crumbs remain once their data files were collected)
+    # write crumbs remain once their data files were collected). The same
+    # age fence applies: an in-flight write's dir looks empty while its
+    # files sit under _temporary/.
     import shutil
+    import time as _time
 
+    dir_cutoff = _time.time() - orphan_grace_s
     for d in _glob.glob(os.path.join(table, _DATA, "*")) + _glob.glob(
         os.path.join(table, _DELETES, "*")
     ):
-        if os.path.isdir(d) and not _glob.glob(os.path.join(d, "*.parquet")):
+        if (
+            os.path.isdir(d)
+            and not _glob.glob(os.path.join(d, "*.parquet"))
+            and os.path.getmtime(d) <= dir_cutoff
+        ):
             shutil.rmtree(d)
     return {"manifests_dropped": dropped, "files_deleted": deleted}

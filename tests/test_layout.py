@@ -1290,3 +1290,66 @@ def test_mor_merge_commit_race_replans(spark, tmp_path):
     assert S.snapshot_rows(table) == 10
     S.snapshot_expire(table, keep_last=1, clean_orphans=True)
     assert S.snapshot_rows(table) == 10 == S.snapshot_read(spark, table).count()
+
+
+def test_snapshot_rollback_is_metadata_only(spark, tmp_path):
+    """Rollback commits a NEW version referencing the old version's
+    shards/DVs/schema — zero data IO, history moves forward, content
+    moves back; idempotency keys stay monotone so a replayed batch is
+    still deduplicated after the rollback."""
+    import glob as g
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(10)), table, mode="overwrite")
+    S.snapshot_write(_kv(spark, range(100, 105)), table, mode="append",
+                     idempotency_key="batch-7")
+    S.snapshot_merge(spark, table, _kv(spark, [3]).select("id"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    files_before = set(g.glob(os.path.join(table, "data", "*", "*.parquet")))
+    v = S.snapshot_rollback(table, 2)
+    assert v == 4
+    assert set(g.glob(os.path.join(table, "data", "*", "*.parquet"))) \
+        == files_before  # no data IO
+    got = S.snapshot_read(spark, table)
+    assert got.count() == 15 and got.where("id = 3").count() == 1
+    assert S.snapshot_rows(table) == 15
+    # the replayed batch is STILL a no-op after rolling past it
+    v2 = S.snapshot_write(_kv(spark, range(100, 105)), table, mode="append",
+                          idempotency_key="batch-7")
+    assert v2 == v and S.snapshot_rows(table) == 15
+    # rollback to the rolled-back-from state also works (it's a version)
+    v3 = S.snapshot_rollback(table, 3)
+    assert S.snapshot_read(spark, table).where("id = 3").count() == 0
+    assert S.snapshot_rows(table, v3) == 14
+
+
+def test_snapshot_expire_orphan_grace_spares_young_files(spark, tmp_path):
+    """clean_orphans with a grace window keeps unreferenced files younger
+    than the window (presumed in-flight) and sweeps them once aged."""
+    import glob as g
+    import os as o
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(5)), table, mode="overwrite")
+    # a crashed write: data landed, manifest never committed
+    orphan_dir = o.path.join(table, "data", "deadbeef")
+    _kv(spark, [99]).coalesce(1).write.parquet(orphan_dir)
+    orphan = g.glob(o.path.join(orphan_dir, "*.parquet"))
+    assert orphan
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True,
+                      orphan_grace_s=3600)
+    assert g.glob(o.path.join(orphan_dir, "*.parquet")) == orphan  # spared
+    # age the file past the window -> swept
+    old = __import__("time").time() - 7200
+    for p in orphan:
+        o.utime(p, (old, old))
+    o.utime(orphan_dir, (old, old))
+    S.snapshot_expire(table, keep_last=1, clean_orphans=True,
+                      orphan_grace_s=3600)
+    assert not g.glob(o.path.join(orphan_dir, "*.parquet"))
+    assert S.snapshot_read(spark, table).count() == 5
