@@ -1377,6 +1377,31 @@ def snapshot_changes(
     return ins.unionByName(dels)
 
 
+def snapshot_history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per committed version, ascending —
+    {'version', 'mode', 'n_files', 'rows', 'tombstones', 'n_columns',
+    'idempotency_key', 'rolled_back_to'} — answered from manifest lists
+    alone (O(#versions) metadata reads, zero shard or data IO)."""
+    out = []
+    for v in snapshot_versions(table):
+        m = _read_manifest(table, v)
+        sch = m.get("schema")
+        out.append(
+            {
+                "version": v,
+                "mode": m.get("mode"),
+                "n_files": sum(r["n_files"] for r in m["manifests"]),
+                "rows": sum(r["rows"] for r in m["manifests"])
+                - sum(r["rows"] for r in m.get("deletes", [])),
+                "tombstones": sum(r["rows"] for r in m.get("deletes", [])),
+                "n_columns": len(sch["fields"]) if sch else None,
+                "idempotency_key": m.get("idempotency_key"),
+                "rolled_back_to": m.get("rolled_back_to"),
+            }
+        )
+    return out
+
+
 def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int:
     """Roll the table back to `to_version`'s state by committing a NEW
     version whose manifest references exactly the old version's shards,

@@ -1353,3 +1353,29 @@ def test_snapshot_expire_orphan_grace_spares_young_files(spark, tmp_path):
                       orphan_grace_s=3600)
     assert not g.glob(o.path.join(orphan_dir, "*.parquet"))
     assert S.snapshot_read(spark, table).count() == 5
+
+
+def test_snapshot_history_describes_every_version(spark, tmp_path):
+    """DESCRIBE HISTORY from manifest metadata alone: modes, live rows,
+    tombstone counts, schema width, and rollback provenance per version."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(8)), table, mode="overwrite")
+    S.snapshot_write(
+        _kv(spark, [50]).withColumn("score", F.lit(1.0)), table,
+        mode="append", idempotency_key="batch-0",
+    )
+    S.snapshot_merge(spark, table, _kv(spark, [1]).select("id"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    S.snapshot_rollback(table, 2)
+    h = S.snapshot_history(table)
+    assert [e["version"] for e in h] == [1, 2, 3, 4]
+    assert [e["mode"] for e in h] == ["overwrite", "append", "merge",
+                                      "rollback"]
+    assert [e["rows"] for e in h] == [8, 9, 8, 9]
+    assert [e["tombstones"] for e in h] == [0, 0, 1, 0]
+    assert [e["n_columns"] for e in h] == [3, 4, 4, 4]
+    assert h[1]["idempotency_key"] == "batch-0"
+    assert h[3]["rolled_back_to"] == 2
