@@ -2,15 +2,17 @@
 
 A reference model (a plain dict key -> row) and the real table receive
 the SAME randomized op sequence — appends, CoW/MoR upserts and deletes,
-rewrite-deletes, binpack, compaction, expire — and after every op the
-table's full content must equal the model exactly, snapshot_rows must
-equal len(model), and CDF between consecutive versions must balance
-with the model diff. Seeded RNG: failures replay deterministically.
+rewrite-deletes, binpack, compaction, add-column schema evolution,
+rollback, expire — and after every op the table's full content must
+equal the model exactly, snapshot_rows must equal len(model), and CDF
+between the first and last version must balance with the model diff.
+Seeded RNG: failures replay deterministically.
 
 This is the adversarial twin of the scenario tests in test_layout.py:
 those pin designed edges; this hunts the interactions nobody designed
 (e.g. a MoR delete, then a CoW update touching the same file, then a
-binpack folding the survivor tombstones, under schema with NULL keys).
+rollback past a schema evolution, then a binpack folding the survivor
+tombstones).
 """
 
 from __future__ import annotations
@@ -22,9 +24,15 @@ import pytest
 from e02_spark.ops import snapshot as S
 
 COLS = "id BIGINT, tag STRING, amt BIGINT"
+COLS_EVOLVED = COLS + ", score DOUBLE"
 
 
-def _df(spark, rows):
+def _df(spark, rows, evolved=False):
+    if evolved:
+        return spark.createDataFrame(
+            [(k, f"t{k}-{v}", v, float(v % 7)) for k, v in rows],
+            COLS_EVOLVED,
+        )
     return spark.createDataFrame(
         [(k, f"t{k}-{v}", v) for k, v in rows], COLS
     )
@@ -37,16 +45,16 @@ def _key_df(spark, keys):
 def _table_content(spark, table):
     return {
         r["id"]: r["amt"]
-        for r in S.snapshot_read(spark, table).collect()
+        for r in S.snapshot_read(spark, table).select("id", "amt").collect()
     }
 
 
-def _apply_random_op(spark, rng, table, model, versions_seen):
+def _apply_random_op(spark, rng, table, model, ctx):
     op = rng.choice(
         ["append", "upsert_cow", "upsert_mor", "delete_cow", "delete_mor",
-         "rewrite", "binpack", "compact"]
+         "rewrite", "binpack", "compact", "evolve_append", "rollback"]
     )
-    if op == "append":
+    if op in ("append", "evolve_append"):
         fresh = [
             (k, rng.randrange(1000))
             for k in rng.sample(range(5000, 9000), rng.randrange(1, 12))
@@ -54,15 +62,18 @@ def _apply_random_op(spark, rng, table, model, versions_seen):
         ]
         if not fresh:
             return op
-        S.snapshot_write(_df(spark, fresh), table, mode="append",
+        evolved = op == "evolve_append" or ctx["evolved"]
+        S.snapshot_write(_df(spark, fresh, evolved), table, mode="append",
                          n_files=rng.choice([1, 2]), stats_cols=["id"])
+        ctx["evolved"] = evolved
         model.update(fresh)
     elif op in ("upsert_cow", "upsert_mor"):
         keys = rng.sample(sorted(set(model) | set(range(0, 400))),
                           rng.randrange(1, 15))
         rows = [(k, rng.randrange(1000)) for k in keys]
+        # update-mode sources must match the (possibly evolved) target
         S.snapshot_merge(
-            spark, table, _df(spark, rows), on=["id"],
+            spark, table, _df(spark, rows, ctx["evolved"]), on=["id"],
             strategy="mor" if op.endswith("mor") else "cow",
             n_files_new=rng.choice([1, 2]),
         )
@@ -84,7 +95,16 @@ def _apply_random_op(spark, rng, table, model, versions_seen):
         S.snapshot_binpack(spark, table, target_rows=rng.choice([50, 200]))
     elif op == "compact":
         S.snapshot_compact(spark, table, n_files=rng.choice([1, 3]))
-    versions_seen.append(S.snapshot_versions(table)[-1])
+    elif op == "rollback":
+        target = rng.choice(sorted(ctx["history"]))
+        S.snapshot_rollback(table, target)
+        past_model, past_evolved = ctx["history"][target]
+        model.clear()
+        model.update(past_model)
+        ctx["evolved"] = past_evolved
+    v = S.snapshot_versions(table)[-1]
+    ctx["versions"].append(v)
+    ctx["history"][v] = (dict(model), ctx["evolved"])
     return op
 
 
@@ -96,10 +116,11 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
     S.snapshot_write(_df(spark, init), table, mode="overwrite",
                      n_files=3, cluster_by=["id"], stats_cols=["id"])
     model = dict(init)
-    versions = [1]
+    ctx = {"versions": [1], "history": {1: (dict(init), False)},
+           "evolved": False}
     trace = []
-    for step in range(9):
-        op = _apply_random_op(spark, rng, table, model, versions)
+    for step in range(11):
+        op = _apply_random_op(spark, rng, table, model, ctx)
         trace.append(op)
         got = _table_content(spark, table)
         assert got == model, f"seed={seed} step={step} trace={trace}"
@@ -107,15 +128,27 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
             f"metadata count drift: seed={seed} step={step} trace={trace}"
         )
     # CDF start->end balances with the model diff vs the initial state
-    ch = S.snapshot_changes(spark, table, 1, versions[-1]).collect()
+    # (compared on the shared id/amt projection — evolution may have
+    # widened the feed's schema along the way)
+    last = ctx["versions"][-1]
+    ch = (
+        S.snapshot_changes(spark, table, 1, last)
+        .select("id", "amt", "_change_type")
+        .collect()
+    )
     ins = {(r["id"], r["amt"]) for r in ch if r["_change_type"] == "insert"}
     dels = {(r["id"], r["amt"]) for r in ch if r["_change_type"] == "delete"}
     start, end = dict(init), model
     expect_ins = {(k, v) for k, v in end.items() if start.get(k) != v}
     expect_del = {(k, v) for k, v in start.items() if end.get(k) != v}
-    assert ins == expect_ins and dels == expect_del, (
-        f"seed={seed} trace={trace}"
-    )
+    # Compare NET of cancelled pairs: an upsert that rewrites the same
+    # (id, amt) across the evolution boundary legitimately surfaces as a
+    # delete+insert differing only in the added column (NULL -> value) —
+    # identical on this projection, so the pair cancels out of both
+    # sides. expect_ins/expect_del are disjoint by construction, so the
+    # net comparison loses nothing there.
+    assert ins - dels == expect_ins - expect_del, f"seed={seed} trace={trace}"
+    assert dels - ins == expect_del - expect_ins, f"seed={seed} trace={trace}"
     # GC never changes the surviving snapshot
     S.snapshot_expire(table, keep_last=1, clean_orphans=True)
     assert _table_content(spark, table) == model
