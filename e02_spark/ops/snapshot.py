@@ -57,6 +57,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import threading
 import uuid
 from collections import OrderedDict
 
@@ -125,6 +126,11 @@ _SHARD_CACHE: OrderedDict[str, list[dict]] = OrderedDict()
 # accumulate every shard it ever read.  4096 shards x ~100k entries is far
 # beyond any single driver's working set; eviction only costs a re-read.
 _SHARD_CACHE_MAX = 4096
+# The cache is touched from multiple threads (concurrent merge writers,
+# streaming foreachBatch thread + driver maintenance): move_to_end /
+# popitem racing an eviction would KeyError without the lock. File reads
+# happen OUTSIDE the lock — only the OrderedDict mutation is serialized.
+_SHARD_CACHE_LOCK = threading.Lock()
 
 
 def _read_shard(table: str, ref: dict) -> list[dict]:
@@ -135,14 +141,18 @@ def _read_shard(table: str, ref: dict) -> list[dict]:
     _SHARD_CACHE_MAX) and snapshot_expire evicts deleted shards eagerly.
     Entries are returned by reference: callers must not mutate."""
     path = os.path.abspath(os.path.join(table, ref["path"]))
-    hit = _SHARD_CACHE.get(path)
-    if hit is None:
-        with open(path) as f:
-            hit = _SHARD_CACHE[path] = json.load(f)["files"]
+    with _SHARD_CACHE_LOCK:
+        hit = _SHARD_CACHE.get(path)
+        if hit is not None:
+            _SHARD_CACHE.move_to_end(path)
+            return hit
+    with open(path) as f:
+        hit = json.load(f)["files"]
+    with _SHARD_CACHE_LOCK:
+        _SHARD_CACHE[path] = hit
+        _SHARD_CACHE.move_to_end(path)
         while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
             _SHARD_CACHE.popitem(last=False)
-    else:
-        _SHARD_CACHE.move_to_end(path)
     return hit
 
 
@@ -447,11 +457,21 @@ def snapshot_read(
     get the tombstones subtracted here via one anti-join — see
     _apply_deletes. Tombstones aimed at files this prune dropped are
     inert in the anti-join (their _file never appears on the probe
-    side), so pruning and DV application compose without coordination."""
-    kept, fallback = _plan_files(table, version, prune)
+    side), so pruning and DV application compose without coordination.
+
+    Snapshot isolation holds under concurrent commits: the version is
+    resolved and its manifest read exactly ONCE, and the file plan,
+    schema, and delete vectors all derive from that single committed
+    manifest object — a commit landing mid-read can never mix its
+    tombstones or schema into the older file list (torn snapshot)."""
     versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
     v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(table, v)
+    kept, fallback = _plan_files(table, v, prune, manifest=m)
     sch = m.get("schema")
     if sch is not None:
         from pyspark.sql.types import StructType
@@ -478,18 +498,23 @@ def _plan_files(
     version: int | None,
     prune: tuple[str, object, object] | None,
     shards_opened: list | None = None,
+    manifest: dict | None = None,
 ) -> tuple[list[str], str | None]:
     """Manifest-level scan planning: (pruned file paths, one schema
     fallback path or None if the snapshot is empty). shards_opened, if
     given, collects the shard refs actually loaded — the two-level-prune
-    observability hook the tests pin."""
-    versions = snapshot_versions(table)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {table}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
-    manifest = _read_manifest(table, v)
+    observability hook the tests pin. Callers that already hold a pinned
+    committed manifest pass it via `manifest` so the plan derives from
+    exactly that version (snapshot isolation: no second latest-resolve
+    that a racing commit could tear)."""
+    if manifest is None:
+        versions = snapshot_versions(table)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {table}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+        manifest = _read_manifest(table, v)
     if prune is not None:
         # coerce temporal probe bounds to the stored isoformat-string
         # encoding once, up front (see _probe_value); an uncoercible
@@ -598,25 +623,55 @@ def snapshot_compact(
     n_files: int = 1,
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    max_retries: int = 3,
 ) -> int:
     """Rewrite the CURRENT snapshot into n_files files and commit the
     result as a new overwrite version. Contents are preserved exactly;
     readers of any prior version are untouched (their files are not
     deleted until snapshot_expire) — compaction under snapshot isolation,
     the durable answer to the stage-and-swap dance compact_partitions
-    needs on a bare directory table."""
-    cur = snapshot_read(spark, table)
-    sc = stats_cols
-    if sc is None:
-        versions = snapshot_versions(table)
-        sc = _read_manifest(table, versions[-1]).get("stats_cols", [])
-    return snapshot_write(
-        cur,
-        table,
-        mode="overwrite",
-        n_files=n_files,
-        cluster_by=cluster_by,
-        stats_cols=sc,
+    needs on a bare directory table.
+
+    Optimistic like every other maintenance op: base is captured INSIDE
+    the retry loop and a lost commit race re-reads and rewrites against
+    the new latest version — a concurrent append landing between
+    compact's read and its commit is picked up by the replan, never
+    silently dropped by a stale overwrite bumping the version number."""
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        sc = stats_cols if stats_cols is not None else prev.get("stats_cols", [])
+        cur = snapshot_read(spark, table, version=base)
+        if cluster_by:
+            out = cur.repartitionByRange(n_files, *cluster_by)
+            out = out.sortWithinPartitions(*cluster_by)
+        else:
+            out = cur.repartition(n_files)
+        commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+        out.write.mode("error").parquet(commit_dir)
+        new_entries = _harvest_stats(
+            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+        )
+        refs = [
+            _write_shard(table, new_entries[i : i + 100_000])
+            for i in range(0, max(len(new_entries), 1), 100_000)
+        ]
+        manifest = {
+            "version": base + 1,
+            "mode": "overwrite",
+            "stats_cols": sorted(sc),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": refs,
+            "deletes": [],  # tombstones were folded into the rewrite
+            "schema": prev.get("schema"),
+        }
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+        # lost the race: this attempt's files are expire-collectable
+        # orphans; replan against the new latest snapshot
+    raise RuntimeError(
+        f"snapshot_compact lost {max_retries} consecutive commit races on {table}"
     )
 
 
@@ -991,6 +1046,13 @@ def snapshot_merge(
     source keys under 'update' raise (the MERGE ambiguity error every
     engine throws) — under 'delete' duplicates are harmless and allowed.
     In delete mode `source` may carry the key columns only.
+    DUPLICATE-KEY TARGET rows deviate from Delta/Iceberg on purpose:
+    'update' drops/tombstones EVERY matched target row but appends the
+    source row ONCE, collapsing a duplicated target key to a single row
+    (the source is the authority on what the key's state is) — engines
+    that model MERGE as a row-level join instead update each matched row
+    and preserve target multiplicity. Callers relying on duplicate
+    target keys surviving an upsert must dedup-check the target first.
 
     strategy='mor' (merge-on-read) produces the SAME logical result
     without rewriting any data file: matched live rows are tombstoned by
@@ -1066,7 +1128,9 @@ def snapshot_merge(
             base = snapshot_versions(table)[-1]
             prev = _read_manifest(table, base)
             dv = _dv_frame(spark, table, prev)
-            candidates, _ = _plan_files(table, base, (k0, b["lo"], b["hi"]))
+            candidates, _ = _plan_files(
+                table, base, (k0, b["lo"], b["hi"]), manifest=prev
+            )
             n_all = sum(r["n_files"] for r in prev["manifests"])
             # live matched rows, keyed by physical position: candidate
             # files scanned key-columns-only, existing tombstones
@@ -1523,7 +1587,8 @@ def snapshot_expire(
             os.remove(path)
             deleted += 1
     for path in shard_victims:
-        _SHARD_CACHE.pop(path, None)  # deleted shard must not ghost-serve
+        with _SHARD_CACHE_LOCK:
+            _SHARD_CACHE.pop(path, None)  # deleted shard must not ghost-serve
         if os.path.exists(path):
             os.remove(path)
     # drop commit dirs holding no parquet anymore (only _SUCCESS/.crc

@@ -114,14 +114,16 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
             st = {"outer": spark.conf.get(key), "frames": []}
             _SCOPE_STATE[sid] = st
             spark.conf.set(key, str(n))
-            st["frames"].append({"n": n, "count": 1, "tids": {tid}})
+            frame = {"n": n, "count": 1, "tids": {tid}}
+            st["frames"].append(frame)
         elif st["frames"][-1]["n"] == n:
-            top = st["frames"][-1]
-            top["count"] += 1
-            top["tids"].add(tid)
+            frame = st["frames"][-1]
+            frame["count"] += 1
+            frame["tids"].add(tid)
         elif all(f["tids"] == {tid} for f in st["frames"]):
             spark.conf.set(key, str(n))  # same-thread nested scope
-            st["frames"].append({"n": n, "count": 1, "tids": {tid}})
+            frame = {"n": n, "count": 1, "tids": {tid}}
+            st["frames"].append(frame)
         else:
             raise RuntimeError(
                 "scoped_shuffle_partitions conflict: active scope has "
@@ -132,11 +134,20 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
     try:
         yield
     finally:
+        # decrement the EXACT frame this scope joined (never blindly the
+        # top: a different-thread scope may have merged into a frame that
+        # is no longer top by exit time, and decrementing the top would
+        # tear down an inner frame another thread still holds). A non-top
+        # frame reaching zero stays in place — its width is shadowed by
+        # the active inner frame — and is popped when the frames above it
+        # unwind; conf is only restored when the top actually pops.
         with _SCOPE_LOCK:
-            top = st["frames"][-1]
-            top["count"] -= 1
-            if top["count"] == 0:
+            frame["count"] -= 1
+            popped = False
+            while st["frames"] and st["frames"][-1]["count"] == 0:
                 st["frames"].pop()
+                popped = True
+            if popped:
                 if st["frames"]:
                     spark.conf.set(key, str(st["frames"][-1]["n"]))
                 else:
