@@ -659,6 +659,9 @@ def snapshot_compact(
         manifest = {
             "version": base + 1,
             "mode": "overwrite",
+            # content-preserving maintenance: CDF consumers skip this
+            # version step entirely (the Delta dataChange=false shape)
+            "data_change": False,
             "stats_cols": sorted(sc),
             "idempotency_key": None,
             "keys": prev.get("keys", sorted(committed_keys(table))),
@@ -755,6 +758,7 @@ def snapshot_binpack(
         manifest = {
             "version": base + 1,
             "mode": "binpack",
+            "data_change": False,  # content-preserving: CDF-silent step
             "stats_cols": sorted(sc),
             "idempotency_key": None,
             "keys": prev.get("keys", sorted(committed_keys(table))),
@@ -840,6 +844,7 @@ def snapshot_rewrite_deletes(
         manifest = {
             "version": base + 1,
             "mode": "rewrite_deletes",
+            "data_change": False,  # content-preserving: CDF-silent step
             "stats_cols": sorted(sc),
             "idempotency_key": None,
             "keys": prev.get("keys", sorted(committed_keys(table))),
@@ -1366,6 +1371,15 @@ def snapshot_changes(
             raise ValueError(f"version {v} not in {versions}")
     ma = _read_manifest(table, from_version)
     mb = _read_manifest(table, to_version)
+    # fast path: every step in the range is a content-preserving
+    # maintenance commit (compact/binpack/rewrite_deletes stamp
+    # data_change=False) — the feed is provably empty, skip the scans
+    steps = [v for v in versions if from_version < v <= to_version]
+    if steps and all(
+        _read_manifest(table, v).get("data_change") is False for v in steps
+    ):
+        base = snapshot_read(spark, table, version=to_version).limit(0)
+        return base.withColumn("_change_type", F.lit("insert")).limit(0)
     a = {
         os.path.abspath(os.path.join(table, e["path"]))
         for e in _all_entries(table, ma)

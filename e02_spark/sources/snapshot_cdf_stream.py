@@ -1,0 +1,356 @@
+"""Streaming CHANGE-DATA-FEED source over the snapshot-manifest table
+(ops/snapshot.py) — the Delta `readChangeFeed` shape, and the consumer
+that survives the maintenance operations the append-only
+`snapshot_stream` source must fence on.
+
+Contract: rows are the table's columns plus
+    _change_type    STRING  'insert' | 'delete'
+    _commit_version BIGINT  the version whose commit produced the change
+i.e. exactly the batch `ops/snapshot.snapshot_changes` shape (which
+`ops/ivm.apply_agg_delta` consumes), with commit provenance added — an
+update appears as its delete+insert pair.
+
+Planning (all driver-side, all from metadata — no Spark jobs):
+
+- OFFSETS are snapshot VERSION numbers, identical to snapshot_stream:
+  `{"version": N}` = "changes of every commit <= vN emitted". Replay of
+  any (start, end] range is byte-stable because version content is
+  immutable.
+- The range is planned PER VERSION STEP (v -> v+1), never as one
+  endpoint diff: per-step semantics make maintenance skipping exact and
+  stamp each row with its true _commit_version.
+- A step whose manifest carries `data_change: false`
+  (compact / binpack / rewrite_deletes) provably preserved table
+  content: the step contributes NOTHING — this is what lets a streamed
+  table undergo compaction without fencing or churning O(table)
+  delete+insert pairs through the feed.
+- A data-changing step contributes one InputPartition per CHANGED file:
+    * file added in the step   -> its rows minus the step's tombstones
+                                  on it               => 'insert'
+    * file removed in the step -> its rows minus the PRIOR version's
+                                  tombstones on it    => 'delete'
+    * file common to both sides with a tombstone DELTA (merge-on-read):
+      rows AT newly-tombstoned positions => 'delete'; rows at positions
+      un-tombstoned (algebraically possible, practically rare)
+      => 'insert'.
+  Positional-delete files are small by invariant (bounded by rows
+  matched since the last rewrite), so their position sets are read
+  driver-side with pyarrow and shipped inside the partition — the
+  executor read stays a single-file Arrow scan with a row-index filter,
+  no joins.
+- Cost per micro-batch is O(changed files + tombstone bytes), never
+  O(table): an append streams only its new files, a MoR merge streams
+  only the tombstoned positions and the appended replacements, and
+  maintenance streams nothing.
+
+Equality-delete commits (snapshot_merge strategy='eq') are FENCED with a
+named error: applying a key-valued tombstone executor-side would need a
+join against every candidate file, which breaks the per-file partition
+model — consume the batch `snapshot_changes` for such ranges (it applies
+eq-deletes exactly), or run `snapshot_rewrite_deletes` before resuming.
+
+Usage:
+    spark.dataSource.register(SnapshotCDFStreamDataSource)
+    df = (spark.readStream.format("snapshot_changes_stream")
+          .option("table", "/path/to/tbl").load())
+or `read_snapshot_changes_stream(spark, table)`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_CDF_COLS_JSON = (
+    '{"name":"_change_type","type":"string","nullable":false,"metadata":{}},'
+    '{"name":"_commit_version","type":"long","nullable":false,"metadata":{}}'
+)
+
+
+def _dv_positions(table: str, manifest: dict) -> dict[str, frozenset[int]]:
+    """Per-data-file tombstoned-position sets of one committed manifest,
+    read driver-side with pyarrow (DV files are small by the module's
+    maintenance invariant). Memoized per DV file path — DV files are
+    immutable once referenced."""
+    from ..ops.snapshot import _all_entries
+
+    out: dict[str, set[int]] = {}
+    for e in _all_entries(table, manifest, "deletes"):
+        path = os.path.abspath(os.path.join(table, e["path"]))
+        for f, p in _read_dv_file(path):
+            out.setdefault(f, set()).add(p)
+    return {f: frozenset(s) for f, s in out.items()}
+
+
+_DV_FILE_MEMO: dict[str, list[tuple[str, int]]] = {}
+
+
+def _read_dv_file(path: str) -> list[tuple[str, int]]:
+    hit = _DV_FILE_MEMO.get(path)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["_file", "_pos"])
+        hit = _DV_FILE_MEMO[path] = list(
+            zip(t.column("_file").to_pylist(), t.column("_pos").to_pylist())
+        )
+        if len(_DV_FILE_MEMO) > 1024:  # bounded: DV files are re-readable
+            _DV_FILE_MEMO.pop(next(iter(_DV_FILE_MEMO)))
+    return hit
+
+
+class _ChangeSlice(InputPartition):
+    """One changed file's contribution to a micro-batch.
+
+    include: emit ONLY these row indices (tombstone-delta slices);
+    exclude: emit all rows EXCEPT these (added/removed-file slices);
+    at most one of the two is non-None."""
+
+    def __init__(
+        self,
+        path: str,
+        change_type: str,
+        commit_version: int,
+        schema_json: str,
+        include: tuple[int, ...] | None = None,
+        exclude: tuple[int, ...] | None = None,
+    ):
+        self.path = path
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.schema_json = schema_json
+        self.include = include
+        self.exclude = exclude
+
+
+class SnapshotCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError(
+                "snapshot_changes_stream requires .option('table', path)"
+            )
+        self.start_version = int(options.get("startingversion", 0))
+        import json
+
+        from ..ops.snapshot import _read_manifest, snapshot_versions
+
+        versions = snapshot_versions(self.table)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed snapshots under {self.table}"
+            )
+        sch = _read_manifest(self.table, versions[-1]).get("schema")
+        if sch is None:
+            raise ValueError(
+                "snapshot_changes_stream needs a manifest-recorded schema "
+                "(tables written before schema tracking must be compacted "
+                "once to record one)"
+            )
+        self._schema_json = json.dumps(sch)
+
+    # -- driver-side planning ------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from ..ops.snapshot import snapshot_versions
+
+        versions = snapshot_versions(self.table)
+        return {"version": versions[-1] if versions else 0}
+
+    def _manifest_or_lag_error(self, version: int) -> dict:
+        from ..ops.snapshot import _read_manifest
+
+        try:
+            return _read_manifest(self.table, version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot_changes_stream needs v{version} of {self.table} "
+                f"but snapshot_expire collected it — restart from a fresh "
+                f"checkpoint (keep expire's keep_last above the slowest "
+                f"consumer's lag)"
+            ) from None
+
+    def partitions(self, start: dict, end: dict):
+        from ..ops.snapshot import _all_entries, snapshot_versions
+
+        lo, hi = start["version"], end["version"]
+        steps = [v for v in snapshot_versions(self.table) if lo < v <= hi]
+        out: list[_ChangeSlice] = []
+        prev_m = self._manifest_or_lag_error(lo) if lo > 0 else None
+        for v in steps:
+            m = self._manifest_or_lag_error(v)
+            try:
+                if m.get("data_change") is False:
+                    continue  # maintenance step: provably content-neutral
+                prev_eq = (prev_m.get("eq_deletes") if prev_m else None) or []
+                if (m.get("eq_deletes") or []) != prev_eq:
+                    raise ValueError(
+                        f"snapshot_changes_stream: v{v} of {self.table} "
+                        f"changed EQUALITY deletes — key-valued tombstones "
+                        f"cannot be applied in per-file stream partitions; "
+                        f"consume batch snapshot_changes for this range or "
+                        f"run snapshot_rewrite_deletes before resuming"
+                    )
+                a = (
+                    {e["path"] for e in _all_entries(self.table, prev_m)}
+                    if prev_m is not None
+                    else set()
+                )
+                b = {e["path"] for e in _all_entries(self.table, m)}
+                dv_a = (
+                    _dv_positions(self.table, prev_m)
+                    if prev_m is not None and prev_m.get("deletes")
+                    else {}
+                )
+                dv_b = (
+                    _dv_positions(self.table, m) if m.get("deletes") else {}
+                )
+                for p in sorted(b - a):  # added files -> inserts
+                    out.append(
+                        _ChangeSlice(
+                            os.path.join(self.table, p), "insert", v,
+                            self._schema_json,
+                            exclude=tuple(sorted(dv_b.get(p, ()))),
+                        )
+                    )
+                for p in sorted(a - b):  # removed files -> deletes
+                    out.append(
+                        _ChangeSlice(
+                            os.path.join(self.table, p), "delete", v,
+                            self._schema_json,
+                            exclude=tuple(sorted(dv_a.get(p, ()))),
+                        )
+                    )
+                for p in sorted(a & b):  # tombstone deltas on kept files
+                    d0 = dv_a.get(p, frozenset())
+                    d1 = dv_b.get(p, frozenset())
+                    newly = d1 - d0
+                    gone = d0 - d1
+                    if newly:
+                        out.append(
+                            _ChangeSlice(
+                                os.path.join(self.table, p), "delete", v,
+                                self._schema_json,
+                                include=tuple(sorted(newly)),
+                            )
+                        )
+                    if gone:
+                        out.append(
+                            _ChangeSlice(
+                                os.path.join(self.table, p), "insert", v,
+                                self._schema_json,
+                                include=tuple(sorted(gone)),
+                            )
+                        )
+            finally:
+                prev_m = m
+        return out
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream's checkpoint; nothing to GC
+
+    # -- executor-side read --------------------------------------------------
+    def read(self, partition: _ChangeSlice):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        tbl_schema = StructType.fromJson(json.loads(partition.schema_json))
+        want = to_arrow_schema(tbl_schema)
+        pf = pq.ParquetFile(partition.path)
+        have = set(pf.schema_arrow.names)
+        import numpy as np
+
+        include = (
+            np.asarray(partition.include, dtype=np.int64)
+            if partition.include is not None
+            else None
+        )
+        exclude = (
+            np.asarray(partition.exclude, dtype=np.int64)
+            if partition.exclude
+            else None
+        )
+        offset = 0
+        for batch in pf.iter_batches(
+            columns=[n for n in want.names if n in have]
+        ):
+            n = batch.num_rows
+            mask = None
+            idx = None
+            if include is not None or exclude is not None:
+                idx = np.arange(offset, offset + n, dtype=np.int64)
+            if include is not None:
+                mask = np.isin(idx, include)
+            elif exclude is not None:
+                mask = ~np.isin(idx, exclude)
+            offset += n
+            if mask is not None:
+                batch = batch.filter(pa.array(mask))
+                if batch.num_rows == 0:
+                    continue
+            cols = []
+            for field in want:
+                if field.name in have:
+                    cols.append(batch.column(field.name).cast(field.type))
+                else:  # file predates this column: NULL backfill
+                    cols.append(pa.nulls(batch.num_rows, type=field.type))
+            m = batch.num_rows
+            cols.append(pa.array([partition.change_type] * m, type=pa.string()))
+            cols.append(
+                pa.array([partition.commit_version] * m, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                schema=pa.schema(
+                    list(want)
+                    + [
+                        pa.field("_change_type", pa.string(), False),
+                        pa.field("_commit_version", pa.int64(), False),
+                    ]
+                ),
+            )
+
+
+class SnapshotCDFStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_changes_stream"
+
+    def schema(self):
+        import json
+
+        from pyspark.sql.types import StructType
+
+        base = json.loads(
+            SnapshotCDFStreamReader(self.options)._schema_json
+        )
+        base["fields"] += json.loads(f"[{_CDF_COLS_JSON}]")
+        return StructType.fromJson(base)
+
+    def streamReader(self, schema):
+        return SnapshotCDFStreamReader(self.options)
+
+
+def read_snapshot_changes_stream(spark, table: str, starting_version: int = 0):
+    """Convenience: register the source and open a change-feed stream over
+    `table` from (exclusive) `starting_version` — 0 replays the whole
+    table's history as inserts (plus any later deletes)."""
+    spark.dataSource.register(SnapshotCDFStreamDataSource)
+    return (
+        spark.readStream.format("snapshot_changes_stream")
+        .option("table", table)
+        .option("startingVersion", starting_version)
+        .load()
+    )

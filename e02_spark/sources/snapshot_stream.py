@@ -117,8 +117,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 f"v{start['version']} and v{end['version']}: "
                 f"{len(removed)} file(s) removed, "
                 f"{tombs_b - tombs_a:+d} tombstone(s) — pause the stream "
-                f"across compaction/merge maintenance or consume "
-                f"snapshot_changes instead"
+                f"across compaction/merge maintenance or consume the "
+                f"change feed instead (snapshot_changes_stream / batch "
+                f"snapshot_changes)"
             )
         return [
             _FileSlice(os.path.join(self.table, p), self._schema_json)

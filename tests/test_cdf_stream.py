@@ -1,0 +1,228 @@
+"""Streaming change-data-feed source (sources/snapshot_cdf_stream.py):
+replay-as-inserts, per-step commit provenance, MoR-merge tombstone
+deltas landing mid-stream, maintenance silence (data_change=false
+steps), net-effect correctness vs the committed snapshots, interop with
+the append-only source's fence, and IVM state maintained purely from
+the stream matching a full recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e02_spark.ops import snapshot as S
+from e02_spark.sources.snapshot_cdf_stream import (
+    SnapshotCDFStreamReader,
+    read_snapshot_changes_stream,
+)
+from e02_spark.sources.snapshot_stream import SnapshotStreamReader
+
+
+def _drain(spark, df, ck):
+    out = []
+    q = (
+        df.writeStream.foreachBatch(lambda b, i: out.append((i, b.collect())))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(120)
+    return [r for _, b in out for r in b]
+
+
+def test_cdf_stream_replay_and_commit_versions(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    S.snapshot_write(spark.range(0, 10).selectExpr("id", "id*2 AS v"),
+                     tbl, mode="overwrite", n_files=2)
+    S.snapshot_write(spark.range(10, 25).selectExpr("id", "id*2 AS v"),
+                     tbl, mode="append", n_files=3)
+    df = read_snapshot_changes_stream(spark, tbl)
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,v:bigint,_change_type:string,_commit_version:bigint>"
+    )
+    rows = _drain(spark, df, ck)
+    assert len(rows) == 25
+    assert all(r["_change_type"] == "insert" for r in rows)
+    by_ver = {r["id"]: r["_commit_version"] for r in rows}
+    assert by_ver[5] == 1 and by_ver[20] == 2
+    # restart from the checkpoint: only the new commit's changes arrive
+    S.snapshot_write(spark.range(100, 103).selectExpr("id", "id*2 AS v"),
+                     tbl, mode="append")
+    rows2 = _drain(spark, read_snapshot_changes_stream(spark, tbl), ck)
+    assert sorted(r["id"] for r in rows2) == [100, 101, 102]
+    assert {r["_commit_version"] for r in rows2} == {3}
+
+
+def test_cdf_stream_survives_mor_merge_and_maintenance(spark, tmp_path):
+    """The headline scenario: a MoR merge (delete + upsert) lands
+    MID-STREAM; the change stream emits exactly the tombstone-delta
+    deletes plus the appended inserts, then binpack/rewrite/compact
+    maintenance emits NOTHING."""
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    S.snapshot_write(
+        spark.range(0, 40).selectExpr("id", "CAST(id % 4 AS STRING) AS g",
+                                      "id * 10 AS x"),
+        tbl, mode="overwrite", n_files=4, cluster_by=["id"],
+        stats_cols=["id"],
+    )
+    rows1 = _drain(spark, read_snapshot_changes_stream(spark, tbl), ck)
+    assert len(rows1) == 40 and all(
+        r["_change_type"] == "insert" for r in rows1
+    )
+    # -- merge lands between drains (same checkpoint = same stream) --
+    S.snapshot_merge(
+        spark, tbl, spark.range(0, 40, 5).selectExpr("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    upd = spark.range(1, 40, 10).selectExpr(
+        "id", "'U' AS g", "id * 100 AS x"
+    )
+    S.snapshot_merge(spark, tbl, upd, on=["id"], when_matched="update",
+                     insert_not_matched=True, strategy="mor")
+    rows2 = _drain(spark, read_snapshot_changes_stream(spark, tbl), ck)
+    dels = [r for r in rows2 if r["_change_type"] == "delete"]
+    ins = [r for r in rows2 if r["_change_type"] == "insert"]
+    assert sorted(r["id"] for r in dels) == sorted(
+        list(range(0, 40, 5)) + list(range(1, 40, 10))
+    )
+    assert sorted(r["id"] for r in ins) == [1, 11, 21, 31]
+    assert all(r["g"] == "U" and r["x"] == r["id"] * 100 for r in ins)
+    assert {r["_commit_version"] for r in dels} == {2, 3}
+    # -- content-preserving maintenance: the feed stays silent --
+    S.snapshot_rewrite_deletes(spark, tbl, n_files_new=2)
+    S.snapshot_binpack(spark, tbl, target_rows=100)
+    S.snapshot_compact(spark, tbl, n_files=1)
+    rows3 = _drain(spark, read_snapshot_changes_stream(spark, tbl), ck)
+    assert rows3 == []
+    # batch CDF short-circuit agrees: all-maintenance range is empty
+    assert (
+        S.snapshot_changes(spark, tbl, 3, S.snapshot_versions(tbl)[-1])
+        .count()
+        == 0
+    )
+
+
+def test_cdf_stream_net_effect_matches_snapshots(spark, tmp_path):
+    """from-state + inserts - deletes == to-state as MULTISETS, across a
+    CoW merge step (file removals + additions, including rewritten-but-
+    unchanged rows that the stream emits as self-cancelling pairs)."""
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    S.snapshot_write(
+        spark.range(0, 30).selectExpr("id", "id % 3 AS m"), tbl,
+        mode="overwrite", n_files=3, cluster_by=["id"], stats_cols=["id"],
+    )
+    _drain(spark, read_snapshot_changes_stream(spark, tbl), ck)
+    S.snapshot_merge(
+        spark, tbl,
+        spark.range(0, 30, 7).selectExpr("id", "99 AS m"),
+        on=["id"], when_matched="update", insert_not_matched=True,
+    )  # CoW: rewrites the touched files
+    rows = _drain(spark, read_snapshot_changes_stream(spark, tbl), ck)
+    ins = spark.createDataFrame(
+        [(r["id"], r["m"]) for r in rows if r["_change_type"] == "insert"]
+        or [(None, None)], "id bigint, m bigint",
+    ).where("id IS NOT NULL")
+    dels = spark.createDataFrame(
+        [(r["id"], r["m"]) for r in rows if r["_change_type"] == "delete"]
+        or [(None, None)], "id bigint, m bigint",
+    ).where("id IS NOT NULL")
+    v_from = S.snapshot_read(spark, tbl, version=1).select("id", "m")
+    v_to = S.snapshot_read(spark, tbl).select("id", "m")
+    applied = v_from.unionByName(ins).exceptAll(dels)
+    assert applied.exceptAll(v_to).count() == 0
+    assert v_to.exceptAll(applied).count() == 0
+
+
+def test_cdf_stream_fence_interop_with_append_only_source(spark, tmp_path):
+    """The exact range that fences the append-only snapshot_stream source
+    is consumable through the change stream."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(10).selectExpr("id", "id AS v"), tbl,
+                     mode="overwrite", n_files=2)
+    S.snapshot_merge(spark, tbl, spark.range(1, 3).selectExpr("id"),
+                     on=["id"], when_matched="delete",
+                     insert_not_matched=False, strategy="mor")
+    r_app = SnapshotStreamReader({"table": tbl})
+    with pytest.raises(ValueError, match="append-only contract"):
+        r_app.partitions({"version": 1}, {"version": 2})
+    r_cdf = SnapshotCDFStreamReader({"table": tbl})
+    parts = r_cdf.partitions({"version": 1}, {"version": 2})
+    # tombstone-delta slices only (no file added/removed), one per
+    # touched data file, covering both deleted positions
+    assert parts and all(p.change_type == "delete" for p in parts)
+    assert sum(len(p.include) for p in parts) == 2
+    # replay stability: same range, same plan
+    parts2 = r_cdf.partitions({"version": 1}, {"version": 2})
+    assert [(p.path, p.include) for p in parts] == [
+        (p.path, p.include) for p in parts2
+    ]
+
+
+def test_cdf_stream_drives_ivm_to_recompute_parity(spark, tmp_path):
+    """Maintain a materialized aggregate PURELY from the change stream —
+    across appends, a MoR merge, and silent maintenance — and land
+    bit-exact on the full recompute."""
+    from e02_spark.ops.ivm import apply_agg_delta, materialize_agg
+
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    keys, sums = ["g"], {"sx": "x"}
+    S.snapshot_write(
+        spark.range(0, 60).selectExpr("id", "CAST(id % 5 AS STRING) AS g",
+                                      "id * 1.5 AS x"),
+        tbl, mode="overwrite", n_files=3, cluster_by=["id"],
+        stats_cols=["id"],
+    )
+    state = materialize_agg(
+        S.snapshot_read(spark, tbl).limit(0), keys, sums
+    ).localCheckpoint()
+
+    def fold():
+        nonlocal state
+        rows = read_snapshot_changes_stream(spark, tbl).drop(
+            "_commit_version"
+        )
+        out = []
+        q = (
+            rows.writeStream.foreachBatch(
+                lambda b, i: out.append(b.localCheckpoint())
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+        for b in out:
+            state = apply_agg_delta(state, b, keys, sums).localCheckpoint()
+
+    fold()
+    S.snapshot_write(
+        spark.range(60, 90).selectExpr("id", "CAST(id % 5 AS STRING) AS g",
+                                       "id * 1.5 AS x"),
+        tbl, mode="append", n_files=2,
+    )
+    fold()
+    S.snapshot_merge(
+        spark, tbl, spark.range(0, 90, 4).selectExpr("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    S.snapshot_binpack(spark, tbl, target_rows=200)
+    fold()
+    recompute = materialize_agg(S.snapshot_read(spark, tbl), keys, sums)
+    diff = state.exceptAll(recompute).unionByName(
+        recompute.exceptAll(state)
+    )
+    assert diff.count() == 0
+
+
+def test_cdf_stream_expired_offset_raises_named_error(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(5).selectExpr("id"), tbl, mode="overwrite")
+    S.snapshot_write(spark.range(5, 9).selectExpr("id"), tbl, mode="append")
+    S.snapshot_expire(tbl, keep_last=1)
+    r = SnapshotCDFStreamReader({"table": tbl})
+    with pytest.raises(ValueError, match="snapshot_expire collected"):
+        r.partitions({"version": 1}, {"version": 2})
