@@ -390,13 +390,23 @@ def snapshot_write(
     # which under cluster_by's repartitionByRange IS cluster-key order,
     # so per-shard aggregate bounds stay tight and shard-level pruning
     # works WITHIN one commit.
-    new_refs = [
-        _write_shard(table, new_entries[i : i + max_files_per_shard])
-        for i in range(0, max(len(new_entries), 1), max_files_per_shard)
-    ]
+    new_refs, stamped_seq = None, None
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         base = versions[-1] if versions else 0
+        # entries carry the committing version as their data SEQUENCE
+        # number (the Iceberg shape): equality deletes apply only to
+        # rows in files with seq < the delete's seq, so shards are
+        # (re)written inside the loop — a lost race re-stamps at the
+        # new version (the stale attempt's shards become orphans).
+        if stamped_seq != base + 1:
+            for e in new_entries:
+                e["seq"] = base + 1
+            new_refs = [
+                _write_shard(table, new_entries[i : i + max_files_per_shard])
+                for i in range(0, max(len(new_entries), 1), max_files_per_shard)
+            ]
+            stamped_seq = base + 1
         prev = _read_manifest(table, base) if versions else None
         if prev is not None and "keys" in prev:
             prev_keys = set(prev["keys"])
@@ -407,12 +417,16 @@ def snapshot_write(
         if mode == "append" and prev is not None:
             refs = prev["manifests"] + new_refs
             # tombstones ride along: an append must not resurrect rows a
-            # prior merge-on-read delete tombstoned
+            # prior merge-on-read delete tombstoned; equality deletes
+            # likewise (they cannot touch the new files anyway — those
+            # carry seq = base+1, above every existing delete's seq)
             del_refs = prev.get("deletes", [])
+            eq_refs = prev.get("eq_deletes", [])
             sch = _evolve_schema(prev.get("schema"), df, "append")
         else:
             refs = new_refs
             del_refs = []  # overwrite replaces content, tombstones and all
+            eq_refs = []
             sch = _evolve_schema(None, df, "overwrite")
         if idempotency_key is not None:
             prev_keys.add(idempotency_key)
@@ -424,6 +438,7 @@ def snapshot_write(
             "keys": sorted(prev_keys),
             "manifests": refs,
             "deletes": del_refs,
+            "eq_deletes": eq_refs,
             "schema": sch,
         }
         if _try_commit(table, base + 1, manifest):
@@ -487,10 +502,11 @@ def snapshot_read(
     # the manifest schema — not the file union — is the read contract:
     # files that predate an added column serve NULL for it (explicit-
     # schema parquet reads fill missing columns), so add-only schema
-    # evolution needs no file rewrite and no mergeSchema footer sweep
-    reader = spark.read.schema(sch) if sch is not None else spark.read
+    # evolution needs no file rewrite and no mergeSchema footer sweep;
+    # _live_rows then subtracts both delete flavors (positional DVs,
+    # equality deletes) in metadata-sized broadcast anti-joins
     dv = _dv_frame(spark, table, m)
-    return _apply_deletes(reader.parquet(*kept), dv)
+    return _live_rows(spark, table, m, kept, dv)
 
 
 def _plan_files(
@@ -565,6 +581,13 @@ def snapshot_rows(table: str, version: int | None = None) -> int:
     if v is None:
         raise FileNotFoundError(f"no committed snapshots under {table}")
     m = _read_manifest(table, v)
+    if m.get("eq_deletes"):
+        raise ValueError(
+            f"snapshot_rows: v{v} of {table} carries EQUALITY deletes — "
+            f"a key may delete zero or many rows, so the metadata count "
+            f"is not derivable; run snapshot_rewrite_deletes to restore "
+            f"it, or count via snapshot_read"
+        )
     return sum(r["rows"] for r in m["manifests"]) - sum(
         r["rows"] for r in m.get("deletes", [])
     )
@@ -593,6 +616,12 @@ def snapshot_agg(
     if v is None:
         raise FileNotFoundError(f"no committed snapshots under {table}")
     m = _read_manifest(table, v)
+    if m.get("eq_deletes"):
+        # neither the count nor the bounds are metadata-derivable under
+        # equality deletes (a key may hide rows anywhere) — the Iceberg
+        # agg-pushdown honesty rule, extended to COUNT(*)
+        return {"rows": None, "min": None, "max": None,
+                "exact_bounds": False}
     out = {
         "rows": snapshot_rows(table, v),
         "min": None,
@@ -652,6 +681,8 @@ def snapshot_compact(
         new_entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
         )
+        for e in new_entries:
+            e["seq"] = base + 1
         refs = [
             _write_shard(table, new_entries[i : i + 100_000])
             for i in range(0, max(len(new_entries), 1), 100_000)
@@ -666,7 +697,8 @@ def snapshot_compact(
             "idempotency_key": None,
             "keys": prev.get("keys", sorted(committed_keys(table))),
             "manifests": refs,
-            "deletes": [],  # tombstones were folded into the rewrite
+            "deletes": [],  # both delete flavors folded into the rewrite
+            "eq_deletes": [],
             "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -724,10 +756,13 @@ def snapshot_binpack(
             }
         touched_rel = {e["path"] for e in small}
         rows_in = sum(e["rows"] for e in small)
-        surv = _reader(spark, prev).parquet(
-            *sorted(os.path.join(table, p) for p in touched_rel)
+        # _live_rows folds positional tombstones AND equality deletes
+        # into the rewrite — the repacked files' new seq exempts their
+        # surviving rows from the old eq files, so both must apply here
+        surv = _live_rows(
+            spark, table, prev,
+            sorted(os.path.join(table, p) for p in touched_rel), dv,
         )
-        surv = _apply_deletes(surv, dv)
         n_out = max(1, -(-rows_in // target_rows))  # ceil
         if cluster_by:
             out = surv.repartitionByRange(n_out, *cluster_by)
@@ -740,6 +775,8 @@ def snapshot_binpack(
         new_entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
         )
+        for e in new_entries:
+            e["seq"] = base + 1  # eq deletes were folded into the rewrite
         refs = []
         for ref in prev["manifests"]:
             entries = _read_shard(table, ref)
@@ -755,6 +792,8 @@ def snapshot_binpack(
         # tombstones on rewritten files were folded in; the rest carry.
         # every tombstoned file qualified as `small`, so the survivor set
         # is provably empty — deletes reset without a probe job.
+        # Equality deletes carry untouched (they still shadow the
+        # not-rewritten files; the repacked files' new seq exempts them).
         manifest = {
             "version": base + 1,
             "mode": "binpack",
@@ -764,6 +803,7 @@ def snapshot_binpack(
             "keys": prev.get("keys", sorted(committed_keys(table))),
             "manifests": refs,
             "deletes": [],
+            "eq_deletes": prev.get("eq_deletes", []),
             "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -785,49 +825,80 @@ def snapshot_rewrite_deletes(
     cluster_by: list[str] | None = None,
     max_retries: int = 3,
 ) -> dict:
-    """Minor compaction: fold the current snapshot's positional delete
-    files back into the data by rewriting ONLY the tombstoned data files
-    (live rows survive, tombstoned rows drop) and committing a version
-    with no delete files. Untouched files — the overwhelming majority on
-    a large table — keep their existing manifest shards byte-for-byte.
-    This is the maintenance half of the merge-on-read bargain: deletes
-    stay O(matched rows) at write time, and ONE targeted pass per
-    maintenance window restores anti-join-free reads; contrast
-    snapshot_compact, which rewrites the whole table. Returns {'version',
-    'files_rewritten', 'files_added', 'tombstones_removed'} (version
-    unchanged and zero counts when the snapshot carries no tombstones)."""
+    """Minor compaction: fold the current snapshot's delete files — BOTH
+    flavors — back into the data by rewriting ONLY the affected data
+    files (live rows survive, deleted rows drop) and committing a
+    version with no delete files. Affected means: positionally
+    tombstoned, or subject to an equality delete (lower sequence number
+    AND manifest stats that could intersect the delete's key range —
+    provably-disjoint files are skipped). Untouched files — the
+    overwhelming majority on a large table — keep their existing
+    manifest shards byte-for-byte. This is the maintenance half of the
+    merge-on-read bargain: deletes stay O(matched rows) (positional) or
+    O(source) (equality) at write time, and ONE targeted pass per
+    maintenance window restores anti-join-free reads and metadata row
+    counts; contrast snapshot_compact, which rewrites the whole table.
+    Returns {'version', 'files_rewritten', 'files_added',
+    'tombstones_removed', 'eq_files_removed'} (version unchanged and
+    zero counts when the snapshot carries no deletes of either kind)."""
     for _ in range(max_retries):
         base = snapshot_versions(table)[-1]
         prev = _read_manifest(table, base)
         dv = _dv_frame(spark, table, prev)
-        if dv is None:
+        eqs = _eq_entries(table, prev)
+        if dv is None and not eqs:
             return {
-                "version": base, "files_rewritten": 0,
-                "files_added": 0, "tombstones_removed": 0,
+                "version": base, "files_rewritten": 0, "files_added": 0,
+                "tombstones_removed": 0, "eq_files_removed": 0,
             }
-        n_tombs = sum(r["rows"] for r in prev["deletes"])
-        # driver-side list of tombstoned files: bounded by files touched
-        # since the last rewrite, not by table size
-        touched_rel = sorted(
-            r["_file"] for r in dv.select("_file").distinct().collect()
-        )
-        surv = _apply_deletes(
-            _reader(spark, prev).parquet(
-                *(os.path.join(table, p) for p in touched_rel)
-            ),
-            dv,
-        )
-        if cluster_by:
-            out = surv.repartitionByRange(n_files_new, *cluster_by)
-            out = out.sortWithinPartitions(*cluster_by)
-        else:
-            out = surv.repartition(n_files_new)
-        commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
-        out.write.mode("error").parquet(commit_dir)
+        n_tombs = sum(r["rows"] for r in prev.get("deletes", []))
+        # driver-side list of affected files: positionally-tombstoned
+        # ones (bounded by files touched since the last rewrite) plus
+        # eq-affected ones (older seq, stats not provably disjoint from
+        # the eq key bounds — the eq entry carries [min,max] of its key)
+        touched = set()
+        if dv is not None:
+            touched.update(
+                r["_file"] for r in dv.select("_file").distinct().collect()
+            )
+        for e in _all_entries(table, prev):
+            if e["path"] in touched:
+                continue
+            for q in eqs:
+                if int(e.get("seq", 0)) >= int(q["seq"]):
+                    continue
+                k = q["on"][0]
+                qb = q["stats"].get(k)
+                eb = e["stats"].get(k)
+                if qb is not None and eb is not None and (
+                    eb[0] > qb[1] or eb[1] < qb[0]
+                ):
+                    continue  # provably no key of this delete in the file
+                touched.add(e["path"])
+                break
+        touched_rel = sorted(touched)
         sc = prev.get("stats_cols", [])
-        new_entries = _harvest_stats(
-            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
-        )
+        new_entries: list[dict] = []
+        if touched_rel:
+            surv = _live_rows(
+                spark, table, prev,
+                [os.path.join(table, p) for p in touched_rel], dv,
+            )
+            if cluster_by:
+                out = surv.repartitionByRange(n_files_new, *cluster_by)
+                out = out.sortWithinPartitions(*cluster_by)
+            else:
+                out = surv.repartition(n_files_new)
+            commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+            out.write.mode("error").parquet(commit_dir)
+            new_entries = _harvest_stats(
+                _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+            )
+            for e in new_entries:
+                e["seq"] = base + 1  # both delete flavors folded in
+        # touched_rel CAN be empty with eq files present (every data file
+        # provably disjoint or newer): the commit below still drops the
+        # now-inert eq refs — a metadata-only cleanup
         touched_set = set(touched_rel)
         refs = []
         for ref in prev["manifests"]:
@@ -850,6 +921,7 @@ def snapshot_rewrite_deletes(
             "keys": prev.get("keys", sorted(committed_keys(table))),
             "manifests": refs,
             "deletes": [],
+            "eq_deletes": [],
             "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -858,6 +930,7 @@ def snapshot_rewrite_deletes(
                 "files_rewritten": len(touched_rel),
                 "files_added": len(new_entries),
                 "tombstones_removed": n_tombs,
+                "eq_files_removed": sum(1 for _ in eqs),
             }
     raise RuntimeError(
         f"snapshot_rewrite_deletes lost {max_retries} consecutive commit races on {table}"
@@ -980,6 +1053,164 @@ def _apply_deletes(df: DataFrame, dv: DataFrame | None) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Equality delete files (the Iceberg-v2 SECOND delete flavor). An eq-delete
+# file is plain parquet holding KEY COLUMN VALUES; its manifest entry
+# records `on` (the key column list) and `seq` (the committing version).
+# A row is eq-deleted iff its key equals a tombstoned key AND its data
+# file's sequence number is LOWER than the delete's — so re-inserting a
+# key after the delete is never shadowed (new files carry a higher seq).
+# Entries live under the manifest list's `eq_deletes` key as shard refs,
+# files under the same `deletes/<uuid>/` dirs as positional DVs.
+#
+# Why this exists at 100 TB: a MoR (positional) merge still has to SCAN
+# stats-pruned candidate files at write time to find the positions of
+# matched rows; an equality delete writes O(source keys) bytes and reads
+# NOTHING — CDC upsert ingest becomes O(source) at write time. The costs
+# move to read (one extra anti-join keyed by the delete columns) and to
+# maintenance (snapshot_rewrite_deletes folds eq files back in), and
+# exact metadata row counts stop being derivable until then (an eq key
+# may delete zero or many rows) — the same honesty trade Iceberg makes
+# by disabling COUNT(*) pushdown under equality deletes.
+# --------------------------------------------------------------------------
+
+
+def _eq_entries(table: str, manifest: dict) -> list[dict]:
+    return _all_entries(table, manifest, "eq_deletes")
+
+
+def _file_seq_frame(spark: SparkSession, table: str, manifest: dict) -> DataFrame:
+    """(_file, _dseq) for every data file of the snapshot — the broadcast
+    map eq application joins through. Entries written before sequence
+    stamping read as seq 0 (they predate every eq delete, which is the
+    conservative-correct direction: old files ARE subject to them)."""
+    rows = [
+        (e["path"], int(e.get("seq", 0)))
+        for e in _all_entries(table, manifest)
+    ]
+    return spark.createDataFrame(rows, "_file string, _dseq bigint")
+
+
+def _apply_eq_deletes(
+    spark: SparkSession, table: str, manifest: dict, df: DataFrame,
+    eq_entries: list[dict] | None = None,
+) -> DataFrame:
+    """Subtract equality-deleted rows from a raw file scan of `manifest`'s
+    data files. One broadcast join attaches each row's file sequence
+    number, then one broadcast anti-join per distinct key-column set
+    removes rows whose key is tombstoned by a delete with a HIGHER seq.
+    Both build sides are metadata-sized (file list, delete keys); the
+    probe side keeps its scan partitioning — no shuffle. NULL keys never
+    match (plain SQL equality), mirroring merge's NULL-key semantics.
+    `eq_entries` overrides the manifest's own list (the CDF delta path
+    applies only the NEW deletes of a version step)."""
+    from functools import reduce
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    entries = (
+        _eq_entries(table, manifest) if eq_entries is None else eq_entries
+    )
+    if not entries:
+        return df
+    cols = df.columns
+    # reuse a caller-attached `_file` column when present: the hidden
+    # `_metadata` source column does not survive joins, so callers that
+    # already anti-joined positional DVs attach _file ONCE on the scan
+    src = (
+        df.withColumn("_eqf", F.col("_file"))
+        if "_file" in df.columns
+        else df.withColumn("_eqf", _rel_file_col())
+    )
+    rows = src.join(
+        F.broadcast(
+            _file_seq_frame(spark, table, manifest).withColumnRenamed(
+                "_file", "_eqf"
+            )
+        ),
+        "_eqf",
+        "left",
+    )
+    by_on: dict[tuple, list[dict]] = {}
+    for e in entries:
+        by_on.setdefault(tuple(e["on"]), []).append(e)
+    for on, group in sorted(by_on.items()):
+        parts = [
+            spark.read.parquet(os.path.join(table, e["path"]))
+            .select(*on)
+            .withColumn("_eqseq", F.lit(int(e["seq"])).cast("bigint"))
+            for e in group
+        ]
+        eq = reduce(DataFrame.unionByName, parts)
+        eq = eq.select(
+            *[F.col(k).alias(f"_eqk_{k}") for k in on], "_eqseq"
+        )
+        cond = reduce(
+            Column.__and__,
+            [F.col(k) == F.col(f"_eqk_{k}") for k in on],
+        ) & (F.coalesce(F.col("_dseq"), F.lit(0)) < F.col("_eqseq"))
+        rows = rows.join(F.broadcast(eq), cond, "left_anti")
+    return rows.select(*cols)
+
+
+def _write_eq_delete_commit(
+    keys_df: DataFrame, table: str, on: list[str], seq: int
+) -> tuple[dict, int]:
+    """Materialize distinct delete keys as one immutable eq-delete file +
+    manifest shard ref; returns (shard ref, n_keys). Stats are harvested
+    on the first key column so maintenance can prune unaffected data
+    files; deterministic single-file sorted layout keeps replays stable."""
+    eq_dir = os.path.join(table, _DELETES, uuid.uuid4().hex)
+    keys_df.select(*on).distinct().coalesce(1).sortWithinPartitions(
+        *on
+    ).write.mode("error").parquet(eq_dir)
+    entries = _harvest_stats(
+        _glob.glob(os.path.join(eq_dir, "*.parquet")), [on[0]], table
+    )
+    for e in entries:
+        e["on"] = list(on)
+        e["seq"] = seq
+    ref = _write_shard(table, entries)
+    return ref, sum(e["rows"] for e in entries)
+
+
+def _rows_or_none(table: str, version: int | None = None) -> int | None:
+    """snapshot_rows, or None where equality deletes make the metadata
+    count underivable (merge result dicts use this)."""
+    try:
+        return snapshot_rows(table, version)
+    except ValueError:
+        return None
+
+
+def _live_rows(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    files: list[str],
+    dv: DataFrame | None,
+) -> DataFrame:
+    """Scan `files` under the manifest's recorded schema and subtract
+    BOTH delete flavors (positional DVs, then equality deletes). `_file`
+    and `_pos` are attached once directly on the scan — the hidden
+    `_metadata` column does not survive the anti-joins — and dropped at
+    the end."""
+    from pyspark.sql import functions as F
+
+    df = _reader(spark, manifest).parquet(*files)
+    cols = df.columns
+    if dv is None and not _eq_entries(table, manifest):
+        return df
+    df = df.withColumn("_file", _rel_file_col()).withColumn(
+        "_pos", F.col("_metadata.row_index")
+    )
+    if dv is not None:
+        df = df.join(dv, ["_file", "_pos"], "left_anti")
+    df = _apply_eq_deletes(spark, table, manifest, df)
+    return df.select(*cols)
+
+
 def _write_delete_commit(tombs: DataFrame, table: str) -> tuple[dict, int]:
     """Materialize a tombstone DataFrame(_file, _pos) as one immutable DV
     commit dir + manifest shard; returns (shard ref, n_tombstones).
@@ -1065,6 +1296,19 @@ def snapshot_merge(
     replacement/insert rows append as new files — write cost O(matched
     rows + source), zero read-rewrite amplification; readers pay the DV
     anti-join until `snapshot_rewrite_deletes` folds tombstones back in.
+
+    strategy='eq' (equality deletes) goes one step further: the write
+    path reads NO target data at all — matched rows are shadowed by a
+    key-valued delete file that applies to every data file with a lower
+    sequence number, and (in update mode) all source rows append as new
+    files whose higher seq exempts them from their own delete. Write
+    cost O(source); CDC upsert ingest at its floor. Constraints: update
+    mode requires insert_not_matched=True and delete mode
+    insert_not_matched=False (telling matched from unmatched WOULD need
+    a target read — the thing eq mode exists to avoid; the logical
+    result of an eq upsert equals the cow/mor update+insert result);
+    metadata row counts are not derivable until snapshot_rewrite_deletes
+    folds the eq files back in (rows_after comes back None).
     strategy='cow' rewrites touched files as before, and on a table that
     already carries tombstones it purges them physically: the rewrite
     scan subtracts the DVs, and tombstones aimed at rewritten files are
@@ -1076,10 +1320,22 @@ def snapshot_merge(
     manifest metadata — no extra jobs)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
-    if strategy not in ("cow", "mor"):
-        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
+    if strategy not in ("cow", "mor", "eq"):
+        raise ValueError(f"strategy must be cow|mor|eq, got {strategy!r}")
     if not on:
         raise ValueError("merge needs at least one key column")
+    if strategy == "eq":
+        if when_matched == "update" and not insert_not_matched:
+            raise ValueError(
+                "strategy='eq' update requires insert_not_matched=True: "
+                "matched-only updates need a target read, which equality "
+                "deletes exist to avoid"
+            )
+        if when_matched == "delete" and insert_not_matched:
+            raise ValueError(
+                "strategy='eq' delete requires insert_not_matched=False: "
+                "telling unmatched source rows apart needs a target read"
+            )
     versions = snapshot_versions(table)
     if not versions:
         if not insert_not_matched:
@@ -1127,6 +1383,11 @@ def snapshot_merge(
                 "merge source has duplicate key rows — 'update' would be "
                 "nondeterministic (the standard MERGE ambiguity error)"
             )
+        if strategy == "eq":
+            return _eq_merge_commit(
+                spark, table, source, on, when_matched, n_files_new,
+                cluster_by, stats_cols, max_retries, target_cols,
+            )
         skeys = source.select(*on).distinct()
 
         for _ in range(max_retries):
@@ -1154,6 +1415,9 @@ def snapshot_merge(
                 )
                 if dv is not None:
                     raw = raw.join(dv, ["_file", "_pos"], "left_anti")
+                # rows shadowed by an equality delete are logically
+                # absent: they must neither match nor suppress an insert
+                raw = _apply_eq_deletes(spark, table, prev, raw)
                 matched = raw.join(skeys, on, "left_semi").persist()
             matched_keys = (
                 matched.select(*on).distinct()
@@ -1203,8 +1467,8 @@ def _merge_attempt(
         return {
             "version": base, "files_rewritten": 0, "files_kept": n_all,
             "files_added": 0, "tombstones_added": 0,
-            "rows_before": snapshot_rows(table, base),
-            "rows_after": snapshot_rows(table, base),
+            "rows_before": _rows_or_none(table, base),
+            "rows_after": _rows_or_none(table, base),
         }
 
     def _result(version, rewritten, added, tombs):
@@ -1212,8 +1476,8 @@ def _merge_attempt(
             "version": version, "files_rewritten": rewritten,
             "files_kept": n_all - rewritten, "files_added": added,
             "tombstones_added": tombs,
-            "rows_before": snapshot_rows(table, base),
-            "rows_after": snapshot_rows(table, version),
+            "rows_before": _rows_or_none(table, base),
+            "rows_after": _rows_or_none(table, version),
         }
 
     def _write_data(parts):
@@ -1227,9 +1491,12 @@ def _merge_attempt(
             out = new_rows.repartition(n_files_new)
         commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
         out.write.mode("error").parquet(commit_dir)
-        return _harvest_stats(
+        entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
         )
+        for e in entries:
+            e["seq"] = base + 1  # new files are exempt from older eq deletes
+        return entries
 
     def _manifest(refs, del_refs):
         return {
@@ -1240,6 +1507,7 @@ def _merge_attempt(
             "keys": prev.get("keys", sorted(committed_keys(table))),
             "manifests": refs,
             "deletes": del_refs,
+            "eq_deletes": prev.get("eq_deletes", []),
             "schema": prev.get("schema"),
         }
 
@@ -1288,12 +1556,14 @@ def _merge_attempt(
         }
     if touched_rel:
         # the rewritten relation: live unmatched rows of touched files
-        # survive — existing tombstones are purged physically here, and
+        # survive — existing tombstones AND equality deletes aimed at
+        # them are purged physically here (the rewritten files' new seq
+        # exempts the surviving rows from the old eq files), and
         # matched rows are replaced (via `parts`' adds) or dropped
-        surv = _reader(spark, prev).parquet(
-            *sorted(os.path.join(table, p) for p in touched_rel)
+        surv = _live_rows(
+            spark, table, prev,
+            sorted(os.path.join(table, p) for p in touched_rel), dv,
         )
-        surv = _apply_deletes(surv, dv)
         parts.insert(
             0, surv.join(skeys, on, "left_anti").select(*target_cols)
         )
@@ -1331,6 +1601,73 @@ def _merge_attempt(
     if _try_commit(table, base + 1, _manifest(refs, del_refs)):
         return _result(base + 1, len(touched_rel), len(new_entries), 0)
     return None
+
+
+def _eq_merge_commit(
+    spark, table, source, on, when_matched, n_files_new,
+    cluster_by, stats_cols, max_retries, target_cols,
+):
+    """strategy='eq' commit loop: write one key-valued delete file (and,
+    in update mode, the source rows as new data files) — ZERO target
+    reads, the whole point. A lost commit race re-stamps the sequence
+    number at the new version and rewrites both artifacts (orphans until
+    expire, the usual loser's fate). Returns the merge result dict with
+    `eq_keys` added and rows_after None (not metadata-derivable)."""
+    stamped, eq_ref, n_keys, new_entries, commit_dir = None, None, 0, [], None
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
+        n_all = sum(r["n_files"] for r in prev["manifests"])
+        if stamped != base + 1:
+            eq_ref, n_keys = _write_eq_delete_commit(
+                source, table, on, base + 1
+            )
+            if when_matched == "update":
+                new_rows = source.select(*target_cols)
+                if cluster_by:
+                    out = new_rows.repartitionByRange(n_files_new, *cluster_by)
+                    out = out.sortWithinPartitions(*cluster_by)
+                else:
+                    out = new_rows.repartition(n_files_new)
+                commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
+                out.write.mode("error").parquet(commit_dir)
+                new_entries = _harvest_stats(
+                    _glob.glob(os.path.join(commit_dir, "*.parquet")),
+                    sc, table,
+                )
+                for e in new_entries:
+                    # the new files' HIGHER seq exempts them from the eq
+                    # delete committed alongside them — an upsert's own
+                    # rows survive their own shadow
+                    e["seq"] = base + 1
+            stamped = base + 1
+        refs = prev["manifests"] + [
+            _write_shard(table, new_entries[i : i + 100_000])
+            for i in range(0, len(new_entries), 100_000)
+        ]
+        manifest = {
+            "version": base + 1,
+            "mode": "merge",
+            "stats_cols": sorted(sc),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": refs,
+            "deletes": prev.get("deletes", []),
+            "eq_deletes": prev.get("eq_deletes", []) + [eq_ref],
+            "schema": prev.get("schema"),
+        }
+        if _try_commit(table, base + 1, manifest):
+            return {
+                "version": base + 1, "files_rewritten": 0,
+                "files_kept": n_all, "files_added": len(new_entries),
+                "tombstones_added": 0, "eq_keys": n_keys,
+                "rows_before": _rows_or_none(table, base),
+                "rows_after": None,
+            }
+    raise RuntimeError(
+        f"snapshot_merge(eq) lost {max_retries} consecutive commit races on {table}"
+    )
 
 
 def snapshot_changes(
@@ -1393,22 +1730,93 @@ def snapshot_changes(
         files_read.extend(added + removed)
     base = snapshot_read(spark, table, version=to_version).limit(0)
     cols = base.columns
+
+    def _side(paths, dv, eq_manifest):
+        """Live rows of `paths` under the to-version SCHEMA (a superset
+        under add-only evolution) with the OWNING version's deletes of
+        both flavors applied — _file/_pos attached once on the scan."""
+        df = _reader(spark, mb).parquet(*paths)
+        df = df.withColumn("_file", _rel_file_col()).withColumn(
+            "_pos", F.col("_metadata.row_index")
+        )
+        if dv is not None:
+            df = df.join(dv, ["_file", "_pos"], "left_anti")
+        return _apply_eq_deletes(spark, table, eq_manifest, df).select(*cols)
+
     dv_a = _dv_frame(spark, table, ma)
     dv_b = _dv_frame(spark, table, mb)
-    # both sides read with the `to` version's schema (a superset under
-    # add-only evolution): the feed's schema IS the `to` schema, so rows
-    # from files predating an added column surface with NULL in it
-    add_df = (
-        _apply_deletes(_reader(spark, mb).parquet(*added), dv_b).select(*cols)
-        if added
-        else base
-    )
-    rem_df = (
-        _apply_deletes(_reader(spark, mb).parquet(*removed), dv_a).select(*cols)
-        if removed
-        else base
-    )
+    add_df = _side(added, dv_b, mb) if added else base
+    rem_df = _side(removed, dv_a, ma) if removed else base
     ins_side, del_side = add_df, rem_df
+    # EQUALITY-delete deltas on files COMMON to both versions (delta
+    # rows on added/removed files are already handled by the sides
+    # above). Both directions matter: an eq file present only in `to`
+    # shadows rows that were live at `from` (-> deletes); one present
+    # only in `from` (a rollback past an eq merge) un-shadows rows that
+    # are live at `to` (-> inserts). Candidates are stats/seq-pruned;
+    # reads stay O(affected files).
+    eq_a = {e["path"]: e for e in _eq_entries(table, ma)}
+    eq_b = {e["path"]: e for e in _eq_entries(table, mb)}
+    new_eq = [e for p, e in eq_b.items() if p not in eq_a]
+    gone_eq = [e for p, e in eq_a.items() if p not in eq_b]
+
+    def _eq_delta_rows(delta_eq, own_manifest, other_dv):
+        """Rows of common files live under `own_manifest`'s deletes that
+        the `delta_eq` files shadow — computed as live MINUS
+        live-after-applying-delta. Rows positionally tombstoned in the
+        OTHER version are excluded: the DV-delta block below already
+        accounts for them, and emitting both would double-count a row
+        hit by both mechanisms inside one range."""
+        by_path = {e["path"]: e for e in _all_entries(table, own_manifest)}
+        cand = []
+        for p in sorted(os.path.relpath(x, table) for x in (a & bset)):
+            e = by_path.get(p)
+            if e is None:
+                continue
+            for q in delta_eq:
+                if int(e.get("seq", 0)) >= int(q["seq"]):
+                    continue
+                k = q["on"][0]
+                qb = q["stats"].get(k)
+                eb = e["stats"].get(k)
+                if qb is not None and eb is not None and (
+                    eb[0] > qb[1] or eb[1] < qb[0]
+                ):
+                    continue
+                cand.append(p)
+                break
+        if not cand:
+            return None
+        if files_read is not None:
+            files_read.extend(
+                os.path.abspath(os.path.join(table, p)) for p in cand
+            )
+        dv_own = _dv_frame(spark, table, own_manifest)
+        live = _reader(spark, mb).parquet(
+            *(os.path.join(table, p) for p in cand)
+        )
+        live = live.withColumn("_file", _rel_file_col()).withColumn(
+            "_pos", F.col("_metadata.row_index")
+        )
+        if dv_own is not None:
+            live = live.join(dv_own, ["_file", "_pos"], "left_anti")
+        if other_dv is not None:
+            live = live.join(other_dv, ["_file", "_pos"], "left_anti")
+        live = _apply_eq_deletes(spark, table, own_manifest, live)
+        return live.exceptAll(
+            _apply_eq_deletes(
+                spark, table, own_manifest, live, eq_entries=delta_eq
+            )
+        ).select(*cols)
+
+    if new_eq:
+        eq_dead = _eq_delta_rows(new_eq, ma, dv_b)
+        if eq_dead is not None:
+            del_side = del_side.unionByName(eq_dead)
+    if gone_eq:
+        eq_back = _eq_delta_rows(gone_eq, mb, dv_a)
+        if eq_back is not None:
+            ins_side = ins_side.unionByName(eq_back)
     if dv_a is not None or dv_b is not None:
         empty_dv = spark.createDataFrame([], "_file string, _pos bigint")
         da = dv_a if dv_a is not None else empty_dv
@@ -1425,7 +1833,7 @@ def snapshot_changes(
         if rrel:
             gone_t = gone_t.where(~F.col("_file").isin(sorted(rrel)))
 
-        def _rows_at(tombs: DataFrame) -> DataFrame | None:
+        def _rows_at(tombs: DataFrame, eq_manifest=None) -> DataFrame | None:
             tfiles = sorted(
                 r["_file"] for r in tombs.select("_file").distinct().collect()
             )
@@ -1435,17 +1843,21 @@ def snapshot_changes(
                 files_read.extend(
                     os.path.abspath(os.path.join(table, p)) for p in tfiles
                 )
-            return (
+            rows = (
                 _reader(spark, mb)
                 .parquet(*(os.path.join(table, p) for p in tfiles))
                 .withColumn("_file", _rel_file_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))
                 .join(tombs, ["_file", "_pos"], "left_semi")
-                .select(*cols)
             )
+            if eq_manifest is not None:
+                # a DV-resurrected row still shadowed by a persisting eq
+                # file is NOT live at `to` — keep it out of the feed
+                rows = _apply_eq_deletes(spark, table, eq_manifest, rows)
+            return rows.select(*cols)
 
         newly_tombed = _rows_at(new_t)
-        resurrected = _rows_at(gone_t)
+        resurrected = _rows_at(gone_t, eq_manifest=mb)
         if newly_tombed is not None:
             del_side = del_side.unionByName(newly_tombed)
         if resurrected is not None:
@@ -1464,14 +1876,20 @@ def snapshot_history(table: str) -> list[dict]:
     for v in snapshot_versions(table):
         m = _read_manifest(table, v)
         sch = m.get("schema")
+        eq_keys = sum(r["rows"] for r in m.get("eq_deletes", []))
         out.append(
             {
                 "version": v,
                 "mode": m.get("mode"),
                 "n_files": sum(r["n_files"] for r in m["manifests"]),
-                "rows": sum(r["rows"] for r in m["manifests"])
+                # a live-row count is not derivable under equality
+                # deletes (a key may shadow zero or many rows): None
+                "rows": None
+                if eq_keys
+                else sum(r["rows"] for r in m["manifests"])
                 - sum(r["rows"] for r in m.get("deletes", [])),
                 "tombstones": sum(r["rows"] for r in m.get("deletes", [])),
+                "eq_delete_keys": eq_keys,
                 "n_columns": len(sch["fields"]) if sch else None,
                 "idempotency_key": m.get("idempotency_key"),
                 "rolled_back_to": m.get("rolled_back_to"),
@@ -1510,6 +1928,7 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
             "keys": sorted(cur_keys),
             "manifests": src["manifests"],
             "deletes": src.get("deletes", []),
+            "eq_deletes": src.get("eq_deletes", []),
             "schema": src.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -1544,11 +1963,15 @@ def snapshot_expire(
         m = _read_manifest(table, v)
         live_shards.update(
             os.path.abspath(os.path.join(table, r["path"]))
-            for r in m["manifests"] + m.get("deletes", [])
+            for r in m["manifests"]
+            + m.get("deletes", [])
+            + m.get("eq_deletes", [])
         )
         live.update(
             os.path.abspath(os.path.join(table, e["path"]))
-            for e in _all_entries(table, m) + _all_entries(table, m, "deletes")
+            for e in _all_entries(table, m)
+            + _all_entries(table, m, "deletes")
+            + _all_entries(table, m, "eq_deletes")
         )
     referenced_dead: set[str] = set()
     dead_shards: set[str] = set()
@@ -1558,11 +1981,15 @@ def snapshot_expire(
         m = _read_manifest(table, v)
         dead_shards.update(
             os.path.abspath(os.path.join(table, r["path"]))
-            for r in m["manifests"] + m.get("deletes", [])
+            for r in m["manifests"]
+            + m.get("deletes", [])
+            + m.get("eq_deletes", [])
         )
         referenced_dead.update(
             os.path.abspath(os.path.join(table, e["path"]))
-            for e in _all_entries(table, m) + _all_entries(table, m, "deletes")
+            for e in _all_entries(table, m)
+            + _all_entries(table, m, "deletes")
+            + _all_entries(table, m, "eq_deletes")
         )
         os.remove(_manifest_path(table, v))
         dropped += 1

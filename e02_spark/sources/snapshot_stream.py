@@ -63,7 +63,11 @@ def _manifest_state(table: str, version: int) -> tuple[set[str], int]:
             f"(keep expire's keep_last above the slowest consumer's lag)"
         ) from None
     files = {e["path"] for e in _all_entries(table, m)}
-    tombs = sum(r["rows"] for r in m.get("deletes", []))
+    # both delete flavors count: positional tombstones AND equality-
+    # delete keys make a version range non-representable as appends
+    tombs = sum(r["rows"] for r in m.get("deletes", [])) + sum(
+        r["rows"] for r in m.get("eq_deletes", [])
+    )
     return files, tombs
 
 

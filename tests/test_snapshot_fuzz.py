@@ -1,9 +1,10 @@
 """Model-based fuzz of the snapshot table's mutation surface.
 
 A reference model (a plain dict key -> row) and the real table receive
-the SAME randomized op sequence — appends, CoW/MoR upserts and deletes,
-rewrite-deletes, binpack, compaction, add-column schema evolution,
-rollback, expire — and after every op the table's full content must
+the SAME randomized op sequence — appends, CoW/MoR/EQ upserts and
+deletes, rewrite-deletes, binpack, compaction, add-column schema
+evolution, rollback, expire — and after every op the table's full
+content must
 equal the model exactly, snapshot_rows must equal len(model), and CDF
 between the first and last version must balance with the model diff.
 Seeded RNG: failures replay deterministically.
@@ -52,6 +53,7 @@ def _table_content(spark, table):
 def _apply_random_op(spark, rng, table, model, ctx):
     op = rng.choice(
         ["append", "upsert_cow", "upsert_mor", "delete_cow", "delete_mor",
+         "upsert_eq", "delete_eq",
          "rewrite", "binpack", "compact", "evolve_append", "rollback"]
     )
     if op in ("append", "evolve_append"):
@@ -67,24 +69,24 @@ def _apply_random_op(spark, rng, table, model, ctx):
                          n_files=rng.choice([1, 2]), stats_cols=["id"])
         ctx["evolved"] = evolved
         model.update(fresh)
-    elif op in ("upsert_cow", "upsert_mor"):
+    elif op in ("upsert_cow", "upsert_mor", "upsert_eq"):
         keys = rng.sample(sorted(set(model) | set(range(0, 400))),
                           rng.randrange(1, 15))
         rows = [(k, rng.randrange(1000)) for k in keys]
         # update-mode sources must match the (possibly evolved) target
         S.snapshot_merge(
             spark, table, _df(spark, rows, ctx["evolved"]), on=["id"],
-            strategy="mor" if op.endswith("mor") else "cow",
+            strategy=op.rsplit("_", 1)[1],
             n_files_new=rng.choice([1, 2]),
         )
         model.update(rows)
-    elif op in ("delete_cow", "delete_mor"):
+    elif op in ("delete_cow", "delete_mor", "delete_eq"):
         pool = sorted(set(model) | set(range(0, 200)))
         keys = rng.sample(pool, min(len(pool), rng.randrange(1, 10)))
         S.snapshot_merge(
             spark, table, _key_df(spark, keys), on=["id"],
             when_matched="delete", insert_not_matched=False,
-            strategy="mor" if op.endswith("mor") else "cow",
+            strategy=op.rsplit("_", 1)[1],
         )
         for k in keys:
             model.pop(k, None)
@@ -124,9 +126,16 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
         trace.append(op)
         got = _table_content(spark, table)
         assert got == model, f"seed={seed} step={step} trace={trace}"
-        assert S.snapshot_rows(table) == len(model), (
-            f"metadata count drift: seed={seed} step={step} trace={trace}"
-        )
+        v_now = S.snapshot_versions(table)[-1]
+        if S._read_manifest(table, v_now).get("eq_deletes"):
+            # equality deletes outstanding: the metadata count MUST
+            # refuse (a key may shadow zero or many rows)
+            with pytest.raises(ValueError, match="EQUALITY deletes"):
+                S.snapshot_rows(table)
+        else:
+            assert S.snapshot_rows(table) == len(model), (
+                f"metadata count drift: seed={seed} step={step} trace={trace}"
+            )
     # CDF start->end balances with the model diff vs the initial state
     # (compared on the shared id/amt projection — evolution may have
     # widened the feed's schema along the way)
