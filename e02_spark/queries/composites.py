@@ -406,9 +406,12 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # round 8: A9+/E17+ snapshot-manifest table promoted — clustered
         # overwrite + exactly-once streamed appends + replay-noop proof +
         # manifest-stats-pruned read, hash-checked vs raw orders
+        # round 9: + O(metadata) rollback/forward with DESCRIBE-HISTORY
+        # provenance pinned (rollback_history_ok)
         ("q114", "q114_snapshot_table",
          [("o_orderpriority", "s"), ("meta_rows_match", "s"),
-          ("replay_noop", "s"), ("n_orders", "n"), ("total_price", "n")]),
+          ("replay_noop", "s"), ("rollback_history_ok", "s"),
+          ("n_orders", "n"), ("total_price", "n")]),
         # round 8: lakehouse MERGE (copy-on-write upsert/delete with
         # manifest-stats prune + semi-join touched-file discovery) and the
         # change-data-feed read between versions — post-merge content,
@@ -438,8 +441,11 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # aggregate maintained to v3 from the chain's CDF alone, oracle =
         # full recompute over the v3 CTE; the boolean pins Spark-side
         # maintained-state == recompute bitwise equality.
+        # round 9: + maintained MIN/MAX surviving the delete-bearing
+        # delta via recompute-on-retract (only dirty groups re-scan)
         ("q119", "q119_incremental_view",
          [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
+          ("min_price", "n"), ("max_price", "n"),
           ("ivm_matches_recompute", "s")]),
         # round 8: add-only schema evolution — an append carrying a new
         # column evolves the manifest schema; old files NULL-backfill at
@@ -454,6 +460,21 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q121", "q121_snapshot_stream",
          [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
           ("meta_rows_match", "s")]),
+        # round 9: the streaming CHANGE-FEED consumer — IVM state
+        # maintained purely from the snapshot_changes_stream source
+        # across a mid-stream MoR merge, with data_change=false
+        # maintenance flowing through the open stream as zero rows.
+        ("q122", "q122_cdf_stream_ivm",
+         [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
+          ("ivm_matches_recompute", "s"), ("maintenance_silent", "s")]),
+        # round 9: EQUALITY-delete merge chain (MoR delete + eq upsert,
+        # zero target reads) hashed against the SAME v3 CTE as q116/q118
+        # — the CoW/MoR/EQ triple-convergence pin — plus eq CDF balance
+        # and rewrite folding both delete flavors.
+        ("q123", "q123_eq_merge",
+         [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
+          ("total_price", "n"), ("eq_zero_reads", "s"), ("cdf_eq_ok", "s"),
+          ("meta_restored", "s")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -528,15 +549,18 @@ PART_TIMINGS: dict[str, float] = {}
 # parallelism-independent; the driver's hash check pins it every round.
 PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     "q95_stateful_stream": [{"q95", "q97", "q102", "q96"}],
-    # q116/q118 ride in group 1 on CLONE_SESSIONs (their merge joins want
-    # the session-default shuffle width, not the streamers' scoped 8) and
-    # build the memoized CoW/MoR chains while the streaming jobs and the
-    # q120/q121 snapshot pipelines run; group 2's q117 (CDF read) and
-    # q119 (IVM over the same chain) consume q116's memo — q117's part
-    # callable is lazy, q119's eager recompute-pin job is small.
+    # ONE group: the wall is the longest single part, not a sum of two
+    # phase walls. The streamers (q86/q87/q88/q114) scope the shuffle to
+    # 8; every other part runs on a CLONE_SESSION at the session-default
+    # width. Cross-part dependencies serialize through LOCKED memo
+    # builders instead of group barriers: q116/q118/q123 all clone the
+    # shared v1 base (streaming_q._orders_base_table — first caller
+    # builds, the rest hard-link), and q117/q119 block on q116's
+    # _merge_chain lock then reuse its build. q122 runs its own small
+    # change-stream pipeline, independent of the chains.
     "q86_streaming_parity": [
-        {"q86", "q87", "q88", "q114", "q116", "q118", "q120", "q121"},
-        {"q117", "q119"},
+        {"q86", "q87", "q88", "q114", "q116", "q117", "q118", "q119",
+         "q120", "q121", "q122", "q123"},
     ],
     # Not streaming, but q112/q113 do small eager collects at build time
     # (PQ codebook + query row); building the seven parts concurrently
@@ -558,7 +582,10 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
 # was active at that instant (timing-dependent, usually 8). The clone
 # inherits NOTHING runtime-set, so tune_session() is re-applied (UTC
 # timezone is correctness-critical for q96's date_format output).
-CLONE_SESSION: set[str] = {"q96", "q97", "q116", "q118"}
+CLONE_SESSION: set[str] = {
+    "q96", "q97", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
+    "q123",
+}
 
 for _name, _groups in PARALLEL_GROUPS.items():
     _declared = {t for g in _groups for t in g}

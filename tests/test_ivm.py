@@ -176,3 +176,135 @@ def test_ivm_random_delta_sequences_match_recompute(spark):
             assert _norm(state) == _norm(
                 materialize_agg(_rows(spark, model), ["k"], SUMS)
             ), (seed, _step, model)
+
+
+MINMAX = {"amt": "amt"}
+
+
+def _norm_mm(state, spark=None):
+    return sorted(
+        (
+            (r["k"], r["n_rows"], r["amt_sum"], r["min_amt"], r["max_amt"])
+            for r in finish_agg(
+                state, ["k"], SUMS, minmax=MINMAX
+            ).collect()
+        ),
+        key=lambda t: (t[0] is None, t[0] or ""),
+    )
+
+
+def test_ivm_minmax_insert_only_folds_monotonically(spark):
+    base = _rows(spark, [("a", 5.0), ("a", 9.0), ("b", 1.0)])
+    state = materialize_agg(base, ["k"], SUMS, minmax=MINMAX)
+    ch = _rows(spark, [("a", 2.0), ("b", 7.0), ("c", 4.0)]).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    new = apply_agg_delta(
+        state, ch, ["k"], SUMS, minmax=MINMAX, base=_rows(spark, [])
+    )
+    # insert-only delta: no group is dirty, the empty base is never needed
+    assert _norm_mm(new) == [
+        ("a", 3, 16.0, 2.0, 9.0),
+        ("b", 2, 8.0, 1.0, 7.0),
+        ("c", 1, 4.0, 4.0, 4.0),
+    ]
+
+
+def test_ivm_minmax_recomputes_on_retracted_extreme(spark):
+    rows = [("a", 1.0), ("a", 5.0), ("a", 9.0), ("b", 3.0), ("b", 4.0)]
+    state = materialize_agg(_rows(spark, rows), ["k"], SUMS, minmax=MINMAX)
+    # delete a's max AND b's non-extreme-touching middle... b's 3.0 IS
+    # its min, so b is dirty too; the post-delta base answers both
+    dels = [("a", 9.0), ("b", 3.0)]
+    for d in dels:
+        rows.remove(d)
+    ch = _rows(spark, dels).withColumn("_change_type", F.lit("delete"))
+    new = apply_agg_delta(
+        state, ch, ["k"], SUMS, minmax=MINMAX, base=_rows(spark, rows)
+    )
+    assert _norm_mm(new) == [
+        ("a", 2, 6.0, 1.0, 5.0),
+        ("b", 1, 4.0, 4.0, 4.0),
+    ]
+
+
+def test_ivm_minmax_nonextreme_delete_skips_recompute(spark):
+    """A delete strictly inside the (min, max) interval keeps the stored
+    extremes WITHOUT touching the base — pinned by handing apply a base
+    that would give wrong answers if consulted."""
+    rows = [("a", 1.0), ("a", 5.0), ("a", 9.0)]
+    state = materialize_agg(_rows(spark, rows), ["k"], SUMS, minmax=MINMAX)
+    ch = _rows(spark, [("a", 5.0)]).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    poison = _rows(spark, [("a", -999.0), ("a", 999.0)])
+    new = apply_agg_delta(
+        state, ch, ["k"], SUMS, minmax=MINMAX, base=poison
+    )
+    assert _norm_mm(new) == [("a", 2, 10.0, 1.0, 9.0)]
+
+
+def test_ivm_minmax_equal_extreme_retracts_conservatively(spark):
+    """Deleting ONE of two equal maxima must recompute (multiplicity is
+    unknowable from the state) and land on the surviving equal value."""
+    rows = [("a", 4.0), ("a", 9.0), ("a", 9.0)]
+    state = materialize_agg(_rows(spark, rows), ["k"], SUMS, minmax=MINMAX)
+    rows.remove(("a", 9.0))
+    ch = _rows(spark, [("a", 9.0)]).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    new = apply_agg_delta(
+        state, ch, ["k"], SUMS, minmax=MINMAX, base=_rows(spark, rows)
+    )
+    assert _norm_mm(new) == [("a", 2, 13.0, 4.0, 9.0)]
+
+
+def test_ivm_minmax_random_deltas_match_recompute(spark):
+    """Property: min/max maintained through random model-consistent delta
+    sequences (recompute-on-retract against the post-delta base) equals
+    the full recompute, including NULL measures and NULL keys."""
+    import random
+
+    for seed in (13, 37):
+        rng = random.Random(seed)
+        keyspace = ["a", "b", None]
+        model = [
+            (rng.choice(keyspace),
+             None if rng.random() < 0.25 else float(rng.randrange(-30, 30)))
+            for _ in range(rng.randrange(4, 10))
+        ]
+        state = materialize_agg(
+            _rows(spark, model), ["k"], SUMS, minmax=MINMAX
+        )
+        for _step in range(3):
+            dels = rng.sample(model, rng.randrange(0, len(model)))
+            ins = [
+                (rng.choice(keyspace),
+                 None if rng.random() < 0.25
+                 else float(rng.randrange(-30, 30)))
+                for _ in range(rng.randrange(0, 5))
+            ]
+            for d in dels:
+                model.remove(d)
+            model.extend(ins)
+            parts = []
+            if ins:
+                parts.append(_rows(spark, ins).withColumn(
+                    "_change_type", F.lit("insert")))
+            if dels:
+                parts.append(_rows(spark, dels).withColumn(
+                    "_change_type", F.lit("delete")))
+            if not parts:
+                continue
+            ch = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            base = _rows(spark, model) if model else _rows(spark, [])
+            state = apply_agg_delta(
+                state, ch, ["k"], SUMS, minmax=MINMAX, base=base
+            )
+            if not model:
+                assert state.count() == 0, seed
+                continue
+            want = materialize_agg(
+                _rows(spark, model), ["k"], SUMS, minmax=MINMAX
+            )
+            assert _norm_mm(state) == _norm_mm(want), (seed, _step)
