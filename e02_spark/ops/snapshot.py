@@ -244,6 +244,103 @@ def _harvest_stats(
     return entries
 
 
+# --------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition transforms). A PARTITION SPEC is
+# a list of transforms — ("bucket", col, n) | ("day", col) |
+# ("month", col) | ("truncate", col, w) | ("identity", col) — recorded in
+# the manifest. At write time each transform materializes as a HIDDEN
+# column (`_pt_*`, derived, excluded from the recorded table schema so
+# readers never see it), the write range-clusters on the hidden columns
+# first, and footer stats are harvested for them — so the existing
+# two-level stats pruning machinery prunes on DERIVED values without the
+# query author knowing the layout. The point vs plain min/max stats:
+#   * bucket(n, key): point lookups prune to ~1/n of the files even when
+#     keys are uniformly scattered (raw key min/max spans everything);
+#   * day/month(ts): temporal pruning without per-file timestamp stats,
+#     robust to writer-truncated or missing footer stats;
+#   * queries filter on the SOURCE column; snapshot_read's
+#     partition_prune resolves through the spec (hidden partitioning —
+#     the layout can change without rewriting queries).
+# Appends inherit the recorded spec automatically (a conflicting spec
+# raises), keeping every commit's layout consistent. Honesty note:
+# maintenance/merge rewrites scan with the recorded TABLE schema, so
+# rewritten files drop their hidden columns — pruning then keeps them
+# (no bounds = safe), degraded but never wrong; re-cluster with a
+# partitioned snapshot_compact-equivalent write to restore the layout.
+# --------------------------------------------------------------------------
+
+_PT_KINDS = ("bucket", "day", "month", "truncate", "identity")
+
+
+def _pt_name(t) -> str:
+    kind, col = t[0], t[1]
+    if kind == "bucket":
+        return f"_pt_bucket{t[2]}_{col}"
+    if kind == "truncate":
+        return f"_pt_trunc{t[2]}_{col}"
+    return f"_pt_{kind}_{col}"
+
+
+def _pt_expr(t):
+    """Spark expression deriving the hidden partition value. Bucket uses
+    crc32 over the UTF-8 of the value's canonical string form — chosen
+    because the probe side (driver-side zlib.crc32) produces the
+    identical value with no JVM round-trip."""
+    from pyspark.sql import functions as F
+
+    kind, col = t[0], t[1]
+    if kind == "bucket":
+        return F.pmod(
+            F.crc32(F.col(col).cast("string").cast("binary")), F.lit(t[2])
+        ).cast("int")
+    if kind == "day":
+        return F.to_date(F.col(col)).cast("string")
+    if kind == "month":
+        return F.date_format(F.col(col), "yyyy-MM")
+    if kind == "truncate":
+        return F.substring(F.col(col).cast("string"), 1, t[2])
+    if kind == "identity":
+        return F.col(col)
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def _pt_probe(t, v):
+    """Driver-side twin of _pt_expr for a prune-probe value."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    kind = t[0]
+    if kind == "bucket":
+        import zlib
+
+        return zlib.crc32(str(v).encode()) % t[2]
+    if kind in ("day", "month"):
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        s = v.isoformat() if isinstance(v, _dt.date) else str(v)[:10]
+        return s[:7] if kind == "month" else s
+    if kind == "truncate":
+        return str(v)[: t[2]]
+    return v  # identity
+
+
+def _pt_validate(spec) -> list:
+    out = []
+    for t in spec:
+        t = list(t)
+        if t[0] not in _PT_KINDS:
+            raise ValueError(
+                f"unknown partition transform {t[0]!r} (one of {_PT_KINDS})"
+            )
+        if t[0] in ("bucket", "truncate") and (
+            len(t) != 3 or not isinstance(t[2], int) or t[2] <= 0
+        ):
+            raise ValueError(f"{t[0]} transform needs a positive int arg: {t}")
+        out.append(t)
+    return out
+
+
 def _try_commit(table: str, version: int, manifest: dict) -> bool:
     """Atomic publish of v{version}: write a tmp file, then hard-link it
     to the final name — link(2) fails with EEXIST if the version is
@@ -340,6 +437,7 @@ def snapshot_write(
     max_retries: int = 10,
     idempotency_key: str | None = None,
     max_files_per_shard: int = 100_000,
+    partition_spec: list | None = None,
 ) -> int:
     """Write `df` as a new snapshot commit. mode='append' adds the new
     files to the current snapshot's list; mode='overwrite' replaces the
@@ -373,18 +471,43 @@ def snapshot_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if idempotency_key is not None and idempotency_key in committed_keys(table):
         return snapshot_versions(table)[-1]
+    spec = _pt_validate(partition_spec) if partition_spec else None
+    if mode == "append":
+        versions0 = snapshot_versions(table)
+        prev_spec = (
+            _read_manifest(table, versions0[-1]).get("partition_spec")
+            if versions0
+            else None
+        )
+        if prev_spec:
+            # appends inherit the recorded spec so every commit's layout
+            # stays consistent; a conflicting explicit spec is an error
+            if spec is None:
+                spec = _pt_validate(prev_spec)
+            elif [list(t) for t in spec] != [list(t) for t in prev_spec]:
+                raise ValueError(
+                    f"append partition_spec {spec} conflicts with the "
+                    f"table's recorded spec {prev_spec}"
+                )
+    hidden = [_pt_name(t) for t in spec] if spec else []
+    aug = df
+    for t in spec or []:
+        aug = aug.withColumn(_pt_name(t), _pt_expr(t))
+    cluster = (hidden + list(cluster_by or [])) if spec else (cluster_by or [])
     commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
-    if cluster_by:
+    if cluster:
         # range partitioning + in-file sort: per-FILE [min,max] on the
         # cluster key are disjoint (round-robin repartition would smear
-        # every file across the full range and defeat stats pruning)
-        out = df.repartitionByRange(n_files, *cluster_by)
-        out = out.sortWithinPartitions(*cluster_by)
+        # every file across the full range and defeat stats pruning);
+        # hidden partition columns cluster FIRST so derived-value
+        # pruning gets tight, near-single-valued per-file bounds
+        out = aug.repartitionByRange(n_files, *cluster)
+        out = out.sortWithinPartitions(*cluster)
     else:
-        out = df.repartition(n_files)
+        out = aug.repartition(n_files)
     out.write.mode("error").parquet(commit_dir)
     new_files = _glob.glob(os.path.join(commit_dir, "*.parquet"))
-    new_entries = _harvest_stats(new_files, stats_cols or [], table)
+    new_entries = _harvest_stats(new_files, (stats_cols or []) + hidden, table)
     # A giant commit fans out across shards too (the Iceberg behavior):
     # _harvest_stats sorts entries by path = Spark's part-NNNNN order,
     # which under cluster_by's repartitionByRange IS cluster-key order,
@@ -439,6 +562,7 @@ def snapshot_write(
             "manifests": refs,
             "deletes": del_refs,
             "eq_deletes": eq_refs,
+            "partition_spec": spec,
             "schema": sch,
         }
         if _try_commit(table, base + 1, manifest):
@@ -452,21 +576,32 @@ def snapshot_read(
     spark: SparkSession,
     table: str,
     version: int | None = None,
-    prune: tuple[str, object, object] | None = None,
+    prune: tuple[str, object, object] | list | None = None,
+    partition_prune: dict | None = None,
 ) -> DataFrame:
     """Read snapshot `version` (default: latest). The file list comes
     from the manifest — never from directory listing, so uncommitted
     data dirs and files belonging only to other versions are invisible.
 
-    prune=(col, lo, hi) drops files whose manifest [min,max] for `col`
-    cannot intersect [lo, hi] BEFORE Spark sees the paths (manifest-level
-    scan planning), at both levels: a SHARD whose aggregate bounds miss
-    the range is skipped without being opened, then surviving shards'
-    entries prune per-file. Files/shards without bounds for the column
-    are kept (safe). Pruning is an optimization only — the caller still
-    applies its row filter; an empty post-prune list returns an empty
-    frame with the table's schema (read from one manifest file path's
-    footer).
+    prune=(col, lo, hi) — or a LIST of such triples, ANDed — drops files
+    whose manifest [min,max] for `col` cannot intersect [lo, hi] BEFORE
+    Spark sees the paths (manifest-level scan planning), at both levels:
+    a SHARD whose aggregate bounds miss the range is skipped without
+    being opened, then surviving shards' entries prune per-file.
+    Files/shards without bounds for the column are kept (safe). Pruning
+    is an optimization only — the caller still applies its row filter;
+    an empty post-prune list returns an empty frame with the table's
+    schema (read from one manifest file path's footer).
+
+    partition_prune={source_col: value | (lo, hi)} prunes on the
+    table's HIDDEN partition transforms (see the partition-spec block):
+    the probe is resolved through the recorded spec to the derived
+    column — e.g. {"k": 42} on a bucket(16, k) table prunes to the
+    files containing bucket crc32("42")%16, and {"ts": (a, b)} on a
+    day(ts) table prunes by day strings. Bucket transforms accept point
+    probes only (a hash range is meaningless). The query author never
+    names the hidden column — the layout can change without rewriting
+    callers (hidden partitioning).
 
     Snapshots carrying positional delete files (merge-on-read commits)
     get the tombstones subtracted here via one anti-join — see
@@ -486,7 +621,28 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(table, v)
-    kept, fallback = _plan_files(table, v, prune, manifest=m)
+    preds = [] if prune is None else (
+        [prune] if isinstance(prune, tuple) else list(prune)
+    )
+    for col, pv in (partition_prune or {}).items():
+        spec = m.get("partition_spec") or []
+        t = next((t for t in spec if t[1] == col), None)
+        if t is None:
+            raise ValueError(
+                f"partition_prune column {col!r} has no transform in the "
+                f"table's partition spec {spec}"
+            )
+        if isinstance(pv, tuple):
+            if t[0] == "bucket":
+                raise ValueError(
+                    "bucket transforms take point probes only — a hash "
+                    "range is meaningless"
+                )
+            lo, hi = pv
+        else:
+            lo = hi = pv
+        preds.append((_pt_name(t), _pt_probe(t, lo), _pt_probe(t, hi)))
+    kept, fallback = _plan_files(table, v, preds or None, manifest=m)
     sch = m.get("schema")
     if sch is not None:
         from pyspark.sql.types import StructType
@@ -517,7 +673,9 @@ def _plan_files(
     manifest: dict | None = None,
 ) -> tuple[list[str], str | None]:
     """Manifest-level scan planning: (pruned file paths, one schema
-    fallback path or None if the snapshot is empty). shards_opened, if
+    fallback path or None if the snapshot is empty). `prune` is one
+    (col, lo, hi) triple or a list of them (ANDed — a shard/file is
+    dropped when ANY predicate is provably disjoint). shards_opened, if
     given, collects the shard refs actually loaded — the two-level-prune
     observability hook the tests pin. Callers that already hold a pinned
     committed manifest pass it via `manifest` so the plan derives from
@@ -531,30 +689,33 @@ def _plan_files(
         if v not in versions:
             raise ValueError(f"version {v} not in {versions}")
         manifest = _read_manifest(table, v)
+    preds = []
     if prune is not None:
         # coerce temporal probe bounds to the stored isoformat-string
         # encoding once, up front (see _probe_value); an uncoercible
         # bound becomes None = unbounded on that side
-        col, lo, hi = prune[0], _probe_value(prune[1]), _probe_value(prune[2])
-    kept: list[str] = []
-    for ref in manifest["manifests"]:
-        if prune is not None:
-            b = ref["stats"].get(col)
+        for p in [prune] if isinstance(prune, tuple) else prune:
+            preds.append((p[0], _probe_value(p[1]), _probe_value(p[2])))
+
+    def _disjoint(stats: dict) -> bool:
+        for col, lo, hi in preds:
+            b = stats.get(col)
             if b is not None and (
                 (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
             ):
-                continue  # whole shard skipped, never opened
+                return True
+        return False
+
+    kept: list[str] = []
+    for ref in manifest["manifests"]:
+        if preds and _disjoint(ref["stats"]):
+            continue  # whole shard skipped, never opened
         entries = _read_shard(table, ref)
         if shards_opened is not None:
             shards_opened.append(ref["path"])
         for e in entries:
-            if prune is not None:
-                b = e["stats"].get(col)
-                if b is not None and (
-                    (hi is not None and b[0] > hi)
-                    or (lo is not None and b[1] < lo)
-                ):
-                    continue
+            if preds and _disjoint(e["stats"]):
+                continue
             kept.append(os.path.join(table, e["path"]))
     fallback: str | None = None
     if not kept:
@@ -699,6 +860,7 @@ def snapshot_compact(
             "manifests": refs,
             "deletes": [],  # both delete flavors folded into the rewrite
             "eq_deletes": [],
+            "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -804,6 +966,7 @@ def snapshot_binpack(
             "manifests": refs,
             "deletes": [],
             "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -922,6 +1085,7 @@ def snapshot_rewrite_deletes(
             "manifests": refs,
             "deletes": [],
             "eq_deletes": [],
+            "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -1508,6 +1672,7 @@ def _merge_attempt(
             "manifests": refs,
             "deletes": del_refs,
             "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
         }
 
@@ -1655,6 +1820,7 @@ def _eq_merge_commit(
             "manifests": refs,
             "deletes": prev.get("deletes", []),
             "eq_deletes": prev.get("eq_deletes", []) + [eq_ref],
+            "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):
@@ -1929,6 +2095,7 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
             "manifests": src["manifests"],
             "deletes": src.get("deletes", []),
             "eq_deletes": src.get("eq_deletes", []),
+            "partition_spec": src.get("partition_spec"),
             "schema": src.get("schema"),
         }
         if _try_commit(table, base + 1, manifest):

@@ -451,9 +451,13 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # column evolves the manifest schema; old files NULL-backfill at
         # read (grouped BY the evolved column so the hash pins it), and
         # time travel keeps the narrower v1 schema.
+        # round 9: + hidden partitioning — bucket(16, o_custkey) derived
+        # per-file values; a point probe on the SOURCE column resolves
+        # through the spec and prunes to a strict file subset
         ("q120", "q120_schema_evolution",
          [("o_orderstatus", "s"), ("band", "s"), ("n_orders", "n"),
-          ("total_price", "n"), ("schema_stable", "s")]),
+          ("total_price", "n"), ("schema_stable", "s"),
+          ("hidden_prune_ok", "s")]),
         # round 8: the lakehouse streaming loop — snapshot_stream SOURCE
         # (version offsets, per-file partitions, Arrow reads) through a
         # transform into the exactly-once snapshot sink; replay pinned.

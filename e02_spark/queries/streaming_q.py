@@ -949,14 +949,23 @@ GROUP BY o_orderpriority
 def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import load_table
     from ..num import dsum
-    from ..ops.snapshot import snapshot_read, snapshot_rows, snapshot_write
+    from ..ops.snapshot import (
+        _plan_files,
+        snapshot_read,
+        snapshot_rows,
+        snapshot_write,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     table = os.path.join(_tracked_mkdtemp(prefix="e02_evotbl_"), "tbl")
     mid = _orders_max_key(spark, sf_dir) // 2
+    # HIDDEN PARTITIONING rides on this table: bucket(16, o_custkey) is
+    # a derived per-file value raw min/max stats cannot emulate (cust
+    # keys are uniformly scattered, so every file spans the full range)
     v1 = snapshot_write(
         orders.where(F.col("o_orderkey") <= mid), table, mode="overwrite",
         n_files=4, cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+        partition_spec=[("bucket", "o_custkey", 16)],
     )
     high = orders.where(F.col("o_orderkey") > mid).withColumn(
         "band", (F.col("o_orderkey") % 3).cast("string")
@@ -970,6 +979,20 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         and cur.columns == orders.columns + ["band"]
         and snapshot_rows(table) == orders.count()
     )
+    # hidden-partition point lookup: the probe names the SOURCE column,
+    # the spec resolves to the derived bucket, the plan keeps a strict
+    # file subset, and the pruned read still returns every matching row
+    probe = orders.select("o_custkey").first()["o_custkey"]
+    all_files, _ = _plan_files(table, None, None)
+    pruned = snapshot_read(
+        spark, table, partition_prune={"o_custkey": probe}
+    ).where(F.col("o_custkey") == probe)
+    full = cur.where(F.col("o_custkey") == probe)
+    n_kept = len(pruned.inputFiles())
+    hidden_prune_ok = (
+        0 < n_kept < len(all_files)
+        and pruned.count() == full.count() > 0
+    )
     return (
         cur.groupBy("o_orderstatus", "band")
         .agg(
@@ -977,6 +1000,7 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
         .withColumn("schema_stable", F.lit(bool(schema_stable)))
+        .withColumn("hidden_prune_ok", F.lit(bool(hidden_prune_ok)))
     )
 
 
@@ -986,7 +1010,8 @@ SELECT o_orderstatus,
        THEN CAST(o_orderkey % 3 AS VARCHAR) END AS band,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
-  TRUE AS schema_stable
+  TRUE AS schema_stable,
+  TRUE AS hidden_prune_ok
 FROM orders GROUP BY 1, 2
 """
 

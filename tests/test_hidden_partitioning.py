@@ -1,0 +1,143 @@
+"""Hidden partitioning (ops/snapshot.py partition transforms): derived
+partition values recorded per file at commit, point/range pruning
+through the spec without the query naming the hidden column, spec
+inheritance on append, and composition with delete vectors."""
+
+from __future__ import annotations
+
+import datetime as dt
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from e02_spark.ops import snapshot as S
+
+
+def _mk(spark, n=400):
+    return spark.range(n).selectExpr(
+        "id",
+        "CAST(id % 37 AS BIGINT) AS k",
+        "DATE_ADD(DATE'2024-01-01', CAST(id % 21 AS INT)) AS d",
+        "id * 1.5 AS x",
+    )
+
+
+def test_bucket_point_lookup_prunes_files(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        _mk(spark), tbl, mode="overwrite", n_files=8,
+        partition_spec=[("bucket", "k", 8)],
+    )
+    m = S._read_manifest(tbl, 1)
+    assert m["partition_spec"] == [["bucket", "k", 8]]
+    # raw k min/max spans every file (k scattered 0..36) — bucket
+    # pruning is the only thing that can cut the file list
+    key = 17
+    kept, _ = S._plan_files(
+        tbl, 1,
+        ("_pt_bucket8_k", zlib.crc32(b"17") % 8, zlib.crc32(b"17") % 8),
+    )
+    all_files, _ = S._plan_files(tbl, 1, None)
+    assert 0 < len(kept) < len(all_files)
+    # the public surface: partition_prune resolves through the spec
+    got = sorted(
+        r["id"]
+        for r in S.snapshot_read(spark, tbl, partition_prune={"k": key})
+        .where(F.col("k") == key)
+        .collect()
+    )
+    assert got == [i for i in range(400) if i % 37 == key]
+
+
+def test_day_transform_two_level_prune_observability(spark, tmp_path):
+    """Two commits with disjoint day ranges: a day-range probe must skip
+    the other commit's SHARD without opening it (two-level prune), and
+    temporal pruning works though the files carry NO raw stats on d."""
+    tbl = str(tmp_path / "tbl")
+    jan = _mk(spark).withColumn("d", F.expr(
+        "DATE_ADD(DATE'2024-01-01', CAST(id % 10 AS INT))"))
+    mar = _mk(spark).withColumn("d", F.expr(
+        "DATE_ADD(DATE'2024-03-01', CAST(id % 10 AS INT))"))
+    S.snapshot_write(jan, tbl, mode="overwrite", n_files=3,
+                     partition_spec=[("day", "d")])
+    S.snapshot_write(mar, tbl, mode="append", n_files=3)  # spec inherited
+    assert S._read_manifest(tbl, 2)["partition_spec"] == [["day", "d"]]
+    opened: list = []
+    kept, _ = S._plan_files(
+        tbl, 2, ("_pt_day_d", "2024-03-01", "2024-03-31"), opened
+    )
+    assert len(opened) == 1  # january's shard never opened
+    assert 0 < len(kept) <= 3
+    got = (
+        S.snapshot_read(
+            spark, tbl,
+            partition_prune={"d": (dt.date(2024, 3, 1), dt.date(2024, 3, 31))},
+        )
+        .where(F.col("d") >= "2024-03-01")
+        .count()
+    )
+    assert got == 400
+
+
+def test_spec_inheritance_and_conflicts(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(_mk(spark, 50), tbl, mode="overwrite",
+                     partition_spec=[("bucket", "k", 4)])
+    with pytest.raises(ValueError, match="conflicts with"):
+        S.snapshot_write(_mk(spark, 10), tbl, mode="append",
+                         partition_spec=[("bucket", "k", 8)])
+    with pytest.raises(ValueError, match="point probes only"):
+        S.snapshot_read(spark, tbl, partition_prune={"k": (1, 5)})
+    with pytest.raises(ValueError, match="no transform"):
+        S.snapshot_read(spark, tbl, partition_prune={"x": 1})
+    # an overwrite may CHANGE the spec (it replaces the layout)
+    S.snapshot_write(_mk(spark, 50), tbl, mode="overwrite",
+                     partition_spec=[("day", "d")])
+    assert S._read_manifest(
+        tbl, S.snapshot_versions(tbl)[-1]
+    )["partition_spec"] == [["day", "d"]]
+
+
+def test_hidden_columns_invisible_and_deletes_compose(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        _mk(spark), tbl, mode="overwrite", n_files=4,
+        partition_spec=[("bucket", "k", 8)], stats_cols=["id"],
+    )
+    df = S.snapshot_read(spark, tbl)
+    assert df.columns == ["id", "k", "d", "x"]  # _pt_* never surfaces
+    # MoR delete then a bucket-pruned read: tombstones subtract within
+    # the pruned file subset
+    S.snapshot_merge(
+        spark, tbl, spark.range(0, 100).selectExpr("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    key = 0
+    got = sorted(
+        r["id"]
+        for r in S.snapshot_read(spark, tbl, partition_prune={"k": key})
+        .where(F.col("k") == key)
+        .collect()
+    )
+    assert got == [i for i in range(100, 400) if i % 37 == key]
+
+
+def test_identity_and_truncate_transforms(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr(
+        "id", "CONCAT('user-', CAST(id % 10 AS STRING), '-x') AS name"
+    )
+    S.snapshot_write(
+        df, tbl, mode="overwrite", n_files=5,
+        partition_spec=[("truncate", "name", 6), ("identity", "id")],
+    )
+    got = (
+        S.snapshot_read(spark, tbl, partition_prune={"name": "user-7-x"})
+        .where("name = 'user-7-x'")
+        .count()
+    )
+    assert got == 10
+    all_files, _ = S._plan_files(tbl, 1, None)
+    kept, _ = S._plan_files(tbl, 1, ("_pt_trunc6_name", "user-7", "user-7"))
+    assert 0 < len(kept) < len(all_files)

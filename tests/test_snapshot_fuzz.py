@@ -115,8 +115,13 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
     rng = random.Random(seed)
     table = str(tmp_path / "tbl")
     init = [(k, rng.randrange(1000)) for k in range(0, 120, 2)]
+    # a hidden-partition spec rides along: appends inherit it, rewrites
+    # (merge/binpack/compact) drop the hidden columns from rewritten
+    # files (documented degraded pruning) — content must stay exact
+    # through every composition regardless
     S.snapshot_write(_df(spark, init), table, mode="overwrite",
-                     n_files=3, cluster_by=["id"], stats_cols=["id"])
+                     n_files=3, cluster_by=["id"], stats_cols=["id"],
+                     partition_spec=[("bucket", "id", 4)])
     model = dict(init)
     ctx = {"versions": [1], "history": {1: (dict(init), False)},
            "evolved": False}
