@@ -450,10 +450,14 @@ def incremental_corpus_dedup(
     arrives continuously, and re-running the all-pairs batch job per
     delivery is quadratic in deliveries. Instead the sink maintains three
     state tables under state_dir:
-      band_index/  (doc_id, band_idx, band_key) — the LSH probe index
-      shingles/    (doc_id, shingle)            — the exact-verify corpus
-      doc_sizes/   (doc_id, n_sh)               — |shingles(doc)|, written
-                                                  ONCE when the doc arrives
+      band_index/   (doc_id, band_idx, band_key) — the LSH probe index
+      shingles/     (doc_id, shingle)            — the exact-verify corpus
+      doc_sizes_tbl (doc_id, n_sh, batch)        — |shingles(doc)|, written
+                                                   ONCE when the doc
+                                                   arrives — a SNAPSHOT
+                                                   TABLE (atomic keyed
+                                                   commits, time travel),
+                                                   see below
     Per batch: shingle + sign the new docs (the SAME ops/text and
     ops/dedup.band_keys code the batch detector uses), probe new band
     keys against old ∪ new keys, SEMI-JOIN the shingle corpus down to the
@@ -523,7 +527,16 @@ def incremental_corpus_dedup(
 
     index_dir = os.path.join(state_dir, "band_index")
     shingle_dir = os.path.join(state_dir, "shingles")
-    sizes_dir = os.path.join(state_dir, "doc_sizes")
+    # doc_sizes state lives in a SNAPSHOT TABLE (ops/snapshot.py), not a
+    # raw parquet dir: each batch appends through one atomic manifest
+    # commit keyed by the batch id, so exactly-once needs no
+    # per-batch-directory overwrite dance for this table (a replayed
+    # batch's append is a structural no-op), and the state's history is
+    # time-travelable for audit. Reads still filter `batch < batch_id` —
+    # a replayed batch whose append DID commit before the crash must see
+    # exactly the pre-batch state. The other two state tables keep the
+    # directory layout (band_index for its bucket-partition pruning).
+    sizes_tbl = os.path.join(state_dir, "doc_sizes_tbl")
     out_dir = os.path.join(state_dir, "verdicts")
 
     # index_buckets lifetime marker: written once (atomic tmp+replace) when
@@ -581,11 +594,25 @@ def incremental_corpus_dedup(
     # A failed batch never updates it (the update is the last line).
     _wm = {"max": None}
 
+    def _read_sizes_state(spark, batch_id: int) -> DataFrame:
+        """Pre-batch doc_sizes from the snapshot table: manifest-resolved
+        file list (no directory discovery), `batch < batch_id` for the
+        replay window. No committed snapshot yet -> empty state."""
+        from e02_spark.ops.snapshot import snapshot_read
+
+        try:
+            df = snapshot_read(spark, sizes_tbl)
+        except FileNotFoundError:
+            return spark.createDataFrame(
+                [], schema="doc_id BIGINT, n_sh BIGINT"
+            )
+        return df.where(F.col("batch") < F.lit(batch_id)).select(
+            "doc_id", "n_sh"
+        )
+
     def _batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        sizes_old = _read_state(
-            spark, sizes_dir, "doc_id BIGINT, n_sh BIGINT", batch_id
-        )
+        sizes_old = _read_sizes_state(spark, batch_id)
         # Ingest-order watermark = max doc_id already in the doc_sizes
         # state (no separate watermark table — one tiny agg over the
         # per-doc state, not a per-batch single-row write, which profiled
@@ -754,15 +781,27 @@ def incremental_corpus_dedup(
         # READS filter batch < batch_id regardless of write order).
         from concurrent.futures import ThreadPoolExecutor
 
+        def _write_sizes() -> None:
+            # exactly-once by manifest idempotency key: a replayed
+            # batch's append commits nothing twice, structurally
+            from e02_spark.ops.snapshot import snapshot_write
+
+            snapshot_write(
+                sizes_new.withColumn("batch", F.lit(batch_id)),
+                sizes_tbl,
+                mode="append",
+                n_files=1,
+                stats_cols=["doc_id", "batch"],
+                idempotency_key=f"batch-{batch_id}",
+            )
+
         writes = [
             lambda: jac.write.mode("overwrite").parquet(_bdir(out_dir)),
             _write_index,
             lambda: sh_new.coalesce(state_writers)
             .write.mode("overwrite")
             .parquet(_bdir(shingle_dir)),
-            lambda: sizes_new.coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_bdir(sizes_dir)),
+            _write_sizes,
         ]
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             for f in [pool.submit(w) for w in writes]:

@@ -766,10 +766,15 @@ def test_incremental_dedup_rejects_out_of_order_ingest(spark, tmp_path):
     q = incremental_corpus_dedup(stream, state)
     with pytest.raises(Exception, match="ingest-order contract violated"):
         q.awaitTermination(300)
-    # batch 0 committed its state (incl. the new doc_sizes table, which
-    # doubles as the ingest watermark) before batch 1 failed
-    for sub in ("band_index", "shingles", "doc_sizes", "verdicts"):
+    # batch 0 committed its state (incl. the doc_sizes snapshot table,
+    # which doubles as the ingest watermark) before batch 1 failed
+    for sub in ("band_index", "shingles", "verdicts"):
         assert _os.path.isdir(_os.path.join(state, sub, "batch=0")), sub
+    from e02_spark.ops import snapshot as S
+
+    tbl = _os.path.join(state, "doc_sizes_tbl")
+    assert "batch-0" in S.committed_keys(tbl)
+    assert "batch-1" not in S.committed_keys(tbl)  # the failed batch
 
 
 def test_incremental_dedup_bucketed_index_equivalent_and_pruned(spark, tmp_path):
@@ -994,10 +999,13 @@ def test_incremental_dedup_replay_ignores_half_written_state(spark, tmp_path):
     sh0.write.mode("overwrite").parquet(
         _os.path.join(state, "shingles", "batch=1")
     )
+    # for the snapshot-table state the crash shape is different: data
+    # files land but the manifest commit never happens — plant them as
+    # an ORPHAN commit dir, which manifest-resolved reads must never see
     sh0.groupBy("doc_id").count().selectExpr(
-        "doc_id", "count * 100 AS n_sh"
+        "doc_id", "count * 100 AS n_sh", "CAST(1 AS INT) AS batch"
     ).write.mode("overwrite").parquet(
-        _os.path.join(state, "doc_sizes", "batch=1")
+        _os.path.join(state, "doc_sizes_tbl", "data", "deadbeefcafe")
     )
     spark.read.parquet(_os.path.join(state, "band_index")).select(
         "doc_id", "band_idx", "band_key"
