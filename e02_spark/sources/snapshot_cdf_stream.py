@@ -324,6 +324,17 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
 
 
 class SnapshotCDFStreamDataSource(DataSource):
+    def __init__(self, options=None):
+        super().__init__(options)
+        self._reader: SnapshotCDFStreamReader | None = None
+
+    def _get_reader(self) -> SnapshotCDFStreamReader:
+        # one reader serves both schema() and streamReader(): schema()
+        # then costs one manifest read total, not one per lookup
+        if self._reader is None:
+            self._reader = SnapshotCDFStreamReader(self.options)
+        return self._reader
+
     @classmethod
     def name(cls) -> str:
         return "snapshot_changes_stream"
@@ -333,14 +344,12 @@ class SnapshotCDFStreamDataSource(DataSource):
 
         from pyspark.sql.types import StructType
 
-        base = json.loads(
-            SnapshotCDFStreamReader(self.options)._schema_json
-        )
+        base = json.loads(self._get_reader()._schema_json)
         base["fields"] += json.loads(f"[{_CDF_COLS_JSON}]")
         return StructType.fromJson(base)
 
     def streamReader(self, schema):
-        return SnapshotCDFStreamReader(self.options)
+        return self._get_reader()
 
 
 def read_snapshot_changes_stream(spark, table: str, starting_version: int = 0):

@@ -159,22 +159,30 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
 
 class SnapshotStreamDataSource(DataSource):
+    def __init__(self, options=None):
+        super().__init__(options)
+        self._reader: SnapshotStreamReader | None = None
+
     @classmethod
     def name(cls) -> str:
         return "snapshot_stream"
+
+    def _get_reader(self) -> SnapshotStreamReader:
+        # one reader serves both schema() and streamReader(): schema()
+        # then costs one manifest read total, not one per lookup
+        if self._reader is None:
+            self._reader = SnapshotStreamReader(self.options)
+        return self._reader
 
     def schema(self):
         import json
 
         from pyspark.sql.types import StructType
 
-        # reuse the reader's option validation + manifest schema lookup
-        return StructType.fromJson(
-            json.loads(SnapshotStreamReader(self.options)._schema_json)
-        )
+        return StructType.fromJson(json.loads(self._get_reader()._schema_json))
 
     def streamReader(self, schema):
-        return SnapshotStreamReader(self.options)
+        return self._get_reader()
 
 
 def read_snapshot_stream(spark, table: str, starting_version: int = 0):

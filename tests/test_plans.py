@@ -406,3 +406,34 @@ def test_snapshot_dv_antijoin_broadcasts(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert df.count() == 4950
+
+
+def test_snapshot_eq_delete_read_path_broadcasts(spark, tmp_path):
+    """The equality-delete read path: the file->seq map attaches via a
+    broadcast join and the key tombstones subtract via a broadcast
+    anti-join — the probe (table) side never shuffles, so eq reads stay
+    ~free between maintenance passes at 100 TB exactly like MoR DVs."""
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(5000).selectExpr("id", "id * 2 AS v"), table,
+        mode="overwrite", n_files=4, cluster_by=["id"], stats_cols=["id"],
+    )
+    S.snapshot_merge(
+        spark, table, spark.range(0, 5000, 100).selectExpr("id"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="eq",
+    )
+    df = S.snapshot_read(spark, table)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # no data-distributing exchange: broadcasts only (the scan side keeps
+    # its partitioning through both metadata-sized joins)
+    assert not [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ], plan
+    assert df.count() == 4950
