@@ -1237,17 +1237,23 @@ FROM v3 GROUP BY o_orderstatus, o_orderpriority
 # q122 — the STREAMING change-data-feed consumer (sources/
 # snapshot_cdf_stream.py) driving incremental view maintenance: a
 # materialized per-priority aggregate is maintained PURELY from the
-# change stream — initial load, an append, then a MoR merge landing
-# MID-STREAM (between checkpointed drains), then rewrite+binpack
-# maintenance whose data_change=false steps must flow through the open
-# stream as ZERO rows. The final state hash-checks against the pure-SQL
-# derivation of the table's end state, and booleans pin bit-exact
-# recompute parity and maintenance silence. This is the consumer that
-# survives what fences the append-only snapshot_stream source.
+# change stream — ONE live query (processingTime trigger) observes the
+# initial load, then an append and two MoR merges land MID-STREAM while
+# the query is running, then rewrite maintenance whose
+# data_change=false steps must flow through the open stream as ZERO
+# rows. The final state hash-checks against the pure-SQL derivation of
+# the table's end state, and booleans pin bit-exact recompute parity
+# and maintenance silence. This is the consumer that survives what
+# fences the append-only snapshot_stream source. (The checkpoint-
+# restart resume path of the same source is separately pinned by
+# tests/test_cdf_stream.py — here one live query keeps the bench wall
+# to a single stream start instead of two availableNow restarts.)
 # --------------------------------------------------------------------------
 
 
 def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
     from ..io import load_table
     from ..ops.ivm import apply_agg_delta, finish_agg, materialize_agg
     from ..ops.snapshot import (
@@ -1255,6 +1261,7 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_read,
         snapshot_rewrite_deletes,
         snapshot_rows,
+        snapshot_versions,
         snapshot_write,
     )
     from ..sources.snapshot_cdf_stream import read_snapshot_changes_stream
@@ -1292,36 +1299,50 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_read(spark, tbl).limit(0), keys, sums
     ).localCheckpoint()
 
-    def fold() -> int:
-        """Drain the change stream from the shared checkpoint and fold
-        every micro-batch into the maintained state; returns rows seen."""
-        nonlocal state
-        batches: list[DataFrame] = []
-        q = (
-            read_snapshot_changes_stream(spark, tbl)
-            .drop("_commit_version")
-            .writeStream.foreachBatch(
-                lambda b, i: batches.append(b.localCheckpoint())
-            )
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ck)
-            .start()
-        )
-        q.awaitTermination(300)
-        n = 0
-        for b in batches:
-            n += b.count()
-            state = apply_agg_delta(state, b, keys, sums).localCheckpoint()
-        return n
+    # ONE live query observes both phases: micro-batches are parked
+    # (localCheckpoint pins each batch's content past its micro-batch
+    # lifetime) and folded into the state after the stream stops — the
+    # folds are pure deltas, so batch grouping doesn't affect the state.
+    batches: list[DataFrame] = []
+    counts: list[int] = []
 
-    n1 = fold()  # drain 1: the initial load arrives as inserts
+    def park(b: DataFrame, _i: int) -> None:
+        cb = b.localCheckpoint()
+        batches.append(cb)
+        counts.append(cb.count())
+
+    q = (
+        read_snapshot_changes_stream(spark, tbl)
+        .drop("_commit_version")
+        .writeStream.foreachBatch(park)
+        .trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+
+    def wait_rows(target: int) -> int:
+        """Block until the live feed has delivered `target` change rows
+        (counts only grow; the table is quiescent at each wait point, so
+        the total available IS the target — overshoot fails the pin)."""
+        deadline = time.time() + 300
+        while sum(counts) < target:
+            if not q.isActive:
+                raise RuntimeError(f"CDF stream died: {q.exception()}")
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"CDF stream stalled at {sum(counts)}/{target} rows"
+                )
+            time.sleep(0.05)
+        return sum(counts)
+
     rows_lo = snapshot_rows(tbl)
+    n1 = wait_rows(rows_lo)  # phase 1: the initial load as inserts
     snapshot_write(
         sl.where(F.col("o_orderkey") > mid), tbl, mode="append", n_files=1
     )
-    # the merges land MID-STREAM: the checkpointed consumer has already
-    # drained v1 and will observe these as tombstone-delta deletes plus
-    # appended-file inserts on its next drain
+    # the merges land MID-STREAM: the live consumer has already folded
+    # v1 and observes these as tombstone-delta deletes plus
+    # appended-file inserts in its next micro-batches
     snapshot_merge(
         spark, tbl,
         sl.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
@@ -1334,10 +1355,41 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_merge(spark, tbl, upd, on=["o_orderkey"],
                    when_matched="update", insert_not_matched=True,
                    strategy="mor")
-    # content-preserving maintenance ALSO lands before the next drain —
+    # content-preserving maintenance ALSO flows through the open stream —
     # its data_change=false steps must contribute exactly zero feed rows
     snapshot_rewrite_deletes(spark, tbl, n_files_new=2)
-    n2 = fold()  # drain 2: append + both merges + silent maintenance
+    # the silence pin needs the stream CONSUMED THROUGH the final
+    # version before we stop — row-count waits alone would stop early
+    # and miss rows a broken maintenance step emitted at the tail
+    final_v = snapshot_versions(tbl)[-1]
+    deadline = time.time() + 300
+    while True:
+        p = q.lastProgress
+        eo = (p or {}).get("sources", [{}])[0].get("endOffset")
+        if isinstance(eo, str):
+            # python-datasource offsets surface as a dict repr (single
+            # quotes), not JSON — literal_eval handles both
+            import ast
+
+            eo = ast.literal_eval(eo)
+        if eo and eo.get("version", -1) >= final_v:
+            break
+        if not q.isActive:
+            raise RuntimeError(f"CDF stream died: {q.exception()}")
+        if time.time() > deadline:
+            raise TimeoutError(f"CDF stream never reached v{final_v}")
+        time.sleep(0.05)
+    n2 = sum(counts) - n1
+    q.stop()
+    q.awaitTermination(60)
+    # count/sum deltas are purely additive, so ONE fold over the union
+    # of every micro-batch equals folding them in sequence — one join
+    # against the state instead of one per batch
+    from functools import reduce
+
+    state = apply_agg_delta(
+        state, reduce(DataFrame.unionByName, batches), keys, sums
+    )
     sl.unpersist()
     # exact feed accounting pins maintenance silence: the drain must have
     # carried the append's inserts, the delete-merge's deletes, and the
