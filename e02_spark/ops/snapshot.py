@@ -1136,6 +1136,113 @@ def snapshot_stream_sink(
     return writer.start()
 
 
+def snapshot_cdc_sink(
+    changes: DataFrame,
+    table: str,
+    on: list[str],
+    op_col: str | None = None,
+    dedup_by: str | None = None,
+    drop_cols: list[str] | None = None,
+    strategy: str = "eq",
+    n_files_new: int = 1,
+    cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Structured Streaming CDC-APPLY sink: maintain a snapshot table as
+    the materialization of a change stream (the Debezium/Delta
+    `applyChanges` shape) with EXACTLY-ONCE application end to end.
+
+    Each micro-batch applies as at most two idempotent merges keyed by
+    the batch id:
+      1. rows whose `op_col` is 'delete' -> snapshot_merge
+         when_matched='delete' on the key columns  (commit_key
+         cdc-<id>-d),
+      2. every other row -> snapshot_merge when_matched='update',
+         insert_not_matched=True — the upsert leg  (commit_key
+         cdc-<id>-u).
+    With strategy='eq' (the default) both legs are O(batch): the delete
+    leg writes one key-valued eq-delete file, the upsert leg one
+    eq-delete file + the batch's rows as new data files — ZERO target
+    reads per batch, CDC ingest at its write floor; readers absorb the
+    outstanding deletes via the broadcast anti-join until
+    snapshot_rewrite_deletes folds them. An at-least-once re-execution
+    (crash after either leg's manifest commit but before the streaming
+    commit) is de-duplicated per leg by the commit keys: the replayed
+    leg no-ops against the manifest key set, the unapplied leg applies —
+    so the table converges to exactly-once regardless of where the
+    crash landed.
+
+    `dedup_by` names a monotone ordering column (an LSN / source
+    timestamp): the batch is compacted to the LAST event per key before
+    the split, so a key upserted then deleted inside one batch nets to
+    its final op (ties on (key, dedup_by) are a source-feed defect and
+    nondeterministic here, as everywhere). Without it, a key appearing
+    in both legs nets to the upsert (deletes apply first); feeds that
+    interleave ops per key within a batch should pass dedup_by.
+    `op_col`/`dedup_by`/`drop_cols` are CDC transport metadata and are
+    dropped before the merge — the remaining columns must match the
+    target schema. Empty batches and empty legs commit nothing.
+
+    Returns the started StreamingQuery."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            if dedup_by is not None:
+                w = Window.partitionBy(*on).orderBy(F.col(dedup_by).desc())
+                batch = (
+                    batch.withColumn("_cdc_rn", F.row_number().over(w))
+                    .where(F.col("_cdc_rn") == 1)
+                    .drop("_cdc_rn")
+                )
+            meta = [
+                c
+                for c in [op_col, dedup_by, *(drop_cols or [])]
+                if c is not None
+            ]
+            if op_col is not None:
+                is_del = F.col(op_col) == F.lit("delete")
+                dels = batch.where(is_del).select(*on)
+                ups = batch.where(~F.coalesce(is_del, F.lit(False))).drop(
+                    *meta
+                )
+            else:
+                dels, ups = None, batch.drop(*meta)
+            # deletes first: a key in both legs nets to its upsert
+            if (
+                dels is not None
+                and snapshot_versions(table)  # nothing to delete from yet
+                and not dels.isEmpty()
+            ):
+                snapshot_merge(
+                    spark, table, dels, on=on, when_matched="delete",
+                    insert_not_matched=False, strategy=strategy,
+                    commit_key=f"cdc-{batch_id}-d",
+                )
+            if not ups.isEmpty():
+                snapshot_merge(
+                    spark, table, ups, on=on, when_matched="update",
+                    insert_not_matched=True, strategy=strategy,
+                    n_files_new=n_files_new, cluster_by=cluster_by,
+                    stats_cols=stats_cols,
+                    commit_key=f"cdc-{batch_id}-u",
+                )
+        finally:
+            batch.unpersist()
+
+    writer = changes.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 # --------------------------------------------------------------------------
 # Positional delete vectors (merge-on-read) — the Iceberg-v2 delete-file
 # shape. A DV file is plain parquet with two columns:
@@ -1404,6 +1511,7 @@ def snapshot_merge(
     stats_cols: list[str] | None = None,
     max_retries: int = 3,
     strategy: str = "cow",
+    commit_key: str | None = None,
 ) -> dict:
     """MERGE `source` into the snapshot table by key columns `on` —
     copy-on-write upsert/delete, the Delta/Iceberg MERGE INTO shape:
@@ -1479,9 +1587,19 @@ def snapshot_merge(
     dropped from the new manifest (survivors are re-committed as one
     fresh DV file).
 
+    commit_key makes the merge EXACTLY-ONCE under at-least-once
+    execution (the snapshot_write idempotency_key contract, extended to
+    merges — what a streaming CDC-apply sink needs): a merge whose key
+    is already in the table's committed key set returns immediately
+    with `replayed=True` and NO new version, at the cost of one
+    manifest read and zero Spark jobs. The check re-runs inside the
+    optimistic retry loop against the freshest manifest, so two racing
+    merges with the same key commit exactly one version: the loser's
+    replan sees the winner's key and backs off to a replay no-op.
+
     Returns {'version', 'files_rewritten', 'files_kept', 'files_added',
-    'tombstones_added', 'rows_before', 'rows_after'} (row counts from
-    manifest metadata — no extra jobs)."""
+    'tombstones_added', 'rows_before', 'rows_after', 'replayed'} (row
+    counts from manifest metadata — no extra jobs)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     if strategy not in ("cow", "mor", "eq"):
@@ -1500,6 +1618,20 @@ def snapshot_merge(
                 "strategy='eq' delete requires insert_not_matched=False: "
                 "telling unmatched source rows apart needs a target read"
             )
+    def _replay_result(base: int, prev: dict) -> dict:
+        res = {
+            "version": base, "files_rewritten": 0,
+            "files_kept": sum(r["n_files"] for r in prev["manifests"]),
+            "files_added": 0, "tombstones_added": 0,
+            "rows_before": _rows_or_none(table, base),
+            "rows_after": _rows_or_none(table, base),
+            "replayed": True,
+        }
+        if strategy == "eq":
+            res["eq_keys"] = 0
+            res["rows_after"] = None
+        return res
+
     versions = snapshot_versions(table)
     if not versions:
         if not insert_not_matched:
@@ -1507,12 +1639,20 @@ def snapshot_merge(
         v = snapshot_write(
             source, table, mode="overwrite", n_files=n_files_new,
             cluster_by=cluster_by, stats_cols=stats_cols,
+            idempotency_key=commit_key,
         )
         return {
             "version": v, "files_rewritten": 0, "files_kept": 0,
             "files_added": n_files_new, "tombstones_added": 0,
             "rows_before": 0, "rows_after": snapshot_rows(table, v),
+            "replayed": False,
         }
+    if commit_key is not None:
+        # replay fast path: one manifest read, zero Spark jobs — the
+        # race-safe re-check lives inside the retry loop below
+        prev0 = _read_manifest(table, versions[-1])
+        if commit_key in prev0.get("keys", committed_keys(table)):
+            return _replay_result(versions[-1], prev0)
 
     from pyspark.sql import functions as F
 
@@ -1551,12 +1691,17 @@ def snapshot_merge(
             return _eq_merge_commit(
                 spark, table, source, on, when_matched, n_files_new,
                 cluster_by, stats_cols, max_retries, target_cols,
+                commit_key, _replay_result,
             )
         skeys = source.select(*on).distinct()
 
         for _ in range(max_retries):
             base = snapshot_versions(table)[-1]
             prev = _read_manifest(table, base)
+            if commit_key is not None and commit_key in prev.get(
+                "keys", committed_keys(table)
+            ):
+                return _replay_result(base, prev)  # raced replay: no-op
             dv = _dv_frame(spark, table, prev)
             candidates, _ = _plan_files(
                 table, base, (k0, b["lo"], b["hi"]), manifest=prev
@@ -1593,7 +1738,7 @@ def snapshot_merge(
                     spark, table, base, prev, dv, matched, matched_keys,
                     skeys, source, on, when_matched, insert_not_matched,
                     strategy, n_files_new, cluster_by, stats_cols,
-                    target_cols, n_all,
+                    target_cols, n_all, commit_key,
                 )
             finally:
                 if matched is not None:
@@ -1615,6 +1760,7 @@ def _merge_attempt(
     spark, table, base, prev, dv, matched, matched_keys, skeys,
     source, on, when_matched, insert_not_matched,
     strategy, n_files_new, cluster_by, stats_cols, target_cols, n_all,
+    commit_key=None,
 ):
     """One optimistic attempt of snapshot_merge against snapshot `base`:
     returns the result dict on a won commit race, None on a lost one
@@ -1628,11 +1774,15 @@ def _merge_attempt(
     sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
 
     def _noop():
+        # provably-nothing-to-do merges commit no version, so a
+        # commit_key is NOT recorded here — replaying a no-op is
+        # idempotent by construction (it re-plans and no-ops again)
         return {
             "version": base, "files_rewritten": 0, "files_kept": n_all,
             "files_added": 0, "tombstones_added": 0,
             "rows_before": _rows_or_none(table, base),
             "rows_after": _rows_or_none(table, base),
+            "replayed": False,
         }
 
     def _result(version, rewritten, added, tombs):
@@ -1642,6 +1792,7 @@ def _merge_attempt(
             "tombstones_added": tombs,
             "rows_before": _rows_or_none(table, base),
             "rows_after": _rows_or_none(table, version),
+            "replayed": False,
         }
 
     def _write_data(parts):
@@ -1663,12 +1814,15 @@ def _merge_attempt(
         return entries
 
     def _manifest(refs, del_refs):
+        ks = prev.get("keys", sorted(committed_keys(table)))
+        if commit_key is not None:
+            ks = sorted(set(ks) | {commit_key})
         return {
             "version": base + 1,
             "mode": "merge",
             "stats_cols": sorted(sc),
-            "idempotency_key": None,
-            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "idempotency_key": commit_key,
+            "keys": ks,
             "manifests": refs,
             "deletes": del_refs,
             "eq_deletes": prev.get("eq_deletes", []),
@@ -1771,6 +1925,7 @@ def _merge_attempt(
 def _eq_merge_commit(
     spark, table, source, on, when_matched, n_files_new,
     cluster_by, stats_cols, max_retries, target_cols,
+    commit_key=None, _replay_result=None,
 ):
     """strategy='eq' commit loop: write one key-valued delete file (and,
     in update mode, the source rows as new data files) — ZERO target
@@ -1782,6 +1937,10 @@ def _eq_merge_commit(
     for _ in range(max_retries):
         base = snapshot_versions(table)[-1]
         prev = _read_manifest(table, base)
+        if commit_key is not None and commit_key in prev.get(
+            "keys", committed_keys(table)
+        ):
+            return _replay_result(base, prev)  # raced replay: no-op
         sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
         n_all = sum(r["n_files"] for r in prev["manifests"])
         if stamped != base + 1:
@@ -1811,12 +1970,15 @@ def _eq_merge_commit(
             _write_shard(table, new_entries[i : i + 100_000])
             for i in range(0, len(new_entries), 100_000)
         ]
+        ks = prev.get("keys", sorted(committed_keys(table)))
+        if commit_key is not None:
+            ks = sorted(set(ks) | {commit_key})
         manifest = {
             "version": base + 1,
             "mode": "merge",
             "stats_cols": sorted(sc),
-            "idempotency_key": None,
-            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "idempotency_key": commit_key,
+            "keys": ks,
             "manifests": refs,
             "deletes": prev.get("deletes", []),
             "eq_deletes": prev.get("eq_deletes", []) + [eq_ref],
@@ -1829,7 +1991,7 @@ def _eq_merge_commit(
                 "files_kept": n_all, "files_added": len(new_entries),
                 "tombstones_added": 0, "eq_keys": n_keys,
                 "rows_before": _rows_or_none(table, base),
-                "rows_after": None,
+                "rows_after": None, "replayed": False,
             }
     raise RuntimeError(
         f"snapshot_merge(eq) lost {max_retries} consecutive commit races on {table}"

@@ -473,12 +473,13 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
           ("ivm_matches_recompute", "s"), ("maintenance_silent", "s")]),
         # round 9: EQUALITY-delete merge chain (MoR delete + eq upsert,
         # zero target reads) hashed against the SAME v3 CTE as q116/q118
-        # — the CoW/MoR/EQ triple-convergence pin — plus eq CDF balance
-        # and rewrite folding both delete flavors.
+        # — the CoW/MoR/EQ triple-convergence pin — plus eq CDF balance,
+        # rewrite folding both delete flavors, and the CDC-apply
+        # exactly-once pin (commit_key replay of the delete leg no-ops).
         ("q123", "q123_eq_merge",
          [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("eq_zero_reads", "s"), ("cdf_eq_ok", "s"),
-          ("meta_restored", "s")]),
+          ("meta_restored", "s"), ("cdc_idempotent", "s")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the

@@ -1494,6 +1494,23 @@ def q123_eq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = snapshot_merge(
         spark, table, dels, on=["o_orderkey"],
         when_matched="delete", insert_not_matched=False, strategy="mor",
+        commit_key="q123-del",
+    )
+    # the CDC-apply exactly-once contract (snapshot_cdc_sink): an
+    # at-least-once re-execution of the same merge leg must no-op on
+    # its manifest-recorded commit key — one manifest read, zero Spark
+    # jobs, no new version
+    m1r = snapshot_merge(
+        spark, table, dels, on=["o_orderkey"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+        commit_key="q123-del",
+    )
+    cdc_idempotent = (
+        m1r["replayed"] is True
+        and m1r["version"] == m1["version"]
+        and m1r["files_added"] == 0
+        and m1r["files_rewritten"] == 0
+        and m1r["tombstones_added"] == 0
     )
     upd = orders.where(
         (F.col("o_orderkey") % 7 == 0)
@@ -1556,6 +1573,7 @@ def q123_eq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("eq_zero_reads", F.lit(bool(eq_zero_reads)))
         .withColumn("cdf_eq_ok", F.lit(bool(cdf_eq_ok)))
         .withColumn("meta_restored", F.lit(bool(meta_restored)))
+        .withColumn("cdc_idempotent", F.lit(bool(cdc_idempotent)))
     )
 
 
@@ -1583,7 +1601,8 @@ SELECT o_orderstatus, o_orderpriority,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
   TRUE AS eq_zero_reads,
   TRUE AS cdf_eq_ok,
-  TRUE AS meta_restored
+  TRUE AS meta_restored,
+  TRUE AS cdc_idempotent
 FROM v3 GROUP BY o_orderstatus, o_orderpriority
 """
 

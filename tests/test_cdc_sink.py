@@ -1,0 +1,313 @@
+"""Idempotent merge commits (commit_key) + the streaming CDC-apply sink.
+
+The contract under test (ops/snapshot.py snapshot_merge commit_key /
+snapshot_cdc_sink): a change stream maintains a snapshot table with
+exactly-once application under at-least-once execution — replayed
+batches no-op per merge leg via manifest-recorded commit keys, mixed
+insert/update/delete feeds net to their final per-key state, and the
+whole path stays O(batch) with strategy='eq' (zero target reads).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e02_spark.ops.snapshot import (
+    snapshot_cdc_sink,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_versions,
+    snapshot_write,
+)
+
+
+def _rows(spark, table):
+    return {
+        (r["id"], r["v"]) for r in snapshot_read(spark, table).collect()
+    }
+
+
+# ---------------------------------------------------------------- commit_key
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor", "eq"])
+def test_merge_commit_key_replay_noop(spark, tmp_path, strategy):
+    table = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(100).selectExpr("id", "id * 2 AS v"), table,
+        mode="overwrite", n_files=2,
+    )
+    src = spark.range(0, 100, 10).selectExpr("id", "id * 7 AS v")
+    kw = dict(
+        on=["id"], when_matched="update", insert_not_matched=True,
+        strategy=strategy, commit_key="k1",
+    )
+    first = snapshot_merge(spark, table, src, **kw)
+    assert first["replayed"] is False
+    v_after = snapshot_versions(table)[-1]
+    expected = _rows(spark, table)
+    # replay: same key -> no new version, no content change, zero writes
+    second = snapshot_merge(spark, table, src, **kw)
+    assert second["replayed"] is True
+    assert second["version"] == first["version"]
+    assert second["files_added"] == 0 and second["files_rewritten"] == 0
+    assert snapshot_versions(table)[-1] == v_after
+    assert _rows(spark, table) == expected
+    # a DIFFERENT key applies normally
+    third = snapshot_merge(
+        spark, table, src, on=["id"], when_matched="update",
+        insert_not_matched=True, strategy=strategy, commit_key="k2",
+    )
+    assert third["replayed"] is False
+    assert third["version"] == v_after + 1
+
+
+def test_merge_commit_key_race_loser_backs_off(spark, tmp_path, monkeypatch):
+    """Two merges with the SAME key racing: the loser's replan must see
+    the winner's key in the fresh manifest and return a replay no-op
+    instead of committing a duplicate version."""
+    import e02_spark.ops.snapshot as S
+
+    table = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(50).selectExpr("id", "id * 2 AS v"), table,
+        mode="overwrite", n_files=1,
+    )
+    src = spark.range(0, 50, 5).selectExpr("id", "id * 7 AS v")
+
+    real_commit = S._try_commit
+    fired = {"done": False}
+
+    def racing_commit(tbl, version, manifest):
+        # first commit attempt of OUR merge loses: a rival merge with the
+        # same commit_key lands that version first
+        if not fired["done"]:
+            fired["done"] = True
+            snapshot_merge(
+                spark, tbl, src, on=["id"], when_matched="update",
+                insert_not_matched=True, commit_key="shared",
+            )
+            return real_commit(tbl, version, manifest) and False
+        return real_commit(tbl, version, manifest)
+
+    monkeypatch.setattr(S, "_try_commit", racing_commit)
+    # racing_commit returns False on the first attempt regardless, since
+    # the rival really committed `version` already (hard-link create fails)
+    res = snapshot_merge(
+        spark, table, src, on=["id"], when_matched="update",
+        insert_not_matched=True, commit_key="shared",
+    )
+    assert res["replayed"] is True
+    # exactly ONE merge version landed
+    assert snapshot_versions(table)[-1] == 2
+    assert {r["v"] for r in snapshot_read(spark, table).where(
+        F.col("id") % 5 == 0).collect()} == {i * 7 for i in range(0, 50, 5)}
+
+
+def test_merge_noop_does_not_record_key(spark, tmp_path):
+    """A provably-nothing-to-do merge commits no version and records no
+    key — replaying it is idempotent by re-planning, and a LATER real
+    merge with the same key must still apply."""
+    table = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(10).selectExpr("id", "id * 2 AS v"), table,
+        mode="overwrite", n_files=1,
+    )
+    empty = spark.range(0).selectExpr("id")
+    res = snapshot_merge(
+        spark, table, empty, on=["id"], when_matched="delete",
+        insert_not_matched=False, commit_key="k-noop",
+    )
+    assert res["version"] == 1 and res["replayed"] is False
+    assert snapshot_versions(table)[-1] == 1
+    real = snapshot_merge(
+        spark, table, spark.range(3).selectExpr("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False,
+        commit_key="k-noop",
+    )
+    assert real["replayed"] is False and real["version"] == 2
+
+
+# ------------------------------------------------------------------ CDC sink
+
+
+def _feed(spark, tmp_path, batches):
+    """Stage CDC batches as single-file parquet with ascending mtimes so
+    maxFilesPerTrigger=1 yields file i = micro-batch i."""
+    import glob
+    import shutil
+
+    base = str(tmp_path / "feed")
+    os.makedirs(base, exist_ok=True)
+    for i, df in enumerate(batches):
+        stage = os.path.join(base, f"_w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(base, f"b{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        shutil.rmtree(stage)
+    return base
+
+
+CDC_SCHEMA = "id BIGINT, v BIGINT, op STRING, lsn BIGINT"
+
+
+def test_cdc_sink_end_to_end_mixed_ops(spark, tmp_path):
+    b0 = spark.createDataFrame(
+        [(i, i * 2, "insert", i) for i in range(20)], CDC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        # update 0..4, delete 5..9, insert 20..24; key 3 is updated then
+        # deleted within the batch (dedup_by must net it to the delete)
+        [(i, i * 100, "update", 100 + i) for i in range(5)]
+        + [(i, 0, "delete", 120 + i) for i in range(5, 10)]
+        + [(3, 0, "delete", 199)]
+        + [(i, i * 2, "insert", 130 + i) for i in range(20, 25)],
+        CDC_SCHEMA,
+    )
+    feed = _feed(spark, tmp_path, [b0, b1])
+    table = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = snapshot_cdc_sink(
+        stream, table, on=["id"], op_col="op", dedup_by="lsn",
+        checkpoint_dir=ck,
+    )
+    assert q.awaitTermination(300)
+    got = _rows(spark, table)
+    want = (
+        {(i, i * 100) for i in range(5) if i != 3}
+        | {(i, i * 2) for i in range(10, 20)}
+        | {(i, i * 2) for i in range(20, 25)}
+    )
+    assert got == want
+
+
+def test_cdc_sink_replay_fresh_checkpoint_noop(spark, tmp_path):
+    """The q114-style replay pin for MERGES: rerunning the whole feed
+    from a FRESH checkpoint re-executes every batch, and every leg must
+    no-op on its commit key — same final version, same content."""
+    b0 = spark.createDataFrame(
+        [(i, i * 2, "insert", i) for i in range(10)], CDC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(5, 555, "update", 100), (6, 0, "delete", 101)], CDC_SCHEMA
+    )
+    feed = _feed(spark, tmp_path, [b0, b1])
+    table = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = snapshot_cdc_sink(
+        stream, table, on=["id"], op_col="op", dedup_by="lsn",
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    assert q.awaitTermination(300)
+    v1 = snapshot_versions(table)[-1]
+    content = _rows(spark, table)
+    stream2 = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q2 = snapshot_cdc_sink(
+        stream2, table, on=["id"], op_col="op", dedup_by="lsn",
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert q2.awaitTermination(300)
+    assert snapshot_versions(table)[-1] == v1
+    assert _rows(spark, table) == content
+
+
+def test_cdc_sink_crash_between_legs_converges(spark, tmp_path):
+    """Crash AFTER the delete leg committed but BEFORE the upsert leg:
+    the batch replays, the delete leg no-ops, the upsert leg applies —
+    exactly-once either way. Simulated by applying the legs manually in
+    the same order/keys the sink uses."""
+    table = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(10)], "id BIGINT, v BIGINT"
+        ),
+        table, mode="overwrite", n_files=1,
+    )
+    dels = spark.createDataFrame([(7,)], "id BIGINT")
+    ups = spark.createDataFrame([(1, 111), (20, 40)], "id BIGINT, v BIGINT")
+    # first execution: delete leg lands, then "crash"
+    snapshot_merge(
+        spark, table, dels, on=["id"], when_matched="delete",
+        insert_not_matched=False, strategy="eq", commit_key="cdc-9-d",
+    )
+    v_mid = snapshot_versions(table)[-1]
+    # replay of the whole batch (what foreachBatch does on restart)
+    r1 = snapshot_merge(
+        spark, table, dels, on=["id"], when_matched="delete",
+        insert_not_matched=False, strategy="eq", commit_key="cdc-9-d",
+    )
+    r2 = snapshot_merge(
+        spark, table, ups, on=["id"], when_matched="update",
+        insert_not_matched=True, strategy="eq", commit_key="cdc-9-u",
+    )
+    assert r1["replayed"] is True and r1["version"] == v_mid
+    assert r2["replayed"] is False
+    assert _rows(spark, table) == (
+        {(i, i * 2) for i in range(10) if i not in (1, 7)}
+        | {(1, 111), (20, 40)}
+    )
+
+
+def test_cdc_sink_pure_upsert_feed_no_opcol(spark, tmp_path):
+    b0 = spark.createDataFrame(
+        [(i, i * 2) for i in range(8)], "id BIGINT, v BIGINT"
+    )
+    b1 = spark.createDataFrame(
+        [(3, 333), (8, 16)], "id BIGINT, v BIGINT"
+    )
+    feed = _feed(spark, tmp_path, [b0, b1])
+    table = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("id BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = snapshot_cdc_sink(
+        stream, table, on=["id"], checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert q.awaitTermination(300)
+    assert _rows(spark, table) == (
+        {(i, i * 2) for i in range(8) if i != 3} | {(3, 333), (8, 16)}
+    )
+
+
+def test_cdc_sink_delete_only_batch_and_first_batch_deletes(spark, tmp_path):
+    """Deletes in the FIRST batch (no table yet) are skipped — nothing
+    to delete from; a later delete-only batch commits exactly one
+    delete-leg version."""
+    b0 = spark.createDataFrame(
+        [(7, 0, "delete", 1), (1, 2, "insert", 2), (2, 4, "insert", 3)],
+        CDC_SCHEMA,
+    )
+    b1 = spark.createDataFrame([(1, 0, "delete", 10)], CDC_SCHEMA)
+    feed = _feed(spark, tmp_path, [b0, b1])
+    table = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = snapshot_cdc_sink(
+        stream, table, on=["id"], op_col="op", dedup_by="lsn",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert q.awaitTermination(300)
+    assert _rows(spark, table) == {(2, 4)}
