@@ -427,6 +427,55 @@ def _evolve_schema(prev_schema: dict | None, df: DataFrame, mode: str):
     return _nullable_schema(StructType(out)).jsonValue()
 
 
+class CheckViolation(ValueError):
+    """A CHECK constraint rejected rows at commit time (see
+    snapshot_set_check)."""
+
+
+def _validate_checks(
+    df: DataFrame, checks: dict | None, schema_json: dict | None, context: str
+) -> None:
+    """Enforce the manifest's CHECK constraints on rows about to be
+    committed: a row violates a check iff the predicate evaluates to
+    FALSE (NULL/UNKNOWN passes — SQL CHECK semantics, matching Delta).
+    Columns the recorded schema has but `df` omits (add-only evolution's
+    NULL backfill) are filled with typed NULLs first, so a check on an
+    evolved column passes for pre-evolution writers exactly as it would
+    at read time. One column-pruned limit(1) job when checks exist, zero
+    jobs when none; raises CheckViolation naming every failed check of
+    one violating row."""
+    if not checks:
+        return
+    import operator
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        have = set(df.columns)
+        for f in StructType.fromJson(schema_json).fields:
+            if f.name not in have:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    neg = {
+        name: ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        for name, expr in checks.items()
+    }
+    rows = (
+        df.where(_reduce(operator.or_, neg.values()))
+        .select([c.alias(name) for name, c in neg.items()])
+        .limit(1)
+        .collect()
+    )
+    if rows:
+        failed = sorted(name for name in checks if rows[0][name])
+        raise CheckViolation(
+            f"CHECK constraint violated by {context}: "
+            + "; ".join(f"{n!r}: {checks[n]}" for n in failed)
+        )
+
+
 def snapshot_write(
     df: DataFrame,
     table: str,
@@ -514,6 +563,7 @@ def snapshot_write(
     # so per-shard aggregate bounds stay tight and shard-level pruning
     # works WITHIN one commit.
     new_refs, stamped_seq = None, None
+    vdf, validated_checks = None, None
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         base = versions[-1] if versions else 0
@@ -537,6 +587,21 @@ def snapshot_write(
             prev_keys = committed_keys(table)  # legacy-manifest fallback
         if idempotency_key is not None and idempotency_key in prev_keys:
             return base  # a racing duplicate committed our key first
+        # CHECK enforcement on the rows being committed: validated over
+        # the WRITTEN files (column-pruned scan of the new parquet, one
+        # input pass total — never a second pass over df's lineage);
+        # re-validated only if a racing set_check changed the check set.
+        # A violation raises pre-commit; the written dir is an orphan
+        # for snapshot_expire.
+        checks = prev.get("checks") if prev is not None else None
+        if checks and checks != validated_checks:
+            if vdf is None:
+                vdf = df.sparkSession.read.parquet(commit_dir)
+            _validate_checks(
+                vdf, checks, prev.get("schema"),
+                f"snapshot_write(mode={mode!r}) into {table}",
+            )
+            validated_checks = checks
         if mode == "append" and prev is not None:
             refs = prev["manifests"] + new_refs
             # tombstones ride along: an append must not resurrect rows a
@@ -564,6 +629,9 @@ def snapshot_write(
             "eq_deletes": eq_refs,
             "partition_spec": spec,
             "schema": sch,
+            # constraints survive overwrite too (table property, not
+            # content — the Delta behavior for truncate-and-load)
+            "checks": checks,
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -862,6 +930,7 @@ def snapshot_compact(
             "eq_deletes": [],
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
+            "checks": prev.get("checks"),
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -968,6 +1037,7 @@ def snapshot_binpack(
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
+            "checks": prev.get("checks"),
         }
         if _try_commit(table, base + 1, manifest):
             return {
@@ -1087,6 +1157,7 @@ def snapshot_rewrite_deletes(
             "eq_deletes": [],
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
+            "checks": prev.get("checks"),
         }
         if _try_commit(table, base + 1, manifest):
             return {
@@ -1828,6 +1899,7 @@ def _merge_attempt(
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
+            "checks": prev.get("checks"),
         }
 
     # the append relation, shared by both strategies: update replaces
@@ -1845,6 +1917,15 @@ def _merge_attempt(
     elif insert_not_matched:
         parts.append(
             source.join(matched_keys, on, "left_anti").select(*target_cols)
+        )
+    # CHECK enforcement on exactly the source-derived rows this merge
+    # adds (survivor rewrites re-commit rows that already passed at
+    # their own insert time); `source` is persisted by the caller, so
+    # this is one cached-scan job, zero when the table has no checks
+    if parts and prev.get("checks"):
+        _validate_checks(
+            reduce(DataFrame.unionByName, parts), prev["checks"],
+            prev.get("schema"), f"snapshot_merge into {table}",
         )
 
     if strategy == "mor":
@@ -1941,6 +2022,13 @@ def _eq_merge_commit(
             "keys", committed_keys(table)
         ):
             return _replay_result(base, prev)  # raced replay: no-op
+        # CHECK enforcement: an eq upsert appends every source row
+        # (source is persisted by the caller — one cached-scan job)
+        if when_matched == "update" and prev.get("checks"):
+            _validate_checks(
+                source.select(*target_cols), prev["checks"],
+                prev.get("schema"), f"snapshot_merge(eq) into {table}",
+            )
         sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
         n_all = sum(r["n_files"] for r in prev["manifests"])
         if stamped != base + 1:
@@ -1984,6 +2072,7 @@ def _eq_merge_commit(
             "eq_deletes": prev.get("eq_deletes", []) + [eq_ref],
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
+            "checks": prev.get("checks"),
         }
         if _try_commit(table, base + 1, manifest):
             return {
@@ -2259,12 +2348,121 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
             "eq_deletes": src.get("eq_deletes", []),
             "partition_spec": src.get("partition_spec"),
             "schema": src.get("schema"),
+            "checks": src.get("checks"),
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
     raise RuntimeError(
         f"snapshot_rollback lost {max_retries} consecutive commit races on {table}"
     )
+
+
+def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
+    """Commit a metadata-only version whose `checks` dict is
+    mutate(current_checks); every other manifest field carries forward.
+    Returns the new version (or the current one when mutate is a
+    no-op)."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        checks = mutate(dict(prev.get("checks") or {}))
+        if checks == (prev.get("checks") or {}):
+            return base  # already in the requested state
+        manifest = {
+            "version": base + 1,
+            "mode": mode,
+            "stats_cols": prev.get("stats_cols", []),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": prev["manifests"],
+            "deletes": prev.get("deletes", []),
+            "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": prev.get("partition_spec"),
+            "schema": prev.get("schema"),
+            "checks": checks or None,
+        }
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+    raise RuntimeError(
+        f"{mode} lost {max_retries} consecutive commit races on {table}"
+    )
+
+
+def snapshot_set_check(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    expr: str,
+    validate: bool = True,
+    max_retries: int = 10,
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (the Delta shape):
+    record a named SQL predicate in the manifest. Every subsequent
+    commit that adds rows — write/append, streamed appends, all three
+    merge strategies, the CDC sink — validates exactly its NEW rows
+    (one column-pruned job) and raises CheckViolation instead of
+    committing when any evaluates to FALSE; NULL/UNKNOWN passes (SQL
+    CHECK semantics), so add-only schema evolution's NULL backfill
+    never violates a check on an evolved column.
+
+    By default the EXISTING content is validated first (one scan, like
+    Delta's ADD CONSTRAINT), making the recorded check a table-wide
+    invariant; pass validate=False to adopt it for new rows only. The
+    commit itself is metadata-only (O(manifest), the usual optimistic
+    retry). Rollback restores the checks recorded AT the target version
+    (metadata moves back with content). Returns the new version."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    cur = _read_manifest(table, versions[-1]).get("checks") or {}
+    if name in cur:
+        # resolve redefinitions BEFORE paying the content scan: an
+        # identical re-add is an idempotent no-op (already validated at
+        # its original add), a conflicting one is a caller error
+        if cur[name] == expr:
+            return versions[-1]
+        raise ValueError(
+            f"check {name!r} already exists with a different "
+            f"expression {cur[name]!r}; drop it first"
+        )
+    if validate:
+        _validate_checks(
+            snapshot_read(spark, table), {name: expr}, None,
+            f"the existing content of {table} (ADD CONSTRAINT validation)",
+        )
+
+    def mutate(checks: dict) -> dict:
+        if name in checks and checks[name] != expr:
+            raise ValueError(
+                f"check {name!r} already exists with a different "
+                f"expression {checks[name]!r}; drop it first"
+            )
+        checks[name] = expr
+        return checks
+
+    return _checks_commit(table, mutate, "set_check", max_retries)
+
+
+def snapshot_drop_check(
+    table: str, name: str, max_retries: int = 10
+) -> int:
+    """Drop a named CHECK constraint (metadata-only commit). Unknown
+    names raise KeyError — dropping a constraint you never had is a
+    caller bug, not a no-op."""
+
+    def mutate(checks: dict) -> dict:
+        if name not in checks:
+            raise KeyError(
+                f"no CHECK constraint {name!r} on the table "
+                f"(recorded: {sorted(checks) or 'none'})"
+            )
+        del checks[name]
+        return checks
+
+    return _checks_commit(table, mutate, "drop_check", max_retries)
 
 
 def snapshot_expire(

@@ -453,11 +453,13 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # time travel keeps the narrower v1 schema.
         # round 9: + hidden partitioning — bucket(16, o_custkey) derived
         # per-file values; a point probe on the SOURCE column resolves
-        # through the spec and prunes to a strict file subset
+        # through the spec and prunes to a strict file subset — and
+        # CHECK constraints (ADD CONSTRAINT validates existing content,
+        # a violating append raises pre-commit, version+rows untouched)
         ("q120", "q120_schema_evolution",
          [("o_orderstatus", "s"), ("band", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("schema_stable", "s"),
-          ("hidden_prune_ok", "s")]),
+          ("hidden_prune_ok", "s"), ("check_enforced", "s")]),
         # round 8: the lakehouse streaming loop — snapshot_stream SOURCE
         # (version offsets, per-file partitions, Arrow reads) through a
         # transform into the exactly-once snapshot sink; replay pinned.

@@ -993,6 +993,32 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         0 < n_kept < len(all_files)
         and pruned.count() == full.count() > 0
     )
+    # CHECK constraint on the EVOLVED column (snapshot_set_check):
+    # ADD CONSTRAINT validates existing content — v1's NULL-backfilled
+    # band passes (SQL CHECK semantics) — then a violating append must
+    # raise pre-commit, leaving version and row count untouched
+    from ..ops.snapshot import (
+        CheckViolation,
+        snapshot_set_check,
+        snapshot_versions,
+    )
+
+    v_chk = snapshot_set_check(
+        spark, table, "band_domain", "band IN ('0', '1', '2')"
+    )
+    rejected = False
+    try:
+        snapshot_write(
+            high.limit(5).withColumn("band", F.lit("XXX")),
+            table, mode="append", n_files=1,
+        )
+    except CheckViolation:
+        rejected = True
+    check_enforced = (
+        rejected
+        and snapshot_versions(table)[-1] == v_chk
+        and snapshot_rows(table) == orders.count()
+    )
     return (
         cur.groupBy("o_orderstatus", "band")
         .agg(
@@ -1001,6 +1027,7 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("schema_stable", F.lit(bool(schema_stable)))
         .withColumn("hidden_prune_ok", F.lit(bool(hidden_prune_ok)))
+        .withColumn("check_enforced", F.lit(bool(check_enforced)))
     )
 
 
@@ -1011,7 +1038,8 @@ SELECT o_orderstatus,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
   TRUE AS schema_stable,
-  TRUE AS hidden_prune_ok
+  TRUE AS hidden_prune_ok,
+  TRUE AS check_enforced
 FROM orders GROUP BY 1, 2
 """
 

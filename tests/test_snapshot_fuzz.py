@@ -54,7 +54,8 @@ def _apply_random_op(spark, rng, table, model, ctx):
     op = rng.choice(
         ["append", "upsert_cow", "upsert_mor", "delete_cow", "delete_mor",
          "upsert_eq", "delete_eq",
-         "rewrite", "binpack", "compact", "evolve_append", "rollback"]
+         "rewrite", "binpack", "compact", "evolve_append", "rollback",
+         "set_check", "drop_check", "violate_check"]
     )
     if op in ("append", "evolve_append"):
         fresh = [
@@ -100,13 +101,53 @@ def _apply_random_op(spark, rng, table, model, ctx):
     elif op == "rollback":
         target = rng.choice(sorted(ctx["history"]))
         S.snapshot_rollback(table, target)
-        past_model, past_evolved = ctx["history"][target]
+        past_model, past_evolved, past_check = ctx["history"][target]
         model.clear()
         model.update(past_model)
         ctx["evolved"] = past_evolved
+        ctx["check"] = past_check  # checks roll back with metadata
+    elif op == "set_check":
+        # predicate holds for every generated amt (0..999) but NOT for
+        # violate_check's 5000 rows — so ADD CONSTRAINT itself must
+        # reject when a violating row slipped in check-free earlier
+        if any(v >= 1000 for v in model.values()):
+            with pytest.raises(S.CheckViolation):
+                S.snapshot_set_check(
+                    spark, table, "amt_domain", "amt >= 0 AND amt < 1000"
+                )
+        else:
+            S.snapshot_set_check(
+                spark, table, "amt_domain", "amt >= 0 AND amt < 1000"
+            )
+            ctx["check"] = True
+    elif op == "drop_check":
+        if ctx["check"]:
+            S.snapshot_drop_check(table, "amt_domain")
+            ctx["check"] = False
+        else:
+            with pytest.raises(KeyError):
+                S.snapshot_drop_check(table, "amt_domain")
+    elif op == "violate_check":
+        k = rng.randrange(9000, 9500)
+        while k in model:
+            k += 1
+        bad = [(k, 5000)]
+        if ctx["check"]:
+            with pytest.raises(S.CheckViolation):
+                S.snapshot_write(
+                    _df(spark, bad, ctx["evolved"]), table, mode="append",
+                    n_files=1, stats_cols=["id"],
+                )
+            # rejected pre-commit: model unchanged
+        else:
+            S.snapshot_write(
+                _df(spark, bad, ctx["evolved"]), table, mode="append",
+                n_files=1, stats_cols=["id"],
+            )
+            model.update(bad)
     v = S.snapshot_versions(table)[-1]
     ctx["versions"].append(v)
-    ctx["history"][v] = (dict(model), ctx["evolved"])
+    ctx["history"][v] = (dict(model), ctx["evolved"], ctx["check"])
     return op
 
 
@@ -123,7 +164,8 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
                      n_files=3, cluster_by=["id"], stats_cols=["id"],
                      partition_spec=[("bucket", "id", 4)])
     model = dict(init)
-    ctx = {"versions": [1], "history": {1: (dict(init), False)},
+    ctx = {"versions": [1], "history": {1: (dict(init), False, False)},
+           "check": False,
            "evolved": False}
     trace = []
     for step in range(11):
