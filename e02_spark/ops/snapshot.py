@@ -1212,7 +1212,7 @@ def snapshot_cdc_sink(
     table: str,
     on: list[str],
     op_col: str | None = None,
-    dedup_by: str | None = None,
+    dedup_by: str | list[str] | None = None,
     drop_cols: list[str] | None = None,
     strategy: str = "eq",
     n_files_new: int = 1,
@@ -1244,13 +1244,15 @@ def snapshot_cdc_sink(
     so the table converges to exactly-once regardless of where the
     crash landed.
 
-    `dedup_by` names a monotone ordering column (an LSN / source
-    timestamp): the batch is compacted to the LAST event per key before
-    the split, so a key upserted then deleted inside one batch nets to
-    its final op (ties on (key, dedup_by) are a source-feed defect and
-    nondeterministic here, as everywhere). Without it, a key appearing
-    in both legs nets to the upsert (deletes apply first); feeds that
-    interleave ops per key within a batch should pass dedup_by.
+    `dedup_by` names a monotone ordering column — or a LIST of columns,
+    compared lexicographically — (an LSN / source timestamp / a
+    (_commit_version, is-insert) pair for CDF feeds): the batch is
+    compacted to the LAST event per key before the split, so a key
+    upserted then deleted inside one batch nets to its final op (ties
+    on (key, dedup_by) are a source-feed defect and nondeterministic
+    here, as everywhere). Without it, a key appearing in both legs nets
+    to the upsert (deletes apply first); feeds that interleave ops per
+    key within a batch should pass dedup_by.
     `op_col`/`dedup_by`/`drop_cols` are CDC transport metadata and are
     dropped before the merge — the remaining columns must match the
     target schema. Empty batches and empty legs commit nothing.
@@ -1266,8 +1268,13 @@ def snapshot_cdc_sink(
         try:
             if batch.isEmpty():
                 return
-            if dedup_by is not None:
-                w = Window.partitionBy(*on).orderBy(F.col(dedup_by).desc())
+            order_cols = (
+                [dedup_by] if isinstance(dedup_by, str) else list(dedup_by or [])
+            )
+            if order_cols:
+                w = Window.partitionBy(*on).orderBy(
+                    *[F.col(c).desc() for c in order_cols]
+                )
                 batch = (
                     batch.withColumn("_cdc_rn", F.row_number().over(w))
                     .where(F.col("_cdc_rn") == 1)
@@ -1275,7 +1282,7 @@ def snapshot_cdc_sink(
                 )
             meta = [
                 c
-                for c in [op_col, dedup_by, *(drop_cols or [])]
+                for c in [op_col, *order_cols, *(drop_cols or [])]
                 if c is not None
             ]
             if op_col is not None:
@@ -1312,6 +1319,48 @@ def snapshot_cdc_sink(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def snapshot_replicate(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    on: list[str],
+    checkpoint_dir: str,
+    starting_version: int = 0,
+    strategy: str = "eq",
+    n_files_new: int = 1,
+):
+    """Maintain `dst_table` as an exactly-once MIRROR of `src_table` by
+    composing the streaming change-data-feed source with the CDC-apply
+    sink (the Delta 'incremental clone via CDF' pattern): each run
+    drains the source versions the checkpoint hasn't seen and applies
+    them as idempotent merges, so repeated invocations advance the
+    mirror by O(changed rows since last run) — never O(table) — and a
+    crash/replay anywhere converges (offsets replay version-stable,
+    merges no-op on their commit keys).
+
+    Within one drained batch a key may carry its full history (inserted
+    at v2, updated at v4, deleted at v5); compaction orders by
+    (_commit_version, insert-over-delete) — at equal version an
+    upsert's insert supersedes its own delete — so the mirror lands
+    directly on each key's final state. The mirror is an ordinary
+    snapshot table: its own history/time-travel reflects replication
+    runs, not source commits. Returns the started StreamingQuery."""
+    from ..sources.snapshot_cdf_stream import read_snapshot_changes_stream
+
+    from pyspark.sql import functions as F
+
+    feed = read_snapshot_changes_stream(
+        spark, src_table, starting_version=starting_version
+    ).withColumn(
+        "_ins", (F.col("_change_type") != F.lit("delete")).cast("int")
+    )
+    return snapshot_cdc_sink(
+        feed, dst_table, on=on, op_col="_change_type",
+        dedup_by=["_commit_version", "_ins"], strategy=strategy,
+        n_files_new=n_files_new, checkpoint_dir=checkpoint_dir,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -43,11 +43,20 @@ Planning (all driver-side, all from metadata — no Spark jobs):
   only the tombstoned positions and the appended replacements, and
   maintenance streams nothing.
 
-Equality-delete commits (snapshot_merge strategy='eq') are FENCED with a
-named error: applying a key-valued tombstone executor-side would need a
-join against every candidate file, which breaks the per-file partition
-model — consume the batch `snapshot_changes` for such ranges (it applies
-eq-deletes exactly), or run `snapshot_rewrite_deletes` before resuming.
+Equality-delete commits (snapshot_merge strategy='eq') stream too —
+round 9, lifting the round-8 fence: eq-delete files are O(source keys)
+small by the same maintenance invariant as DVs, so their key sets are
+read driver-side and shipped inside the partition like DV position
+sets. A step that ADDS an eq file plans one partition per seq/stats-
+applicable common file emitting live rows whose key the new file
+shadows => 'delete'; a step that DROPS one (rollback past an eq merge)
+emits the un-shadowed live rows => 'insert'. Added/removed-file slices
+additionally carry the OWNING version's applicable eq shadows, so a
+CoW rewrite of a file with outstanding eq deletes streams exactly its
+LIVE rows (the batch `_side` semantics) — never resurrects shadowed
+ones. Rows positionally tombstoned in the other version are excluded
+from eq slices (the DV-delta slices own them), mirroring the batch
+double-count rule. NULL keys never match (SQL equality).
 
 Usage:
     spark.dataSource.register(SnapshotCDFStreamDataSource)
@@ -104,12 +113,64 @@ def _read_dv_file(path: str) -> list[tuple[str, int]]:
     return hit
 
 
+_EQ_FILE_MEMO: dict[str, tuple[tuple, ...]] = {}
+
+
+def _read_eq_keys(path: str, on: list[str]) -> tuple[tuple, ...]:
+    """One eq-delete file's key tuples, read driver-side (eq files are
+    O(merge-source keys) small by the maintenance invariant). Keys with
+    any NULL component never match (SQL equality) and are dropped here
+    once instead of re-checked per row. Memoized — eq files are
+    immutable once referenced."""
+    hit = _EQ_FILE_MEMO.get(path)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=list(on))
+        cols = [t.column(c).to_pylist() for c in on]
+        hit = _EQ_FILE_MEMO[path] = tuple(
+            k for k in zip(*cols) if None not in k
+        )
+        if len(_EQ_FILE_MEMO) > 1024:
+            _EQ_FILE_MEMO.pop(next(iter(_EQ_FILE_MEMO)))
+    return hit
+
+
+def _eq_applicable(table: str, eq_entries: list[dict], e: dict):
+    """The eq-delete (key_cols, key_tuples) pairs that can shadow rows
+    of data-file entry `e`: seq-scoped (eq applies only below its seq)
+    and stats-pruned on the first key column — the same applicability
+    rule as ops/snapshot._apply_eq_deletes / snapshot_changes."""
+    out = []
+    for q in eq_entries:
+        if int(e.get("seq", 0)) >= int(q["seq"]):
+            continue
+        k = q["on"][0]
+        qb = (q.get("stats") or {}).get(k)
+        eb = (e.get("stats") or {}).get(k)
+        if qb is not None and eb is not None and (
+            eb[0] > qb[1] or eb[1] < qb[0]
+        ):
+            continue
+        keys = _read_eq_keys(
+            os.path.abspath(os.path.join(table, q["path"])), q["on"]
+        )
+        if keys:
+            out.append((tuple(q["on"]), keys))
+    return tuple(out)
+
+
 class _ChangeSlice(InputPartition):
     """One changed file's contribution to a micro-batch.
 
     include: emit ONLY these row indices (tombstone-delta slices);
     exclude: emit all rows EXCEPT these (added/removed-file slices);
-    at most one of the two is non-None."""
+    at most one of the two is non-None.
+
+    match:  ((key_cols, key_tuples), ...) — emit only rows whose key is
+            in SOME pair's set (eq-delta slices; None = every row).
+    shadow: same shape — additionally DROP rows whose key is in some
+            pair's set (the owning version's outstanding eq deletes)."""
 
     def __init__(
         self,
@@ -119,6 +180,8 @@ class _ChangeSlice(InputPartition):
         schema_json: str,
         include: tuple[int, ...] | None = None,
         exclude: tuple[int, ...] | None = None,
+        match: tuple | None = None,
+        shadow: tuple = (),
     ):
         self.path = path
         self.change_type = change_type
@@ -126,6 +189,8 @@ class _ChangeSlice(InputPartition):
         self.schema_json = schema_json
         self.include = include
         self.exclude = exclude
+        self.match = match
+        self.shadow = shadow
 
 
 class SnapshotCDFStreamReader(DataSourceStreamReader):
@@ -178,7 +243,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             ) from None
 
     def partitions(self, start: dict, end: dict):
-        from ..ops.snapshot import _all_entries, snapshot_versions
+        from ..ops.snapshot import _all_entries, _eq_entries, snapshot_versions
 
         lo, hi = start["version"], end["version"]
         steps = [v for v in snapshot_versions(self.table) if lo < v <= hi]
@@ -189,21 +254,15 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             try:
                 if m.get("data_change") is False:
                     continue  # maintenance step: provably content-neutral
-                prev_eq = (prev_m.get("eq_deletes") if prev_m else None) or []
-                if (m.get("eq_deletes") or []) != prev_eq:
-                    raise ValueError(
-                        f"snapshot_changes_stream: v{v} of {self.table} "
-                        f"changed EQUALITY deletes — key-valued tombstones "
-                        f"cannot be applied in per-file stream partitions; "
-                        f"consume batch snapshot_changes for this range or "
-                        f"run snapshot_rewrite_deletes before resuming"
-                    )
-                a = (
-                    {e["path"] for e in _all_entries(self.table, prev_m)}
+                ents_a = (
+                    {e["path"]: e for e in _all_entries(self.table, prev_m)}
                     if prev_m is not None
-                    else set()
+                    else {}
                 )
-                b = {e["path"] for e in _all_entries(self.table, m)}
+                ents_b = {e["path"]: e for e in _all_entries(self.table, m)}
+                a, b = set(ents_a), set(ents_b)
+                eq_a = _eq_entries(self.table, prev_m) if prev_m else []
+                eq_b = _eq_entries(self.table, m)
                 dv_a = (
                     _dv_positions(self.table, prev_m)
                     if prev_m is not None and prev_m.get("deletes")
@@ -212,20 +271,22 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 dv_b = (
                     _dv_positions(self.table, m) if m.get("deletes") else {}
                 )
-                for p in sorted(b - a):  # added files -> inserts
+                for p in sorted(b - a):  # added files -> live rows insert
                     out.append(
                         _ChangeSlice(
                             os.path.join(self.table, p), "insert", v,
                             self._schema_json,
                             exclude=tuple(sorted(dv_b.get(p, ()))),
+                            shadow=_eq_applicable(self.table, eq_b, ents_b[p]),
                         )
                     )
-                for p in sorted(a - b):  # removed files -> deletes
+                for p in sorted(a - b):  # removed files -> live rows delete
                     out.append(
                         _ChangeSlice(
                             os.path.join(self.table, p), "delete", v,
                             self._schema_json,
                             exclude=tuple(sorted(dv_a.get(p, ()))),
+                            shadow=_eq_applicable(self.table, eq_a, ents_a[p]),
                         )
                     )
                 for p in sorted(a & b):  # tombstone deltas on kept files
@@ -247,6 +308,42 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                                 os.path.join(self.table, p), "insert", v,
                                 self._schema_json,
                                 include=tuple(sorted(gone)),
+                            )
+                        )
+                # equality-delete DELTAS on kept files: an added eq file
+                # shadows previously-live rows => deletes; a dropped one
+                # (rollback past an eq merge) un-shadows => inserts. One
+                # partition per seq/stats-applicable file; rows
+                # positionally tombstoned in EITHER version are excluded
+                # (the DV-delta slices own those), and rows already
+                # shadowed at the owning version don't re-emit.
+                eq_a_by = {e["path"]: e for e in eq_a}
+                eq_b_by = {e["path"]: e for e in eq_b}
+                new_eq = [e for p2, e in eq_b_by.items() if p2 not in eq_a_by]
+                gone_eq = [e for p2, e in eq_a_by.items() if p2 not in eq_b_by]
+                for delta, ctype, own_eq in (
+                    (new_eq, "delete", eq_a),
+                    (gone_eq, "insert", eq_b),
+                ):
+                    if not delta:
+                        continue
+                    for p in sorted(a & b):
+                        ent = ents_b[p]
+                        match = _eq_applicable(self.table, delta, ent)
+                        if not match:
+                            continue
+                        pos = dv_a.get(p, frozenset()) | dv_b.get(
+                            p, frozenset()
+                        )
+                        out.append(
+                            _ChangeSlice(
+                                os.path.join(self.table, p), ctype, v,
+                                self._schema_json,
+                                exclude=tuple(sorted(pos)),
+                                match=match,
+                                shadow=_eq_applicable(
+                                    self.table, own_eq, ent
+                                ),
                             )
                         )
             finally:
@@ -282,6 +379,31 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             if partition.exclude
             else None
         )
+        def _keys_mask(batch, pairs, n):
+            """OR over (key_cols, key_tuples) pairs: True where the
+            row's key is in some pair's set. Single-column keys go
+            through Arrow is_in (vectorized); composite keys through a
+            python set of tuples (eq key sets are merge-source sized)."""
+            import pyarrow.compute as pc
+
+            acc = np.zeros(n, dtype=bool)
+            for on, keys in pairs:
+                if len(on) == 1:
+                    m = pc.is_in(
+                        batch.column(on[0]),
+                        value_set=pa.array([k[0] for k in keys]),
+                    )
+                    acc |= pc.fill_null(m, False).to_numpy(
+                        zero_copy_only=False
+                    )
+                else:
+                    ks = frozenset(keys)
+                    cols = [batch.column(c).to_pylist() for c in on]
+                    acc |= np.fromiter(
+                        (t in ks for t in zip(*cols)), dtype=bool, count=n
+                    )
+            return acc
+
         offset = 0
         for batch in pf.iter_batches(
             columns=[n for n in want.names if n in have]
@@ -296,6 +418,12 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             elif exclude is not None:
                 mask = ~np.isin(idx, exclude)
             offset += n
+            if partition.match is not None:
+                km = _keys_mask(batch, partition.match, n)
+                mask = km if mask is None else (mask & km)
+            if partition.shadow:
+                sm = ~_keys_mask(batch, partition.shadow, n)
+                mask = sm if mask is None else (mask & sm)
             if mask is not None:
                 batch = batch.filter(pa.array(mask))
                 if batch.num_rows == 0:

@@ -311,3 +311,102 @@ def test_cdc_sink_delete_only_batch_and_first_batch_deletes(spark, tmp_path):
     )
     assert q.awaitTermination(300)
     assert _rows(spark, table) == {(2, 4)}
+
+
+# -------------------------------------------------------------- replication
+
+
+def _content(spark, table, cols=("id", "v")):
+    from e02_spark.ops.snapshot import snapshot_read
+
+    return {
+        tuple(r[c] for c in cols)
+        for r in snapshot_read(spark, table).select(*cols).collect()
+    }
+
+
+def test_snapshot_replicate_mirror_converges_and_is_incremental(
+    spark, tmp_path
+):
+    from e02_spark.ops.snapshot import snapshot_replicate
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    snapshot_write(
+        spark.range(30).selectExpr("id", "id * 2 AS v"), src,
+        mode="overwrite", n_files=2,
+    )
+    # a key's FULL history lands in the first drained batch: inserted
+    # (v1), updated (v2), deleted (v3) — the mirror must land on the
+    # final state, exercising the (_commit_version, insert-over-delete)
+    # compaction
+    snapshot_merge(
+        spark, src, spark.createDataFrame([(5, 555), (40, 80)],
+                                          "id BIGINT, v BIGINT"),
+        on=["id"], when_matched="update", insert_not_matched=True,
+        strategy="mor",
+    )
+    snapshot_merge(
+        spark, src, spark.createDataFrame([(5,), (7,)], "id BIGINT"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    q = snapshot_replicate(spark, src, dst, on=["id"], checkpoint_dir=ck)
+    assert q.awaitTermination(300)
+    assert _content(spark, dst) == _content(spark, src)
+    assert (5, 555) not in _content(spark, dst)  # deleted after update
+    v_dst = snapshot_versions(dst)[-1]
+    # no new source commits -> a re-run drains nothing and commits nothing
+    q2 = snapshot_replicate(spark, src, dst, on=["id"], checkpoint_dir=ck)
+    assert q2.awaitTermination(300)
+    assert snapshot_versions(dst)[-1] == v_dst
+    # incremental catch-up: mutate the source, re-run from the SAME
+    # checkpoint — only the delta applies and the mirror converges again
+    snapshot_merge(
+        spark, src,
+        spark.createDataFrame([(0, 999), (100, 1)], "id BIGINT, v BIGINT"),
+        on=["id"], when_matched="update", insert_not_matched=True,
+        strategy="eq",
+    )
+    snapshot_merge(
+        spark, src, spark.createDataFrame([(1,)], "id BIGINT"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="eq",
+    )
+    q3 = snapshot_replicate(spark, src, dst, on=["id"], checkpoint_dir=ck)
+    assert q3.awaitTermination(300)
+    assert _content(spark, dst) == _content(spark, src)
+    assert (0, 999) in _content(spark, dst)
+
+
+def test_snapshot_replicate_survives_source_maintenance(spark, tmp_path):
+    """rewrite_deletes/binpack on the source are data_change=false in
+    the CDF stream: a replication run across them applies zero changes."""
+    from e02_spark.ops.snapshot import (
+        snapshot_binpack,
+        snapshot_replicate,
+        snapshot_rewrite_deletes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    snapshot_write(
+        spark.range(20).selectExpr("id", "id * 2 AS v"), src,
+        mode="overwrite", n_files=4,
+    )
+    snapshot_merge(
+        spark, src, spark.createDataFrame([(3,)], "id BIGINT"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    q = snapshot_replicate(spark, src, dst, on=["id"], checkpoint_dir=ck)
+    assert q.awaitTermination(300)
+    v_dst = snapshot_versions(dst)[-1]
+    snapshot_rewrite_deletes(spark, src, n_files_new=2)
+    snapshot_binpack(spark, src, target_rows=1000)
+    q2 = snapshot_replicate(spark, src, dst, on=["id"], checkpoint_dir=ck)
+    assert q2.awaitTermination(300)
+    assert snapshot_versions(dst)[-1] == v_dst  # maintenance is silent
+    assert _content(spark, dst) == _content(spark, src)

@@ -168,12 +168,17 @@ def test_eq_cdf_batch_and_append_only_fence(spark, tmp_path):
     r = SnapshotStreamReader({"table": tbl})
     with pytest.raises(ValueError, match="append-only contract"):
         r.partitions({"version": 1}, {"version": 2})
-    # ... and the CDF STREAM fences with its named eq error
+    # ... while the CDF STREAM plans it (round 9 — fence lifted): one
+    # eq-delta partition per stats-applicable file, carrying the key set
     from e02_spark.sources.snapshot_cdf_stream import SnapshotCDFStreamReader
 
     rc = SnapshotCDFStreamReader({"table": tbl})
-    with pytest.raises(ValueError, match="EQUALITY deletes"):
-        rc.partitions({"version": 1}, {"version": 2})
+    parts = rc.partitions({"version": 1}, {"version": 2})
+    eq_parts = [p for p in parts if p.match is not None]
+    assert eq_parts and all(p.change_type == "delete" for p in eq_parts)
+    # stats-pruned: keys 3..5 live in the low clustered file only
+    assert len(eq_parts) == 1
+    assert eq_parts[0].match[0][1] == ((3,), (4,), (5,))
 
 
 def test_eq_mode_constraint_errors(spark, tmp_path):
