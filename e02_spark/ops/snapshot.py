@@ -882,6 +882,7 @@ def snapshot_compact(
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
     max_retries: int = 3,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the CURRENT snapshot into n_files files and commit the
     result as a new overwrite version. Contents are preserved exactly;
@@ -890,17 +891,68 @@ def snapshot_compact(
     the durable answer to the stage-and-swap dance compact_partitions
     needs on a bare directory table.
 
+    zorder_by lays the rewrite out on a Morton key over the named
+    numeric columns instead of a linear sort (the Iceberg
+    rewrite_data_files strategy='z-order' / Delta OPTIMIZE ZORDER BY):
+    each output file covers a contiguous Z range = a small aligned
+    hyper-rectangle of the bucket grid, so the harvested manifest
+    [min,max] stats prune point/range probes on EVERY interleaved
+    dimension — where cluster_by prunes only its leading column. The
+    bucket domains come from the manifest's existing per-file bounds
+    when every entry carries them (zero extra jobs; deletes only widen
+    the domain, which merely coarsens bucketing) and from one agg over
+    the live rows otherwise. zorder_by columns are added to the
+    harvested stats_cols so the pruning they exist for actually works.
+    Mutually exclusive with cluster_by.
+
     Optimistic like every other maintenance op: base is captured INSIDE
     the retry loop and a lost commit race re-reads and rewrites against
     the new latest version — a concurrent append landing between
     compact's read and its commit is picked up by the replan, never
     silently dropped by a stale overwrite bumping the version number."""
+    if zorder_by and cluster_by:
+        raise ValueError("zorder_by and cluster_by are mutually exclusive")
     for _ in range(max_retries):
         base = snapshot_versions(table)[-1]
         prev = _read_manifest(table, base)
         sc = stats_cols if stats_cols is not None else prev.get("stats_cols", [])
+        if zorder_by:
+            sc = sorted(set(sc) | set(zorder_by))
         cur = snapshot_read(spark, table, version=base)
-        if cluster_by:
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from .layout import bucketize, zorder_key
+
+            bounds: dict[str, tuple[float, float]] = {}
+            entries = _all_entries(table, prev)
+            for c in zorder_by:
+                per_file = [
+                    (e.get("stats") or {}).get(c) for e in entries
+                ]
+                if per_file and all(b is not None for b in per_file):
+                    bounds[c] = (
+                        float(min(b[0] for b in per_file)),
+                        float(max(b[1] for b in per_file)),
+                    )
+            missing = [c for c in zorder_by if c not in bounds]
+            if missing:
+                row = cur.agg(
+                    *[F.min(c).alias(f"lo_{c}") for c in missing],
+                    *[F.max(c).alias(f"hi_{c}") for c in missing],
+                ).first()
+                for c in missing:
+                    lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+                    bounds[c] = (
+                        float(lo if lo is not None else 0),
+                        float(hi if hi is not None else 0),
+                    )
+            zk = zorder_key(
+                [bucketize(c, *bounds[c]) for c in zorder_by]
+            )
+            out = cur.repartitionByRange(n_files, zk)
+            out = out.sortWithinPartitions(zk)
+        elif cluster_by:
             out = cur.repartitionByRange(n_files, *cluster_by)
             out = out.sortWithinPartitions(*cluster_by)
         else:

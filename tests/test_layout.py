@@ -1419,3 +1419,43 @@ def test_concurrent_merge_writers_both_land(spark, tmp_path):
     # every commit is a distinct version: 1 load + 6 merges (some may
     # have needed replans, which never publish partial versions)
     assert len(S.snapshot_versions(table)) == 7
+
+
+def test_snapshot_compact_zorder_two_dimension_pruning(spark, tmp_path):
+    """snapshot_compact(zorder_by=[x, y]) — the Iceberg z-order rewrite
+    at the MANIFEST level: after the rewrite, file [min,max] stats prune
+    point probes on BOTH interleaved dimensions, where the original
+    linear x-clustered layout prunes only x (every file spans full y).
+    Content is preserved exactly and the commit is data_change=false
+    (CDF consumers skip it)."""
+    from e02_spark.ops import snapshot as S
+
+    tbl = str(tmp_path / "tbl")
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id", "id % 64 AS x", "CAST(id / 64 AS BIGINT) AS y"
+    )
+    S.snapshot_write(df, tbl, mode="overwrite", n_files=16,
+                     cluster_by=["x"], stats_cols=["x", "y"])
+    all_before, _ = S._plan_files(tbl, None, None)
+    kept_y_linear, _ = S._plan_files(tbl, None, ("y", 3, 4))
+    assert len(kept_y_linear) == len(all_before)  # linear can't prune y
+    before = {r["id"] for r in S.snapshot_read(spark, tbl).collect()}
+
+    v = S.snapshot_compact(spark, tbl, n_files=16, zorder_by=["x", "y"])
+    all_after, _ = S._plan_files(tbl, None, None)
+    kept_x, _ = S._plan_files(tbl, None, ("x", 3, 4))
+    kept_y, _ = S._plan_files(tbl, None, ("y", 3, 4))
+    assert 0 < len(kept_x) < len(all_after), (len(kept_x), len(all_after))
+    assert 0 < len(kept_y) < len(all_after), (len(kept_y), len(all_after))
+    # content preserved; maintenance is CDF-silent
+    assert {r["id"] for r in S.snapshot_read(spark, tbl).collect()} == before
+    assert S._read_manifest(tbl, v).get("data_change") is False
+    assert S.snapshot_changes(spark, tbl, v - 1, v).count() == 0
+    # pruned reads stay row-complete
+    got = (
+        S.snapshot_read(spark, tbl, prune=("y", 3, 4))
+        .where(F.col("y").between(3, 4))
+        .count()
+    )
+    assert got == 128
