@@ -482,6 +482,14 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("eq_zero_reads", "s"), ("cdf_eq_ok", "s"),
           ("meta_restored", "s"), ("cdc_idempotent", "s")]),
+        # round 9: TABLE REPLICATION — a mirror maintained from the q116
+        # chain's CDF stream through the CDC-apply sink, hashed against
+        # the SAME v3 CTE (the fourth convergence pin on one oracle);
+        # incremental catch-up and post-fold metadata parity as booleans.
+        ("q124", "q124_replication",
+         [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
+          ("total_price", "n"), ("replicate_incremental", "s"),
+          ("mirror_meta_rows_match", "s")]),
     ],
     # E15 stateful gate stream (applyInPandasWithState across 3 real
     # micro-batches, final state -> the batch gate evaluation, oracle = the
@@ -567,7 +575,7 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     # change-stream pipeline, independent of the chains.
     "q86_streaming_parity": [
         {"q86", "q87", "q88", "q114", "q116", "q117", "q118", "q119",
-         "q120", "q121", "q122", "q123"},
+         "q120", "q121", "q122", "q123", "q124"},
     ],
     # Not streaming, but q112/q113 do small eager collects at build time
     # (PQ codebook + query row); building the seven parts concurrently
@@ -591,7 +599,7 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
 # timezone is correctness-critical for q96's date_format output).
 CLONE_SESSION: set[str] = {
     "q96", "q97", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
-    "q123",
+    "q123", "q124",
 }
 
 for _name, _groups in PARALLEL_GROUPS.items():

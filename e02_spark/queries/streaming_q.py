@@ -1622,6 +1622,80 @@ FROM ch GROUP BY _change_type
 """
 
 
+# --------------------------------------------------------------------------
+# q124 — TABLE REPLICATION (the Delta 'incremental clone via CDF'
+# shape, ops/snapshot.snapshot_replicate): a mirror snapshot table is
+# maintained from the q116 chain's streaming change-data-feed through
+# the CDC-apply sink (eq-delete + eq-upsert legs, idempotent commit
+# keys). The mirror's content hash-checks against the SAME v3 CTE as
+# q116/q118/q123 — the FOURTH convergence pin on one oracle: CoW chain,
+# MoR chain, EQ chain, and now a mirror REPLICATED from the CoW chain's
+# CDF. Boolean pins:
+#   replicate_incremental   -- a second run from the same checkpoint
+#                              against the quiescent source commits
+#                              NOTHING (exactly-once + O(delta) catch-up)
+#   mirror_meta_rows_match  -- after snapshot_rewrite_deletes folds the
+#                              CDC legs' eq files, the mirror's
+#                              metadata COUNT equals the source chain's
+# --------------------------------------------------------------------------
+
+
+def q124_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..num import dsum
+    from ..ops.snapshot import (
+        snapshot_read,
+        snapshot_replicate,
+        snapshot_rewrite_deletes,
+        snapshot_rows,
+        snapshot_versions,
+    )
+
+    ch = _merge_chain(spark, sf_dir)
+    base = _tracked_mkdtemp(prefix="e02_repl_")
+    mirror = os.path.join(base, "mirror")
+    ck = os.path.join(base, "ck")
+    q = snapshot_replicate(
+        spark, ch["table"], mirror, on=["o_orderkey"], checkpoint_dir=ck,
+        n_files_new=2,
+    )
+    q.awaitTermination(300)
+    v_m = snapshot_versions(mirror)[-1]
+    # quiescent source, same checkpoint: the catch-up run must drain
+    # nothing and commit nothing — exactly-once is structural, O(delta)
+    q2 = snapshot_replicate(
+        spark, ch["table"], mirror, on=["o_orderkey"], checkpoint_dir=ck,
+    )
+    q2.awaitTermination(300)
+    replicate_incremental = snapshot_versions(mirror)[-1] == v_m
+    # fold the CDC legs' eq-delete files, then the metadata COUNT is
+    # derivable again and must equal the source chain's
+    snapshot_rewrite_deletes(spark, mirror, n_files_new=2)
+    rows_ok = snapshot_rows(mirror) == snapshot_rows(ch["table"])
+    return (
+        snapshot_read(spark, mirror)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .withColumn(
+            "replicate_incremental", F.lit(bool(replicate_incremental))
+        )
+        .withColumn("mirror_meta_rows_match", F.lit(bool(rows_ok)))
+    )
+
+
+_Q124_SQL = f"""
+WITH {_Q116_CTES}
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  TRUE AS replicate_incremental,
+  TRUE AS mirror_meta_rows_match
+FROM v3 GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 _Q123_SQL = f"""
 WITH {_Q116_CTES}
 SELECT o_orderstatus, o_orderpriority,
@@ -1652,6 +1726,7 @@ QUERIES = {
     "q121_snapshot_stream": q121_snapshot_stream,
     "q122_cdf_stream_ivm": q122_cdf_stream_ivm,
     "q123_eq_merge": q123_eq_merge,
+    "q124_replication": q124_replication,
 }
 
 
@@ -1696,4 +1771,5 @@ ORACLE = {
     # triple convergence: the EQ chain hashes against the SAME v3 CTE as
     # the CoW (q116) and MoR (q118) chains
     "q123_eq_merge": _Q123_SQL,
+    "q124_replication": _Q124_SQL,
 }
