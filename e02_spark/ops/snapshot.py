@@ -262,11 +262,12 @@ def _harvest_stats(
 #     partition_prune resolves through the spec (hidden partitioning —
 #     the layout can change without rewriting queries).
 # Appends inherit the recorded spec automatically (a conflicting spec
-# raises), keeping every commit's layout consistent. Honesty note:
-# maintenance/merge rewrites scan with the recorded TABLE schema, so
-# rewritten files drop their hidden columns — pruning then keeps them
-# (no bounds = safe), degraded but never wrong; re-cluster with a
-# partitioned snapshot_compact-equivalent write to restore the layout.
+# raises), keeping every commit's layout consistent. Maintenance and
+# merge rewrites scan with the recorded TABLE schema (hidden columns
+# projected away) and RE-DERIVE them via _pt_materialize before
+# writing — hidden-first clustering + per-file stats — so the layout
+# contract survives compaction, binpack, rewrite-deletes, and merges
+# instead of silently degrading to no-bounds files.
 # --------------------------------------------------------------------------
 
 _PT_KINDS = ("bucket", "day", "month", "truncate", "identity")
@@ -339,6 +340,27 @@ def _pt_validate(spec) -> list:
             raise ValueError(f"{t[0]} transform needs a positive int arg: {t}")
         out.append(t)
     return out
+
+
+def _pt_materialize(df: DataFrame, spec):
+    """Re-derive the manifest-recorded hidden partition columns on a
+    REWRITE of existing rows (compact/binpack/rewrite-deletes/merge):
+    rewritten rows come from reads projected to the recorded schema, so
+    without this every maintenance pass would drop the hidden values
+    from the files it rewrites and silently degrade partition pruning.
+    The derived columns are clustered FIRST by every caller (the
+    snapshot_write layout contract) and harvested into per-file stats;
+    they stay excluded from the recorded schema, so readers never see
+    them. Returns (augmented df, hidden column names)."""
+    if not spec:
+        return df, []
+    hidden = []
+    for t in _pt_validate(spec):
+        name = _pt_name(t)
+        hidden.append(name)
+        if name not in df.columns:
+            df = df.withColumn(name, _pt_expr(t))
+    return df, hidden
 
 
 def _try_commit(table: str, version: int, manifest: dict) -> bool:
@@ -919,6 +941,7 @@ def snapshot_compact(
         if zorder_by:
             sc = sorted(set(sc) | set(zorder_by))
         cur = snapshot_read(spark, table, version=base)
+        cur, hidden = _pt_materialize(cur, prev.get("partition_spec"))
         if zorder_by:
             from pyspark.sql import functions as F
 
@@ -950,17 +973,19 @@ def snapshot_compact(
             zk = zorder_key(
                 [bucketize(c, *bounds[c]) for c in zorder_by]
             )
-            out = cur.repartitionByRange(n_files, zk)
-            out = out.sortWithinPartitions(zk)
-        elif cluster_by:
-            out = cur.repartitionByRange(n_files, *cluster_by)
-            out = out.sortWithinPartitions(*cluster_by)
+            out = cur.repartitionByRange(n_files, *hidden, zk)
+            out = out.sortWithinPartitions(*hidden, zk)
+        elif cluster_by or hidden:
+            keys = hidden + list(cluster_by or [])
+            out = cur.repartitionByRange(n_files, *keys)
+            out = out.sortWithinPartitions(*keys)
         else:
             out = cur.repartition(n_files)
         commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
         out.write.mode("error").parquet(commit_dir)
         new_entries = _harvest_stats(
-            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+            _glob.glob(os.path.join(commit_dir, "*.parquet")),
+            list(sc) + hidden, table,
         )
         for e in new_entries:
             e["seq"] = base + 1
@@ -1047,16 +1072,19 @@ def snapshot_binpack(
             sorted(os.path.join(table, p) for p in touched_rel), dv,
         )
         n_out = max(1, -(-rows_in // target_rows))  # ceil
-        if cluster_by:
-            out = surv.repartitionByRange(n_out, *cluster_by)
-            out = out.sortWithinPartitions(*cluster_by)
+        surv, hidden = _pt_materialize(surv, prev.get("partition_spec"))
+        if cluster_by or hidden:
+            keys = hidden + list(cluster_by or [])
+            out = surv.repartitionByRange(n_out, *keys)
+            out = out.sortWithinPartitions(*keys)
         else:
             out = surv.repartition(n_out)
         commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
         out.write.mode("error").parquet(commit_dir)
         sc = prev.get("stats_cols", [])
         new_entries = _harvest_stats(
-            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+            _glob.glob(os.path.join(commit_dir, "*.parquet")),
+            list(sc) + hidden, table,
         )
         for e in new_entries:
             e["seq"] = base + 1  # eq deletes were folded into the rewrite
@@ -1169,15 +1197,20 @@ def snapshot_rewrite_deletes(
                 spark, table, prev,
                 [os.path.join(table, p) for p in touched_rel], dv,
             )
-            if cluster_by:
-                out = surv.repartitionByRange(n_files_new, *cluster_by)
-                out = out.sortWithinPartitions(*cluster_by)
+            surv, hidden = _pt_materialize(
+                surv, prev.get("partition_spec")
+            )
+            if cluster_by or hidden:
+                keys = hidden + list(cluster_by or [])
+                out = surv.repartitionByRange(n_files_new, *keys)
+                out = out.sortWithinPartitions(*keys)
             else:
                 out = surv.repartition(n_files_new)
             commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
             out.write.mode("error").parquet(commit_dir)
             new_entries = _harvest_stats(
-                _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+                _glob.glob(os.path.join(commit_dir, "*.parquet")),
+                list(sc) + hidden, table,
             )
             for e in new_entries:
                 e["seq"] = base + 1  # both delete flavors folded in
@@ -1971,15 +2004,20 @@ def _merge_attempt(
         if not parts:
             return []
         new_rows = reduce(DataFrame.unionByName, parts)
-        if cluster_by:
-            out = new_rows.repartitionByRange(n_files_new, *cluster_by)
-            out = out.sortWithinPartitions(*cluster_by)
+        new_rows, hidden = _pt_materialize(
+            new_rows, prev.get("partition_spec")
+        )
+        if cluster_by or hidden:
+            keys = hidden + list(cluster_by or [])
+            out = new_rows.repartitionByRange(n_files_new, *keys)
+            out = out.sortWithinPartitions(*keys)
         else:
             out = new_rows.repartition(n_files_new)
         commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
         out.write.mode("error").parquet(commit_dir)
         entries = _harvest_stats(
-            _glob.glob(os.path.join(commit_dir, "*.parquet")), sc, table
+            _glob.glob(os.path.join(commit_dir, "*.parquet")),
+            list(sc) + hidden, table,
         )
         for e in entries:
             e["seq"] = base + 1  # new files are exempt from older eq deletes
@@ -2138,16 +2176,20 @@ def _eq_merge_commit(
             )
             if when_matched == "update":
                 new_rows = source.select(*target_cols)
-                if cluster_by:
-                    out = new_rows.repartitionByRange(n_files_new, *cluster_by)
-                    out = out.sortWithinPartitions(*cluster_by)
+                new_rows, hidden = _pt_materialize(
+                    new_rows, prev.get("partition_spec")
+                )
+                if cluster_by or hidden:
+                    keys = hidden + list(cluster_by or [])
+                    out = new_rows.repartitionByRange(n_files_new, *keys)
+                    out = out.sortWithinPartitions(*keys)
                 else:
                     out = new_rows.repartition(n_files_new)
                 commit_dir = os.path.join(table, _DATA, uuid.uuid4().hex)
                 out.write.mode("error").parquet(commit_dir)
                 new_entries = _harvest_stats(
                     _glob.glob(os.path.join(commit_dir, "*.parquet")),
-                    sc, table,
+                    list(sc) + hidden, table,
                 )
                 for e in new_entries:
                     # the new files' HIGHER seq exempts them from the eq

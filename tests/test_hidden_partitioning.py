@@ -141,3 +141,53 @@ def test_identity_and_truncate_transforms(spark, tmp_path):
     all_files, _ = S._plan_files(tbl, 1, None)
     kept, _ = S._plan_files(tbl, 1, ("_pt_trunc6_name", "user-7", "user-7"))
     assert 0 < len(kept) < len(all_files)
+
+
+def test_hidden_pruning_survives_maintenance_and_merge(spark, tmp_path):
+    """Rewrites RE-DERIVE the hidden columns (_pt_materialize): after a
+    CoW merge, binpack, and a full compact, a point probe through the
+    spec still prunes to a strict file subset with row-complete results
+    — maintenance no longer degrades the layout contract."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        _mk(spark), tbl, mode="overwrite", n_files=8,
+        partition_spec=[("bucket", "k", 8)], stats_cols=["id"],
+    )
+
+    def probe_kept(version=None):
+        all_files, _ = S._plan_files(tbl, version, None)
+        pruned = S.snapshot_read(
+            spark, tbl, version=version, partition_prune={"k": 17}
+        ).where(F.col("k") == 17)
+        full = (
+            S.snapshot_read(spark, tbl, version=version)
+            .where(F.col("k") == 17)
+            .count()
+        )
+        kept = len(pruned.inputFiles())
+        assert pruned.count() == full > 0
+        return kept, len(all_files)
+
+    k0, n0 = probe_kept()
+    assert 0 < k0 < n0
+    # CoW merge rewrites a touched file; the rewrite must re-derive
+    S.snapshot_merge(
+        spark, tbl, _mk(spark).where("id = 17").withColumn("k", F.lit(17)),
+        on=["id"], when_matched="update", insert_not_matched=True,
+        strategy="cow", n_files_new=2,
+    )
+    k1, n1 = probe_kept()
+    assert 0 < k1 < n1, (k1, n1)
+    # binpack repacks the small merge outputs (target sized so the
+    # repack emits a few files — one giant file can't show pruning)
+    S.snapshot_binpack(spark, tbl, target_rows=100)
+    k2, n2 = probe_kept()
+    assert 0 < k2 < n2, (k2, n2)
+    # full compact rewrites EVERY file — the strongest case
+    S.snapshot_compact(spark, tbl, n_files=8)
+    k3, n3 = probe_kept()
+    assert 0 < k3 < n3, (k3, n3)
+    # per-file bounds on the hidden column are near-single-valued again
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    ents = S._all_entries(tbl, m)
+    assert all("_pt_bucket8_k" in (e.get("stats") or {}) for e in ents)

@@ -157,9 +157,9 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
     table = str(tmp_path / "tbl")
     init = [(k, rng.randrange(1000)) for k in range(0, 120, 2)]
     # a hidden-partition spec rides along: appends inherit it, rewrites
-    # (merge/binpack/compact) drop the hidden columns from rewritten
-    # files (documented degraded pruning) — content must stay exact
-    # through every composition regardless
+    # (merge/binpack/compact) RE-DERIVE the hidden columns on the files
+    # they rewrite (_pt_materialize) — content must stay exact through
+    # every composition regardless
     S.snapshot_write(_df(spark, init), table, mode="overwrite",
                      n_files=3, cluster_by=["id"], stats_cols=["id"],
                      partition_spec=[("bucket", "id", 4)])
