@@ -54,7 +54,8 @@ def _apply_random_op(spark, rng, table, model, ctx):
     op = rng.choice(
         ["append", "upsert_cow", "upsert_mor", "delete_cow", "delete_mor",
          "upsert_eq", "delete_eq",
-         "rewrite", "binpack", "compact", "evolve_append", "rollback",
+         "rewrite", "binpack", "compact", "compact_zorder",
+         "evolve_append", "rollback",
          "set_check", "drop_check", "violate_check"]
     )
     if op in ("append", "evolve_append"):
@@ -98,6 +99,11 @@ def _apply_random_op(spark, rng, table, model, ctx):
         S.snapshot_binpack(spark, table, target_rows=rng.choice([50, 200]))
     elif op == "compact":
         S.snapshot_compact(spark, table, n_files=rng.choice([1, 3]))
+    elif op == "compact_zorder":
+        # z-order rewrite composing with the hidden bucket spec, folded
+        # deletes of both flavors, and (possibly) the evolved column
+        S.snapshot_compact(spark, table, n_files=rng.choice([2, 4]),
+                           zorder_by=["id", "amt"])
     elif op == "rollback":
         target = rng.choice(sorted(ctx["history"]))
         S.snapshot_rollback(table, target)
