@@ -1340,7 +1340,11 @@ def snapshot_cdc_sink(
     key within a batch should pass dedup_by.
     `op_col`/`dedup_by`/`drop_cols` are CDC transport metadata and are
     dropped before the merge — the remaining columns must match the
-    target schema. Empty batches and empty legs commit nothing.
+    target schema. Empty batches and empty legs commit nothing. A
+    mixed-op FIRST batch bootstraps the table with one empty overwrite
+    commit so the delete leg runs (and records its key) instead of
+    being skipped on "table doesn't exist" — a skip decided by table
+    existence would not be replay-stable across a crash between legs.
 
     Returns the started StreamingQuery."""
 
@@ -1378,12 +1382,20 @@ def snapshot_cdc_sink(
                 )
             else:
                 dels, ups = None, batch.drop(*meta)
+            # first-batch bootstrap: if the table doesn't exist yet,
+            # create it EMPTY so the delete leg runs (and records its
+            # key) rather than being skipped — a skip decided by
+            # "does the table exist" is not replay-stable (a crash
+            # between the legs replays with the table present, and a
+            # key carried by BOTH legs would then net to the delete
+            # instead of the upsert)
+            if op_col is not None and not snapshot_versions(table):
+                snapshot_write(
+                    ups.limit(0), table, mode="overwrite", n_files=1,
+                    stats_cols=stats_cols,
+                )
             # deletes first: a key in both legs nets to its upsert
-            if (
-                dels is not None
-                and snapshot_versions(table)  # nothing to delete from yet
-                and not dels.isEmpty()
-            ):
+            if dels is not None and not dels.isEmpty():
                 snapshot_merge(
                     spark, table, dels, on=on, when_matched="delete",
                     insert_not_matched=False, strategy=strategy,

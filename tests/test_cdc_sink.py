@@ -410,3 +410,44 @@ def test_snapshot_replicate_survives_source_maintenance(spark, tmp_path):
     assert q2.awaitTermination(300)
     assert snapshot_versions(dst)[-1] == v_dst  # maintenance is silent
     assert _content(spark, dst) == _content(spark, src)
+
+
+def test_cdc_sink_first_batch_dual_op_key_replay_stable(spark, tmp_path):
+    """A key carried by BOTH legs of the FIRST batch (no dedup_by) must
+    net to the upsert on every execution path: the empty-table bootstrap
+    makes the delete leg run (and key itself) instead of being skipped,
+    so a crash between the legs replays to the same final state as the
+    crash-free run."""
+    b0 = spark.createDataFrame(
+        [(1, 0, "delete", 0), (1, 111, "insert", 0), (2, 4, "insert", 0)],
+        CDC_SCHEMA,
+    )
+    feed = _feed(spark, tmp_path, [b0])
+    # crash-free run
+    t1 = str(tmp_path / "t1")
+    q = snapshot_cdc_sink(
+        spark.readStream.schema(CDC_SCHEMA).parquet(feed), t1,
+        on=["id"], op_col="op", drop_cols=["lsn"],
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    assert q.awaitTermination(300)
+    assert _rows(spark, t1) == {(1, 111), (2, 4)}
+    # crash-between-legs run, replayed: bootstrap + delete leg land,
+    # then the whole batch re-executes
+    t2 = str(tmp_path / "t2")
+    snapshot_write(
+        spark.createDataFrame([], "id BIGINT, v BIGINT"), t2,
+        mode="overwrite", n_files=1,
+    )
+    snapshot_merge(
+        spark, t2, spark.createDataFrame([(1,)], "id BIGINT"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="eq", commit_key="cdc-0-d",
+    )
+    q2 = snapshot_cdc_sink(
+        spark.readStream.schema(CDC_SCHEMA).parquet(feed), t2,
+        on=["id"], op_col="op", drop_cols=["lsn"],
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert q2.awaitTermination(300)
+    assert _rows(spark, t2) == _rows(spark, t1)
