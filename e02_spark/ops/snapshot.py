@@ -2568,7 +2568,11 @@ def snapshot_set_check(
     invariant; pass validate=False to adopt it for new rows only. The
     commit itself is metadata-only (O(manifest), the usual optimistic
     retry). Rollback restores the checks recorded AT the target version
-    (metadata moves back with content). Returns the new version."""
+    (metadata moves back with content). An overwrite that drops a
+    checked column leaves the check vacuously passing from then on
+    (validation NULL-backfills missing schema columns) — retire the
+    check explicitly with snapshot_drop_check when retiring its column.
+    Returns the new version."""
     versions = snapshot_versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {table}")

@@ -1393,7 +1393,7 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = time.time() + 300
     while True:
         p = q.lastProgress
-        eo = (p or {}).get("sources", [{}])[0].get("endOffset")
+        eo = ((p or {}).get("sources") or [{}])[0].get("endOffset")
         if isinstance(eo, str):
             # python-datasource offsets surface as a dict repr (single
             # quotes), not JSON — literal_eval handles both
