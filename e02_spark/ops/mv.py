@@ -1,0 +1,172 @@
+"""Persisted incremental MATERIALIZED VIEWS over snapshot tables.
+
+`ops/ivm.py` maintains an aggregate state frame from a change feed but
+leaves persistence to the caller; this module closes the loop the way
+Databricks DLT / Snowflake MVs do: the maintained state LIVES IN a
+snapshot table of its own, and each refresh is one atomic, exactly-once
+commit.
+
+    mv_create(spark, src, mv, keys, sums)   full compute at the source's
+                                            current version; state +
+                                            definition + source-version
+                                            CURSOR committed together
+    mv_refresh(spark, src, mv)              read the cursor, pull the
+                                            source CDF (cursor, latest],
+                                            fold it into the stored
+                                            state (ops/ivm), overwrite
+                                            the MV table with the new
+                                            state AND the advanced
+                                            cursor in ONE commit
+    mv_read(spark, mv)                      presentation projection
+                                            (finish_agg) of the stored
+                                            state
+
+Why this is crash-safe without a transaction log of its own: the cursor
+(`mv_src_version`) rides the SAME manifest commit as the state files
+(snapshot_write `properties`), so a crash between "state written" and
+"cursor advanced" cannot exist; and the commit is keyed
+`mv-refresh-<src_version>`, so an at-least-once re-execution (or a
+concurrent duplicate refresher) no-ops against the manifest key set —
+the standard exactly-once contract of the snapshot layer. A refresh
+that finds the cursor already at the source's latest version returns
+without planning anything.
+
+Cost model (the 100 TB posture): refresh = snapshot_changes on the
+source (O(changed files)) + one grouped fold of the delta against the
+group-sized state (O(delta) shuffle) + an O(state) rewrite of the MV
+table — the MV is one row per group, so the rewrite is the small side
+by construction. The source is never re-scanned, except that MIN/MAX
+measures re-aggregate only the CDF-named dirty groups
+(recompute-on-retract, see ops/ivm.py).
+
+Time travel falls out for free: the MV table is an ordinary snapshot
+table, so `snapshot_read(spark, mv, version=k)` is the view as of its
+k-th refresh, and `snapshot_history` shows the refresh cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ivm import apply_agg_delta, finish_agg, materialize_agg
+from .snapshot import (
+    _read_manifest,
+    snapshot_changes,
+    snapshot_read,
+    snapshot_versions,
+    snapshot_write,
+)
+
+
+def _props(mv_table: str) -> dict:
+    props = (
+        _read_manifest(mv_table, snapshot_versions(mv_table)[-1]).get(
+            "properties"
+        )
+        or {}
+    )
+    if "mv_src_version" not in props:
+        raise ValueError(
+            f"{mv_table} is not a materialized view (no mv_src_version "
+            "property) — create it with mv_create"
+        )
+    return props
+
+
+def mv_create(
+    spark: SparkSession,
+    src_table: str,
+    mv_table: str,
+    keys: list[str],
+    sums: dict[str, str],
+    minmax: dict[str, str] | None = None,
+    n_files: int = 1,
+) -> int:
+    """Materialize the grouped aggregate of `src_table` (one full
+    compute at its current version) into snapshot table `mv_table`,
+    recording the view DEFINITION (keys/sums/minmax — column names, so
+    the definition is manifest-JSON round-trippable) and the source
+    version cursor in the same commit. Returns the MV's version (1)."""
+    for m in (sums, minmax or {}):
+        bad = [v for v in m.values() if not isinstance(v, str)]
+        if bad:
+            raise ValueError(
+                f"mv definitions must name measure COLUMNS (got {bad}) — "
+                "the definition is persisted in the manifest"
+            )
+    v = snapshot_versions(src_table)[-1]
+    state = materialize_agg(
+        snapshot_read(spark, src_table, version=v), keys, sums,
+        minmax=minmax,
+    )
+    return snapshot_write(
+        state, mv_table, mode="overwrite", n_files=n_files,
+        idempotency_key=f"mv-create-{v}",
+        properties={
+            "mv_src_version": v,
+            "mv_keys": list(keys),
+            "mv_sums": dict(sums),
+            "mv_minmax": dict(minmax) if minmax else None,
+        },
+    )
+
+
+def mv_refresh(
+    spark: SparkSession, src_table: str, mv_table: str, n_files: int = 1
+) -> dict:
+    """Advance the MV to the source's latest version by folding the
+    source CDF since the stored cursor into the stored state — O(delta),
+    never a source re-scan (MIN/MAX dirty groups excepted) — committed
+    atomically with the advanced cursor, exactly-once under replay.
+
+    Returns {'version', 'refreshed_from', 'refreshed_to', 'noop'}."""
+    props = _props(mv_table)
+    last = props["mv_src_version"]
+    keys, sums = props["mv_keys"], props["mv_sums"]
+    minmax = props.get("mv_minmax") or None
+    cur = snapshot_versions(src_table)[-1]
+    mv_v = snapshot_versions(mv_table)[-1]
+    if cur == last:
+        return {
+            "version": mv_v, "refreshed_from": last,
+            "refreshed_to": last, "noop": True,
+        }
+    if cur < last:
+        raise ValueError(
+            f"source {src_table} is at v{cur}, BEHIND the MV cursor "
+            f"v{last} — the source was rolled back or expired past the "
+            "cursor; rebuild the view with mv_create"
+        )
+    delta = snapshot_changes(spark, src_table, last, cur)
+    state = snapshot_read(spark, mv_table, version=mv_v)
+    new_state = apply_agg_delta(
+        state, delta, keys, sums, minmax=minmax,
+        base=snapshot_read(spark, src_table, version=cur)
+        if minmax
+        else None,
+    )
+    v = snapshot_write(
+        new_state, mv_table, mode="overwrite", n_files=n_files,
+        idempotency_key=f"mv-refresh-{cur}",
+        properties={**props, "mv_src_version": cur},
+    )
+    return {
+        "version": v, "refreshed_from": last,
+        "refreshed_to": cur, "noop": False,
+    }
+
+
+def mv_read(
+    spark: SparkSession,
+    mv_table: str,
+    version: int | None = None,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """The view's presentation projection (finish_agg) of the stored
+    state — pass `version` to time-travel to an earlier refresh."""
+    props = _props(mv_table)
+    return finish_agg(
+        snapshot_read(spark, mv_table, version=version),
+        props["mv_keys"], props["mv_sums"], count_alias=count_alias,
+        minmax=props.get("mv_minmax") or None,
+    )

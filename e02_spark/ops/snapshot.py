@@ -509,6 +509,7 @@ def snapshot_write(
     idempotency_key: str | None = None,
     max_files_per_shard: int = 100_000,
     partition_spec: list | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Write `df` as a new snapshot commit. mode='append' adds the new
     files to the current snapshot's list; mode='overwrite' replaces the
@@ -654,6 +655,16 @@ def snapshot_write(
             # constraints survive overwrite too (table property, not
             # content — the Delta behavior for truncate-and-load)
             "checks": checks,
+            # free-form table properties: carried forward like checks,
+            # with this write's `properties` dict MERGED on top — the
+            # update rides the SAME atomic commit as the data, which is
+            # what lets a consumer (e.g. ops/mv.py's refresh cursor)
+            # record "state as of source version N" crash-safely
+            "properties": {
+                **((prev or {}).get("properties") or {}),
+                **(properties or {}),
+            }
+            or None,
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -1008,6 +1019,7 @@ def snapshot_compact(
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
+            "properties": prev.get("properties"),
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -1118,6 +1130,7 @@ def snapshot_binpack(
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
+            "properties": prev.get("properties"),
         }
         if _try_commit(table, base + 1, manifest):
             return {
@@ -1243,6 +1256,7 @@ def snapshot_rewrite_deletes(
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
+            "properties": prev.get("properties"),
         }
         if _try_commit(table, base + 1, manifest):
             return {
@@ -2051,6 +2065,7 @@ def _merge_attempt(
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
+            "properties": prev.get("properties"),
         }
 
     # the append relation, shared by both strategies: update replaces
@@ -2228,6 +2243,7 @@ def _eq_merge_commit(
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
+            "properties": prev.get("properties"),
         }
         if _try_commit(table, base + 1, manifest):
             return {
@@ -2504,6 +2520,7 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
             "partition_spec": src.get("partition_spec"),
             "schema": src.get("schema"),
             "checks": src.get("checks"),
+            "properties": src.get("properties"),
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -2538,6 +2555,7 @@ def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
             "partition_spec": prev.get("partition_spec"),
             "schema": prev.get("schema"),
             "checks": checks or None,
+            "properties": prev.get("properties"),
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
