@@ -81,9 +81,12 @@ def mv_create(
     sums: dict[str, str],
     minmax: dict[str, str] | None = None,
     n_files: int = 1,
+    version: int | None = None,
 ) -> int:
     """Materialize the grouped aggregate of `src_table` (one full
-    compute at its current version) into snapshot table `mv_table`,
+    compute at its current version — or at `version`, the historical-
+    backfill path: create as-of an old snapshot, then mv_refresh rolls
+    the view forward through the CDF) into snapshot table `mv_table`,
     recording the view DEFINITION (keys/sums/minmax — column names, so
     the definition is manifest-JSON round-trippable) and the source
     version cursor in the same commit. Returns the MV's version (1)."""
@@ -94,7 +97,7 @@ def mv_create(
                 f"mv definitions must name measure COLUMNS (got {bad}) — "
                 "the definition is persisted in the manifest"
             )
-    v = snapshot_versions(src_table)[-1]
+    v = snapshot_versions(src_table)[-1] if version is None else version
     state = materialize_agg(
         snapshot_read(spark, src_table, version=v), keys, sums,
         minmax=minmax,

@@ -446,7 +446,8 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q119", "q119_incremental_view",
          [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
           ("min_price", "n"), ("max_price", "n"),
-          ("ivm_matches_recompute", "s")]),
+          ("ivm_matches_recompute", "s"),
+          ("persisted_mv_matches", "s")]),
         # round 8: add-only schema evolution — an append carrying a new
         # column evolves the manifest schema; old files NULL-backfill at
         # read (grouped BY the evolved column so the hash pins it), and

@@ -1084,12 +1084,40 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             == 0
         )
+        # the PERSISTED form of the same maintenance (ops/mv.py): the
+        # state lives in its own snapshot table, created as-of v1 with
+        # the cursor riding the commit, then rolled forward through the
+        # chain's CDF by one exactly-once refresh — its stored state
+        # must equal the in-memory maintained state bit-for-bit, and a
+        # second refresh must be a cursor no-op
+        from ..ops.mv import mv_create, mv_refresh
+
+        mv = os.path.join(_tracked_mkdtemp(prefix="e02_mvtbl_"), "mv")
+        mv_create(spark, ch["table"], mv, keys, sums, minmax=minmax,
+                  version=ch["v1"])
+        r1 = mv_refresh(spark, ch["table"], mv)
+        from ..ops.snapshot import snapshot_read as _sread
+
+        stored = _sread(spark, mv)
+        persisted_mv_matches = (
+            r1["refreshed_to"] == ch["v3"]
+            and stored.exceptAll(maintained)
+            .unionByName(maintained.exceptAll(stored))
+            .limit(1)
+            .count()
+            == 0
+            and mv_refresh(spark, ch["table"], mv)["noop"] is True
+        )
         out = finish_agg(
             maintained, keys, sums, count_alias="n_orders", minmax=minmax
         )
-        return out.withColumn(
-            "ivm_matches_recompute", F.lit(bool(matches))
-        ).localCheckpoint()
+        return (
+            out.withColumn("ivm_matches_recompute", F.lit(bool(matches)))
+            .withColumn(
+                "persisted_mv_matches", F.lit(bool(persisted_mv_matches))
+            )
+            .localCheckpoint()
+        )
     finally:
         maintained.unpersist()
 
@@ -1104,7 +1132,8 @@ SELECT o_orderpriority,
     AS min_price,
   CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
     AS max_price,
-  TRUE AS ivm_matches_recompute
+  TRUE AS ivm_matches_recompute,
+  TRUE AS persisted_mv_matches
 FROM v3 GROUP BY o_orderpriority
 """
 
