@@ -571,9 +571,10 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     # width. Cross-part dependencies serialize through LOCKED memo
     # builders instead of group barriers: q116/q118/q123 all clone the
     # shared v1 base (streaming_q._orders_base_table — first caller
-    # builds, the rest hard-link), and q117/q119 block on q116's
-    # _merge_chain lock then reuse its build. q122 runs its own small
-    # change-stream pipeline, independent of the chains.
+    # builds, the rest hard-link), and q117/q119/q124 block on q116's
+    # _merge_chain lock then reuse its build (q124 replicates it into a
+    # mirror, q119 additionally persists an MV from it). q122 runs its
+    # own small change-stream pipeline, independent of the chains.
     "q86_streaming_parity": [
         {"q86", "q87", "q88", "q114", "q116", "q117", "q118", "q119",
          "q120", "q121", "q122", "q123", "q124"},
