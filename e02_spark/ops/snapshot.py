@@ -1432,6 +1432,173 @@ def snapshot_cdc_sink(
     return writer.start()
 
 
+def snapshot_publish(
+    spark: SparkSession,
+    staging_table: str,
+    main_table: str,
+    idempotency_key: str | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """WRITE-AUDIT-PUBLISH: atomically adopt the staging snapshot
+    table's current data files into `main_table` as one append commit —
+    ZERO data copy and zero data reads on the happy path (the Iceberg
+    add_files / WAP ingestion pattern):
+
+      1. land candidate data in its own staging snapshot table,
+      2. audit it there (expectations, row counts, dedup probes — the
+         staging table is fully queryable and versioned),
+      3. publish: each staged parquet file is HARD-LINKED into the main
+         table's data dir (O(#files) metadata syscalls, no bytes move)
+         and its manifest entry — rows + harvested stats — is reused
+         verbatim, so manifest-level pruning works on the adopted files
+         immediately without re-reading a footer.
+
+    Main's CHECK constraints still validate the adopted rows (one
+    column-pruned scan — the audit main's manifest insists on even if
+    the staging audit lied); main's schema evolves add-only from the
+    staging schema (type conflicts raise); a staging table with
+    OUTSTANDING deletes of either flavor is rejected by name (adoption
+    is file-level — fold first with snapshot_rewrite_deletes). Adopted
+    files lack main's hidden partition columns until the next
+    compact/binpack re-derives them (pruning keeps them — degraded,
+    never wrong). idempotency_key gives the publish the exactly-once
+    commit contract; publishing the same staging content twice WITHOUT
+    a key appends duplicate rows, exactly like any other append.
+
+    Returns {'version', 'files_adopted', 'rows_adopted'}."""
+    versions = snapshot_versions(staging_table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {staging_table}")
+    if idempotency_key is not None and idempotency_key in committed_keys(
+        main_table
+    ):
+        return {
+            "version": snapshot_versions(main_table)[-1],
+            "files_adopted": 0, "rows_adopted": 0,
+        }
+    sm = _read_manifest(staging_table, versions[-1])
+    if sm.get("deletes") or sm.get("eq_deletes"):
+        raise ValueError(
+            f"snapshot_publish: {staging_table} carries outstanding "
+            "delete files (positional or equality) — adoption is "
+            "file-level; run snapshot_rewrite_deletes on the staging "
+            "table first"
+        )
+    if sm.get("schema") is None:
+        raise ValueError(
+            "snapshot_publish needs a manifest-recorded staging schema "
+            "(compact the staging table once to record one)"
+        )
+    main_versions = snapshot_versions(main_table)
+    if not main_versions:
+        raise FileNotFoundError(
+            f"no committed snapshots under {main_table} — create the "
+            "main table first (publish is an append)"
+        )
+    entries = _all_entries(staging_table, sm)
+    # hard-link the staged files into main's data dir: no bytes move,
+    # and staging-side expire can't pull them out from under main (the
+    # link keeps the inode alive)
+    adopt_dir_rel = os.path.join(_DATA, uuid.uuid4().hex)
+    adopt_dir = os.path.join(main_table, adopt_dir_rel)
+    os.makedirs(adopt_dir, exist_ok=False)
+    new_entries = []
+    for e in entries:
+        base_name = os.path.basename(e["path"])
+        os.link(
+            os.path.join(staging_table, e["path"]),
+            os.path.join(adopt_dir, base_name),
+        )
+        ne = dict(e)
+        ne["path"] = os.path.join(adopt_dir_rel, base_name)
+        new_entries.append(ne)
+    rows_adopted = sum(e["rows"] for e in new_entries)
+    vdf, validated_checks = None, None
+    new_refs, stamped_seq = None, None
+    for _ in range(max_retries):
+        base = snapshot_versions(main_table)[-1]
+        prev = _read_manifest(main_table, base)
+        prev_keys = set(prev.get("keys", committed_keys(main_table)))
+        if idempotency_key is not None and idempotency_key in prev_keys:
+            return {  # a racing duplicate published first
+                "version": base, "files_adopted": 0, "rows_adopted": 0,
+            }
+        sch = _evolve_schema_json(prev.get("schema"), sm["schema"])
+        checks = prev.get("checks")
+        if checks and checks != validated_checks:
+            if vdf is None:
+                from pyspark.sql.types import StructType
+
+                vdf = spark.read.schema(
+                    StructType.fromJson(sm["schema"])
+                ).parquet(adopt_dir)
+            _validate_checks(
+                vdf, checks, sch,
+                f"snapshot_publish({staging_table}) into {main_table}",
+            )
+            validated_checks = checks
+        if stamped_seq != base + 1:
+            for e in new_entries:
+                e["seq"] = base + 1
+            new_refs = [
+                _write_shard(main_table, new_entries[i : i + 100_000])
+                for i in range(0, max(len(new_entries), 1), 100_000)
+            ]
+            stamped_seq = base + 1
+        if idempotency_key is not None:
+            prev_keys.add(idempotency_key)
+        manifest = {
+            "version": base + 1,
+            "mode": "publish",
+            "stats_cols": prev.get("stats_cols", []),
+            "idempotency_key": idempotency_key,
+            "keys": sorted(prev_keys),
+            "manifests": prev["manifests"] + new_refs,
+            "deletes": prev.get("deletes", []),
+            "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": prev.get("partition_spec"),
+            "schema": sch,
+            "checks": checks,
+            "properties": prev.get("properties"),
+        }
+        if _try_commit(main_table, base + 1, manifest):
+            return {
+                "version": base + 1,
+                "files_adopted": len(new_entries),
+                "rows_adopted": rows_adopted,
+            }
+    raise RuntimeError(
+        f"snapshot_publish lost {max_retries} consecutive commit races "
+        f"on {main_table}"
+    )
+
+
+def _evolve_schema_json(prev_schema: dict | None, new_schema: dict) -> dict:
+    """_evolve_schema's add-only union, manifest-JSON to manifest-JSON
+    (publish has no DataFrame to hand the original): existing columns
+    must keep their exact type, new ones append."""
+    if prev_schema is None:
+        raise ValueError(
+            "publish target has no manifest-recorded schema — compact "
+            "the main table once to record one"
+        )
+    prev_by = {f["name"]: f for f in prev_schema["fields"]}
+    for f in new_schema["fields"]:
+        pf = prev_by.get(f["name"])
+        if pf is not None and pf["type"] != f["type"]:
+            raise ValueError(
+                "schema evolution supports ADDING columns only: column "
+                f"{f['name']!r} is {pf['type']} in the table but "
+                f"{f['type']} in the published data"
+            )
+    known = set(prev_by)
+    out = dict(prev_schema)
+    out["fields"] = list(prev_schema["fields"]) + [
+        f for f in new_schema["fields"] if f["name"] not in known
+    ]
+    return out
+
+
 def snapshot_replicate(
     spark: SparkSession,
     src_table: str,
