@@ -411,6 +411,7 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q114", "q114_snapshot_table",
          [("o_orderpriority", "s"), ("meta_rows_match", "s"),
           ("replay_noop", "s"), ("rollback_history_ok", "s"),
+          ("publish_ok", "s"),
           ("n_orders", "n"), ("total_price", "n")]),
         # round 8: lakehouse MERGE (copy-on-write upsert/delete with
         # manifest-stats prune + semi-join touched-file discovery) and the

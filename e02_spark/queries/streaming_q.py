@@ -531,7 +531,12 @@ def _stage_orders_feed(spark: SparkSession, sf_dir: str) -> str:
     if cached is not None and os.path.isdir(cached):
         return cached
     base = _tracked_mkdtemp(prefix="e02_orders_feed_")
-    rest = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 != 0)
+    # the %4==0 quarter is the base overwrite and the %4==2 quarter
+    # arrives via snapshot_publish (q114's WAP leg) — the stream feeds
+    # the other two quarters
+    rest = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 4 != 0
+    ).where(F.col("o_orderkey") % 4 != 2)
     for i in range(3):
         stage = os.path.join(base, f"_w{i}")
         rest.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
@@ -567,6 +572,32 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_files=4,
         cluster_by=["o_orderkey"],
         stats_cols=["o_orderkey"],
+    )
+    # WRITE-AUDIT-PUBLISH leg: the %4==2 quarter lands in its own
+    # staging snapshot table and is adopted by one zero-copy publish
+    # commit (hard-linked files, staged stats reused); a keyed replay
+    # must adopt nothing. The published rows are part of the final
+    # hash-checked aggregate, so adoption correctness is content-pinned.
+    from ..ops.snapshot import snapshot_publish
+
+    stg = os.path.join(_tracked_mkdtemp(prefix="e02_snapstg_"), "stg")
+    pub_slice = orders.where(F.col("o_orderkey") % 4 == 2)
+    n_pub = pub_slice.count()
+    snapshot_write(
+        pub_slice, stg, mode="overwrite", n_files=2,
+        cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+    )
+    pub = snapshot_publish(
+        spark, stg, table, idempotency_key="q114-publish"
+    )
+    pub_replay = snapshot_publish(
+        spark, stg, table, idempotency_key="q114-publish"
+    )
+    publish_ok = (
+        pub["rows_adopted"] == n_pub
+        and pub["files_adopted"] == 2
+        and pub_replay["files_adopted"] == 0
+        and pub_replay["version"] == pub["version"]
     )
     feed = _stage_orders_feed(spark, sf_dir)
 
@@ -628,6 +659,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rollback_history_ok", F.lit(bool(rollback_history_ok))
         )
+        .withColumn("publish_ok", F.lit(bool(publish_ok)))
     )
 
 
@@ -637,7 +669,8 @@ SELECT o_orderpriority,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
   TRUE AS meta_rows_match,
   TRUE AS replay_noop,
-  TRUE AS rollback_history_ok
+  TRUE AS rollback_history_ok,
+  TRUE AS publish_ok
 FROM orders
 WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
 GROUP BY o_orderpriority
