@@ -1505,10 +1505,14 @@ def snapshot_publish(
     new_entries = []
     for e in entries:
         base_name = os.path.basename(e["path"])
-        os.link(
-            os.path.join(staging_table, e["path"]),
-            os.path.join(adopt_dir, base_name),
-        )
+        src_f = os.path.join(staging_table, e["path"])
+        dst_f = os.path.join(adopt_dir, base_name)
+        try:
+            os.link(src_f, dst_f)
+        except OSError:  # cross-filesystem staging (EXDEV): copy bytes
+            import shutil
+
+            shutil.copyfile(src_f, dst_f)
         ne = dict(e)
         ne["path"] = os.path.join(adopt_dir_rel, base_name)
         new_entries.append(ne)
