@@ -1718,7 +1718,6 @@ def q124_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = os.path.join(base, "ck")
     q = snapshot_replicate(
         spark, ch["table"], mirror, on=["o_orderkey"], checkpoint_dir=ck,
-        n_files_new=2,
     )
     q.awaitTermination(300)
     v_m = snapshot_versions(mirror)[-1]
