@@ -56,7 +56,7 @@ def _apply_random_op(spark, rng, table, model, ctx):
          "upsert_eq", "delete_eq",
          "rewrite", "binpack", "compact", "compact_zorder",
          "evolve_append", "rollback",
-         "set_check", "drop_check", "violate_check"]
+         "set_check", "drop_check", "violate_check", "publish"]
     )
     if op in ("append", "evolve_append"):
         fresh = [
@@ -133,6 +133,27 @@ def _apply_random_op(spark, rng, table, model, ctx):
         else:
             with pytest.raises(KeyError):
                 S.snapshot_drop_check(table, "amt_domain")
+    elif op == "publish":
+        # WAP adoption mid-fuzz: fresh keys land via a staging table and
+        # snapshot_publish (zero-copy, stats reused) — composing with
+        # whatever checks / hidden spec / eq deletes the table carries
+        fresh = [
+            (k, rng.randrange(1000))
+            for k in rng.sample(range(10_000, 14_000), rng.randrange(1, 10))
+            if k not in model
+        ]
+        if fresh:
+            import os as _os
+
+            stg = _os.path.join(
+                ctx["tmp"], f"stg{len(ctx['versions'])}"
+            )
+            S.snapshot_write(
+                _df(spark, fresh, ctx["evolved"]), stg, mode="overwrite",
+                n_files=1, stats_cols=["id"],
+            )
+            S.snapshot_publish(spark, stg, table)
+            model.update(fresh)
     elif op == "violate_check":
         k = rng.randrange(9000, 9500)
         while k in model:
@@ -171,7 +192,7 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
                      partition_spec=[("bucket", "id", 4)])
     model = dict(init)
     ctx = {"versions": [1], "history": {1: (dict(init), False, False)},
-           "check": False,
+           "check": False, "tmp": str(tmp_path),
            "evolved": False}
     trace = []
     for step in range(11):
