@@ -102,9 +102,20 @@ def mv_create(
         snapshot_read(spark, src_table, version=v), keys, sums,
         minmax=minmax,
     )
+    # the create key fingerprints the DEFINITION too: re-creating the
+    # view with different keys/sums at the same source version must
+    # rebuild, not no-op against the old definition's key
+    import hashlib
+    import json
+
+    fp = hashlib.sha256(
+        json.dumps(
+            [list(keys), dict(sums), dict(minmax or {})], sort_keys=True
+        ).encode()
+    ).hexdigest()[:12]
     return snapshot_write(
         state, mv_table, mode="overwrite", n_files=n_files,
-        idempotency_key=f"mv-create-{v}",
+        idempotency_key=f"mv-create-{v}-{fp}",
         properties={
             "mv_src_version": v,
             "mv_keys": list(keys),

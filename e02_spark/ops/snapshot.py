@@ -305,6 +305,20 @@ def _pt_expr(t):
     raise ValueError(f"unknown partition transform {kind!r}")
 
 
+def _pt_str(v) -> str:
+    """Driver-side twin of Spark's CAST(col AS STRING) canonical form,
+    for the value types bucket/truncate transforms are sensible on:
+    int, string, date, bool. Floats and decimals are deliberately NOT
+    canonicalized — Java and Python format them differently
+    ('1.0E20' vs '1e+20', stored-scale decimals), so bucket/truncate
+    probes on such columns would hash a different string than the
+    writer did and prune the WRONG files; key those transforms on
+    int/string columns."""
+    if isinstance(v, bool):
+        return "true" if v else "false"  # str(True) would be 'True'
+    return str(v)
+
+
 def _pt_probe(t, v):
     """Driver-side twin of _pt_expr for a prune-probe value."""
     import datetime as _dt
@@ -315,14 +329,14 @@ def _pt_probe(t, v):
     if kind == "bucket":
         import zlib
 
-        return zlib.crc32(str(v).encode()) % t[2]
+        return zlib.crc32(_pt_str(v).encode()) % t[2]
     if kind in ("day", "month"):
         if isinstance(v, _dt.datetime):
             v = v.date()
         s = v.isoformat() if isinstance(v, _dt.date) else str(v)[:10]
         return s[:7] if kind == "month" else s
     if kind == "truncate":
-        return str(v)[: t[2]]
+        return _pt_str(v)[: t[2]]
     return v  # identity
 
 
@@ -544,23 +558,28 @@ def snapshot_write(
     if idempotency_key is not None and idempotency_key in committed_keys(table):
         return snapshot_versions(table)[-1]
     spec = _pt_validate(partition_spec) if partition_spec else None
-    if mode == "append":
-        versions0 = snapshot_versions(table)
-        prev_spec = (
-            _read_manifest(table, versions0[-1]).get("partition_spec")
-            if versions0
-            else None
-        )
-        if prev_spec:
-            # appends inherit the recorded spec so every commit's layout
-            # stays consistent; a conflicting explicit spec is an error
-            if spec is None:
-                spec = _pt_validate(prev_spec)
-            elif [list(t) for t in spec] != [list(t) for t in prev_spec]:
-                raise ValueError(
-                    f"append partition_spec {spec} conflicts with the "
-                    f"table's recorded spec {prev_spec}"
-                )
+    versions0 = snapshot_versions(table)
+    prev_spec = (
+        _read_manifest(table, versions0[-1]).get("partition_spec")
+        if versions0
+        else None
+    )
+    if prev_spec:
+        if partition_spec is None:
+            # the recorded spec is a TABLE property like checks and
+            # properties: both append and truncate-and-load inherit it
+            # unless explicitly overridden — an overwrite may CHANGE
+            # the spec by passing one, or CLEAR it by passing []
+            spec = _pt_validate(prev_spec)
+        elif mode == "append" and [list(t) for t in (spec or [])] != [
+            list(t) for t in prev_spec
+        ]:
+            # appends keep every commit's layout consistent; a
+            # conflicting (or clearing) explicit spec is an error
+            raise ValueError(
+                f"append partition_spec {spec} conflicts with the "
+                f"table's recorded spec {prev_spec}"
+            )
     hidden = [_pt_name(t) for t in spec] if spec else []
     aug = df
     for t in spec or []:
@@ -610,21 +629,7 @@ def snapshot_write(
             prev_keys = committed_keys(table)  # legacy-manifest fallback
         if idempotency_key is not None and idempotency_key in prev_keys:
             return base  # a racing duplicate committed our key first
-        # CHECK enforcement on the rows being committed: validated over
-        # the WRITTEN files (column-pruned scan of the new parquet, one
-        # input pass total — never a second pass over df's lineage);
-        # re-validated only if a racing set_check changed the check set.
-        # A violation raises pre-commit; the written dir is an orphan
-        # for snapshot_expire.
         checks = prev.get("checks") if prev is not None else None
-        if checks and checks != validated_checks:
-            if vdf is None:
-                vdf = df.sparkSession.read.parquet(commit_dir)
-            _validate_checks(
-                vdf, checks, prev.get("schema"),
-                f"snapshot_write(mode={mode!r}) into {table}",
-            )
-            validated_checks = checks
         if mode == "append" and prev is not None:
             refs = prev["manifests"] + new_refs
             # tombstones ride along: an append must not resurrect rows a
@@ -639,6 +644,24 @@ def snapshot_write(
             del_refs = []  # overwrite replaces content, tombstones and all
             eq_refs = []
             sch = _evolve_schema(None, df, "overwrite")
+        # CHECK enforcement on the rows being committed: validated over
+        # the WRITTEN files (column-pruned scan of the new parquet, one
+        # input pass total — never a second pass over df's lineage);
+        # re-validated only if a racing set_check changed the check set.
+        # A violation raises pre-commit; the written dir is an orphan
+        # for snapshot_expire. The backfill schema is the schema this
+        # commit RECORDS, so an overwrite that drops a checked column
+        # fails HERE (unresolved column — the write that breaks the
+        # constraint is the one rejected) instead of poisoning every
+        # later append.
+        if checks and checks != validated_checks:
+            if vdf is None:
+                vdf = df.sparkSession.read.parquet(commit_dir)
+            _validate_checks(
+                vdf, checks, sch,
+                f"snapshot_write(mode={mode!r}) into {table}",
+            )
+            validated_checks = checks
         if idempotency_key is not None:
             prev_keys.add(idempotency_key)
         manifest = {
@@ -1318,6 +1341,7 @@ def snapshot_cdc_sink(
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
     checkpoint_dir: str | None = None,
+    app_id: str | None = None,
 ):
     """Structured Streaming CDC-APPLY sink: maintain a snapshot table as
     the materialization of a change stream (the Debezium/Delta
@@ -1360,14 +1384,29 @@ def snapshot_cdc_sink(
     being skipped on "table doesn't exist" — a skip decided by table
     existence would not be replay-stable across a crash between legs.
 
+    Key-scoping contract (the Delta txnAppId analogue): commit keys
+    default to `cdc-<batch_id>-*`, which is correct exactly when ONE
+    logical feed owns the table — a restart from the SAME checkpoint
+    resumes batch numbering, and a rerun of the same feed from a fresh
+    checkpoint re-derives the same batches, so the no-op on a seen key
+    is the exactly-once dedup working as intended. If the table can see
+    a DIFFERENT feed whose batch ids restart from 0 (a second source, a
+    fresh checkpoint over genuinely new data), pass `app_id` to scope
+    the keys `cdc-<app_id>-<batch_id>-*` per feed — otherwise the new
+    feed's early batches would collide with the old keys and be
+    silently dropped as replays.
+
     Returns the started StreamingQuery."""
+
+    kp = f"cdc-{app_id}-" if app_id is not None else "cdc-"
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
         spark = batch.sparkSession
-        batch = batch.persist()
+        raw = batch.persist()  # keep the handle: unpersist must target
+        batch = raw            # the CACHED frame, not a derived plan
         try:
             if batch.isEmpty():
                 return
@@ -1413,7 +1452,7 @@ def snapshot_cdc_sink(
                 snapshot_merge(
                     spark, table, dels, on=on, when_matched="delete",
                     insert_not_matched=False, strategy=strategy,
-                    commit_key=f"cdc-{batch_id}-d",
+                    commit_key=f"{kp}{batch_id}-d",
                 )
             if not ups.isEmpty():
                 snapshot_merge(
@@ -1421,10 +1460,10 @@ def snapshot_cdc_sink(
                     insert_not_matched=True, strategy=strategy,
                     n_files_new=n_files_new, cluster_by=cluster_by,
                     stats_cols=stats_cols,
-                    commit_key=f"cdc-{batch_id}-u",
+                    commit_key=f"{kp}{batch_id}-u",
                 )
         finally:
-            batch.unpersist()
+            raw.unpersist()
 
     writer = changes.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint_dir is not None:
@@ -1612,6 +1651,7 @@ def snapshot_replicate(
     starting_version: int = 0,
     strategy: str = "eq",
     n_files_new: int = 1,
+    app_id: str | None = None,
 ):
     """Maintain `dst_table` as an exactly-once MIRROR of `src_table` by
     composing the streaming change-data-feed source with the CDC-apply
@@ -1642,6 +1682,11 @@ def snapshot_replicate(
         feed, dst_table, on=on, op_col="_change_type",
         dedup_by=["_commit_version", "_ins"], strategy=strategy,
         n_files_new=n_files_new, checkpoint_dir=checkpoint_dir,
+        # version-offset replays are data-identical, so the default
+        # unscoped keys are the exactly-once dedup working as intended
+        # for a single-source mirror; scope per source when fanning
+        # several CDF feeds into one table
+        app_id=app_id,
     )
 
 
@@ -2077,6 +2122,28 @@ def snapshot_merge(
         # still count as duplicates) in the same job instead of a second
         # groupBy pass over the source.
         k0 = on[0]
+        if strategy == "eq":
+            # eq mode reads no target files, so the key-range probe has
+            # nothing to prune — only update mode pays a source pass,
+            # and only for the MERGE-ambiguity check (a delete leg is
+            # dup-tolerant and runs zero source jobs here: the CDC hot
+            # path stays at its write floor)
+            if when_matched == "update":
+                c = source.agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.count_distinct(F.struct(*on)).alias("dcnt"),
+                ).first()
+                if c["cnt"] != c["dcnt"]:
+                    raise ValueError(
+                        "merge source has duplicate key rows — 'update' "
+                        "would be nondeterministic (the standard MERGE "
+                        "ambiguity error)"
+                    )
+            return _eq_merge_commit(
+                spark, table, source, on, when_matched, n_files_new,
+                cluster_by, stats_cols, max_retries, target_cols,
+                commit_key, _replay_result,
+            )
         aggs = [F.min(k0).alias("lo"), F.max(k0).alias("hi")]
         if when_matched == "update":
             aggs += [
@@ -2088,12 +2155,6 @@ def snapshot_merge(
             raise ValueError(
                 "merge source has duplicate key rows — 'update' would be "
                 "nondeterministic (the standard MERGE ambiguity error)"
-            )
-        if strategy == "eq":
-            return _eq_merge_commit(
-                spark, table, source, on, when_matched, n_files_new,
-                cluster_by, stats_cols, max_retries, target_cols,
-                commit_key, _replay_result,
             )
         skeys = source.select(*on).distinct()
 
@@ -2352,6 +2413,7 @@ def _eq_merge_commit(
     expire, the usual loser's fate). Returns the merge result dict with
     `eq_keys` added and rows_after None (not metadata-derivable)."""
     stamped, eq_ref, n_keys, new_entries, commit_dir = None, None, 0, [], None
+    validated_checks = None
     for _ in range(max_retries):
         base = snapshot_versions(table)[-1]
         prev = _read_manifest(table, base)
@@ -2360,12 +2422,19 @@ def _eq_merge_commit(
         ):
             return _replay_result(base, prev)  # raced replay: no-op
         # CHECK enforcement: an eq upsert appends every source row
-        # (source is persisted by the caller — one cached-scan job)
-        if when_matched == "update" and prev.get("checks"):
+        # (source is persisted by the caller — one cached-scan job,
+        # re-run on a lost race only if the check set itself changed)
+        checks = prev.get("checks")
+        if (
+            when_matched == "update"
+            and checks
+            and checks != validated_checks
+        ):
             _validate_checks(
-                source.select(*target_cols), prev["checks"],
+                source.select(*target_cols), checks,
                 prev.get("schema"), f"snapshot_merge(eq) into {table}",
             )
+            validated_checks = checks
         sc = prev.get("stats_cols", []) if stats_cols is None else stats_cols
         n_all = sum(r["n_files"] for r in prev["manifests"])
         if stamped != base + 1:
@@ -2757,9 +2826,9 @@ def snapshot_set_check(
     invariant; pass validate=False to adopt it for new rows only. The
     commit itself is metadata-only (O(manifest), the usual optimistic
     retry). Rollback restores the checks recorded AT the target version
-    (metadata moves back with content). An overwrite that drops a
-    checked column leaves the check vacuously passing from then on
-    (validation NULL-backfills missing schema columns) — retire the
+    (metadata moves back with content). An overwrite that DROPS a
+    checked column is rejected at that overwrite (the check no longer
+    resolves against the schema the commit would record) — drop the
     check explicitly with snapshot_drop_check when retiring its column.
     Returns the new version."""
     versions = snapshot_versions(table)

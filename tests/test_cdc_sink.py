@@ -451,3 +451,32 @@ def test_cdc_sink_first_batch_dual_op_key_replay_stable(spark, tmp_path):
     )
     assert q2.awaitTermination(300)
     assert _rows(spark, t2) == _rows(spark, t1)
+
+
+def test_cdc_sink_app_id_scopes_commit_keys(spark, tmp_path):
+    """Two feeds whose batch ids both start at 0 land in the same table
+    without colliding when each sink is given its own app_id — without
+    scoping, the second feed's batch 0 would no-op on the first feed's
+    cdc-0-u key and silently drop its rows."""
+    table = str(tmp_path / "tbl")
+    f1 = _feed(
+        spark, tmp_path / "a",
+        [spark.createDataFrame([(1, 10)], "id BIGINT, v BIGINT")],
+    )
+    f2 = _feed(
+        spark, tmp_path / "b",
+        [spark.createDataFrame([(2, 20)], "id BIGINT, v BIGINT")],
+    )
+    q1 = snapshot_cdc_sink(
+        spark.readStream.schema("id BIGINT, v BIGINT").parquet(f1),
+        table, on=["id"], checkpoint_dir=str(tmp_path / "ck1"),
+        app_id="feed-a",
+    )
+    assert q1.awaitTermination(300)
+    q2 = snapshot_cdc_sink(
+        spark.readStream.schema("id BIGINT, v BIGINT").parquet(f2),
+        table, on=["id"], checkpoint_dir=str(tmp_path / "ck2"),
+        app_id="feed-b",
+    )
+    assert q2.awaitTermination(300)
+    assert _rows(spark, table) == {(1, 10), (2, 20)}

@@ -223,3 +223,25 @@ def test_cdc_sink_respects_checks(spark, tmp_path):
         q.processAllAvailable()
     q.stop()
     assert snapshot_read(spark, table).where("v < 0").count() == 0
+
+
+def test_overwrite_dropping_checked_column_rejected(spark, tmp_path):
+    """An overwrite whose schema no longer carries a checked column is
+    rejected AT that overwrite (the check cannot resolve against the
+    schema the commit would record) — not silently committed leaving
+    later appends to explode."""
+    table = _mk(spark, tmp_path)
+    snapshot_set_check(spark, table, "v_nonneg", "v >= 0")
+    v0 = snapshot_versions(table)[-1]
+    with pytest.raises(Exception, match="v|V_NONNEG|resolve|UNRESOLVED"):
+        snapshot_write(
+            spark.range(5).selectExpr("id"), table,
+            mode="overwrite", n_files=1,
+        )
+    assert snapshot_versions(table)[-1] == v0
+    # dropping the check first makes the narrowing overwrite legal
+    snapshot_drop_check(table, "v_nonneg")
+    snapshot_write(
+        spark.range(5).selectExpr("id"), table, mode="overwrite", n_files=1
+    )
+    assert snapshot_read(spark, table).columns == ["id"]

@@ -191,3 +191,44 @@ def test_hidden_pruning_survives_maintenance_and_merge(spark, tmp_path):
     m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
     ents = S._all_entries(tbl, m)
     assert all("_pt_bucket8_k" in (e.get("stats") or {}) for e in ents)
+
+
+def test_overwrite_inherits_spec_and_empty_clears(spark, tmp_path):
+    """The recorded partition spec is a TABLE property: truncate-and-
+    load inherits it (like checks/properties) unless explicitly
+    overridden; [] clears it on overwrite; appends may not clear."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(_mk(spark, 60), tbl, mode="overwrite",
+                     partition_spec=[("bucket", "k", 4)])
+    # plain truncate-and-load: spec survives and hidden pruning works
+    S.snapshot_write(_mk(spark, 80), tbl, mode="overwrite", n_files=4)
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    assert m["partition_spec"] == [["bucket", "k", 4]]
+    pruned = S.snapshot_read(spark, tbl, partition_prune={"k": 7})
+    assert pruned.where(F.col("k") == 7).count() == (
+        S.snapshot_read(spark, tbl).where(F.col("k") == 7).count()
+    )
+    # appends cannot clear the spec
+    with pytest.raises(ValueError, match="conflicts"):
+        S.snapshot_write(_mk(spark, 5), tbl, mode="append",
+                         partition_spec=[])
+    # an explicit [] on overwrite clears it
+    S.snapshot_write(_mk(spark, 20), tbl, mode="overwrite",
+                     partition_spec=[])
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    assert m["partition_spec"] is None
+    with pytest.raises(ValueError, match="no transform"):
+        S.snapshot_read(spark, tbl, partition_prune={"k": 1})
+
+
+def test_bucket_probe_matches_spark_for_booleans(spark, tmp_path):
+    """_pt_probe canonicalizes booleans the way Spark's CAST AS STRING
+    does ('true', not 'True'), so a boolean point probe prunes the
+    bucket the writer actually used."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id", "id % 3 = 0 AS flag")
+    S.snapshot_write(df, tbl, mode="overwrite", n_files=4,
+                     partition_spec=[("bucket", "flag", 2)])
+    pruned = S.snapshot_read(spark, tbl, partition_prune={"flag": True})
+    got = pruned.where(F.col("flag")).count()
+    assert got == 34  # every matching row survives the prune

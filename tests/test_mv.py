@@ -203,3 +203,29 @@ def test_mv_rejects_rolled_back_source_and_non_mv(spark, tmp_path):
             spark, src, str(tmp_path / "mv2"), ["g"],
             {"v_sum": F.col("v")},
         )
+
+
+def test_mv_recreate_with_new_definition_rebuilds(spark, tmp_path):
+    """Re-creating the view with a DIFFERENT definition at the same
+    source version must rebuild (the create key fingerprints the
+    definition), not no-op against the old definition."""
+    src = _src(spark, tmp_path)
+    mv = str(tmp_path / "mv")
+    mv_create(spark, src, mv, ["g"], {"v_sum": "v"})
+    mv_create(spark, src, mv, ["g"], {"v_sum": "id"})  # redefinition
+    props = S._read_manifest(mv, S.snapshot_versions(mv)[-1])["properties"]
+    assert props["mv_sums"] == {"v_sum": "id"}
+    want = {
+        (r["g"], r["s"])
+        for r in S.snapshot_read(spark, src)
+        .groupBy("g")
+        .agg(F.round(F.sum(F.col("id").cast("decimal(18,4)")), 4)
+             .cast("double").alias("s"))
+        .collect()
+    }
+    got = {(r["g"], r["v_sum"]) for r in mv_read(spark, mv).collect()}
+    assert got == want
+    # identical re-create stays an idempotent no-op
+    v = S.snapshot_versions(mv)[-1]
+    mv_create(spark, src, mv, ["g"], {"v_sum": "id"})
+    assert S.snapshot_versions(mv)[-1] == v
