@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .ivm import apply_agg_delta, finish_agg, materialize_agg
 from .snapshot import (
+    ConcurrentWriteError,
     _read_manifest,
     snapshot_changes,
     snapshot_read,
@@ -126,48 +127,74 @@ def mv_create(
 
 
 def mv_refresh(
-    spark: SparkSession, src_table: str, mv_table: str, n_files: int = 1
+    spark: SparkSession, src_table: str, mv_table: str, n_files: int = 1,
+    max_retries: int = 3,
 ) -> dict:
     """Advance the MV to the source's latest version by folding the
     source CDF since the stored cursor into the stored state — O(delta),
     never a source re-scan (MIN/MAX dirty groups excepted) — committed
     atomically with the advanced cursor, exactly-once under replay.
 
+    Concurrency: one MV version is pinned up front and the cursor, the
+    definition, AND the state frame all read from exactly that version's
+    manifest (the snapshot-isolation pattern snapshot_read uses) — two
+    separate latest-reads could tear under a concurrent refresher (old
+    cursor + new state = the delta double-counted into the fold). The
+    commit itself is CAS-guarded on the pinned version
+    (snapshot_write expected_version): a refresher that loses the race
+    re-pins and re-folds against the winner's state instead of
+    overwriting it. Same-target-version duplicates additionally no-op on
+    the mv-refresh-<cur> idempotency key (replay fast path).
+
     Returns {'version', 'refreshed_from', 'refreshed_to', 'noop'}."""
-    props = _props(mv_table)
-    last = props["mv_src_version"]
-    keys, sums = props["mv_keys"], props["mv_sums"]
-    minmax = props.get("mv_minmax") or None
-    cur = snapshot_versions(src_table)[-1]
-    mv_v = snapshot_versions(mv_table)[-1]
-    if cur == last:
-        return {
-            "version": mv_v, "refreshed_from": last,
-            "refreshed_to": last, "noop": True,
-        }
-    if cur < last:
-        raise ValueError(
-            f"source {src_table} is at v{cur}, BEHIND the MV cursor "
-            f"v{last} — the source was rolled back or expired past the "
-            "cursor; rebuild the view with mv_create"
+    for _ in range(max_retries):
+        mv_v = snapshot_versions(mv_table)[-1]
+        props = _read_manifest(mv_table, mv_v).get("properties") or {}
+        if "mv_src_version" not in props:
+            raise ValueError(
+                f"{mv_table} is not a materialized view (no mv_src_version "
+                "property) — create it with mv_create"
+            )
+        last = props["mv_src_version"]
+        keys, sums = props["mv_keys"], props["mv_sums"]
+        minmax = props.get("mv_minmax") or None
+        cur = snapshot_versions(src_table)[-1]
+        if cur == last:
+            return {
+                "version": mv_v, "refreshed_from": last,
+                "refreshed_to": last, "noop": True,
+            }
+        if cur < last:
+            raise ValueError(
+                f"source {src_table} is at v{cur}, BEHIND the MV cursor "
+                f"v{last} — the source was rolled back or expired past the "
+                "cursor; rebuild the view with mv_create"
+            )
+        delta = snapshot_changes(spark, src_table, last, cur)
+        state = snapshot_read(spark, mv_table, version=mv_v)
+        new_state = apply_agg_delta(
+            state, delta, keys, sums, minmax=minmax,
+            base=snapshot_read(spark, src_table, version=cur)
+            if minmax
+            else None,
         )
-    delta = snapshot_changes(spark, src_table, last, cur)
-    state = snapshot_read(spark, mv_table, version=mv_v)
-    new_state = apply_agg_delta(
-        state, delta, keys, sums, minmax=minmax,
-        base=snapshot_read(spark, src_table, version=cur)
-        if minmax
-        else None,
+        try:
+            v = snapshot_write(
+                new_state, mv_table, mode="overwrite", n_files=n_files,
+                idempotency_key=f"mv-refresh-{cur}",
+                properties={**props, "mv_src_version": cur},
+                expected_version=mv_v,
+            )
+        except ConcurrentWriteError:
+            continue  # a concurrent refresher advanced the MV: re-pin
+        return {
+            "version": v, "refreshed_from": last,
+            "refreshed_to": cur, "noop": False,
+        }
+    raise RuntimeError(
+        f"mv_refresh lost {max_retries} consecutive refresh races on "
+        f"{mv_table}"
     )
-    v = snapshot_write(
-        new_state, mv_table, mode="overwrite", n_files=n_files,
-        idempotency_key=f"mv-refresh-{cur}",
-        properties={**props, "mv_src_version": cur},
-    )
-    return {
-        "version": v, "refreshed_from": last,
-        "refreshed_to": cur, "noop": False,
-    }
 
 
 def mv_read(

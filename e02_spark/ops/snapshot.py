@@ -320,12 +320,31 @@ def _pt_str(v) -> str:
 
 
 def _pt_probe(t, v):
-    """Driver-side twin of _pt_expr for a prune-probe value."""
+    """Driver-side twin of _pt_expr for a prune-probe value. Probe types
+    whose driver-side str() form differs from Spark's CAST AS STRING
+    (floats, Decimals, fractional-second timestamps — see _pt_str) are
+    REJECTED for bucket/truncate: hashing a mismatched string would
+    silently prune files that contain matching rows, which is a wrong
+    query result, not a degraded one."""
     import datetime as _dt
 
     if v is None:
         return None
     kind = t[0]
+    if kind in ("bucket", "truncate"):
+        import decimal
+
+        if isinstance(v, (float, decimal.Decimal)) or (
+            isinstance(v, _dt.datetime) and v.microsecond
+        ):
+            raise TypeError(
+                f"partition_prune: {kind} probe on {v!r} "
+                f"({type(v).__name__}) is unsupported — driver-side str() "
+                "and Spark's CAST AS STRING canonicalize floats/decimals/"
+                "fractional-second timestamps differently, so the probe "
+                "would prune the WRONG files; key bucket/truncate "
+                "transforms on int/string/date/bool columns"
+            )
     if kind == "bucket":
         import zlib
 
@@ -468,6 +487,12 @@ class CheckViolation(ValueError):
     snapshot_set_check)."""
 
 
+class ConcurrentWriteError(RuntimeError):
+    """An expected_version CAS write found the table advanced past the
+    version the caller planned against (see snapshot_write). The caller
+    re-plans from the new latest version — never retries blindly."""
+
+
 def _validate_checks(
     df: DataFrame, checks: dict | None, schema_json: dict | None, context: str
 ) -> None:
@@ -524,6 +549,7 @@ def snapshot_write(
     max_files_per_shard: int = 100_000,
     partition_spec: list | None = None,
     properties: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Write `df` as a new snapshot commit. mode='append' adds the new
     files to the current snapshot's list; mode='overwrite' replaces the
@@ -552,7 +578,15 @@ def snapshot_write(
     manifest read (O(1) per commit, not O(#versions)) AND surviving
     snapshot_expire of old versions; the set grows one short string per
     keyed commit ever — bytes per commit, and the stream's checkpoint
-    offset log fences batches old enough to ever matter truncating."""
+    offset log fences batches old enough to ever matter truncating.
+
+    expected_version turns the commit into a compare-and-swap: it
+    succeeds only if the table is STILL at that version when the commit
+    lands, raising ConcurrentWriteError otherwise (after the replay
+    fast-path — a replayed keyed commit still no-ops). This is the
+    read-modify-write fence derived-state writers (ops/mv.py) need: a
+    state computed FROM version N must not overwrite a state someone
+    else already advanced past N."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if idempotency_key is not None and idempotency_key in committed_keys(table):
@@ -629,6 +663,29 @@ def snapshot_write(
             prev_keys = committed_keys(table)  # legacy-manifest fallback
         if idempotency_key is not None and idempotency_key in prev_keys:
             return base  # a racing duplicate committed our key first
+        if expected_version is not None and base != expected_version:
+            raise ConcurrentWriteError(
+                f"snapshot_write expected {table} at v{expected_version} "
+                f"but it is at v{base} — a concurrent commit advanced the "
+                "table; re-plan against the new latest version"
+            )
+        # re-validate the partition-spec contract against THIS attempt's
+        # manifest: the data files were laid out (hidden columns, cluster
+        # order) for the spec resolved BEFORE the loop, so a racing commit
+        # that changed or cleared the recorded spec makes this attempt's
+        # layout stale — committing it would silently revert the table's
+        # layout contract. Only an overwrite carrying an EXPLICIT spec is
+        # exempt (it legitimately replaces whatever the spec now is).
+        if not (mode == "overwrite" and partition_spec is not None):
+            cur_spec = prev.get("partition_spec") if prev is not None else None
+            if [list(t) for t in (cur_spec or [])] != [
+                list(t) for t in (spec or [])
+            ]:
+                raise ValueError(
+                    f"snapshot_write lost a partition-spec race on {table}: "
+                    f"data was laid out for spec {spec} but v{base} now "
+                    f"records {cur_spec}; re-run the write"
+                )
         checks = prev.get("checks") if prev is not None else None
         if mode == "append" and prev is not None:
             refs = prev["manifests"] + new_refs
@@ -2180,8 +2237,20 @@ def snapshot_merge(
             # decides which source rows are matched vs inserts.
             matched = None
             if candidates:
+                # the scan feeds _apply_eq_deletes below, which anti-joins
+                # on every OUTSTANDING eq-delete file's key columns — a
+                # table mixing eq-merge key sets (e.g. CDC by id, a GDPR
+                # purge by user_id) must scan the UNION of this merge's
+                # keys and all eq keys, or the anti-join hits an
+                # unresolved column
+                eq_cols = [
+                    c
+                    for e in _eq_entries(table, prev)
+                    for c in e["on"]
+                ]
+                scan_cols = list(dict.fromkeys([*on, *eq_cols]))
                 raw = _reader(spark, prev).parquet(*candidates).select(
-                    *on,
+                    *scan_cols,
                     _rel_file_col().alias("_file"),
                     F.col("_metadata.row_index").alias("_pos"),
                 )

@@ -387,7 +387,14 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             import pyarrow.compute as pc
 
             acc = np.zeros(n, dtype=bool)
+            names = set(batch.schema.names)
             for on, keys in pairs:
+                if not all(c in names for c in on):
+                    # a pre-evolution data file lacking an evolved eq-key
+                    # column: the column reads as all-NULL and NULL keys
+                    # never match (SQL equality) — the batch path's
+                    # NULL-backfill behavior, not a KeyError
+                    continue
                 if len(on) == 1:
                     m = pc.is_in(
                         batch.column(on[0]),

@@ -326,3 +326,41 @@ def test_cdf_stream_eq_steps_match_batch_changes(spark, tmp_path):
         for r in S.snapshot_read(spark, tbl).select("id", "v").collect()
     )
     assert {k: c for k, c in net.items() if c} == dict(live)
+
+
+def test_cdf_stream_eq_delete_on_evolved_key_column(spark, tmp_path):
+    """An eq delete keyed on a column added AFTER some data files were
+    written: pre-evolution files stay applicable (no stats for the key)
+    but physically lack the column — the stream must treat the absent
+    column as all-NULL (no key matches, the batch semantics), not crash
+    with a KeyError."""
+    tbl = str(tmp_path / "evolved")
+    S.snapshot_write(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"),
+        tbl, mode="overwrite", n_files=1,
+    )  # v1: pre-evolution files, no k2
+    S.snapshot_write(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS v", "id + 500 AS k2"),
+        tbl, mode="append", n_files=1,
+    )  # v2: evolved
+    S.snapshot_merge(
+        spark, tbl,
+        spark.createDataFrame([(512,), (599,)], "k2 bigint"),
+        on=["k2"], when_matched="delete", insert_not_matched=False,
+        strategy="eq",
+    )  # v3: k2=512 shadows id=12 only
+    rows = _drain(
+        spark,
+        read_snapshot_changes_stream(spark, tbl),
+        str(tmp_path / "ck"),
+    )
+    dels = [r for r in rows if r["_change_type"] == "delete"]
+    assert [r["id"] for r in dels] == [12]
+    ins = sorted(
+        r["id"] for r in rows if r["_change_type"] == "insert"
+    )
+    assert ins == list(range(20))
+    # pre-evolution rows stream with NULL-backfilled k2
+    assert all(
+        r["k2"] is None for r in rows if r["id"] < 10
+    )

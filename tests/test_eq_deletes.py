@@ -229,3 +229,56 @@ def test_eq_expire_keeps_live_eq_files(spark, tmp_path):
     assert _ids(spark, tbl) == [0, 1, 5, 6, 7, 8, 9]
     # the eq file itself survived expire (still referenced)
     assert glob.glob(os.path.join(tbl, "deletes", "*", "*.parquet"))
+
+
+def test_merge_with_outstanding_eq_deletes_on_other_key_columns(
+    spark, tmp_path
+):
+    """A table carrying eq-delete files keyed on columns OUTSIDE the
+    current merge's `on` must still merge: the candidate scan selects
+    the union of the merge keys and every outstanding eq key column, so
+    _apply_eq_deletes resolves (previously an AnalysisException until a
+    rewrite folded the eq files)."""
+    tbl = str(tmp_path / "mixed")
+    S.snapshot_write(
+        spark.range(0, 20).selectExpr("id", "id + 100 AS u", "id * 2 AS v"),
+        tbl, mode="overwrite", n_files=2, cluster_by=["id"],
+        stats_cols=["id"],
+    )
+    # GDPR-style purge keyed on u — a DIFFERENT key set than the CDC key
+    S.snapshot_merge(
+        spark, tbl,
+        spark.createDataFrame([(104,), (110,)], "u bigint"),
+        on=["u"], when_matched="delete", insert_not_matched=False,
+        strategy="eq",
+    )
+    assert sorted(
+        r["id"] for r in S.snapshot_read(spark, tbl).select("id").collect()
+    ) == [i for i in range(20) if i not in (4, 10)]
+    # CoW upsert keyed on id while the u-keyed eq files are outstanding:
+    # id=3 is live (updated in place); id=4 is eq-shadowed (logically
+    # absent -> insert; its NEW file's higher seq exempts it from the
+    # old u-delete even though u=104)
+    res = S.snapshot_merge(
+        spark, tbl,
+        spark.createDataFrame(
+            [(3, 103, 999), (4, 104, 888)], "id bigint, u bigint, v bigint"
+        ),
+        on=["id"], when_matched="update", insert_not_matched=True,
+        strategy="cow",
+    )
+    assert not res["replayed"]
+    rows = {
+        r["id"]: r["v"] for r in S.snapshot_read(spark, tbl).collect()
+    }
+    assert rows[3] == 999 and rows[4] == 888
+    assert 10 not in rows and len(rows) == 19
+    # MoR flavor exercises the same scan path
+    S.snapshot_merge(
+        spark, tbl,
+        spark.createDataFrame([(5, 105, 777)], "id bigint, u bigint, v bigint"),
+        on=["id"], when_matched="update", insert_not_matched=True,
+        strategy="mor",
+    )
+    rows = {r["id"]: r["v"] for r in S.snapshot_read(spark, tbl).collect()}
+    assert rows[5] == 777 and len(rows) == 19

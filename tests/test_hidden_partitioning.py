@@ -232,3 +232,65 @@ def test_bucket_probe_matches_spark_for_booleans(spark, tmp_path):
     pruned = S.snapshot_read(spark, tbl, partition_prune={"flag": True})
     got = pruned.where(F.col("flag")).count()
     assert got == 34  # every matching row survives the prune
+
+
+def test_partition_prune_rejects_uncanonical_probe_types(spark, tmp_path):
+    """Bucket/truncate probes on floats, Decimals, or fractional-second
+    timestamps must RAISE: driver-side str() and Spark's CAST AS STRING
+    canonicalize those differently, so a silent mismatch would prune
+    files that contain matching rows (wrong results, not degraded)."""
+    import datetime as dt_
+    from decimal import Decimal
+
+    tbl = str(tmp_path / "probes")
+    S.snapshot_write(
+        _mk(spark), tbl, mode="overwrite", n_files=4,
+        partition_spec=[("bucket", "k", 8)],
+    )
+    for bad in (3.0, Decimal("3.0"),
+                dt_.datetime(2024, 1, 1, 0, 0, 0, 123000)):
+        with pytest.raises(TypeError, match="prune the WRONG files"):
+            S.snapshot_read(spark, tbl, partition_prune={"k": bad})
+    # int probes stay the supported path
+    assert S.snapshot_read(
+        spark, tbl, partition_prune={"k": 3}
+    ).where("k = 3").count() > 0
+    tbl2 = str(tmp_path / "probes2")
+    S.snapshot_write(
+        _mk(spark).selectExpr("id", "CAST(k AS STRING) AS k", "d"),
+        tbl2, mode="overwrite", n_files=2,
+        partition_spec=[("truncate", "k", 1)],
+    )
+    with pytest.raises(TypeError, match="prune the WRONG files"):
+        S.snapshot_read(spark, tbl2, partition_prune={"k": 1.5})
+
+
+def test_append_losing_spec_race_raises_named_error(spark, tmp_path, monkeypatch):
+    """An append that resolved (and laid its data out for) the table's
+    recorded spec, then loses its commit race to an overwrite that
+    CHANGED the spec, must raise — re-committing the stale layout would
+    silently revert the table's partition contract."""
+    tbl = str(tmp_path / "race")
+    S.snapshot_write(
+        _mk(spark), tbl, mode="overwrite", n_files=2,
+        partition_spec=[("bucket", "k", 4)],
+    )
+    real_commit = S._try_commit
+    state = {"raced": False}
+
+    def racing(table, version, manifest):
+        if not state["raced"] and manifest.get("mode") == "append":
+            state["raced"] = True
+            # concurrent overwrite clears the spec and takes the version
+            S.snapshot_write(
+                _mk(spark, 50), tbl, mode="overwrite", partition_spec=[]
+            )
+        return real_commit(table, version, manifest)
+
+    monkeypatch.setattr(S, "_try_commit", racing)
+    with pytest.raises(ValueError, match="partition-spec race"):
+        S.snapshot_write(_mk(spark, 30), tbl, mode="append")
+    assert state["raced"]
+    # the table's recorded (cleared) spec survived the lost race intact
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    assert not m.get("partition_spec")

@@ -229,3 +229,60 @@ def test_mv_recreate_with_new_definition_rebuilds(spark, tmp_path):
     v = S.snapshot_versions(mv)[-1]
     mv_create(spark, src, mv, ["g"], {"v_sum": "id"})
     assert S.snapshot_versions(mv)[-1] == v
+
+
+def test_mv_concurrent_refresher_pins_one_version_and_cas_guards(
+    spark, tmp_path, monkeypatch
+):
+    """The torn-read race: refresher A plans against cursor C but a
+    concurrent refresher B advances the MV (state + cursor) before A
+    commits. A's commit must CAS-fail on the pinned MV version and
+    re-plan — never overwrite B's state with a fold that double-counts
+    part of B's delta."""
+    import e02_spark.ops.mv as mvmod
+
+    src = _src(spark, tmp_path)
+    mv = str(tmp_path / "mv")
+    mv_create(spark, src, mv, ["g"], {"v_sum": "v"})  # cursor = src v1
+
+    def _append(lo, hi):
+        S.snapshot_write(
+            spark.range(lo, hi).selectExpr(
+                "id", "CAST(id % 5 AS STRING) AS g", "id * 10 AS v"
+            ),
+            src, mode="append", n_files=1,
+        )
+
+    _append(200, 230)  # src v2
+    real_changes = mvmod.snapshot_changes
+    state = {"raced": False}
+
+    def racing_changes(sp, table, lo, hi, **kw):
+        delta = real_changes(sp, table, lo, hi, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # competing refresher B lands AFTER A planned its fold:
+            # the source advances again and B folds everything
+            _append(230, 245)  # src v3
+            mv_refresh(spark, src, mv)  # B: cursor 1 -> 3, MV v2
+        return delta
+
+    monkeypatch.setattr(mvmod, "snapshot_changes", racing_changes)
+    res = mv_refresh(spark, src, mv)  # A: planned (1, 2], loses the CAS
+    assert state["raced"]
+    # A re-pinned after the CAS failure and found B's cursor current
+    assert res["noop"] and res["refreshed_to"] == 3
+    # exactly one fold happened: B's commit is the only new MV version,
+    # and the view equals the recompute (no double-counted delta)
+    assert S.snapshot_versions(mv)[-1] == 2
+    assert _view(spark, mv) == _recompute(spark, src)
+
+
+def test_snapshot_write_expected_version_cas(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    S.snapshot_write(df, tbl, mode="overwrite")
+    with pytest.raises(S.ConcurrentWriteError, match="v7.*v1"):
+        S.snapshot_write(df, tbl, mode="overwrite", expected_version=7)
+    # matching expectation commits normally
+    assert S.snapshot_write(df, tbl, mode="overwrite", expected_version=1) == 2
