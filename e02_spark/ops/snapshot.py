@@ -30,7 +30,11 @@ Storage layout (all under the table root):
 
 Commit protocol: write data files to a fresh `data/<uuid>/` directory,
 write ONE new manifest shard holding only this commit's entries, then
-publish `_manifests/v{N}.json` with O_EXCL create. Version collisions
+publish `_manifests/v{N}.json` with one atomic create-if-absent through
+the table's pluggable store (ops/store.py: link(2) on the local FS,
+conditional PUT on an object store — every metadata/commit operation
+routes through `store_for(table)`, so the protocol holds on S3
+semantics, not just POSIX). Version collisions
 (two writers racing to N) make the loser's create fail loudly; an
 APPEND loser re-reads the new latest (picking up the winner's shard
 refs) and retries at N+1 — optimistic concurrency with rebase, exactly
@@ -55,13 +59,14 @@ table.
 from __future__ import annotations
 
 import glob as _glob
-import json
 import os
 import threading
 import uuid
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .store import store_for
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
@@ -76,7 +81,9 @@ def snapshot_versions(table: str) -> list[int]:
     """Committed versions, ascending. Ignores anything not matching the
     v{N}.json commit name — tmp files never look like commits."""
     out = []
-    for p in _glob.glob(os.path.join(table, _MANIFESTS, "v*.json")):
+    for p in store_for(table).list_glob(
+        os.path.join(table, _MANIFESTS, "v*.json")
+    ):
         stem = os.path.basename(p)[1:-5]
         if stem.isdigit():
             out.append(int(stem))
@@ -84,8 +91,7 @@ def snapshot_versions(table: str) -> list[int]:
 
 
 def _read_manifest(table: str, version: int) -> dict:
-    with open(_manifest_path(table, version)) as f:
-        return json.load(f)
+    return store_for(table).get_json(_manifest_path(table, version))
 
 
 def _write_shard(table: str, entries: list[dict]) -> dict:
@@ -96,15 +102,10 @@ def _write_shard(table: str, entries: list[dict]) -> dict:
     entry bounds it — otherwise a matching file could hide in the shard
     and shard-skipping would be unsound (per-file pruning still applies
     to the entries that do carry bounds)."""
-    mdir = os.path.join(table, _MANIFESTS)
-    os.makedirs(mdir, exist_ok=True)
     name = f"m-{uuid.uuid4().hex}.json"
-    tmp = os.path.join(mdir, f"tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump({"files": entries}, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(mdir, name))
+    store_for(table).put_json(
+        os.path.join(table, _MANIFESTS, name), {"files": entries}
+    )
     stats: dict[str, list] = {}
     if entries:
         cols = set.intersection(*(set(e["stats"]) for e in entries))
@@ -146,8 +147,7 @@ def _read_shard(table: str, ref: dict) -> list[dict]:
         if hit is not None:
             _SHARD_CACHE.move_to_end(path)
             return hit
-    with open(path) as f:
-        hit = json.load(f)["files"]
+    hit = store_for(table).get_json(path)["files"]
     with _SHARD_CACHE_LOCK:
         _SHARD_CACHE[path] = hit
         _SHARD_CACHE.move_to_end(path)
@@ -397,24 +397,15 @@ def _pt_materialize(df: DataFrame, spec):
 
 
 def _try_commit(table: str, version: int, manifest: dict) -> bool:
-    """Atomic publish of v{version}: write a tmp file, then hard-link it
-    to the final name — link(2) fails with EEXIST if the version is
-    already taken (create-if-absent), and the manifest content appears
-    fully written or not at all. Returns False on version collision."""
-    mdir = os.path.join(table, _MANIFESTS)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f"tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _manifest_path(table, version))
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.remove(tmp)
+    """Atomic publish of v{version}: one conditional create-if-absent of
+    the version object through the table's store (link(2) on the local
+    FS, `If-None-Match: *` on an object store — see ops/store.py). The
+    manifest appears fully written or not at all; a version collision
+    (two writers racing to N) makes the loser's put fail loudly.
+    Returns False on collision."""
+    return store_for(table).put_json_if_absent(
+        _manifest_path(table, version), manifest
+    )
 
 
 def committed_keys(table: str) -> set[str]:
@@ -1592,23 +1583,21 @@ def snapshot_publish(
             "main table first (publish is an append)"
         )
     entries = _all_entries(staging_table, sm)
-    # hard-link the staged files into main's data dir: no bytes move,
-    # and staging-side expire can't pull them out from under main (the
-    # link keeps the inode alive)
+    # adopt the staged files into main's data dir through MAIN's store:
+    # a hard link on the local FS (no bytes move, and staging-side
+    # expire can't pull the inode out from under main), a server-side
+    # COPY on an object store — either way the adopted object is main's
+    # own, decoupled from the staging table's lifecycle
     adopt_dir_rel = os.path.join(_DATA, uuid.uuid4().hex)
     adopt_dir = os.path.join(main_table, adopt_dir_rel)
     os.makedirs(adopt_dir, exist_ok=False)
+    main_store = store_for(main_table)
     new_entries = []
     for e in entries:
         base_name = os.path.basename(e["path"])
         src_f = os.path.join(staging_table, e["path"])
         dst_f = os.path.join(adopt_dir, base_name)
-        try:
-            os.link(src_f, dst_f)
-        except OSError:  # cross-filesystem staging (EXDEV): copy bytes
-            import shutil
-
-            shutil.copyfile(src_f, dst_f)
+        main_store.adopt_file(src_f, dst_f)
         ne = dict(e)
         ne["path"] = os.path.join(adopt_dir_rel, base_name)
         new_entries.append(ne)
@@ -2967,6 +2956,7 @@ def snapshot_expire(
     later pass. The 0 default sweeps everything, correct only when the
     caller knows no writer is active (the tests' posture).
     Returns {'manifests_dropped': n, 'files_deleted': n}."""
+    st = store_for(table)
     versions = snapshot_versions(table)
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = 0
@@ -3004,7 +2994,7 @@ def snapshot_expire(
             + _all_entries(table, m, "deletes")
             + _all_entries(table, m, "eq_deletes")
         )
-        os.remove(_manifest_path(table, v))
+        st.delete(_manifest_path(table, v))
         dropped += 1
     deleted = 0
     victims = referenced_dead - live
@@ -3015,51 +3005,44 @@ def snapshot_expire(
         cutoff = _time.time() - orphan_grace_s
 
         def _expired(p: str) -> bool:
-            try:
-                return os.path.getmtime(p) <= cutoff
-            except OSError:
-                return False  # vanished underneath us: nothing to delete
+            t = st.mtime(p)
+            # vanished underneath us -> nothing to delete
+            return t is not None and t <= cutoff
 
         on_disk = {
             os.path.abspath(p)
-            for p in _glob.glob(os.path.join(table, _DATA, "*", "*.parquet"))
+            for p in st.list_glob(os.path.join(table, _DATA, "*", "*.parquet"))
             if _expired(p)
         } | {
             os.path.abspath(p)
-            for p in _glob.glob(os.path.join(table, _DELETES, "*", "*.parquet"))
+            for p in st.list_glob(
+                os.path.join(table, _DELETES, "*", "*.parquet")
+            )
             if _expired(p)
         }
         victims |= on_disk - live
         shards_on_disk = {
             os.path.abspath(p)
-            for p in _glob.glob(os.path.join(table, _MANIFESTS, "m-*.json"))
+            for p in st.list_glob(os.path.join(table, _MANIFESTS, "m-*.json"))
             if _expired(p)
         }
         shard_victims |= shards_on_disk - live_shards
     for path in victims:
         if os.path.exists(path):
-            os.remove(path)
+            st.delete(path)
             deleted += 1
     for path in shard_victims:
         with _SHARD_CACHE_LOCK:
             _SHARD_CACHE.pop(path, None)  # deleted shard must not ghost-serve
-        if os.path.exists(path):
-            os.remove(path)
+        st.delete(path)
     # drop commit dirs holding no parquet anymore (only _SUCCESS/.crc
     # write crumbs remain once their data files were collected). The same
     # age fence applies: an in-flight write's dir looks empty while its
-    # files sit under _temporary/.
-    import shutil
+    # files sit under _temporary/. FS hygiene only — object stores have
+    # no directories (the store method is a no-op there).
     import time as _time
 
     dir_cutoff = _time.time() - orphan_grace_s
-    for d in _glob.glob(os.path.join(table, _DATA, "*")) + _glob.glob(
-        os.path.join(table, _DELETES, "*")
-    ):
-        if (
-            os.path.isdir(d)
-            and not _glob.glob(os.path.join(d, "*.parquet"))
-            and os.path.getmtime(d) <= dir_cutoff
-        ):
-            shutil.rmtree(d)
+    st.cleanup_empty_dirs(os.path.join(table, _DATA), dir_cutoff)
+    st.cleanup_empty_dirs(os.path.join(table, _DELETES), dir_cutoff)
     return {"manifests_dropped": dropped, "files_deleted": deleted}

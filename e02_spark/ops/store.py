@@ -1,0 +1,215 @@
+"""Pluggable storage backends for the snapshot table's COMMIT/METADATA
+plane (ops/snapshot.py).
+
+Why this exists at 100 TB: the lakehouse commit protocol was built on
+two POSIX primitives — atomic create-if-absent via link(2) for the
+version commit, and hard links for write-audit-publish adoption. A
+100 TB table lives on an object store (S3/GCS/ABFS), which has NEITHER:
+no rename, no links, no O_EXCL. What it does have is exactly this
+interface:
+
+    get_json            GET object
+    put_json            PUT object            (atomic whole-object write)
+    put_json_if_absent  conditional PUT       (S3 `If-None-Match: *`,
+                                               GCS `ifGenerationMatch=0`)
+    list_glob           LIST by prefix (+ client-side suffix filter)
+    delete              DELETE                (idempotent)
+    mtime               HEAD Last-Modified
+    adopt_file          server-side COPY (or a hard link where the
+                        backing store supports one — a pure optimization)
+
+ops/snapshot.py routes every metadata/commit operation through
+`store_for(table)`, so the protocol's correctness argument reduces to
+this contract instead of POSIX semantics. The DATA plane (Spark parquet
+writes, pyarrow footer reads) is NOT abstracted here: Spark and Arrow
+already carry their own filesystem layer (s3a://, pyarrow.fs) — the
+store only owns the operations where commit ATOMICITY is load-bearing.
+
+Two implementations ship:
+
+  * LocalFSStore (the default) — today's behavior: tmp + fsync +
+    link(2) conditional create, hard-link adoption with an EXDEV
+    byte-copy fallback.
+  * FakeObjectStore — restricts itself to the S3-EXPRESSIBLE subset:
+    adoption always copies bytes (object stores have no links), deletes
+    are idempotent, and the conditional put models `If-None-Match: *`.
+    It is backed by the local filesystem (Spark still reads the same
+    paths), and the *emulation* of the service's internal atomicity
+    uses a tmp file + link/replace — that is the stand-in for the
+    store's server-side atomic PUT, not a primitive the code under
+    test relies on. The existing fuzz + concurrency suites run against
+    both stores (tests/test_snapshot_fuzz.py, test_layout.py), which is
+    the evidence the protocol never leans on a POSIX-only behavior.
+
+Note on list consistency: S3/GCS/ABFS have been strongly read-after-
+write consistent for LIST since 2020/always, so no list-lag injection
+is modeled; the commit protocol additionally never NEEDS list-after-put
+of its own commit (the committer learns success from the conditional
+put's return, and readers resolving `latest` a commit late simply read
+the previous snapshot — normal snapshot isolation).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+import uuid
+
+
+class LocalFSStore:
+    """POSIX-backed metadata store (the default). Conditional create via
+    link(2) — the manifest appears fully written or not at all, and a
+    version collision fails loudly; adoption via hard links (zero-copy)
+    with a cross-filesystem byte-copy fallback."""
+
+    def get_json(self, path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_tmp(self, path: str, obj: dict) -> str:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(obj, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        return tmp
+
+    def put_json(self, path: str, obj: dict) -> None:
+        """Atomic whole-object write: a reader never sees a partial
+        object under `path` (tmp + rename)."""
+        os.replace(self._write_tmp(path, obj), path)
+
+    def put_json_if_absent(self, path: str, obj: dict) -> bool:
+        """Atomic create-if-absent: False when `path` already exists
+        (the commit-race loser's signal)."""
+        tmp = self._write_tmp(path, obj)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def list_glob(self, pattern: str) -> list[str]:
+        return _glob.glob(pattern)
+
+    def delete(self, path: str) -> None:
+        """Idempotent delete (missing object is not an error — the
+        object-store DELETE contract, and what concurrent expirers
+        need)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def mtime(self, path: str) -> float | None:
+        """Last-modified time, or None when the object vanished (the
+        caller then treats it as not-expirable this pass)."""
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
+
+    def adopt_file(self, src: str, dst: str) -> None:
+        """Publish-time adoption of an immutable data file: hard link
+        (no bytes move, and the source table expiring its copy cannot
+        pull the inode out from under the adopter) with a byte-copy
+        fallback for cross-filesystem staging (EXDEV)."""
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+
+    def cleanup_empty_dirs(self, root: str, cutoff: float) -> None:
+        """FS hygiene after expire: drop commit dirs holding no parquet
+        anymore (only _SUCCESS/.crc crumbs remain once their data files
+        were collected), age-fenced so an in-flight write's dir — whose
+        files still sit under _temporary/ — survives. Object stores have
+        no directories; a real remote impl overrides this to a no-op."""
+        for d in self.list_glob(os.path.join(root, "*")):
+            if (
+                os.path.isdir(d)
+                and not _glob.glob(os.path.join(d, "*.parquet"))
+                and (self.mtime(d) or float("inf")) <= cutoff
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+
+
+class FakeObjectStore(LocalFSStore):
+    """S3-semantics stand-in for tests: everything LocalFSStore does,
+    minus the POSIX-only affordances —
+
+      * `adopt_file` ALWAYS copies bytes (object stores have no links;
+        this is the server-side COPY a real impl would issue);
+      * `put_json_if_absent` models the conditional PUT
+        (`If-None-Match: *`): the same atomic outcome, with the tmp+link
+        underneath standing in for the SERVICE's internal atomicity, not
+        exposed to callers.
+
+    `counts` tallies the primitives used, so a test can assert the code
+    under test stayed within the object-store-expressible subset."""
+
+    def __init__(self) -> None:
+        self.counts = {
+            "get": 0, "put": 0, "conditional_put": 0, "list": 0,
+            "delete": 0, "copy": 0,
+        }
+
+    def get_json(self, path: str) -> dict:
+        self.counts["get"] += 1
+        return super().get_json(path)
+
+    def put_json(self, path: str, obj: dict) -> None:
+        self.counts["put"] += 1
+        super().put_json(path, obj)
+
+    def put_json_if_absent(self, path: str, obj: dict) -> bool:
+        self.counts["conditional_put"] += 1
+        return super().put_json_if_absent(path, obj)
+
+    def list_glob(self, pattern: str) -> list[str]:
+        self.counts["list"] += 1
+        return super().list_glob(pattern)
+
+    def delete(self, path: str) -> None:
+        self.counts["delete"] += 1
+        super().delete(path)
+
+    def adopt_file(self, src: str, dst: str) -> None:
+        self.counts["copy"] += 1
+        shutil.copyfile(src, dst)  # server-side COPY: never a link
+
+
+_DEFAULT_STORE = LocalFSStore()
+_REGISTRY: dict[str, LocalFSStore] = {}
+
+
+def register_store(prefix: str, store) -> None:
+    """Route every table whose path starts with `prefix` through
+    `store`. Longest registered prefix wins; unregistered paths use the
+    LocalFSStore default. A production deployment would register its
+    object-store impl for 's3://bucket/'-style prefixes here."""
+    _REGISTRY[os.path.abspath(prefix)] = store
+
+
+def unregister_store(prefix: str) -> None:
+    _REGISTRY.pop(os.path.abspath(prefix), None)
+
+
+def store_for(table: str):
+    if _REGISTRY:
+        p = os.path.abspath(table)
+        best = None
+        for prefix in _REGISTRY:
+            if (p == prefix or p.startswith(prefix + os.sep)) and (
+                best is None or len(prefix) > len(best)
+            ):
+                best = prefix
+        if best is not None:
+            return _REGISTRY[best]
+    return _DEFAULT_STORE

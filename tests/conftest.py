@@ -20,3 +20,25 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+@pytest.fixture(params=["local", "objectstore"])
+def table_store(request, tmp_path):
+    """Run the test against both metadata-store backends: the POSIX
+    LocalFSStore default and the FakeObjectStore (S3 semantics: no hard
+    links, conditional-put commits, idempotent deletes). Registered for
+    this test's tmp_path only; yields the store (None = default local),
+    so a test can also assert on the fake's primitive counts."""
+    if request.param == "objectstore":
+        from e02_spark.ops.store import (
+            FakeObjectStore,
+            register_store,
+            unregister_store,
+        )
+
+        st = FakeObjectStore()
+        register_store(str(tmp_path), st)
+        yield st
+        unregister_store(str(tmp_path))
+    else:
+        yield None

@@ -1381,7 +1381,7 @@ def test_snapshot_history_describes_every_version(spark, tmp_path):
     assert h[3]["rolled_back_to"] == 2
 
 
-def test_concurrent_merge_writers_both_land(spark, tmp_path):
+def test_concurrent_merge_writers_both_land(spark, tmp_path, table_store):
     """Two writers issuing merges on DISJOINT key ranges race commits for
     real (threads, no mocks): losers replan and retry, both sequences
     land, and the final content is exactly the serial result. Pins

@@ -179,7 +179,10 @@ def _apply_random_op(spark, rng, table, model, ctx):
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47, 91])
-def test_snapshot_mutation_fuzz(spark, tmp_path, seed):
+def test_snapshot_mutation_fuzz(spark, tmp_path, seed, table_store):
+    # table_store parametrizes the run over BOTH metadata stores (POSIX
+    # local + fake object store): the same op sequence must converge to
+    # the same model under S3 semantics (no links, conditional puts)
     rng = random.Random(seed)
     table = str(tmp_path / "tbl")
     init = [(k, rng.randrange(1000)) for k in range(0, 120, 2)]
