@@ -359,6 +359,37 @@ def _pt_probe(t, v):
     return v  # identity
 
 
+def _all_specs(m: dict | None) -> list:
+    """Every partition spec the table has ever been written under —
+    the accumulated `partition_specs` history plus the current spec.
+    Normalized to lists-of-lists (the JSON round-trip form), deduped,
+    original order preserved."""
+    out = [
+        [list(t) for t in s] for s in (m or {}).get("partition_specs") or []
+    ]
+    cur = (m or {}).get("partition_spec")
+    if cur:
+        c = [list(t) for t in cur]
+        if c not in out:
+            out.append(c)
+    return out
+
+
+def _specs_carry(prev: dict | None, new_spec) -> list:
+    """The `partition_specs` history a new commit records: the previous
+    manifest's history (back-filled from its current spec for legacy
+    manifests) plus this commit's spec if novel. Monotone — a spec once
+    active is never forgotten, because files written under it may
+    survive in the current snapshot and prune only through THEIR hidden
+    columns (see snapshot_set_partition_spec)."""
+    out = _all_specs(prev)
+    if new_spec:
+        c = [list(t) for t in new_spec]
+        if c not in out:
+            out.append(c)
+    return out
+
+
 def _pt_validate(spec) -> list:
     out = []
     for t in spec:
@@ -396,16 +427,72 @@ def _pt_materialize(df: DataFrame, spec):
     return df, hidden
 
 
+def _now() -> float:
+    """Commit wall-clock source — a seam so tests can simulate clock
+    skew / aged commits without patching the global clock."""
+    import time as _time
+
+    return _time.time()
+
+
 def _try_commit(table: str, version: int, manifest: dict) -> bool:
     """Atomic publish of v{version}: one conditional create-if-absent of
     the version object through the table's store (link(2) on the local
     FS, `If-None-Match: *` on an object store — see ops/store.py). The
     manifest appears fully written or not at all; a version collision
     (two writers racing to N) makes the loser's put fail loudly.
-    Returns False on collision."""
+    Returns False on collision.
+
+    Every commit is stamped with the committer's wall-clock time (`ts`)
+    — the basis for AS OF <timestamp> time travel, history times, and
+    retention-by-age expiry. Raw times are stored; READERS clamp them
+    monotonically non-decreasing (_version_times), so clock skew
+    between writers can never make time travel resolve a LATER version
+    for an EARLIER timestamp — the Delta/Iceberg dual
+    version/timestamp contract."""
+    manifest.setdefault("ts", _now())
     return store_for(table).put_json_if_absent(
         _manifest_path(table, version), manifest
     )
+
+
+def _version_times(table: str) -> list[tuple[int, float]]:
+    """(version, commit time) ascending, with times clamped monotone
+    non-decreasing (skew repair at READ time — stored stamps stay raw).
+    Manifests predating timestamp stamping inherit the previous
+    version's time (0.0 at the head): they sort before every stamped
+    commit, which is the conservative direction for AS OF. O(#versions)
+    manifest-list reads, zero shard or data IO."""
+    out: list[tuple[int, float]] = []
+    prev = 0.0
+    for v in snapshot_versions(table):
+        t = _read_manifest(table, v).get("ts")
+        t = prev if t is None else max(prev, float(t))
+        out.append((v, t))
+        prev = t
+    return out
+
+
+def _resolve_as_of(table: str, as_of) -> int:
+    """Resolve an AS OF probe — epoch seconds, datetime, or an ISO-8601
+    string — to the LATEST version committed at or before it (clamped
+    times). Raises if the probe predates the table's first commit."""
+    import datetime as _dt
+
+    if isinstance(as_of, str):
+        as_of = _dt.datetime.fromisoformat(as_of)
+    if isinstance(as_of, _dt.datetime):
+        as_of = as_of.timestamp()
+    epoch = float(as_of)
+    best = None
+    for v, t in _version_times(table):
+        if t <= epoch:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"as_of {as_of!r} predates the first commit of {table}"
+        )
+    return best
 
 
 def committed_keys(table: str) -> set[str]:
@@ -722,6 +809,7 @@ def snapshot_write(
             "deletes": del_refs,
             "eq_deletes": eq_refs,
             "partition_spec": spec,
+            "partition_specs": _specs_carry(prev, spec),
             "schema": sch,
             # constraints survive overwrite too (table property, not
             # content — the Delta behavior for truncate-and-load)
@@ -750,10 +838,16 @@ def snapshot_read(
     version: int | None = None,
     prune: tuple[str, object, object] | list | None = None,
     partition_prune: dict | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Read snapshot `version` (default: latest). The file list comes
     from the manifest — never from directory listing, so uncommitted
     data dirs and files belonging only to other versions are invisible.
+
+    as_of — epoch seconds, a datetime, or an ISO-8601 string — reads
+    the table AS OF that wall-clock instant: the latest version whose
+    (monotone-clamped) commit timestamp is <= the probe. Mutually
+    exclusive with `version`.
 
     prune=(col, lo, hi) — or a LIST of such triples, ANDed — drops files
     whose manifest [min,max] for `col` cannot intersect [lo, hi] BEFORE
@@ -789,6 +883,10 @@ def snapshot_read(
     versions = snapshot_versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {table}")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = _resolve_as_of(table, as_of)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
@@ -797,23 +895,40 @@ def snapshot_read(
         [prune] if isinstance(prune, tuple) else list(prune)
     )
     for col, pv in (partition_prune or {}).items():
-        spec = m.get("partition_spec") or []
-        t = next((t for t in spec if t[1] == col), None)
-        if t is None:
+        # resolve the probe through EVERY spec the table has ever been
+        # written under (partition-spec evolution): a file prunes only
+        # through the hidden columns IT carries — files laid out under a
+        # retired spec respond to that spec's predicate, files under the
+        # current one to the current predicate, and a file carrying
+        # neither is kept (safe). The predicates are ANDed, which is
+        # sound because no file carries stats for two specs' hidden
+        # columns derived from different layouts of the same write.
+        ts = [
+            t
+            for s in (_all_specs(m) or [m.get("partition_spec") or []])
+            for t in s
+            if t[1] == col
+        ]
+        seen: set[str] = set()
+        ts = [t for t in ts if not (
+            _pt_name(t) in seen or seen.add(_pt_name(t))
+        )]
+        if not ts:
             raise ValueError(
-                f"partition_prune column {col!r} has no transform in the "
-                f"table's partition spec {spec}"
+                f"partition_prune column {col!r} has no transform in any "
+                f"of the table's partition specs {_all_specs(m)}"
             )
-        if isinstance(pv, tuple):
-            if t[0] == "bucket":
-                raise ValueError(
-                    "bucket transforms take point probes only — a hash "
-                    "range is meaningless"
-                )
-            lo, hi = pv
-        else:
-            lo = hi = pv
-        preds.append((_pt_name(t), _pt_probe(t, lo), _pt_probe(t, hi)))
+        for t in ts:
+            if isinstance(pv, tuple):
+                if t[0] == "bucket":
+                    raise ValueError(
+                        "bucket transforms take point probes only — a "
+                        "hash range is meaningless"
+                    )
+                lo, hi = pv
+            else:
+                lo = hi = pv
+            preds.append((_pt_name(t), _pt_probe(t, lo), _pt_probe(t, hi)))
     kept, fallback = _plan_files(table, v, preds or None, manifest=m)
     sch = m.get("schema")
     if sch is not None:
@@ -1088,6 +1203,7 @@ def snapshot_compact(
             "deletes": [],  # both delete flavors folded into the rewrite
             "eq_deletes": [],
             "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -1199,6 +1315,7 @@ def snapshot_binpack(
             "deletes": [],
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -1325,6 +1442,7 @@ def snapshot_rewrite_deletes(
             "deletes": [],
             "eq_deletes": [],
             "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -1646,6 +1764,7 @@ def snapshot_publish(
             "deletes": prev.get("deletes", []),
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
             "schema": sch,
             "checks": checks,
             "properties": prev.get("properties"),
@@ -2353,6 +2472,7 @@ def _merge_attempt(
             "deletes": del_refs,
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -2539,6 +2659,7 @@ def _eq_merge_commit(
             "deletes": prev.get("deletes", []),
             "eq_deletes": prev.get("eq_deletes", []) + [eq_ref],
             "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -2755,17 +2876,25 @@ def snapshot_changes(
 
 def snapshot_history(table: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per committed version, ascending —
-    {'version', 'mode', 'n_files', 'rows', 'tombstones', 'n_columns',
-    'idempotency_key', 'rolled_back_to'} — answered from manifest lists
-    alone (O(#versions) metadata reads, zero shard or data IO)."""
+    {'version', 'timestamp', 'mode', 'n_files', 'rows', 'tombstones',
+    'n_columns', 'idempotency_key', 'rolled_back_to'} — answered from
+    manifest lists alone (O(#versions) metadata reads, zero shard or
+    data IO). `timestamp` is the commit wall-clock time, monotone-
+    clamped across versions (see _version_times); None for manifests
+    predating timestamp stamping."""
     out = []
+    prev_t = 0.0
     for v in snapshot_versions(table):
         m = _read_manifest(table, v)
         sch = m.get("schema")
         eq_keys = sum(r["rows"] for r in m.get("eq_deletes", []))
+        raw_t = m.get("ts")
+        if raw_t is not None:
+            prev_t = max(prev_t, float(raw_t))
         out.append(
             {
                 "version": v,
+                "timestamp": None if raw_t is None else prev_t,
                 "mode": m.get("mode"),
                 "n_files": sum(r["n_files"] for r in m["manifests"]),
                 # a live-row count is not derivable under equality
@@ -2802,6 +2931,7 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
         if base == to_version:
             return base  # already there: nothing to flip
         cur_keys = committed_keys(table)
+        cur_prev = _read_manifest(table, base)
         manifest = {
             "version": base + 1,
             "mode": "rollback",
@@ -2816,6 +2946,11 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
             "deletes": src.get("deletes", []),
             "eq_deletes": src.get("eq_deletes", []),
             "partition_spec": src.get("partition_spec"),
+            # spec history stays MONOTONE across a rollback (like keys):
+            # surviving old-spec files must keep pruning correctly
+            "partition_specs": _specs_carry(
+                cur_prev, src.get("partition_spec")
+            ),
             "schema": src.get("schema"),
             "checks": src.get("checks"),
             "properties": src.get("properties"),
@@ -2851,6 +2986,7 @@ def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
             "deletes": prev.get("deletes", []),
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
             "schema": prev.get("schema"),
             "checks": checks or None,
             "properties": prev.get("properties"),
@@ -2940,11 +3076,70 @@ def snapshot_drop_check(
     return _checks_commit(table, mutate, "drop_check", max_retries)
 
 
+def snapshot_set_partition_spec(
+    table: str, spec: list | None, max_retries: int = 10
+) -> int:
+    """Partition-spec EVOLUTION (the Iceberg spec-evolution shape):
+    change the table's CURRENT spec with ONE metadata-only commit — no
+    history rewrite, no data rewrite, O(manifest) cost.
+
+    How old files stay correct: a file's layout is recorded by the
+    hidden partition columns its manifest stats carry (the per-file
+    spec record — name encodes transform kind, arg, and source column),
+    and every spec ever active stays in the manifest's
+    `partition_specs` history. `partition_prune` probes through ALL of
+    them, so files written under a retired spec prune through THEIR
+    hidden columns, files written after this commit through the new
+    spec's, and a file carrying neither is kept (safe, merely
+    unpruned). Writes after this commit lay out under the new spec
+    (inheritance unchanged); compaction / binpack / rewrite-deletes /
+    merge rewrites MIGRATE the files they touch to the current spec
+    (_pt_materialize re-derives on every rewrite path), so maintenance
+    gradually retires the old layout without a big-bang rewrite.
+
+    Pass [] or None to CLEAR the spec (new files unpartitioned). The
+    commit is data_change=false — CDF consumers skip it. Returns the
+    new version (the current one when already equal)."""
+    new = _pt_validate(spec) if spec else None
+    versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    norm = [list(t) for t in (new or [])]
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        if [list(t) for t in (prev.get("partition_spec") or [])] == norm:
+            return base  # already in the requested state
+        manifest = {
+            "version": base + 1,
+            "mode": "set_partition_spec",
+            "data_change": False,  # metadata-only: CDF-silent step
+            "stats_cols": prev.get("stats_cols", []),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": prev["manifests"],
+            "deletes": prev.get("deletes", []),
+            "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": new,
+            "partition_specs": _specs_carry(prev, new),
+            "schema": prev.get("schema"),
+            "checks": prev.get("checks"),
+            "properties": prev.get("properties"),
+        }
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+    raise RuntimeError(
+        f"snapshot_set_partition_spec lost {max_retries} consecutive "
+        f"commit races on {table}"
+    )
+
+
 def snapshot_expire(
     table: str,
     keep_last: int = 1,
     clean_orphans: bool = False,
     orphan_grace_s: float = 0.0,
+    max_age_s: float | None = None,
 ) -> dict:
     """Garbage collection: drop all but the last `keep_last` manifest
     lists, then delete manifest shards and data files referenced by NO
@@ -2955,10 +3150,20 @@ def snapshot_expire(
     write (data lands before its manifest commit) and is kept for a
     later pass. The 0 default sweeps everything, correct only when the
     caller knows no writer is active (the tests' posture).
-    Returns {'manifests_dropped': n, 'files_deleted': n}."""
+
+    max_age_s adds RETENTION-BY-AGE (the Delta/Iceberg
+    retention-period contract): every version whose monotone-clamped
+    commit timestamp is within the window is ALSO kept, on top of the
+    keep_last floor — so `keep_last=1, max_age_s=7*86400` reads as
+    "time travel works for a week, and the latest version always
+    survives". Returns {'manifests_dropped': n, 'files_deleted': n}."""
     st = store_for(table)
     versions = snapshot_versions(table)
-    keep = versions[-keep_last:] if keep_last > 0 else []
+    keep = list(versions[-keep_last:]) if keep_last > 0 else []
+    if max_age_s is not None:
+        cutoff = _now() - max_age_s
+        young = {v for v, t in _version_times(table) if t >= cutoff}
+        keep = sorted(set(keep) | young)
     dropped = 0
     live: set[str] = set()
     live_shards: set[str] = set()

@@ -75,23 +75,63 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+
+class DeleteStateOverflowError(RuntimeError):
+    """A DV/eq-delete file exceeds the driver-shipping cap (see
+    _DELETE_ROWS_CAP): the stream plans delete state driver-side under
+    the 'fold deletes regularly' maintenance invariant, and this error
+    is that invariant ENFORCED instead of assumed — run
+    snapshot_rewrite_deletes on the table (or raise
+    .option('maxDeleteRows', N) if the deployment can afford the driver
+    memory and task-serialization cost)."""
+
+
+# Driver-shipping cap, in ROWS per delete file (positions for DVs, keys
+# for eq files), checked against the parquet FOOTER before any read —
+# overflow costs one metadata read, never an OOM. 2M rows ≈ tens of MB
+# pickled: comfortably driver-safe, far above any table honoring the
+# maintenance invariant, and small enough that a runaway CDC feed that
+# skipped rewrite_deletes fails loudly instead of ballooning every
+# micro-batch's task payloads.
+_DELETE_ROWS_CAP = 2_000_000
+
+
+def _check_delete_cap(path: str, cap: int) -> None:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    if n > cap:
+        raise DeleteStateOverflowError(
+            f"delete file {path} carries {n} rows, above the {cap}-row "
+            "driver-shipping cap — the stream plans DV positions and "
+            "eq-delete keys driver-side under the 'fold deletes "
+            "regularly' maintenance invariant; run "
+            "snapshot_rewrite_deletes on the table to fold outstanding "
+            "deletes, or raise .option('maxDeleteRows', N)"
+        )
+
+
 _CDF_COLS_JSON = (
     '{"name":"_change_type","type":"string","nullable":false,"metadata":{}},'
     '{"name":"_commit_version","type":"long","nullable":false,"metadata":{}}'
 )
 
 
-def _dv_positions(table: str, manifest: dict) -> dict[str, frozenset[int]]:
+def _dv_positions(
+    table: str, manifest: dict, cap: int = _DELETE_ROWS_CAP
+) -> dict[str, frozenset[int]]:
     """Per-data-file tombstoned-position sets of one committed manifest,
-    read driver-side with pyarrow (DV files are small by the module's
-    maintenance invariant). Memoized per DV file path — DV files are
-    immutable once referenced."""
+    read driver-side with pyarrow — small by the module's maintenance
+    invariant, ENFORCED by the per-file row cap (a file above it raises
+    DeleteStateOverflowError from the footer alone, before any read).
+    Memoized per DV file path — DV files are immutable once
+    referenced."""
     from ..ops.snapshot import _all_entries
 
     out: dict[str, set[int]] = {}
     for e in _all_entries(table, manifest, "deletes"):
         path = os.path.abspath(os.path.join(table, e["path"]))
-        for f, p in _read_dv_file(path):
+        for f, p in _read_dv_file(path, cap):
             out.setdefault(f, set()).add(p)
     return {f: frozenset(s) for f, s in out.items()}
 
@@ -99,9 +139,12 @@ def _dv_positions(table: str, manifest: dict) -> dict[str, frozenset[int]]:
 _DV_FILE_MEMO: dict[str, list[tuple[str, int]]] = {}
 
 
-def _read_dv_file(path: str) -> list[tuple[str, int]]:
+def _read_dv_file(path: str, cap: int = _DELETE_ROWS_CAP) -> list[tuple[str, int]]:
     hit = _DV_FILE_MEMO.get(path)
     if hit is None:
+        # cap checked on the cache MISS only: a memoized file already
+        # sits in driver memory, so re-checking buys nothing
+        _check_delete_cap(path, cap)
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=["_file", "_pos"])
@@ -116,14 +159,18 @@ def _read_dv_file(path: str) -> list[tuple[str, int]]:
 _EQ_FILE_MEMO: dict[str, tuple[tuple, ...]] = {}
 
 
-def _read_eq_keys(path: str, on: list[str]) -> tuple[tuple, ...]:
-    """One eq-delete file's key tuples, read driver-side (eq files are
-    O(merge-source keys) small by the maintenance invariant). Keys with
-    any NULL component never match (SQL equality) and are dropped here
-    once instead of re-checked per row. Memoized — eq files are
-    immutable once referenced."""
+def _read_eq_keys(
+    path: str, on: list[str], cap: int = _DELETE_ROWS_CAP
+) -> tuple[tuple, ...]:
+    """One eq-delete file's key tuples, read driver-side — O(merge-
+    source keys) small by the maintenance invariant, enforced by the
+    per-file row cap (DeleteStateOverflowError from the footer alone).
+    Keys with any NULL component never match (SQL equality) and are
+    dropped here once instead of re-checked per row. Memoized — eq
+    files are immutable once referenced."""
     hit = _EQ_FILE_MEMO.get(path)
     if hit is None:
+        _check_delete_cap(path, cap)
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=list(on))
@@ -136,7 +183,9 @@ def _read_eq_keys(path: str, on: list[str]) -> tuple[tuple, ...]:
     return hit
 
 
-def _eq_applicable(table: str, eq_entries: list[dict], e: dict):
+def _eq_applicable(
+    table: str, eq_entries: list[dict], e: dict, cap: int = _DELETE_ROWS_CAP
+):
     """The eq-delete (key_cols, key_tuples) pairs that can shadow rows
     of data-file entry `e`: seq-scoped (eq applies only below its seq)
     and stats-pruned on the first key column — the same applicability
@@ -153,7 +202,7 @@ def _eq_applicable(table: str, eq_entries: list[dict], e: dict):
         ):
             continue
         keys = _read_eq_keys(
-            os.path.abspath(os.path.join(table, q["path"])), q["on"]
+            os.path.abspath(os.path.join(table, q["path"])), q["on"], cap
         )
         if keys:
             out.append((tuple(q["on"]), keys))
@@ -201,6 +250,11 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 "snapshot_changes_stream requires .option('table', path)"
             )
         self.start_version = int(options.get("startingversion", 0))
+        # per-delete-file driver-shipping cap (rows); see
+        # DeleteStateOverflowError / _DELETE_ROWS_CAP
+        self.max_delete_rows = int(
+            options.get("maxdeleterows", _DELETE_ROWS_CAP)
+        )
         import json
 
         from ..ops.snapshot import _read_manifest, snapshot_versions
@@ -263,13 +317,16 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 a, b = set(ents_a), set(ents_b)
                 eq_a = _eq_entries(self.table, prev_m) if prev_m else []
                 eq_b = _eq_entries(self.table, m)
+                cap = self.max_delete_rows
                 dv_a = (
-                    _dv_positions(self.table, prev_m)
+                    _dv_positions(self.table, prev_m, cap)
                     if prev_m is not None and prev_m.get("deletes")
                     else {}
                 )
                 dv_b = (
-                    _dv_positions(self.table, m) if m.get("deletes") else {}
+                    _dv_positions(self.table, m, cap)
+                    if m.get("deletes")
+                    else {}
                 )
                 for p in sorted(b - a):  # added files -> live rows insert
                     out.append(
@@ -277,7 +334,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             os.path.join(self.table, p), "insert", v,
                             self._schema_json,
                             exclude=tuple(sorted(dv_b.get(p, ()))),
-                            shadow=_eq_applicable(self.table, eq_b, ents_b[p]),
+                            shadow=_eq_applicable(self.table, eq_b, ents_b[p], cap),
                         )
                     )
                 for p in sorted(a - b):  # removed files -> live rows delete
@@ -286,7 +343,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             os.path.join(self.table, p), "delete", v,
                             self._schema_json,
                             exclude=tuple(sorted(dv_a.get(p, ()))),
-                            shadow=_eq_applicable(self.table, eq_a, ents_a[p]),
+                            shadow=_eq_applicable(self.table, eq_a, ents_a[p], cap),
                         )
                     )
                 for p in sorted(a & b):  # tombstone deltas on kept files
@@ -329,7 +386,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         continue
                     for p in sorted(a & b):
                         ent = ents_b[p]
-                        match = _eq_applicable(self.table, delta, ent)
+                        match = _eq_applicable(self.table, delta, ent, cap)
                         if not match:
                             continue
                         pos = dv_a.get(p, frozenset()) | dv_b.get(
@@ -342,7 +399,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                                 exclude=tuple(sorted(pos)),
                                 match=match,
                                 shadow=_eq_applicable(
-                                    self.table, own_eq, ent
+                                    self.table, own_eq, ent, cap
                                 ),
                             )
                         )

@@ -364,3 +364,55 @@ def test_cdf_stream_eq_delete_on_evolved_key_column(spark, tmp_path):
     assert all(
         r["k2"] is None for r in rows if r["id"] < 10
     )
+
+
+def test_cdf_stream_delete_state_cap_enforced(spark, tmp_path):
+    """The 'deletes are small by maintenance invariant' assumption is
+    ENFORCED: a delete file above the driver-shipping row cap fails the
+    stream with the named fold-your-deletes error (from the parquet
+    footer alone), and folding with snapshot_rewrite_deletes unblocks
+    a fresh consumer."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(0, 30).selectExpr("id", "id * 2 AS v"),
+        tbl, mode="overwrite", n_files=1,
+    )
+    S.snapshot_merge(
+        spark, tbl, spark.range(0, 10).selectExpr("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )  # one DV file with 10 positions
+
+    def _run(ck, **opts):
+        reader = (
+            spark.readStream.format("snapshot_changes_stream")
+            .option("table", tbl)
+        )
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        out = []
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(lambda b, i: out.append(b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r for b in out for r in b]
+
+    from e02_spark.sources.snapshot_cdf_stream import (
+        SnapshotCDFStreamDataSource,
+    )
+
+    spark.dataSource.register(SnapshotCDFStreamDataSource)
+    with pytest.raises(StreamingQueryException, match="driver-shipping cap"):
+        _run("ck1", maxDeleteRows=2)
+    # the cap is per FILE and footer-checked: the default cap passes
+    rows = _run("ck2")
+    assert sum(1 for r in rows if r["_change_type"] == "delete") == 10
+    # fold the deletes: the capped consumer now plans clean from scratch
+    S.snapshot_rewrite_deletes(spark, tbl)
+    rows = _run("ck3", maxDeleteRows=2, startingVersion=3)
+    assert rows == []  # rewrite_deletes is a data_change=false step

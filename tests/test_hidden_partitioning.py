@@ -217,8 +217,18 @@ def test_overwrite_inherits_spec_and_empty_clears(spark, tmp_path):
                      partition_spec=[])
     m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
     assert m["partition_spec"] is None
+    # spec EVOLUTION semantics: a probe on k still resolves through the
+    # spec HISTORY (files written under the old spec would prune; the
+    # fresh overwrite's files carry no hidden columns, so the predicate
+    # is inert — correct, merely unpruned). A never-specced column
+    # still raises.
+    assert S.snapshot_read(
+        spark, tbl, partition_prune={"k": 1}
+    ).where("k = 1").count() == S.snapshot_read(spark, tbl).where(
+        "k = 1"
+    ).count()
     with pytest.raises(ValueError, match="no transform"):
-        S.snapshot_read(spark, tbl, partition_prune={"k": 1})
+        S.snapshot_read(spark, tbl, partition_prune={"x": 1})
 
 
 def test_bucket_probe_matches_spark_for_booleans(spark, tmp_path):
@@ -294,3 +304,73 @@ def test_append_losing_spec_race_raises_named_error(spark, tmp_path, monkeypatch
     # the table's recorded (cleared) spec survived the lost race intact
     m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
     assert not m.get("partition_spec")
+
+
+def test_partition_spec_evolution_prunes_per_file(spark, tmp_path):
+    """snapshot_set_partition_spec changes the layout with ONE metadata
+    commit: old files keep pruning through THEIR hidden columns, new
+    files through the new spec's, and compaction migrates everything to
+    the current spec — the Iceberg spec-evolution contract without a
+    big-bang rewrite."""
+    tbl = str(tmp_path / "evo")
+    S.snapshot_write(
+        _mk(spark), tbl, mode="overwrite", n_files=4,
+        partition_spec=[("bucket", "k", 4)], stats_cols=["id"],
+    )
+    v2 = S.snapshot_set_partition_spec(tbl, [("bucket", "k", 8)])
+    assert v2 == 2
+    m = S._read_manifest(tbl, v2)
+    assert m["partition_spec"] == [["bucket", "k", 8]]
+    # the history holds BOTH specs (old files prune through the old one)
+    assert S._all_specs(m) == [
+        [["bucket", "k", 4]], [["bucket", "k", 8]]
+    ]
+    # the evolution commit is CDF-silent metadata
+    assert m["data_change"] is False
+    # appends now inherit the NEW spec; the old explicit spec conflicts
+    with pytest.raises(ValueError, match="conflicts with"):
+        S.snapshot_write(
+            _mk(spark, 50), tbl, mode="append",
+            partition_spec=[("bucket", "k", 4)],
+        )
+    S.snapshot_write(
+        _mk(spark, 800).where("id >= 400"), tbl, mode="append", n_files=8,
+    )
+    # correctness across mixed layouts: the pruned read is row-complete
+    # for k=7 across BOTH batches (pruning drops files, never rows)
+    want = S.snapshot_read(spark, tbl).where("k = 7").count()
+    got = S.snapshot_read(spark, tbl, partition_prune={"k": 7})
+    assert got.where("k = 7").count() == want > 0
+    # per-file pruning observability: each batch responds to ITS spec's
+    # predicate — far fewer files kept than the 12 on disk
+    import zlib
+
+    p4 = zlib.crc32(b"7") % 4
+    p8 = zlib.crc32(b"7") % 8
+    kept, _ = S._plan_files(
+        tbl, None,
+        [("_pt_bucket4_k", p4, p4), ("_pt_bucket8_k", p8, p8)],
+    )
+    total, _ = S._plan_files(tbl, None, None)
+    # both batches respond to their own spec's predicate: at most ~one
+    # bucket's worth of files per batch survives
+    assert 0 < len(kept) <= len(total) // 2 < len(total)
+    # compaction MIGRATES everything to the current spec
+    S.snapshot_compact(spark, tbl, n_files=8)
+    kept2, _ = S._plan_files(tbl, None, [("_pt_bucket8_k", p8, p8)])
+    total2, _ = S._plan_files(tbl, None, None)
+    assert 0 < len(kept2) < len(total2)
+    got2 = S.snapshot_read(spark, tbl, partition_prune={"k": 7})
+    assert got2.where("k = 7").count() == want
+    # clearing the spec: appends land unpartitioned, probes still
+    # resolve through the history
+    S.snapshot_set_partition_spec(tbl, [])
+    S.snapshot_write(_mk(spark, 60), tbl, mode="append", n_files=1)
+    assert S.snapshot_read(
+        spark, tbl, partition_prune={"k": 7}
+    ).where("k = 7").count() == S.snapshot_read(spark, tbl).where(
+        "k = 7"
+    ).count()
+    # idempotent re-set no-ops
+    v = S.snapshot_versions(tbl)[-1]
+    assert S.snapshot_set_partition_spec(tbl, []) == v

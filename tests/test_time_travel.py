@@ -1,0 +1,86 @@
+"""Commit timestamps: AS OF <timestamp> time travel, history times,
+retention-by-age expiry, and the monotone clamp that keeps wall-clock
+skew between writers from ever resolving a LATER version for an
+EARLIER probe (the Delta/Iceberg dual version/timestamp contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from e02_spark.ops import snapshot as S
+
+
+def _write_at(spark, tbl, rows, t, monkeypatch, mode="append"):
+    """Commit with the clock seam pinned to epoch `t`."""
+    monkeypatch.setattr(S, "_now", lambda: float(t))
+    S.snapshot_write(
+        spark.createDataFrame([(k, v) for k, v in rows], "id bigint, v bigint"),
+        tbl, mode=mode, n_files=1, stats_cols=["id"],
+    )
+
+
+def test_as_of_timestamp_resolution(spark, tmp_path, monkeypatch):
+    tbl = str(tmp_path / "t")
+    _write_at(spark, tbl, [(1, 10)], 1000.0, monkeypatch, mode="overwrite")
+    _write_at(spark, tbl, [(2, 20)], 2000.0, monkeypatch)
+    _write_at(spark, tbl, [(3, 30)], 3000.0, monkeypatch)
+
+    def ids(**kw):
+        return sorted(
+            r["id"] for r in S.snapshot_read(spark, tbl, **kw).collect()
+        )
+
+    assert ids(as_of=1500.0) == [1]
+    assert ids(as_of=2000.0) == [1, 2]  # inclusive: committed AT the probe
+    assert ids(as_of=99999.0) == [1, 2, 3]
+    # datetime and ISO-string probes resolve identically
+    probe = dt.datetime.fromtimestamp(2500.0)
+    assert ids(as_of=probe) == [1, 2]
+    assert ids(as_of=probe.isoformat()) == [1, 2]
+    with pytest.raises(ValueError, match="predates the first commit"):
+        S.snapshot_read(spark, tbl, as_of=10.0)
+    with pytest.raises(ValueError, match="not both"):
+        S.snapshot_read(spark, tbl, version=1, as_of=1500.0)
+    # history carries the clamped times
+    h = S.snapshot_history(tbl)
+    assert [x["timestamp"] for x in h] == [1000.0, 2000.0, 3000.0]
+
+
+def test_clock_skew_clamps_monotone(spark, tmp_path, monkeypatch):
+    """A skewed writer stamping v2 BEFORE v1's time must not make
+    as_of resolve v2 for a probe between the raw stamps: reads clamp
+    times non-decreasing, so version order always wins."""
+    tbl = str(tmp_path / "t")
+    _write_at(spark, tbl, [(1, 10)], 5000.0, monkeypatch, mode="overwrite")
+    _write_at(spark, tbl, [(2, 20)], 4000.0, monkeypatch)  # skewed back
+    _write_at(spark, tbl, [(3, 30)], 6000.0, monkeypatch)
+    assert [t for _, t in S._version_times(tbl)] == [5000.0, 5000.0, 6000.0]
+    with pytest.raises(ValueError, match="predates"):
+        # 4500 < every clamped time: before the table existed, NOT v2
+        S.snapshot_read(spark, tbl, as_of=4500.0)
+    assert sorted(
+        r["id"] for r in S.snapshot_read(spark, tbl, as_of=5000.0).collect()
+    ) == [1, 2]  # v2's clamped time equals v1's; the LATEST such wins
+
+
+def test_expire_by_age_keeps_window_and_latest(spark, tmp_path, monkeypatch):
+    tbl = str(tmp_path / "t")
+    now = 100_000.0
+    _write_at(spark, tbl, [(1, 10)], now - 5000, monkeypatch, mode="overwrite")
+    _write_at(spark, tbl, [(2, 20)], now - 3000, monkeypatch)
+    _write_at(spark, tbl, [(3, 30)], now - 100, monkeypatch)
+    _write_at(spark, tbl, [(4, 40)], now - 50, monkeypatch)
+    monkeypatch.setattr(S, "_now", lambda: now)
+    res = S.snapshot_expire(tbl, keep_last=1, max_age_s=1000.0)
+    # v1/v2 aged out; v3 is in the window, v4 is both young and latest
+    assert res["manifests_dropped"] == 2
+    assert S.snapshot_versions(tbl) == [3, 4]
+    assert S.snapshot_read(spark, tbl, version=3).count() == 3
+    # keep_last floor holds even when EVERYTHING aged out
+    res = S.snapshot_expire(tbl, keep_last=1, max_age_s=1.0)
+    assert S.snapshot_versions(tbl) == [4]
+    assert sorted(
+        r["id"] for r in S.snapshot_read(spark, tbl).collect()
+    ) == [1, 2, 3, 4]
