@@ -72,3 +72,143 @@ def join_has_no_shuffle(df: DataFrame) -> bool:
         return False
     below_join = plan[join_pos:]
     return "Exchange" not in below_join
+
+
+# --------------------------------------------------------------------------
+# Storage-partitioned join over SNAPSHOT tables (the Iceberg SPJ shape):
+# two snapshot tables bucket-partitioned by the same hidden transform on
+# their join keys join WITHOUT the all-to-all shuffle a naive join pays
+# on both sides — the co-location was paid once at write time and is
+# recorded in each file's hidden-column stats.
+# --------------------------------------------------------------------------
+
+
+def snapshot_bucket_layout(table: str, key: str):
+    """The table's bucket layout on `key`: (transform, {bucket_id:
+    [file paths]}, {bucket_id: manifest rows}). A file is assigned to
+    EVERY bucket its hidden-column [min,max] covers: snapshot_write's
+    hidden-first range clustering makes almost every file single-bucket
+    (the steady state), and a boundary file spanning two buckets is
+    simply planned into both — the join then re-derives the bucket
+    expression as a row filter, so coverage stays exact without a
+    purity requirement. A file with NO hidden-column bounds (written
+    before the spec, not yet migrated by compaction) is rejected by
+    name — its rows could belong to any bucket. rows are manifest
+    counts attributed to the file's low bucket (metadata heuristic for
+    broadcast-side choice, never correctness)."""
+    import os
+
+    from .snapshot import _all_entries, _pt_name, _read_manifest, snapshot_versions
+
+    m = _read_manifest(table, snapshot_versions(table)[-1])
+    t = next(
+        (t for t in (m.get("partition_spec") or [])
+         if t[0] == "bucket" and t[1] == key),
+        None,
+    )
+    if t is None:
+        raise ValueError(
+            f"{table} has no bucket transform on {key!r} in its current "
+            f"partition spec {m.get('partition_spec')}"
+        )
+    hidden = _pt_name(t)
+    by_bucket: dict[int, list[str]] = {}
+    rows_by_bucket: dict[int, int] = {}
+    for e in _all_entries(table, m):
+        if e["rows"] == 0:
+            continue
+        b = (e.get("stats") or {}).get(hidden)
+        if b is None:
+            raise ValueError(
+                f"snapshot_colocated_join: {e['path']} carries no bounds "
+                f"for {hidden} (written before the bucket spec?) — "
+                "compact the table once to migrate it to the layout"
+            )
+        for bucket in range(int(b[0]), int(b[1]) + 1):
+            by_bucket.setdefault(bucket, []).append(
+                os.path.join(table, e["path"])
+            )
+        rows_by_bucket[int(b[0])] = (
+            rows_by_bucket.get(int(b[0]), 0) + e["rows"]
+        )
+    return t, by_bucket, rows_by_bucket
+
+
+def snapshot_colocated_join(
+    spark: SparkSession,
+    table_a: str,
+    table_b: str,
+    key_a: str,
+    key_b: str | None = None,
+) -> DataFrame:
+    """INNER-join two snapshot tables on bucket-co-located keys with
+    ZERO shuffle exchange in the join subtree (plan-pinned by
+    tests/test_plans.py): both tables must carry a ('bucket', key, n)
+    transform with the SAME n, and files must be bucket-pure. The join
+    is planned per bucket — scan A's bucket-b files ⋈ scan B's bucket-b
+    files, unioned across buckets — so co-location replaces the
+    all-to-all Exchange a naive join pays on BOTH tables; rows of
+    different buckets provably cannot match (same crc32 bucket
+    function, same n). Each bucket-local join broadcasts the smaller
+    side (decided from manifest row counts — zero jobs).
+
+    100 TB posture, stated honestly: the bucket-local broadcast is the
+    right plan when ONE side's per-bucket slice fits in memory (the
+    dim-partitioned / CDC-lookup case, buckets sized by choosing n at
+    write time). A fact-to-fact SPJ at sizes where neither side's
+    bucket broadcasts needs the scan to REPORT KeyGroupedPartitioning
+    to Catalyst (Spark's DSv2 SPJ), which a Python-planned file list
+    cannot declare yet — for that standing workload, mirror both sides
+    once through write_bucketed (native bucketBy tables) and take the
+    Exchange-free SortMergeJoin forever after; this function covers the
+    snapshot-native path without any data rewrite. NULL keys never join
+    (SQL inner-join semantics; NULLs bucket like their cast string but
+    drop in the join itself)."""
+    from functools import reduce
+
+    from .snapshot import (
+        _dv_frame,
+        _live_rows,
+        _pt_expr,
+        _read_manifest,
+        snapshot_versions,
+    )
+
+    key_b = key_a if key_b is None else key_b
+    ta_t, buckets_a, rows_a = snapshot_bucket_layout(table_a, key_a)
+    tb_t, buckets_b, rows_b = snapshot_bucket_layout(table_b, key_b)
+    if int(ta_t[2]) != int(tb_t[2]):
+        raise ValueError(
+            f"bucket counts differ ({table_a}: {ta_t[2]}, {table_b}: "
+            f"{tb_t[2]}) — co-location requires the same modulus"
+        )
+    ma = _read_manifest(table_a, snapshot_versions(table_a)[-1])
+    mb = _read_manifest(table_b, snapshot_versions(table_b)[-1])
+    dva, dvb = _dv_frame(spark, table_a, ma), _dv_frame(spark, table_b, mb)
+    parts: list[DataFrame] = []
+    for b in sorted(set(buckets_a) & set(buckets_b)):
+        # the bucket expression re-derived as a row filter keeps
+        # boundary-spanning files exact (each row joins in exactly one
+        # bucket); on single-bucket files it is a no-op predicate
+        fa = _live_rows(
+            spark, table_a, ma, sorted(set(buckets_a[b])), dva
+        ).where(_pt_expr(ta_t) == b)
+        fb = _live_rows(
+            spark, table_b, mb, sorted(set(buckets_b[b])), dvb
+        ).where(_pt_expr(tb_t) == b)
+        # broadcast the side with fewer manifest rows in this bucket —
+        # decided from metadata, zero jobs
+        if rows_b.get(b, 0) <= rows_a.get(b, 0):
+            fb = F.broadcast(fb)
+        else:
+            fa = F.broadcast(fa)
+        if key_a == key_b:
+            parts.append(fa.join(fb, key_a, "inner"))
+        else:
+            parts.append(fa.join(fb, fa[key_a] == fb[key_b], "inner"))
+    if not parts:
+        raise ValueError(
+            "no common non-empty buckets — nothing can match; check the "
+            "tables were written under the same bucket transform"
+        )
+    return reduce(DataFrame.unionByName, parts)

@@ -197,6 +197,112 @@ def mv_refresh(
     )
 
 
+def mv_stream(
+    spark: SparkSession,
+    src_table: str,
+    mv_table: str,
+    checkpoint_dir: str,
+    n_files: int = 1,
+    starting_version: int | None = None,
+):
+    """CONTINUOUS materialized view (the DLT / Snowflake dynamic-table
+    shape): ONE live streaming query maintains the MV — the source's
+    change-data-feed STREAM (sources/snapshot_cdf_stream) feeds a
+    foreachBatch that folds each micro-batch's delta into the stored
+    state and commits state + advanced cursor atomically, exactly-once.
+
+    vs mv_refresh (batch cursor polling): the stream's offsets do the
+    version bookkeeping, maintenance commits (data_change=false) flow
+    through as zero rows, and the delta rows are read ONCE — the batch
+    content IS the fold input (micro-batch boundaries align with
+    version steps, so a batch is exactly snapshot_changes(cursor, hi]
+    plus the _commit_version column).
+
+    Crash/replay convergence, by construction: offsets commit AFTER the
+    fold, so an at-least-once re-execution re-presents a batch whose
+    `hi` is already at-or-behind the stored cursor — skipped (the
+    mv-refresh-<hi> key would no-op the write anyway); a batch
+    OVERLAPPING the cursor (the MV advanced out-of-band, e.g. a manual
+    mv_refresh raced the stream) raises a named error instead of
+    double-folding — restart from a fresh checkpoint, which re-reads
+    the cursor. The commit is CAS-guarded on the pinned MV version like
+    mv_refresh. The cursor advances to the last DATA-CHANGING version
+    folded — a maintenance-only tail (compact/binpack, data_change=
+    false) leaves it behind, which is safe: the next window streams
+    those steps as zero rows. `starting_version` overrides the stream's
+    start (for replay tests); default = the MV's stored cursor. Returns the
+    started StreamingQuery (availableNow trigger — invoke per
+    maintenance window, or strip the trigger for a long-lived query)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshot_cdf_stream import read_snapshot_changes_stream
+
+    start = (
+        _props(mv_table)["mv_src_version"]
+        if starting_version is None
+        else starting_version
+    )
+    feed = read_snapshot_changes_stream(
+        spark, src_table, starting_version=start
+    )
+
+    def _fold(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        b = batch.persist()
+        try:
+            rng = b.agg(
+                F.min("_commit_version").alias("lo"),
+                F.max("_commit_version").alias("hi"),
+            ).first()
+            lo, hi = int(rng["lo"]), int(rng["hi"])
+            for _ in range(3):
+                mv_v = snapshot_versions(mv_table)[-1]
+                p = _read_manifest(mv_table, mv_v).get("properties") or {}
+                cur = p["mv_src_version"]
+                if hi <= cur:
+                    return  # replayed batch: already folded
+                if lo <= cur:
+                    raise ValueError(
+                        f"mv_stream: batch range ({lo}, {hi}] overlaps "
+                        f"the stored cursor v{cur} — the MV advanced "
+                        "out-of-band (manual mv_refresh racing the "
+                        "stream?); restart from a fresh checkpoint"
+                    )
+                state = snapshot_read(spark, mv_table, version=mv_v)
+                new_state = apply_agg_delta(
+                    state, b.drop("_commit_version"),
+                    p["mv_keys"], p["mv_sums"],
+                    minmax=p.get("mv_minmax") or None,
+                    base=snapshot_read(spark, src_table, version=hi)
+                    if p.get("mv_minmax")
+                    else None,
+                )
+                try:
+                    snapshot_write(
+                        new_state, mv_table, mode="overwrite",
+                        n_files=n_files,
+                        idempotency_key=f"mv-refresh-{hi}",
+                        properties={**p, "mv_src_version": hi},
+                        expected_version=mv_v,
+                    )
+                    return
+                except ConcurrentWriteError:
+                    continue  # concurrent refresher: re-pin and re-fold
+            raise RuntimeError(
+                f"mv_stream lost 3 consecutive refresh races on {mv_table}"
+            )
+        finally:
+            b.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def mv_read(
     spark: SparkSession,
     mv_table: str,

@@ -176,7 +176,12 @@ def _stat_value(v):
     against an equally-coerced probe is correct. Everything else — bytes
     (binary columns), Decimal, nested — returns None; previously bytes
     reached json.dump and raised TypeError AFTER the data files were
-    written, orphaning them until expire."""
+    written, orphaning them until expire. A float NaN bound is UNORDERED
+    (NaN > x and NaN < x are both false, so _disjoint could never prove
+    anything with it — and Python json would emit a non-standard NaN
+    literal): the column simply carries no bounds for that file."""
+    if isinstance(v, float) and v != v:
+        return None  # NaN: unordered, never a usable bound
     if isinstance(v, (bool, int, float, str)):
         return v
     if hasattr(v, "isoformat"):  # datetime.datetime / date / time
@@ -2881,7 +2886,11 @@ def snapshot_history(table: str) -> list[dict]:
     manifest lists alone (O(#versions) metadata reads, zero shard or
     data IO). `timestamp` is the commit wall-clock time, monotone-
     clamped across versions (see _version_times); None for manifests
-    predating timestamp stamping."""
+    predating timestamp stamping. `rows` is None for versions carrying
+    EQUALITY deletes (a key may shadow zero or many rows, so no honest
+    metadata count exists) — history recovers exact counts at the next
+    snapshot_rewrite_deletes fold, one more reason to run that
+    maintenance pass regularly on CDC-ingesting tables."""
     out = []
     prev_t = 0.0
     for v in snapshot_versions(table):

@@ -6,7 +6,7 @@ Each submodule exposes:
                             # (omit a key -> driver does a rows-only check)
 
 The driver's correctness gate records at most ~50 entries, so the declared
-surface is consolidated: the 14 widest queries stay standalone and the rest
+surface is consolidated: the 13 widest queries stay standalone and the rest
 are folded into 36 operator-dense composites (`composites.SPEC`), for 50
 declared entries / 111 underlying queries total — every SURVEY §2 operator
 (including every Structured Streaming job: q86_streaming_parity for
@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 STANDALONE = [
     "q01_pricing_summary",
     "q49_tfidf_top_terms",
-    "q51_having_lead",
     "q53_python_udtf",
     "q62_dedup_clusters",
     "q65_salted_join_revenue",

@@ -641,6 +641,37 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and snapshot_rows(table) == rows_v1
         and snapshot_history(table)[-1]["rolled_back_to"] == ver_v1
     )
+    # AS OF <timestamp> time travel (round 10): every commit is stamped;
+    # history times are monotone-clamped, both endpoints resolve to
+    # their own versions, and an actual as_of read of v1 returns exactly
+    # v1's row count (the overwrite quarter) — checked BEFORE expiry
+    # collects the old versions.
+    from ..ops.snapshot import _resolve_as_of, snapshot_compact, snapshot_expire
+
+    h_ts = snapshot_history(table)
+    ts = [e["timestamp"] for e in h_ts]
+    as_of_ts_ok = (
+        all(t is not None for t in ts)
+        and ts == sorted(ts)
+        and _resolve_as_of(table, ts[0]) == h_ts[0]["version"]
+        and _resolve_as_of(table, ts[-1]) == h_ts[-1]["version"]
+        and snapshot_read(spark, table, as_of=ts[0]).count()
+        == snapshot_rows(table, h_ts[0]["version"])
+    )
+    # EXPIRE/GC (round 10): a compact rewrites every file, then expiry
+    # to keep_last=1 drops all prior manifests AND physically collects
+    # the now-unreferenced pre-compact data files; the final
+    # hash-checked aggregate below reads the POST-GC table, so the
+    # content pin proves GC deleted nothing live.
+    n_before = len(snapshot_versions(table))
+    snapshot_compact(spark, table, n_files=4, cluster_by=["o_orderkey"])
+    exp = snapshot_expire(table, keep_last=1, clean_orphans=True)
+    expire_ok = (
+        exp["manifests_dropped"] == n_before
+        and exp["files_deleted"] > 0
+        and len(snapshot_versions(table)) == 1
+        and snapshot_rows(table) == rows_v1
+    )
     # stats-pruned read: manifest [min,max] drops upper-half files before
     # Spark ever lists them; values prove the prune kept every needed row
     mid = _orders_max_key(spark, sf_dir) // 2
@@ -660,6 +691,8 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rollback_history_ok", F.lit(bool(rollback_history_ok))
         )
         .withColumn("publish_ok", F.lit(bool(publish_ok)))
+        .withColumn("as_of_ts_ok", F.lit(bool(as_of_ts_ok)))
+        .withColumn("expire_ok", F.lit(bool(expire_ok)))
     )
 
 
@@ -670,7 +703,9 @@ SELECT o_orderpriority,
   TRUE AS meta_rows_match,
   TRUE AS replay_noop,
   TRUE AS rollback_history_ok,
-  TRUE AS publish_ok
+  TRUE AS publish_ok,
+  TRUE AS as_of_ts_ok,
+  TRUE AS expire_ok
 FROM orders
 WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
 GROUP BY o_orderpriority
@@ -1052,6 +1087,59 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         and snapshot_versions(table)[-1] == v_chk
         and snapshot_rows(table) == orders.count()
     )
+    # STORAGE-PARTITIONED JOIN (round 10): a second snapshot table
+    # bucket-partitioned by the SAME transform (bucket(16, custkey))
+    # joins this one with ZERO shuffle exchange in the join subtree —
+    # per-bucket co-located scans, broadcast bucket-locally, unioned
+    # (ops/bucketing.snapshot_colocated_join; plan additionally pinned
+    # by tests/test_plans.py). The boolean pins plan shape AND row
+    # parity against the naive join.
+    from ..io import load_table as _lt
+    from ..ops.bucketing import snapshot_colocated_join
+
+    cust_tbl = os.path.join(_tracked_mkdtemp(prefix="e02_spjcust_"), "tbl")
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    snapshot_write(
+        cust, cust_tbl, mode="overwrite", n_files=4,
+        partition_spec=[("bucket", "c_custkey", 16)],
+    )
+    spj = snapshot_colocated_join(
+        spark, table, cust_tbl, "o_custkey", "c_custkey"
+    )
+    spj_plan = spj._jdf.queryExecution().executedPlan().toString()
+    spj_ok = (
+        "Exchange hashpartitioning" not in spj_plan
+        and spj.count()
+        == cur.join(cust, cur.o_custkey == cust.c_custkey).count()
+    )
+    # PARTITION-SPEC EVOLUTION (round 10): one metadata-only commit
+    # changes bucket(16) -> bucket(8); a post-evolution append lays out
+    # under the new spec, and a point probe prunes BOTH layouts through
+    # the spec history to a strict file subset while staying
+    # row-complete. `cur` is snapshot-isolated from the append, so the
+    # hash-checked aggregate below is unaffected.
+    from ..ops.snapshot import _read_manifest, snapshot_set_partition_spec
+
+    v_spec = snapshot_set_partition_spec(
+        table, [("bucket", "o_custkey", 8)]
+    )
+    snapshot_write(
+        orders.where(F.col("o_custkey") == probe).limit(50),
+        table, mode="append", n_files=1,
+    )
+    pruned2 = snapshot_read(
+        spark, table, partition_prune={"o_custkey": probe}
+    ).where(F.col("o_custkey") == probe)
+    full2 = snapshot_read(spark, table).where(F.col("o_custkey") == probe)
+    all2, _ = _plan_files(table, None, None)
+    spec_evolution_ok = (
+        v_spec == v_chk + 1
+        and len(
+            _read_manifest(table, v_spec).get("partition_specs") or []
+        ) == 2
+        and 0 < len(pruned2.inputFiles()) < len(all2)
+        and pruned2.count() == full2.count() > 0
+    )
     return (
         cur.groupBy("o_orderstatus", "band")
         .agg(
@@ -1061,6 +1149,8 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("schema_stable", F.lit(bool(schema_stable)))
         .withColumn("hidden_prune_ok", F.lit(bool(hidden_prune_ok)))
         .withColumn("check_enforced", F.lit(bool(check_enforced)))
+        .withColumn("spj_ok", F.lit(bool(spj_ok)))
+        .withColumn("spec_evolution_ok", F.lit(bool(spec_evolution_ok)))
     )
 
 
@@ -1072,7 +1162,9 @@ SELECT o_orderstatus,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
   TRUE AS schema_stable,
   TRUE AS hidden_prune_ok,
-  TRUE AS check_enforced
+  TRUE AS check_enforced,
+  TRUE AS spj_ok,
+  TRUE AS spec_evolution_ok
 FROM orders GROUP BY 1, 2
 """
 
@@ -1117,30 +1209,60 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             == 0
         )
-        # the PERSISTED form of the same maintenance (ops/mv.py): the
-        # state lives in its own snapshot table, created as-of v1 with
-        # the cursor riding the commit, then rolled forward through the
-        # chain's CDF by one exactly-once refresh — its stored state
-        # must equal the in-memory maintained state bit-for-bit, and a
-        # second refresh must be a cursor no-op
-        from ..ops.mv import mv_create, mv_refresh
+        # two persisted forms of the same maintenance, run CONCURRENTLY
+        # (independent tables; Spark schedules both legs' jobs in one
+        # session — sequential order would pay sum-of-walls for two
+        # fixed streaming/refresh machinery costs):
+        #   * BATCH (ops/mv.mv_refresh): state in its own snapshot
+        #     table, cursor riding the commit, one exactly-once refresh
+        #     rolls v1 -> v3; a second refresh is a cursor no-op.
+        #   * CONTINUOUS (round 10, ops/mv.mv_stream): the chain's CDF
+        #     STREAM feeds a foreachBatch fold committing state+cursor
+        #     exactly-once per micro-batch (the DLT shape).
+        # Both stored states must equal the in-memory maintained state
+        # bit-for-bit.
+        from concurrent.futures import ThreadPoolExecutor
 
-        mv = os.path.join(_tracked_mkdtemp(prefix="e02_mvtbl_"), "mv")
-        mv_create(spark, ch["table"], mv, keys, sums, minmax=minmax,
-                  version=ch["v1"])
-        r1 = mv_refresh(spark, ch["table"], mv)
+        from ..ops.mv import mv_create, mv_refresh, mv_stream
         from ..ops.snapshot import snapshot_read as _sread
 
-        stored = _sread(spark, mv)
-        persisted_mv_matches = (
-            r1["refreshed_to"] == ch["v3"]
-            and stored.exceptAll(maintained)
-            .unionByName(maintained.exceptAll(stored))
-            .limit(1)
-            .count()
-            == 0
-            and mv_refresh(spark, ch["table"], mv)["noop"] is True
-        )
+        def _diff_empty(df) -> bool:
+            return (
+                df.exceptAll(maintained)
+                .unionByName(maintained.exceptAll(df))
+                .limit(1)
+                .count()
+                == 0
+            )
+
+        def _batch_leg() -> bool:
+            mv = os.path.join(_tracked_mkdtemp(prefix="e02_mvtbl_"), "mv")
+            mv_create(spark, ch["table"], mv, keys, sums, minmax=minmax,
+                      version=ch["v1"])
+            r1 = mv_refresh(spark, ch["table"], mv)
+            return (
+                r1["refreshed_to"] == ch["v3"]
+                and _diff_empty(_sread(spark, mv))
+                and mv_refresh(spark, ch["table"], mv)["noop"] is True
+            )
+
+        def _stream_leg() -> bool:
+            mv2 = os.path.join(
+                _tracked_mkdtemp(prefix="e02_mvstream_"), "mv"
+            )
+            mv_create(spark, ch["table"], mv2, keys, sums, minmax=minmax,
+                      version=ch["v1"])
+            _await(mv_stream(
+                spark, ch["table"], mv2,
+                _tracked_mkdtemp(prefix="e02_mvstreamck_"),
+            ))
+            return _diff_empty(_sread(spark, mv2))
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut_b = ex.submit(_batch_leg)
+            fut_s = ex.submit(_stream_leg)
+            persisted_mv_matches = fut_b.result()
+            streamed_mv_matches = fut_s.result()
         out = finish_agg(
             maintained, keys, sums, count_alias="n_orders", minmax=minmax
         )
@@ -1148,6 +1270,9 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.withColumn("ivm_matches_recompute", F.lit(bool(matches)))
             .withColumn(
                 "persisted_mv_matches", F.lit(bool(persisted_mv_matches))
+            )
+            .withColumn(
+                "streamed_mv_matches", F.lit(bool(streamed_mv_matches))
             )
             .localCheckpoint()
         )
@@ -1166,7 +1291,8 @@ SELECT o_orderpriority,
   CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
     AS max_price,
   TRUE AS ivm_matches_recompute,
-  TRUE AS persisted_mv_matches
+  TRUE AS persisted_mv_matches,
+  TRUE AS streamed_mv_matches
 FROM v3 GROUP BY o_orderpriority
 """
 

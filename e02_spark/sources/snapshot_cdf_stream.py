@@ -137,10 +137,18 @@ def _dv_positions(
 
 
 _DV_FILE_MEMO: dict[str, list[tuple[str, int]]] = {}
+# The memos are touched from whatever thread runs stream planning; the
+# reader is driver-side single-threaded today, but two streams over the
+# same table in one process would race the FIFO eviction (same hazard
+# _SHARD_CACHE guards against). Reads happen OUTSIDE the lock.
+import threading as _threading
+
+_MEMO_LOCK = _threading.Lock()
 
 
 def _read_dv_file(path: str, cap: int = _DELETE_ROWS_CAP) -> list[tuple[str, int]]:
-    hit = _DV_FILE_MEMO.get(path)
+    with _MEMO_LOCK:
+        hit = _DV_FILE_MEMO.get(path)
     if hit is None:
         # cap checked on the cache MISS only: a memoized file already
         # sits in driver memory, so re-checking buys nothing
@@ -148,11 +156,13 @@ def _read_dv_file(path: str, cap: int = _DELETE_ROWS_CAP) -> list[tuple[str, int
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=["_file", "_pos"])
-        hit = _DV_FILE_MEMO[path] = list(
+        hit = list(
             zip(t.column("_file").to_pylist(), t.column("_pos").to_pylist())
         )
-        if len(_DV_FILE_MEMO) > 1024:  # bounded: DV files are re-readable
-            _DV_FILE_MEMO.pop(next(iter(_DV_FILE_MEMO)))
+        with _MEMO_LOCK:
+            _DV_FILE_MEMO[path] = hit
+            while len(_DV_FILE_MEMO) > 1024:  # bounded: re-readable
+                _DV_FILE_MEMO.pop(next(iter(_DV_FILE_MEMO)))
     return hit
 
 
@@ -168,18 +178,19 @@ def _read_eq_keys(
     Keys with any NULL component never match (SQL equality) and are
     dropped here once instead of re-checked per row. Memoized — eq
     files are immutable once referenced."""
-    hit = _EQ_FILE_MEMO.get(path)
+    with _MEMO_LOCK:
+        hit = _EQ_FILE_MEMO.get(path)
     if hit is None:
         _check_delete_cap(path, cap)
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=list(on))
         cols = [t.column(c).to_pylist() for c in on]
-        hit = _EQ_FILE_MEMO[path] = tuple(
-            k for k in zip(*cols) if None not in k
-        )
-        if len(_EQ_FILE_MEMO) > 1024:
-            _EQ_FILE_MEMO.pop(next(iter(_EQ_FILE_MEMO)))
+        hit = tuple(k for k in zip(*cols) if None not in k)
+        with _MEMO_LOCK:
+            _EQ_FILE_MEMO[path] = hit
+            while len(_EQ_FILE_MEMO) > 1024:
+                _EQ_FILE_MEMO.pop(next(iter(_EQ_FILE_MEMO)))
     return hit
 
 

@@ -437,3 +437,62 @@ def test_snapshot_eq_delete_read_path_broadcasts(spark, tmp_path):
         if "Exchange" in ln and "Broadcast" not in ln
     ], plan
     assert df.count() == 4950
+
+
+def test_snapshot_colocated_join_has_no_shuffle(spark, tmp_path):
+    """Storage-partitioned join over snapshot tables: both sides bucket-
+    partitioned by the same hidden transform join with ZERO shuffle
+    exchange in the join subtree — per-bucket co-located scans, unioned.
+    Result equals the naive join exactly."""
+    from e02_spark.ops import snapshot as S
+    from e02_spark.ops.bucketing import snapshot_colocated_join
+
+    ta, tb = str(tmp_path / "orders"), str(tmp_path / "cust")
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    S.snapshot_write(
+        orders, ta, mode="overwrite", n_files=8,
+        partition_spec=[("bucket", "o_custkey", 8)],
+    )
+    S.snapshot_write(
+        cust, tb, mode="overwrite", n_files=8,
+        partition_spec=[("bucket", "c_custkey", 8)],
+    )
+    df = snapshot_colocated_join(spark, ta, tb, "o_custkey", "c_custkey")
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    got = df.count()
+    want = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "inner"
+    ).count()
+    assert got == want > 0
+    # mismatched bucket counts are rejected by name
+    tc = str(tmp_path / "cust16")
+    S.snapshot_write(
+        cust, tc, mode="overwrite", n_files=16,
+        partition_spec=[("bucket", "c_custkey", 16)],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket counts differ"):
+        snapshot_colocated_join(spark, ta, tc, "o_custkey", "c_custkey")
+    # MoR deletes compose: tombstoned orders drop from the joined result
+    S.snapshot_merge(
+        spark, ta,
+        orders.where("o_orderkey % 2 = 0").select("o_orderkey", "o_custkey",
+                                                  "o_totalprice"),
+        on=["o_orderkey"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    got2 = snapshot_colocated_join(
+        spark, ta, tb, "o_custkey", "c_custkey"
+    ).count()
+    want2 = orders.where("o_orderkey % 2 = 1").join(
+        cust, orders.o_custkey == cust.c_custkey, "inner"
+    ).count()
+    assert got2 == want2
