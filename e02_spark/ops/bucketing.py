@@ -83,7 +83,7 @@ def join_has_no_shuffle(df: DataFrame) -> bool:
 # --------------------------------------------------------------------------
 
 
-def snapshot_bucket_layout(table: str, key: str):
+def snapshot_bucket_layout(table: str, key: str, manifest: dict | None = None):
     """The table's bucket layout on `key`: (transform, {bucket_id:
     [file paths]}, {bucket_id: manifest rows}). A file is assigned to
     EVERY bucket its hidden-column [min,max] covers: snapshot_write's
@@ -92,15 +92,26 @@ def snapshot_bucket_layout(table: str, key: str):
     simply planned into both — the join then re-derives the bucket
     expression as a row filter, so coverage stays exact without a
     purity requirement. A file with NO hidden-column bounds (written
-    before the spec, not yet migrated by compaction) is rejected by
-    name — its rows could belong to any bucket. rows are manifest
-    counts attributed to the file's low bucket (metadata heuristic for
-    broadcast-side choice, never correctness)."""
+    before the spec and not yet migrated, or an all-NULL-key file —
+    parquet records no min/max for an all-NULL column, and compaction
+    re-derives all-NULL again) degrades the same way: planned into
+    every bucket, rows routed by the re-derived filter (NULL keys match
+    no bucket and drop, the inner-join semantics) — correct, just n
+    scans of that one file until maintenance splits it. rows are
+    manifest counts attributed to the file's low bucket (metadata
+    heuristic for broadcast-side choice, never correctness).
+    `manifest`, if given, pins the version (snapshot isolation —
+    callers joining two reads must not let a racing commit tear the
+    file list from the delete state)."""
     import os
 
     from .snapshot import _all_entries, _pt_name, _read_manifest, snapshot_versions
 
-    m = _read_manifest(table, snapshot_versions(table)[-1])
+    m = (
+        _read_manifest(table, snapshot_versions(table)[-1])
+        if manifest is None
+        else manifest
+    )
     t = next(
         (t for t in (m.get("partition_spec") or [])
          if t[0] == "bucket" and t[1] == key),
@@ -118,18 +129,15 @@ def snapshot_bucket_layout(table: str, key: str):
         if e["rows"] == 0:
             continue
         b = (e.get("stats") or {}).get(hidden)
-        if b is None:
-            raise ValueError(
-                f"snapshot_colocated_join: {e['path']} carries no bounds "
-                f"for {hidden} (written before the bucket spec?) — "
-                "compact the table once to migrate it to the layout"
-            )
-        for bucket in range(int(b[0]), int(b[1]) + 1):
+        # boundless file: could hold any bucket (or only NULL keys) —
+        # plan it everywhere; the per-bucket row filter keeps it exact
+        span = (0, int(t[2]) - 1) if b is None else (int(b[0]), int(b[1]))
+        for bucket in range(span[0], span[1] + 1):
             by_bucket.setdefault(bucket, []).append(
                 os.path.join(table, e["path"])
             )
-        rows_by_bucket[int(b[0])] = (
-            rows_by_bucket.get(int(b[0]), 0) + e["rows"]
+        rows_by_bucket[span[0]] = (
+            rows_by_bucket.get(span[0], 0) + e["rows"]
         )
     return t, by_bucket, rows_by_bucket
 
@@ -144,7 +152,8 @@ def snapshot_colocated_join(
     """INNER-join two snapshot tables on bucket-co-located keys with
     ZERO shuffle exchange in the join subtree (plan-pinned by
     tests/test_plans.py): both tables must carry a ('bucket', key, n)
-    transform with the SAME n, and files must be bucket-pure. The join
+    transform with the SAME n (bucket purity NOT required — see
+    snapshot_bucket_layout's boundary/boundless handling). The join
     is planned per bucket — scan A's bucket-b files ⋈ scan B's bucket-b
     files, unioned across buckets — so co-location replaces the
     all-to-all Exchange a naive join pays on BOTH tables; rows of
@@ -174,16 +183,22 @@ def snapshot_colocated_join(
         snapshot_versions,
     )
 
+    from .snapshot import snapshot_read
+
     key_b = key_a if key_b is None else key_b
-    ta_t, buckets_a, rows_a = snapshot_bucket_layout(table_a, key_a)
-    tb_t, buckets_b, rows_b = snapshot_bucket_layout(table_b, key_b)
+    # resolve each table's manifest exactly ONCE and derive the file
+    # plan AND the delete state from it (snapshot isolation — a racing
+    # MoR commit between two latest-resolves could otherwise pair an
+    # old file list with new tombstones, a result matching no snapshot)
+    ma = _read_manifest(table_a, snapshot_versions(table_a)[-1])
+    mb = _read_manifest(table_b, snapshot_versions(table_b)[-1])
+    ta_t, buckets_a, rows_a = snapshot_bucket_layout(table_a, key_a, ma)
+    tb_t, buckets_b, rows_b = snapshot_bucket_layout(table_b, key_b, mb)
     if int(ta_t[2]) != int(tb_t[2]):
         raise ValueError(
             f"bucket counts differ ({table_a}: {ta_t[2]}, {table_b}: "
             f"{tb_t[2]}) — co-location requires the same modulus"
         )
-    ma = _read_manifest(table_a, snapshot_versions(table_a)[-1])
-    mb = _read_manifest(table_b, snapshot_versions(table_b)[-1])
     dva, dvb = _dv_frame(spark, table_a, ma), _dv_frame(spark, table_b, mb)
     parts: list[DataFrame] = []
     for b in sorted(set(buckets_a) & set(buckets_b)):
@@ -207,8 +222,11 @@ def snapshot_colocated_join(
         else:
             parts.append(fa.join(fb, fa[key_a] == fb[key_b], "inner"))
     if not parts:
-        raise ValueError(
-            "no common non-empty buckets — nothing can match; check the "
-            "tables were written under the same bucket transform"
-        )
+        # disjoint bucket sets: a legitimately EMPTY inner join (the
+        # keys simply never co-hash), not a layout error
+        ea = snapshot_read(spark, table_a).limit(0)
+        eb = snapshot_read(spark, table_b).limit(0)
+        if key_a == key_b:
+            return ea.join(eb, key_a, "inner")
+        return ea.join(eb, ea[key_a] == eb[key_b], "inner")
     return reduce(DataFrame.unionByName, parts)

@@ -59,13 +59,12 @@ from .snapshot import (
 )
 
 
-def _props(mv_table: str) -> dict:
-    props = (
-        _read_manifest(mv_table, snapshot_versions(mv_table)[-1]).get(
-            "properties"
-        )
-        or {}
-    )
+def _props(mv_table: str, version: int | None = None) -> dict:
+    """The MV's definition/cursor properties — from `version`'s manifest
+    when pinned (the snapshot-isolated read-modify-write path), else the
+    latest. Raises the named not-a-materialized-view error either way."""
+    v = snapshot_versions(mv_table)[-1] if version is None else version
+    props = _read_manifest(mv_table, v).get("properties") or {}
     if "mv_src_version" not in props:
         raise ValueError(
             f"{mv_table} is not a materialized view (no mv_src_version "
@@ -149,12 +148,7 @@ def mv_refresh(
     Returns {'version', 'refreshed_from', 'refreshed_to', 'noop'}."""
     for _ in range(max_retries):
         mv_v = snapshot_versions(mv_table)[-1]
-        props = _read_manifest(mv_table, mv_v).get("properties") or {}
-        if "mv_src_version" not in props:
-            raise ValueError(
-                f"{mv_table} is not a materialized view (no mv_src_version "
-                "property) — create it with mv_create"
-            )
+        props = _props(mv_table, version=mv_v)
         last = props["mv_src_version"]
         keys, sums = props["mv_keys"], props["mv_sums"]
         minmax = props.get("mv_minmax") or None
@@ -258,7 +252,7 @@ def mv_stream(
             lo, hi = int(rng["lo"]), int(rng["hi"])
             for _ in range(3):
                 mv_v = snapshot_versions(mv_table)[-1]
-                p = _read_manifest(mv_table, mv_v).get("properties") or {}
+                p = _props(mv_table, version=mv_v)
                 cur = p["mv_src_version"]
                 if hi <= cur:
                     return  # replayed batch: already folded

@@ -923,17 +923,32 @@ def snapshot_read(
                 f"partition_prune column {col!r} has no transform in any "
                 f"of the table's partition specs {_all_specs(m)}"
             )
+        cur_names = {
+            _pt_name(t) for t in (m.get("partition_spec") or [])
+        }
         for t in ts:
-            if isinstance(pv, tuple):
-                if t[0] == "bucket":
-                    raise ValueError(
-                        "bucket transforms take point probes only — a "
-                        "hash range is meaningless"
-                    )
-                lo, hi = pv
-            else:
-                lo = hi = pv
-            preds.append((_pt_name(t), _pt_probe(t, lo), _pt_probe(t, hi)))
+            # a probe a RETIRED transform cannot express (range probe on
+            # a bucket, a float on truncate) is SKIPPED — that layout's
+            # files simply stay unpruned, which is safe. Only the
+            # CURRENT spec's transform rejecting the probe is a caller
+            # error worth raising.
+            try:
+                if isinstance(pv, tuple):
+                    if t[0] == "bucket":
+                        raise ValueError(
+                            "bucket transforms take point probes only — "
+                            "a hash range is meaningless"
+                        )
+                    lo, hi = pv
+                else:
+                    lo = hi = pv
+                preds.append(
+                    (_pt_name(t), _pt_probe(t, lo), _pt_probe(t, hi))
+                )
+            except (TypeError, ValueError):
+                if _pt_name(t) in cur_names:
+                    raise
+                # zero resolved transforms = zero predicates: no-prune
     kept, fallback = _plan_files(table, v, preds or None, manifest=m)
     sch = m.get("schema")
     if sch is not None:
@@ -3163,15 +3178,24 @@ def snapshot_expire(
     max_age_s adds RETENTION-BY-AGE (the Delta/Iceberg
     retention-period contract): every version whose monotone-clamped
     commit timestamp is within the window is ALSO kept, on top of the
-    keep_last floor — so `keep_last=1, max_age_s=7*86400` reads as
-    "time travel works for a week, and the latest version always
-    survives". Returns {'manifests_dropped': n, 'files_deleted': n}."""
+    keep_last floor, PLUS the newest version at-or-before the window's
+    start — that boundary version was the CURRENT snapshot at the
+    oldest instant still inside the window, so an `as_of` probe
+    anywhere in the advertised retention period keeps resolving. So
+    `keep_last=1, max_age_s=7*86400` reads as "time travel works for a
+    week, and the latest version always survives".
+    Returns {'manifests_dropped': n, 'files_deleted': n}."""
     st = store_for(table)
     versions = snapshot_versions(table)
     keep = list(versions[-keep_last:]) if keep_last > 0 else []
     if max_age_s is not None:
         cutoff = _now() - max_age_s
-        young = {v for v, t in _version_times(table) if t >= cutoff}
+        vt = _version_times(table)
+        young = {v for v, t in vt if t >= cutoff}
+        boundary = [v for v, t in vt if t < cutoff]
+        if boundary:
+            # current at the window's start: as_of(cutoff) resolves here
+            young.add(boundary[-1])
         keep = sorted(set(keep) | young)
     dropped = 0
     live: set[str] = set()

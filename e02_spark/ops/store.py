@@ -189,26 +189,40 @@ _DEFAULT_STORE = LocalFSStore()
 _REGISTRY: dict[str, LocalFSStore] = {}
 
 
+def _norm(path: str) -> str:
+    """Registry key normalization: URI-style paths ('s3://bucket/…')
+    pass through VERBATIM — os.path.abspath would mangle the scheme's
+    double slash and anchor them to the CWD; plain filesystem paths
+    normalize to absolute so registration and lookup agree. Relative
+    paths still resolve against the CWD at CALL time — register and
+    look up with absolute paths in anything long-lived (every table
+    path in this repo is absolute)."""
+    return path if "://" in path else os.path.abspath(path)
+
+
 def register_store(prefix: str, store) -> None:
     """Route every table whose path starts with `prefix` through
     `store`. Longest registered prefix wins; unregistered paths use the
     LocalFSStore default. A production deployment would register its
-    object-store impl for 's3://bucket/'-style prefixes here."""
-    _REGISTRY[os.path.abspath(prefix)] = store
+    object-store impl for 's3://bucket/'-style prefixes here (URI
+    prefixes are matched verbatim — see _norm)."""
+    _REGISTRY[_norm(prefix)] = store
 
 
 def unregister_store(prefix: str) -> None:
-    _REGISTRY.pop(os.path.abspath(prefix), None)
+    _REGISTRY.pop(_norm(prefix), None)
 
 
 def store_for(table: str):
     if _REGISTRY:
-        p = os.path.abspath(table)
+        p = _norm(table)
         best = None
         for prefix in _REGISTRY:
-            if (p == prefix or p.startswith(prefix + os.sep)) and (
-                best is None or len(prefix) > len(best)
-            ):
+            if (
+                p == prefix
+                or p.startswith(prefix + os.sep)
+                or ("://" in prefix and p.startswith(prefix))
+            ) and (best is None or len(prefix) > len(best)):
                 best = prefix
         if best is not None:
             return _REGISTRY[best]

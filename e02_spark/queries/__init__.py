@@ -7,8 +7,8 @@ Each submodule exposes:
 
 The driver's correctness gate records at most ~50 entries, so the declared
 surface is consolidated: the 13 widest queries stay standalone and the rest
-are folded into 36 operator-dense composites (`composites.SPEC`), for 50
-declared entries / 111 underlying queries total — every SURVEY §2 operator
+are folded into 37 operator-dense composites (`composites.SPEC`), for 50
+declared entries / 124 underlying queries total — every SURVEY §2 operator
 (including every Structured Streaming job: q86_streaming_parity for
 IVM/dedup/tumbling, q95_stateful_stream for the applyInPandasWithState
 gate and the sliding/session twins) lands inside a driver-checked entry,

@@ -374,3 +374,25 @@ def test_partition_spec_evolution_prunes_per_file(spark, tmp_path):
     # idempotent re-set no-ops
     v = S.snapshot_versions(tbl)[-1]
     assert S.snapshot_set_partition_spec(tbl, []) == v
+
+
+def test_retired_spec_transform_never_vetoes_probe(spark, tmp_path):
+    """A probe the CURRENT spec supports must not be vetoed by a retired
+    transform that can't express it: the retired layout's files simply
+    stay unpruned. The current spec rejecting the probe still raises."""
+    tbl = str(tmp_path / "veto")
+    S.snapshot_write(
+        _mk(spark), tbl, mode="overwrite", n_files=4,
+        partition_spec=[("bucket", "k", 8)],
+    )
+    S.snapshot_set_partition_spec(tbl, [("identity", "k")])
+    S.snapshot_write(_mk(spark, 100), tbl, mode="append", n_files=2)
+    # a RANGE probe: retired bucket can't express it (skipped), the
+    # current identity transform prunes fine
+    got = S.snapshot_read(spark, tbl, partition_prune={"k": (5, 10)})
+    want = S.snapshot_read(spark, tbl).where("k BETWEEN 5 AND 10").count()
+    assert got.where("k BETWEEN 5 AND 10").count() == want > 0
+    # current spec back to bucket: the range probe now raises
+    S.snapshot_set_partition_spec(tbl, [("bucket", "k", 8)])
+    with pytest.raises(ValueError, match="point probes only"):
+        S.snapshot_read(spark, tbl, partition_prune={"k": (5, 10)})

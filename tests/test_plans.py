@@ -496,3 +496,39 @@ def test_snapshot_colocated_join_has_no_shuffle(spark, tmp_path):
         cust, orders.o_custkey == cust.c_custkey, "inner"
     ).count()
     assert got2 == want2
+
+
+def test_snapshot_colocated_join_edge_cases(spark, tmp_path):
+    """Disjoint bucket sets are a legitimately EMPTY inner join (never a
+    raise); boundless files (all-NULL keys record no parquet min/max)
+    plan into every bucket and their NULL keys drop via the re-derived
+    row filter; the store registry leaves URI prefixes unmangled."""
+    from e02_spark.ops import snapshot as S
+    from e02_spark.ops.bucketing import snapshot_colocated_join
+
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    # keys chosen so A's and B's buckets are disjoint under crc32 % 8
+    import zlib
+
+    ka = next(k for k in range(100) if zlib.crc32(str(k).encode()) % 8 == 0)
+    kb = next(k for k in range(100) if zlib.crc32(str(k).encode()) % 8 == 3)
+    S.snapshot_write(
+        spark.createDataFrame([(ka, 1)], "k bigint, va bigint"),
+        ta, mode="overwrite", n_files=1,
+        partition_spec=[("bucket", "k", 8)],
+    )
+    S.snapshot_write(
+        spark.createDataFrame([(kb, 2)], "k bigint, vb bigint"),
+        tb, mode="overwrite", n_files=1,
+        partition_spec=[("bucket", "k", 8)],
+    )
+    empty = snapshot_colocated_join(spark, ta, tb, "k")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "va", "vb"}
+    # all-NULL-key file on one side: planned everywhere, joins nothing
+    S.snapshot_write(
+        spark.createDataFrame([(None, 9), (kb, 7)], "k bigint, va bigint"),
+        ta, mode="append", n_files=1,
+    )
+    got = snapshot_colocated_join(spark, ta, tb, "k").collect()
+    assert [(r["k"], r["va"], r["vb"]) for r in got] == [(kb, 7, 2)]

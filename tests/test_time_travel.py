@@ -74,9 +74,11 @@ def test_expire_by_age_keeps_window_and_latest(spark, tmp_path, monkeypatch):
     _write_at(spark, tbl, [(4, 40)], now - 50, monkeypatch)
     monkeypatch.setattr(S, "_now", lambda: now)
     res = S.snapshot_expire(tbl, keep_last=1, max_age_s=1000.0)
-    # v1/v2 aged out; v3 is in the window, v4 is both young and latest
-    assert res["manifests_dropped"] == 2
-    assert S.snapshot_versions(tbl) == [3, 4]
+    # v1 aged out; v3/v4 are in the window, and v2 survives as the
+    # BOUNDARY version (current at the window's start, so as_of probes
+    # anywhere inside the window keep resolving)
+    assert res["manifests_dropped"] == 1
+    assert S.snapshot_versions(tbl) == [2, 3, 4]
     assert S.snapshot_read(spark, tbl, version=3).count() == 3
     # keep_last floor holds even when EVERYTHING aged out
     res = S.snapshot_expire(tbl, keep_last=1, max_age_s=1.0)
@@ -84,3 +86,22 @@ def test_expire_by_age_keeps_window_and_latest(spark, tmp_path, monkeypatch):
     assert sorted(
         r["id"] for r in S.snapshot_read(spark, tbl).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_expire_by_age_keeps_boundary_version(spark, tmp_path, monkeypatch):
+    """Retention-by-age must also keep the version that was CURRENT at
+    the window's start: an as_of probe anywhere inside the advertised
+    window keeps resolving."""
+    tbl = str(tmp_path / "t")
+    now = 200_000.0
+    _write_at(spark, tbl, [(1, 10)], now - 5000, monkeypatch, mode="overwrite")
+    _write_at(spark, tbl, [(2, 20)], now - 4000, monkeypatch)
+    _write_at(spark, tbl, [(3, 30)], now - 100, monkeypatch)
+    monkeypatch.setattr(S, "_now", lambda: now)
+    S.snapshot_expire(tbl, keep_last=1, max_age_s=1000.0)
+    # v2 was current at now-1000 -> kept; v1 truly aged out
+    assert S.snapshot_versions(tbl) == [2, 3]
+    assert sorted(
+        r["id"]
+        for r in S.snapshot_read(spark, tbl, as_of=now - 500).collect()
+    ) == [1, 2]
