@@ -485,7 +485,11 @@ def _resolve_as_of(table: str, as_of) -> int:
     import datetime as _dt
 
     if isinstance(as_of, str):
-        as_of = _dt.datetime.fromisoformat(as_of)
+        try:
+            as_of = _dt.datetime.fromisoformat(as_of)
+        except ValueError:
+            # stringified epoch (the option-transport form): "123456.7"
+            as_of = float(as_of)
     if isinstance(as_of, _dt.datetime):
         as_of = as_of.timestamp()
     epoch = float(as_of)
@@ -2700,11 +2704,20 @@ def _eq_merge_commit(
 def snapshot_changes(
     spark: SparkSession,
     table: str,
-    from_version: int,
-    to_version: int,
+    from_version: int | None = None,
+    to_version: int | None = None,
     files_read: list | None = None,
+    from_ts=None,
+    to_ts=None,
 ) -> DataFrame:
-    """Row-accurate change-data-feed between two committed versions:
+    """Row-accurate change-data-feed between two committed versions.
+    Endpoints may be given as versions OR as timestamps (from_ts/to_ts —
+    epoch, datetime, or ISO string; the Delta readChangeFeed
+    startingVersion/startingTimestamp contract): a timestamp resolves to
+    the version CURRENT at that instant through the monotone-clamped
+    commit times, so "changes since 9am" means changes committed after
+    the snapshot a 9am reader saw. Each endpoint takes exactly one of
+    the two forms:
     returns the table's columns plus `_change_type` ('insert' rows are in
     `to` but not `from`, 'delete' rows the reverse; an update appears as
     its delete+insert pair — the CDF contract of a format without
@@ -2729,6 +2742,14 @@ def snapshot_changes(
     O(table)."""
     from pyspark.sql import functions as F
 
+    if (from_version is None) == (from_ts is None):
+        raise ValueError("pass exactly one of from_version / from_ts")
+    if (to_version is None) == (to_ts is None):
+        raise ValueError("pass exactly one of to_version / to_ts")
+    if from_ts is not None:
+        from_version = _resolve_as_of(table, from_ts)
+    if to_ts is not None:
+        to_version = _resolve_as_of(table, to_ts)
     versions = snapshot_versions(table)
     for v in (from_version, to_version):
         if v not in versions:

@@ -260,7 +260,20 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "snapshot_changes_stream requires .option('table', path)"
             )
-        self.start_version = int(options.get("startingversion", 0))
+        start_ts = options.get("startingtimestamp")
+        if start_ts is not None and "startingversion" in options:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if start_ts is not None:
+            # the Delta readChangeFeed startingTimestamp contract: start
+            # AFTER the snapshot current at that instant (resolved
+            # through the monotone-clamped commit times)
+            from ..ops.snapshot import _resolve_as_of
+
+            self.start_version = _resolve_as_of(self.table, start_ts)
+        else:
+            self.start_version = int(options.get("startingversion", 0))
         # per-delete-file driver-shipping cap (rows); see
         # DeleteStateOverflowError / _DELETE_ROWS_CAP
         self.max_delete_rows = int(
@@ -555,14 +568,22 @@ class SnapshotCDFStreamDataSource(DataSource):
         return self._get_reader()
 
 
-def read_snapshot_changes_stream(spark, table: str, starting_version: int = 0):
+def read_snapshot_changes_stream(
+    spark, table: str, starting_version: int = 0, starting_timestamp=None
+):
     """Convenience: register the source and open a change-feed stream over
     `table` from (exclusive) `starting_version` — 0 replays the whole
-    table's history as inserts (plus any later deletes)."""
+    table's history as inserts (plus any later deletes).
+    `starting_timestamp` (epoch / datetime / ISO string) instead starts
+    AFTER the snapshot current at that instant (the Delta readChangeFeed
+    startingTimestamp shape)."""
     spark.dataSource.register(SnapshotCDFStreamDataSource)
-    return (
+    reader = (
         spark.readStream.format("snapshot_changes_stream")
         .option("table", table)
-        .option("startingVersion", starting_version)
-        .load()
     )
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", str(starting_timestamp))
+    else:
+        reader = reader.option("startingVersion", starting_version)
+    return reader.load()

@@ -105,3 +105,38 @@ def test_expire_by_age_keeps_boundary_version(spark, tmp_path, monkeypatch):
         r["id"]
         for r in S.snapshot_read(spark, tbl, as_of=now - 500).collect()
     ) == [1, 2]
+
+
+def test_cdf_by_timestamp_batch_and_stream(spark, tmp_path, monkeypatch):
+    """snapshot_changes and the CDF stream accept TIMESTAMP endpoints
+    (the Delta startingTimestamp contract): a ts resolves to the version
+    current at that instant, so 'changes since T' = commits after the
+    snapshot a reader at T saw."""
+    tbl = str(tmp_path / "t")
+    _write_at(spark, tbl, [(1, 10)], 1000.0, monkeypatch, mode="overwrite")
+    _write_at(spark, tbl, [(2, 20)], 2000.0, monkeypatch)
+    _write_at(spark, tbl, [(3, 30)], 3000.0, monkeypatch)
+    ch = S.snapshot_changes(spark, tbl, from_ts=1500.0, to_ts=99999.0)
+    assert sorted(r["id"] for r in ch.collect()) == [2, 3]
+    # exactly one endpoint form per side
+    with pytest.raises(ValueError, match="exactly one of"):
+        S.snapshot_changes(spark, tbl, 1, 3, from_ts=1500.0)
+    with pytest.raises(ValueError, match="exactly one of"):
+        S.snapshot_changes(spark, tbl, from_ts=1500.0)
+    # the stream twin
+    from e02_spark.sources.snapshot_cdf_stream import (
+        read_snapshot_changes_stream,
+    )
+
+    out = []
+    q = (
+        read_snapshot_changes_stream(spark, tbl, starting_timestamp=1500.0)
+        .writeStream.foreachBatch(lambda b, i: out.append(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r for b in out for r in b]
+    assert sorted(r["id"] for r in rows) == [2, 3]
+    assert sorted(r["_commit_version"] for r in rows) == [2, 3]
