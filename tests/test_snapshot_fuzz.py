@@ -56,7 +56,8 @@ def _apply_random_op(spark, rng, table, model, ctx):
          "upsert_eq", "delete_eq",
          "rewrite", "binpack", "compact", "compact_zorder",
          "evolve_append", "rollback",
-         "set_check", "drop_check", "violate_check", "publish"]
+         "set_check", "drop_check", "violate_check", "publish",
+         "evolve_spec"]
     )
     if op in ("append", "evolve_append"):
         fresh = [
@@ -154,6 +155,17 @@ def _apply_random_op(spark, rng, table, model, ctx):
             )
             S.snapshot_publish(spark, stg, table)
             model.update(fresh)
+    elif op == "evolve_spec":
+        # partition-spec EVOLUTION mid-fuzz: one metadata-only commit;
+        # content is invariant, later writes lay out under the new
+        # spec, and probes keep resolving through the spec HISTORY —
+        # composing with merges, rollback (spec restores with
+        # metadata), z-order rewrites, and publish
+        spec = rng.choice(
+            [[("bucket", "id", 4)], [("bucket", "id", 8)],
+             [("identity", "tag")], []]
+        )
+        S.snapshot_set_partition_spec(table, spec)
     elif op == "violate_check":
         k = rng.randrange(9000, 9500)
         while k in model:
@@ -213,6 +225,29 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed, table_store):
             assert S.snapshot_rows(table) == len(model), (
                 f"metadata count drift: seed={seed} step={step} trace={trace}"
             )
+        if step % 3 == 0 and model:
+            # hidden-partition point probe through whatever spec history
+            # the evolutions have accumulated: row-complete at the key
+            k = rng.choice(sorted(model))
+            pr = S.snapshot_read(spark, table, partition_prune={"id": k})
+            assert {
+                r["amt"] for r in pr.where(f"id = {k}").select("amt").collect()
+            } == {model[k]}, f"prune drift seed={seed} step={step} trace={trace}"
+    # AS OF timestamp: two random historical versions re-read through
+    # their clamped commit times must equal the recorded model (before
+    # expire collects them)
+    vt = dict(S._version_times(table))
+    for v_h in rng.sample(sorted(ctx["history"]), min(2, len(ctx["history"]))):
+        if S._resolve_as_of(table, vt[v_h]) != v_h:
+            continue  # clamped-time tie: a later version shares the instant
+        past = ctx["history"][v_h][0]
+        got_h = {
+            r["id"]: r["amt"]
+            for r in S.snapshot_read(spark, table, as_of=vt[v_h])
+            .select("id", "amt")
+            .collect()
+        }
+        assert got_h == past, f"as_of drift seed={seed} v={v_h} trace={trace}"
     # CDF start->end balances with the model diff vs the initial state
     # (compared on the shared id/amt projection — evolution may have
     # widened the feed's schema along the way)
