@@ -165,3 +165,33 @@ def test_object_store_streaming_sink_and_cdf(spark, tmp_path):
         assert all(r["_change_type"] == "insert" for r in rows)
     finally:
         unregister_store(str(tmp_path))
+
+
+def test_conditional_put_thread_contention(tmp_path):
+    """N threads race put_json_if_absent on one path: exactly one wins,
+    the winner's content is intact, and every loser sees False — the
+    atomicity the whole commit protocol rests on, for both stores."""
+    import threading
+
+    for st in (LocalFSStore(), FakeObjectStore()):
+        p = str(tmp_path / f"race-{type(st).__name__}.json")
+        results: list[tuple[int, bool]] = []
+        lock = threading.Lock()
+        barrier = threading.Barrier(16)
+
+        def attempt(i, st=st, p=p):
+            barrier.wait()
+            ok = st.put_json_if_absent(p, {"winner": i})
+            with lock:
+                results.append((i, ok))
+
+        threads = [
+            threading.Thread(target=attempt, args=(i,)) for i in range(16)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        winners = [i for i, ok in results if ok]
+        assert len(winners) == 1, results
+        assert st.get_json(p) == {"winner": winners[0]}
