@@ -1667,6 +1667,7 @@ def snapshot_publish(
     main_table: str,
     idempotency_key: str | None = None,
     max_retries: int = 3,
+    properties: dict | None = None,
 ) -> dict:
     """WRITE-AUDIT-PUBLISH: atomically adopt the staging snapshot
     table's current data files into `main_table` as one append commit —
@@ -1791,7 +1792,15 @@ def snapshot_publish(
             "partition_specs": _specs_carry(prev, None),
             "schema": sch,
             "checks": checks,
-            "properties": prev.get("properties"),
+            # like snapshot_write: this publish's `properties` merge on
+            # top of the carried table properties, riding the SAME
+            # atomic commit as the adoption (what lets a cloning
+            # replicator record its base version crash-safely)
+            "properties": {
+                **(prev.get("properties") or {}),
+                **(properties or {}),
+            }
+            or None,
         }
         if _try_commit(main_table, base + 1, manifest):
             return {
@@ -1841,6 +1850,7 @@ def snapshot_replicate(
     strategy: str = "eq",
     n_files_new: int = 1,
     app_id: str | None = None,
+    bootstrap: str = "cdc",
 ):
     """Maintain `dst_table` as an exactly-once MIRROR of `src_table` by
     composing the streaming change-data-feed source with the CDC-apply
@@ -1850,6 +1860,21 @@ def snapshot_replicate(
     mirror by O(changed rows since last run) — never O(table) — and a
     crash/replay anywhere converges (offsets replay version-stable,
     merges no-op on their commit keys).
+
+    bootstrap='clone' (the 100 TB posture for a NEW mirror): instead of
+    streaming the source's entire history as CDC inserts — O(table)
+    rows through the feed and the merge path — the first run adopts the
+    source's CURRENT snapshot files zero-copy (snapshot_publish: links
+    or server-side copies, staged stats reused, O(metadata)) and the
+    stream starts from that version, so only subsequent changes ever
+    flow as CDC. The adopted base version rides the publish commit as a
+    dst property (`replicate_base_version`), making a crash between
+    adopt and first drain restart-safe; the adoption itself is keyed
+    `clone-<v>`. Requires the source snapshot delete-free (adoption is
+    file-level — run snapshot_rewrite_deletes first) and a recorded
+    schema. bootstrap='cdc' (default) keeps the replay-everything
+    behavior — right when the mirror must APPLY history (e.g. a
+    filtered/transformed consumer downstream of this feed later).
 
     Within one drained batch a key may carry its full history (inserted
     at v2, updated at v4, deleted at v5); compaction orders by
@@ -1861,6 +1886,51 @@ def snapshot_replicate(
     from ..sources.snapshot_cdf_stream import read_snapshot_changes_stream
 
     from pyspark.sql import functions as F
+
+    if bootstrap not in ("cdc", "clone"):
+        raise ValueError(f"bootstrap must be cdc|clone, got {bootstrap!r}")
+    if bootstrap == "clone":
+        if not snapshot_versions(dst_table):
+            v0 = snapshot_versions(src_table)[-1]
+            sm = _read_manifest(src_table, v0)
+            if sm.get("deletes") or sm.get("eq_deletes"):
+                raise ValueError(
+                    "snapshot_replicate(bootstrap='clone'): the source "
+                    "carries outstanding delete files — adoption is "
+                    "file-level; run snapshot_rewrite_deletes on the "
+                    "source first, or bootstrap='cdc'"
+                )
+            if sm.get("schema") is None:
+                raise ValueError(
+                    "clone bootstrap needs a manifest-recorded source "
+                    "schema (compact the source once to record one)"
+                )
+            from pyspark.sql.types import StructType
+
+            snapshot_write(
+                spark.createDataFrame(
+                    [], StructType.fromJson(sm["schema"])
+                ),
+                dst_table, mode="overwrite", n_files=1,
+                stats_cols=sm.get("stats_cols") or None,
+            )
+            snapshot_publish(
+                spark, src_table, dst_table,
+                idempotency_key=f"clone-{v0}",
+                properties={"replicate_base_version": v0},
+            )
+        base_prop = (
+            _read_manifest(dst_table, snapshot_versions(dst_table)[-1])
+            .get("properties") or {}
+        ).get("replicate_base_version")
+        if base_prop is None:
+            raise ValueError(
+                f"{dst_table} exists but records no "
+                "replicate_base_version — it was not clone-bootstrapped; "
+                "resume it with bootstrap='cdc' (the checkpoint carries "
+                "the offsets)"
+            )
+        starting_version = int(base_prop)
 
     feed = read_snapshot_changes_stream(
         spark, src_table, starting_version=starting_version

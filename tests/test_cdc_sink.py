@@ -480,3 +480,90 @@ def test_cdc_sink_app_id_scopes_commit_keys(spark, tmp_path):
     )
     assert q2.awaitTermination(300)
     assert _rows(spark, table) == {(1, 10), (2, 20)}
+
+
+def test_snapshot_replicate_clone_bootstrap(spark, tmp_path):
+    """bootstrap='clone': the new mirror adopts the source's current
+    snapshot zero-copy (O(metadata), no CDC rows for the base) and the
+    stream applies only SUBSEQUENT changes; a rerun with the same
+    checkpoint applies nothing; a crash between adopt and first drain
+    restarts safely via the recorded base version."""
+    from e02_spark.ops import snapshot as S
+    from e02_spark.ops.snapshot import snapshot_replicate
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(k, k * 2) for k in range(400)], "id bigint, v bigint"
+    ).createOrReplaceTempView("_clone_src")
+    S.snapshot_write(
+        spark.table("_clone_src"), src, mode="overwrite", n_files=2,
+        cluster_by=["id"], stats_cols=["id"],
+    )
+    q = snapshot_replicate(
+        spark, src, dst, on=["id"], checkpoint_dir=ck, bootstrap="clone",
+    )
+    q.awaitTermination(180)
+    # base adopted zero-copy: same inodes, no CDC versions beyond the
+    # bootstrap pair (empty overwrite + publish)
+    assert S.snapshot_versions(dst) == [1, 2]
+    assert S.snapshot_rows(dst) == 400
+    import os
+
+    src_m = S._read_manifest(src, 1)
+    dst_m = S._read_manifest(dst, 2)
+    src_inodes = {
+        os.stat(os.path.join(src, e["path"])).st_ino
+        for e in S._all_entries(src, src_m)
+    }
+    dst_inodes = {
+        os.stat(os.path.join(dst, e["path"])).st_ino
+        for e in S._all_entries(dst, dst_m)
+    }
+    # every source file adopted by link (zero bytes moved); the one
+    # extra dst file is the bootstrap's empty overwrite carrier
+    assert src_inodes <= dst_inodes
+    assert sum(
+        e["rows"] == 0 for e in S._all_entries(dst, dst_m)
+    ) == len(dst_inodes - src_inodes) == 1
+    # subsequent changes flow as CDC only
+    S.snapshot_merge(
+        spark, src,
+        spark.createDataFrame([(3, 999), (500, 500)], "id bigint, v bigint"),
+        on=["id"], when_matched="update", insert_not_matched=True,
+    )
+    S.snapshot_merge(
+        spark, src, spark.createDataFrame([(7,)], "id bigint"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+    )
+    q = snapshot_replicate(
+        spark, src, dst, on=["id"], checkpoint_dir=ck, bootstrap="clone",
+    )
+    q.awaitTermination(180)
+    got = {r["id"]: r["v"] for r in S.snapshot_read(spark, dst).collect()}
+    assert got[3] == 999 and got[500] == 500 and 7 not in got
+    assert len(got) == 400  # 400 - 1 delete + 1 insert
+    # quiescent rerun: nothing drains, nothing commits
+    v = S.snapshot_versions(dst)[-1]
+    q = snapshot_replicate(
+        spark, src, dst, on=["id"], checkpoint_dir=ck, bootstrap="clone",
+    )
+    q.awaitTermination(180)
+    assert S.snapshot_versions(dst)[-1] == v
+    # a source with outstanding deletes refuses clone by name
+    src2, dst2 = str(tmp_path / "src2"), str(tmp_path / "dst2")
+    S.snapshot_write(
+        spark.range(20).selectExpr("id", "id AS v"), src2,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_merge(
+        spark, src2, spark.createDataFrame([(1,)], "id bigint"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    with pytest.raises(ValueError, match="rewrite_deletes"):
+        snapshot_replicate(
+            spark, src2, dst2, on=["id"],
+            checkpoint_dir=str(tmp_path / "ck2"), bootstrap="clone",
+        )
