@@ -819,6 +819,7 @@ def snapshot_write(
             "eq_deletes": eq_refs,
             "partition_spec": spec,
             "partition_specs": _specs_carry(prev, spec),
+            "refs": (prev or {}).get("refs"),
             "schema": sch,
             # constraints survive overwrite too (table property, not
             # content — the Delta behavior for truncate-and-load)
@@ -848,6 +849,7 @@ def snapshot_read(
     prune: tuple[str, object, object] | list | None = None,
     partition_prune: dict | None = None,
     as_of=None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read snapshot `version` (default: latest). The file list comes
     from the manifest — never from directory listing, so uncommitted
@@ -855,8 +857,9 @@ def snapshot_read(
 
     as_of — epoch seconds, a datetime, or an ISO-8601 string — reads
     the table AS OF that wall-clock instant: the latest version whose
-    (monotone-clamped) commit timestamp is <= the probe. Mutually
-    exclusive with `version`.
+    (monotone-clamped) commit timestamp is <= the probe. `tag` reads
+    the version a named tag points at (snapshot_tag). version / as_of /
+    tag are mutually exclusive.
 
     prune=(col, lo, hi) — or a LIST of such triples, ANDed — drops files
     whose manifest [min,max] for `col` cannot intersect [lo, hi] BEFORE
@@ -892,10 +895,18 @@ def snapshot_read(
     versions = snapshot_versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {table}")
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass at most one of version / as_of / tag, not both")
     if as_of is not None:
-        if version is not None:
-            raise ValueError("pass version OR as_of, not both")
         version = _resolve_as_of(table, as_of)
+    if tag is not None:
+        refs = _read_manifest(table, versions[-1]).get("refs") or {}
+        if tag not in refs:
+            raise KeyError(
+                f"no tag {tag!r} on the table "
+                f"(recorded: {sorted(refs) or 'none'})"
+            )
+        version = refs[tag]
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
@@ -1228,6 +1239,7 @@ def snapshot_compact(
             "eq_deletes": [],
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -1340,6 +1352,7 @@ def snapshot_binpack(
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -1467,6 +1480,7 @@ def snapshot_rewrite_deletes(
             "eq_deletes": [],
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -1790,6 +1804,7 @@ def snapshot_publish(
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
             "schema": sch,
             "checks": checks,
             # like snapshot_write: this publish's `properties` merge on
@@ -2567,6 +2582,7 @@ def _merge_attempt(
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -2754,6 +2770,7 @@ def _eq_merge_commit(
             "eq_deletes": prev.get("eq_deletes", []) + [eq_ref],
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -3066,6 +3083,10 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
             "partition_specs": _specs_carry(
                 cur_prev, src.get("partition_spec")
             ),
+            # tags are POINTERS to versions, not content: they survive a
+            # rollback unchanged (like keys — the tagged version is
+            # still the tagged version)
+            "refs": cur_prev.get("refs"),
             "schema": src.get("schema"),
             "checks": src.get("checks"),
             "properties": src.get("properties"),
@@ -3102,6 +3123,7 @@ def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": checks or None,
             "properties": prev.get("properties"),
@@ -3237,6 +3259,7 @@ def snapshot_set_partition_spec(
             "eq_deletes": prev.get("eq_deletes", []),
             "partition_spec": new,
             "partition_specs": _specs_carry(prev, new),
+            "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
@@ -3246,6 +3269,88 @@ def snapshot_set_partition_spec(
     raise RuntimeError(
         f"snapshot_set_partition_spec lost {max_retries} consecutive "
         f"commit races on {table}"
+    )
+
+
+def snapshot_tag(table: str, name: str, version: int | None = None,
+                 max_retries: int = 10) -> int:
+    """Create or move a NAMED TAG pointing at `version` (default:
+    current) — the Iceberg tag shape: a stable name for a snapshot
+    ('v2026-08-audit', 'training-cut-42') that time travel can resolve
+    (snapshot_read(tag=...)) and that snapshot_expire PROTECTS — a
+    tagged version survives both keep_last and max_age_s until the tag
+    is dropped. One metadata-only commit; tags survive rollback (they
+    point at versions, not content). Returns the new table version."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    target = versions[-1] if version is None else version
+    if target not in versions:
+        raise ValueError(f"version {target} not in {versions}")
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        refs = dict(prev.get("refs") or {})
+        if refs.get(name) == target:
+            return base  # already pointing there
+        refs[name] = target
+        manifest = {
+            **{
+                k: prev.get(k)
+                for k in (
+                    "stats_cols", "manifests", "deletes", "eq_deletes",
+                    "partition_spec", "partition_specs", "schema",
+                    "checks", "properties",
+                )
+            },
+            "version": base + 1,
+            "mode": "tag",
+            "data_change": False,  # metadata-only: CDF-silent step
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "refs": refs,
+        }
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+    raise RuntimeError(
+        f"snapshot_tag lost {max_retries} consecutive commit races on {table}"
+    )
+
+
+def snapshot_drop_tag(table: str, name: str, max_retries: int = 10) -> int:
+    """Drop a named tag (metadata-only commit); its version becomes
+    expirable again. Unknown names raise KeyError."""
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        refs = dict(prev.get("refs") or {})
+        if name not in refs:
+            raise KeyError(
+                f"no tag {name!r} on the table "
+                f"(recorded: {sorted(refs) or 'none'})"
+            )
+        del refs[name]
+        manifest = {
+            **{
+                k: prev.get(k)
+                for k in (
+                    "stats_cols", "manifests", "deletes", "eq_deletes",
+                    "partition_spec", "partition_specs", "schema",
+                    "checks", "properties",
+                )
+            },
+            "version": base + 1,
+            "mode": "drop_tag",
+            "data_change": False,
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "refs": refs or None,
+        }
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+    raise RuntimeError(
+        f"snapshot_drop_tag lost {max_retries} consecutive commit races "
+        f"on {table}"
     )
 
 
@@ -3288,6 +3393,14 @@ def snapshot_expire(
             # current at the window's start: as_of(cutoff) resolves here
             young.add(boundary[-1])
         keep = sorted(set(keep) | young)
+    if versions:
+        # TAGGED versions are pinned until their tag is dropped
+        # (snapshot_tag — the Iceberg ref-retention rule)
+        tagged = set(
+            (_read_manifest(table, versions[-1]).get("refs") or {}).values()
+        )
+        if tagged:
+            keep = sorted(set(keep) | (tagged & set(versions)))
     dropped = 0
     live: set[str] = set()
     live_shards: set[str] = set()

@@ -140,3 +140,53 @@ def test_cdf_by_timestamp_batch_and_stream(spark, tmp_path, monkeypatch):
     rows = [r for b in out for r in b]
     assert sorted(r["id"] for r in rows) == [2, 3]
     assert sorted(r["_commit_version"] for r in rows) == [2, 3]
+
+
+def test_named_tags_read_protect_and_drop(spark, tmp_path, monkeypatch):
+    """Iceberg-style tags: a named ref resolves reads, PINS its version
+    against both keep_last and max_age_s expiry, survives rollback and
+    other commits, and dropping it makes the version expirable again."""
+    tbl = str(tmp_path / "t")
+    now = 500_000.0
+    _write_at(spark, tbl, [(1, 10)], now - 900, monkeypatch, mode="overwrite")
+    _write_at(spark, tbl, [(2, 20)], now - 800, monkeypatch)
+    monkeypatch.setattr(S, "_now", lambda: now - 700)
+    S.snapshot_tag(tbl, "training-cut", 2)
+    _write_at(spark, tbl, [(3, 30)], now - 600, monkeypatch)
+    _write_at(spark, tbl, [(4, 40)], now - 10, monkeypatch)
+
+    def ids(**kw):
+        return sorted(
+            r["id"] for r in S.snapshot_read(spark, tbl, **kw).collect()
+        )
+
+    assert ids(tag="training-cut") == [1, 2]
+    with pytest.raises(KeyError, match="no tag"):
+        S.snapshot_read(spark, tbl, tag="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        S.snapshot_read(spark, tbl, version=2, tag="training-cut")
+    # the tag commit is metadata-only and CDF-silent
+    m = S._read_manifest(tbl, 3)
+    assert m["mode"] == "tag" and m["data_change"] is False
+    # tags survive rollback (pointers, not content): roll content back
+    # to v4 = [1,2,3]; the tag still resolves v2
+    S.snapshot_rollback(tbl, 4)
+    assert ids() == [1, 2, 3]
+    assert ids(tag="training-cut") == [1, 2]
+    # expire: keep_last=1 + tight age window, yet v2 survives via the tag
+    monkeypatch.setattr(S, "_now", lambda: now)
+    S.snapshot_expire(tbl, keep_last=1, max_age_s=100.0)
+    assert 2 in S.snapshot_versions(tbl)
+    assert ids(tag="training-cut") == [1, 2]
+    # idempotent re-tag no-ops; moving the tag commits
+    v = S.snapshot_versions(tbl)[-1]
+    assert S.snapshot_tag(tbl, "training-cut", 2) == v
+    S.snapshot_tag(tbl, "training-cut")  # move to current
+    assert ids(tag="training-cut") == ids()
+    # drop: the old version expires on the next pass
+    S.snapshot_drop_tag(tbl, "training-cut")
+    with pytest.raises(KeyError):
+        S.snapshot_drop_tag(tbl, "training-cut")
+    S.snapshot_expire(tbl, keep_last=1)
+    assert 2 not in S.snapshot_versions(tbl)
+    assert ids() == [1, 2, 3]
