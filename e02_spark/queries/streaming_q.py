@@ -658,6 +658,17 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and snapshot_read(spark, table, as_of=ts[0]).count()
         == snapshot_rows(table, h_ts[0]["version"])
     )
+    # NAMED TAGS (round 10): a stable ref resolves reads and would pin
+    # its version against the expiry below — tagged, read-by-tag
+    # row-checked, then dropped so the GC leg stays exact.
+    from ..ops.snapshot import snapshot_drop_tag, snapshot_tag
+
+    snapshot_tag(table, "audit-cut", ver_v1 - 1)
+    tag_ok = (
+        snapshot_read(spark, table, tag="audit-cut").count()
+        == snapshot_rows(table, ver_v1 - 1)
+    )
+    snapshot_drop_tag(table, "audit-cut")
     # EXPIRE/GC (round 10): a compact rewrites every file, then expiry
     # to keep_last=1 drops all prior manifests AND physically collects
     # the now-unreferenced pre-compact data files; the final
@@ -692,6 +703,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("publish_ok", F.lit(bool(publish_ok)))
         .withColumn("as_of_ts_ok", F.lit(bool(as_of_ts_ok)))
+        .withColumn("tag_ok", F.lit(bool(tag_ok)))
         .withColumn("expire_ok", F.lit(bool(expire_ok)))
     )
 
@@ -705,6 +717,7 @@ SELECT o_orderpriority,
   TRUE AS rollback_history_ok,
   TRUE AS publish_ok,
   TRUE AS as_of_ts_ok,
+  TRUE AS tag_ok,
   TRUE AS expire_ok
 FROM orders
 WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
