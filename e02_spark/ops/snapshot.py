@@ -504,6 +504,31 @@ def _resolve_as_of(table: str, as_of) -> int:
     return best
 
 
+def _resolve_from_ts(table: str, ts) -> int:
+    """Resolve an INCLUSIVE change-feed start timestamp: the last
+    version whose clamped commit time is strictly BEFORE the probe (0 =
+    replay everything), so commits AT or after the timestamp are
+    included — the Delta readChangeFeed startingTimestamp contract
+    (copying a commit's own time from history resumes FROM that commit,
+    not after it). Contrast _resolve_as_of, which answers 'the snapshot
+    a reader AT the probe saw' (inclusive of the probe instant)."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        try:
+            ts = _dt.datetime.fromisoformat(ts)
+        except ValueError:
+            ts = float(ts)
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    epoch = float(ts)
+    best = 0
+    for v, t in _version_times(table):
+        if t < epoch:
+            best = v
+    return best
+
+
 def committed_keys(table: str) -> set[str]:
     """Idempotency keys visible at the CURRENT version (see
     snapshot_write's idempotency_key). Each manifest list carries the
@@ -902,10 +927,7 @@ def snapshot_read(
     if tag is not None:
         refs = _read_manifest(table, versions[-1]).get("refs") or {}
         if tag not in refs:
-            raise KeyError(
-                f"no tag {tag!r} on the table "
-                f"(recorded: {sorted(refs) or 'none'})"
-            )
+            raise _no_tag_error(tag, refs)
         version = refs[tag]
     v = versions[-1] if version is None else version
     if v not in versions:
@@ -1905,7 +1927,31 @@ def snapshot_replicate(
     if bootstrap not in ("cdc", "clone"):
         raise ValueError(f"bootstrap must be cdc|clone, got {bootstrap!r}")
     if bootstrap == "clone":
-        if not snapshot_versions(dst_table):
+        dversions = snapshot_versions(dst_table)
+        need_create = not dversions
+        need_adopt = need_create
+        if dversions:
+            dm = _read_manifest(dst_table, dversions[-1])
+            base_prop = (dm.get("properties") or {}).get(
+                "replicate_base_version"
+            )
+            if base_prop is None:
+                # dst exists without the base marker: either a crash
+                # landed between the empty-create and the publish (dst
+                # is one empty version — retry the keyed, idempotent
+                # adoption), or the table has real content from another
+                # feed (refuse by name)
+                if sum(r["rows"] for r in dm["manifests"]) == 0:
+                    need_adopt = True
+                else:
+                    raise ValueError(
+                        f"{dst_table} exists with content but records "
+                        "no replicate_base_version — it was not "
+                        "clone-bootstrapped; resume it with "
+                        "bootstrap='cdc' (the checkpoint carries the "
+                        "offsets)"
+                    )
+        if need_adopt:
             v0 = snapshot_versions(src_table)[-1]
             sm = _read_manifest(src_table, v0)
             if sm.get("deletes") or sm.get("eq_deletes"):
@@ -1920,15 +1966,16 @@ def snapshot_replicate(
                     "clone bootstrap needs a manifest-recorded source "
                     "schema (compact the source once to record one)"
                 )
-            from pyspark.sql.types import StructType
+            if need_create:
+                from pyspark.sql.types import StructType
 
-            snapshot_write(
-                spark.createDataFrame(
-                    [], StructType.fromJson(sm["schema"])
-                ),
-                dst_table, mode="overwrite", n_files=1,
-                stats_cols=sm.get("stats_cols") or None,
-            )
+                snapshot_write(
+                    spark.createDataFrame(
+                        [], StructType.fromJson(sm["schema"])
+                    ),
+                    dst_table, mode="overwrite", n_files=1,
+                    stats_cols=sm.get("stats_cols") or None,
+                )
             snapshot_publish(
                 spark, src_table, dst_table,
                 idempotency_key=f"clone-{v0}",
@@ -1938,13 +1985,6 @@ def snapshot_replicate(
             _read_manifest(dst_table, snapshot_versions(dst_table)[-1])
             .get("properties") or {}
         ).get("replicate_base_version")
-        if base_prop is None:
-            raise ValueError(
-                f"{dst_table} exists but records no "
-                "replicate_base_version — it was not clone-bootstrapped; "
-                "resume it with bootstrap='cdc' (the checkpoint carries "
-                "the offsets)"
-            )
         starting_version = int(base_prop)
 
     feed = read_snapshot_changes_stream(
@@ -2800,10 +2840,12 @@ def snapshot_changes(
     """Row-accurate change-data-feed between two committed versions.
     Endpoints may be given as versions OR as timestamps (from_ts/to_ts —
     epoch, datetime, or ISO string; the Delta readChangeFeed
-    startingVersion/startingTimestamp contract): a timestamp resolves to
-    the version CURRENT at that instant through the monotone-clamped
-    commit times, so "changes since 9am" means changes committed after
-    the snapshot a 9am reader saw. Each endpoint takes exactly one of
+    startingVersion/startingTimestamp contract). from_ts is INCLUSIVE of
+    commits at the probe instant — copying a commit's own timestamp from
+    snapshot_history resumes FROM that commit, not after it
+    (_resolve_from_ts); to_ts means "up to and including the snapshot
+    current at that instant" (_resolve_as_of). Both resolve through the
+    monotone-clamped commit times. Each endpoint takes exactly one of
     the two forms:
     returns the table's columns plus `_change_type` ('insert' rows are in
     `to` but not `from`, 'delete' rows the reverse; an update appears as
@@ -2834,7 +2876,14 @@ def snapshot_changes(
     if (to_version is None) == (to_ts is None):
         raise ValueError("pass exactly one of to_version / to_ts")
     if from_ts is not None:
-        from_version = _resolve_as_of(table, from_ts)
+        from_version = _resolve_from_ts(table, from_ts)
+        if from_version == 0:
+            raise ValueError(
+                f"from_ts {from_ts!r} is at or before the first commit "
+                f"of {table} — the batch diff needs a base snapshot; "
+                "replay the whole history through the CDF STREAM "
+                "(startingTimestamp) or pass from_version explicitly"
+            )
     if to_ts is not None:
         to_version = _resolve_as_of(table, to_ts)
     versions = snapshot_versions(table)
@@ -3098,19 +3147,27 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
     )
 
 
-def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
-    """Commit a metadata-only version whose `checks` dict is
-    mutate(current_checks); every other manifest field carries forward.
-    Returns the new version (or the current one when mutate is a
-    no-op)."""
+def _meta_commit(
+    table: str,
+    field: str,
+    mutate,
+    mode: str,
+    max_retries: int,
+    data_change: bool | None = None,
+) -> int:
+    """Commit a metadata-only version whose `field` dict is
+    mutate(current value); every other manifest field carries forward
+    (the shared machinery under check and tag mutations). Returns the
+    new version (or the current one when mutate is a no-op).
+    data_change=False marks the commit CDF-silent."""
     versions = snapshot_versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {table}")
     for _ in range(max_retries):
         base = snapshot_versions(table)[-1]
         prev = _read_manifest(table, base)
-        checks = mutate(dict(prev.get("checks") or {}))
-        if checks == (prev.get("checks") or {}):
+        new = mutate(dict(prev.get(field) or {}))
+        if new == (prev.get(field) or {}):
             return base  # already in the requested state
         manifest = {
             "version": base + 1,
@@ -3125,14 +3182,21 @@ def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
             "partition_specs": _specs_carry(prev, None),
             "refs": prev.get("refs"),
             "schema": prev.get("schema"),
-            "checks": checks or None,
+            "checks": prev.get("checks"),
             "properties": prev.get("properties"),
         }
+        manifest[field] = new or None
+        if data_change is not None:
+            manifest["data_change"] = data_change
         if _try_commit(table, base + 1, manifest):
             return base + 1
     raise RuntimeError(
         f"{mode} lost {max_retries} consecutive commit races on {table}"
     )
+
+
+def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
+    return _meta_commit(table, "checks", mutate, mode, max_retries)
 
 
 def snapshot_set_check(
@@ -3272,6 +3336,12 @@ def snapshot_set_partition_spec(
     )
 
 
+def _no_tag_error(name: str, refs: dict) -> KeyError:
+    return KeyError(
+        f"no tag {name!r} on the table (recorded: {sorted(refs) or 'none'})"
+    )
+
+
 def snapshot_tag(table: str, name: str, version: int | None = None,
                  max_retries: int = 10) -> int:
     """Create or move a NAMED TAG pointing at `version` (default:
@@ -3279,79 +3349,36 @@ def snapshot_tag(table: str, name: str, version: int | None = None,
     ('v2026-08-audit', 'training-cut-42') that time travel can resolve
     (snapshot_read(tag=...)) and that snapshot_expire PROTECTS — a
     tagged version survives both keep_last and max_age_s until the tag
-    is dropped. One metadata-only commit; tags survive rollback (they
-    point at versions, not content). Returns the new table version."""
+    is dropped. One metadata-only CDF-silent commit; tags survive
+    rollback (they point at versions, not content). Returns the new
+    table version."""
     versions = snapshot_versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {table}")
     target = versions[-1] if version is None else version
     if target not in versions:
         raise ValueError(f"version {target} not in {versions}")
-    for _ in range(max_retries):
-        base = snapshot_versions(table)[-1]
-        prev = _read_manifest(table, base)
-        refs = dict(prev.get("refs") or {})
-        if refs.get(name) == target:
-            return base  # already pointing there
+
+    def mutate(refs: dict) -> dict:
         refs[name] = target
-        manifest = {
-            **{
-                k: prev.get(k)
-                for k in (
-                    "stats_cols", "manifests", "deletes", "eq_deletes",
-                    "partition_spec", "partition_specs", "schema",
-                    "checks", "properties",
-                )
-            },
-            "version": base + 1,
-            "mode": "tag",
-            "data_change": False,  # metadata-only: CDF-silent step
-            "idempotency_key": None,
-            "keys": prev.get("keys", sorted(committed_keys(table))),
-            "refs": refs,
-        }
-        if _try_commit(table, base + 1, manifest):
-            return base + 1
-    raise RuntimeError(
-        f"snapshot_tag lost {max_retries} consecutive commit races on {table}"
-    )
+        return refs
+
+    return _meta_commit(table, "refs", mutate, "tag", max_retries,
+                        data_change=False)
 
 
 def snapshot_drop_tag(table: str, name: str, max_retries: int = 10) -> int:
-    """Drop a named tag (metadata-only commit); its version becomes
-    expirable again. Unknown names raise KeyError."""
-    for _ in range(max_retries):
-        base = snapshot_versions(table)[-1]
-        prev = _read_manifest(table, base)
-        refs = dict(prev.get("refs") or {})
+    """Drop a named tag (metadata-only CDF-silent commit); its version
+    becomes expirable again. Unknown names raise KeyError."""
+
+    def mutate(refs: dict) -> dict:
         if name not in refs:
-            raise KeyError(
-                f"no tag {name!r} on the table "
-                f"(recorded: {sorted(refs) or 'none'})"
-            )
+            raise _no_tag_error(name, refs)
         del refs[name]
-        manifest = {
-            **{
-                k: prev.get(k)
-                for k in (
-                    "stats_cols", "manifests", "deletes", "eq_deletes",
-                    "partition_spec", "partition_specs", "schema",
-                    "checks", "properties",
-                )
-            },
-            "version": base + 1,
-            "mode": "drop_tag",
-            "data_change": False,
-            "idempotency_key": None,
-            "keys": prev.get("keys", sorted(committed_keys(table))),
-            "refs": refs or None,
-        }
-        if _try_commit(table, base + 1, manifest):
-            return base + 1
-    raise RuntimeError(
-        f"snapshot_drop_tag lost {max_retries} consecutive commit races "
-        f"on {table}"
-    )
+        return refs
+
+    return _meta_commit(table, "refs", mutate, "drop_tag", max_retries,
+                        data_change=False)
 
 
 def snapshot_expire(

@@ -260,20 +260,12 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "snapshot_changes_stream requires .option('table', path)"
             )
-        start_ts = options.get("startingtimestamp")
-        if start_ts is not None and "startingversion" in options:
+        self._start_ts = options.get("startingtimestamp")
+        if self._start_ts is not None and "startingversion" in options:
             raise ValueError(
                 "pass startingVersion OR startingTimestamp, not both"
             )
-        if start_ts is not None:
-            # the Delta readChangeFeed startingTimestamp contract: start
-            # AFTER the snapshot current at that instant (resolved
-            # through the monotone-clamped commit times)
-            from ..ops.snapshot import _resolve_as_of
-
-            self.start_version = _resolve_as_of(self.table, start_ts)
-        else:
-            self.start_version = int(options.get("startingversion", 0))
+        self.start_version = int(options.get("startingversion", 0))
         # per-delete-file driver-shipping cap (rows); see
         # DeleteStateOverflowError / _DELETE_ROWS_CAP
         self.max_delete_rows = int(
@@ -299,6 +291,18 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
 
     # -- driver-side planning ------------------------------------------------
     def initialOffset(self) -> dict:
+        # startingTimestamp resolves LAZILY, here: initialOffset is only
+        # consulted when no checkpoint exists, so a restart from a
+        # checkpoint never re-resolves the timestamp — expiring the
+        # pre-T history cannot brick an established stream. INCLUSIVE
+        # semantics (the Delta readChangeFeed startingTimestamp
+        # contract): changes of every commit whose clamped time is AT or
+        # after T are emitted — the offset is the last version strictly
+        # BEFORE T.
+        if self._start_ts is not None:
+            from ..ops.snapshot import _resolve_from_ts
+
+            return {"version": _resolve_from_ts(self.table, self._start_ts)}
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:

@@ -504,7 +504,7 @@ def test_snapshot_replicate_clone_bootstrap(spark, tmp_path):
     q = snapshot_replicate(
         spark, src, dst, on=["id"], checkpoint_dir=ck, bootstrap="clone",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     # base adopted zero-copy: same inodes, no CDC versions beyond the
     # bootstrap pair (empty overwrite + publish)
     assert S.snapshot_versions(dst) == [1, 2]
@@ -540,7 +540,7 @@ def test_snapshot_replicate_clone_bootstrap(spark, tmp_path):
     q = snapshot_replicate(
         spark, src, dst, on=["id"], checkpoint_dir=ck, bootstrap="clone",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     got = {r["id"]: r["v"] for r in S.snapshot_read(spark, dst).collect()}
     assert got[3] == 999 and got[500] == 500 and 7 not in got
     assert len(got) == 400  # 400 - 1 delete + 1 insert
@@ -549,7 +549,7 @@ def test_snapshot_replicate_clone_bootstrap(spark, tmp_path):
     q = snapshot_replicate(
         spark, src, dst, on=["id"], checkpoint_dir=ck, bootstrap="clone",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     assert S.snapshot_versions(dst)[-1] == v
     # a source with outstanding deletes refuses clone by name
     src2, dst2 = str(tmp_path / "src2"), str(tmp_path / "dst2")

@@ -109,15 +109,26 @@ def test_expire_by_age_keeps_boundary_version(spark, tmp_path, monkeypatch):
 
 def test_cdf_by_timestamp_batch_and_stream(spark, tmp_path, monkeypatch):
     """snapshot_changes and the CDF stream accept TIMESTAMP endpoints
-    (the Delta startingTimestamp contract): a ts resolves to the version
-    current at that instant, so 'changes since T' = commits after the
-    snapshot a reader at T saw."""
+    (the Delta startingTimestamp contract): the start is INCLUSIVE of
+    commits at the probe instant (copying a commit's own time from
+    history resumes FROM it); the end means 'up to and including the
+    snapshot current at that instant'."""
     tbl = str(tmp_path / "t")
     _write_at(spark, tbl, [(1, 10)], 1000.0, monkeypatch, mode="overwrite")
     _write_at(spark, tbl, [(2, 20)], 2000.0, monkeypatch)
     _write_at(spark, tbl, [(3, 30)], 3000.0, monkeypatch)
     ch = S.snapshot_changes(spark, tbl, from_ts=1500.0, to_ts=99999.0)
     assert sorted(r["id"] for r in ch.collect()) == [2, 3]
+    # INCLUSIVE start boundary (the Delta startingTimestamp contract):
+    # copying v2's own commit time from history resumes FROM v2
+    ch = S.snapshot_changes(spark, tbl, from_ts=2000.0, to_ts=99999.0)
+    assert sorted(r["id"] for r in ch.collect()) == [2, 3]
+    # inclusive upper boundary: to_ts at v2's instant includes v2
+    ch = S.snapshot_changes(spark, tbl, from_ts=1500.0, to_ts=2000.0)
+    assert sorted(r["id"] for r in ch.collect()) == [2]
+    # a from_ts at/before the first commit has no base snapshot to diff
+    with pytest.raises(ValueError, match="first commit"):
+        S.snapshot_changes(spark, tbl, from_ts=500.0, to_ts=99999.0)
     # exactly one endpoint form per side
     with pytest.raises(ValueError, match="exactly one of"):
         S.snapshot_changes(spark, tbl, 1, 3, from_ts=1500.0)
@@ -130,7 +141,7 @@ def test_cdf_by_timestamp_batch_and_stream(spark, tmp_path, monkeypatch):
 
     out = []
     q = (
-        read_snapshot_changes_stream(spark, tbl, starting_timestamp=1500.0)
+        read_snapshot_changes_stream(spark, tbl, starting_timestamp=2000.0)
         .writeStream.foreachBatch(lambda b, i: out.append(b.collect()))
         .trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ck"))
