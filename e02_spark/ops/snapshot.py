@@ -3342,6 +3342,45 @@ def _no_tag_error(name: str, refs: dict) -> KeyError:
     )
 
 
+def snapshot_optimize(
+    spark: SparkSession,
+    table: str,
+    target_rows: int = 500_000,
+    cluster_by: list[str] | None = None,
+    keep_last: int = 2,
+    max_age_s: float | None = None,
+    clean_orphans: bool = True,
+    orphan_grace_s: float = 3600.0,
+) -> dict:
+    """ONE scheduled maintenance call per table (the Delta
+    OPTIMIZE-then-VACUUM pairing): in order,
+      1. snapshot_rewrite_deletes — fold BOTH delete flavors back into
+         the data, restoring anti-join-free reads and metadata counts
+         (and un-bricking everything the honesty rules disable under
+         outstanding eq deletes);
+      2. snapshot_binpack — repack streaming-ingest small-file sprawl
+         toward target_rows-sized files (touches only the sprawl);
+      3. snapshot_expire — drop history past keep_last/max_age_s
+         (tagged versions stay pinned) and GC orphans older than
+         orphan_grace_s (one hour by default — the live-deployment-safe
+         fence for in-flight writers, unlike expire's raw 0).
+    Every step is the existing O(affected) operation; a no-op table
+    costs three manifest reads. Returns {'rewrite_deletes', 'binpack',
+    'expire'} with each step's result dict."""
+    return {
+        "rewrite_deletes": snapshot_rewrite_deletes(
+            spark, table, cluster_by=cluster_by
+        ),
+        "binpack": snapshot_binpack(
+            spark, table, target_rows=target_rows, cluster_by=cluster_by
+        ),
+        "expire": snapshot_expire(
+            table, keep_last=keep_last, max_age_s=max_age_s,
+            clean_orphans=clean_orphans, orphan_grace_s=orphan_grace_s,
+        ),
+    }
+
+
 def snapshot_tag(table: str, name: str, version: int | None = None,
                  max_retries: int = 10) -> int:
     """Create or move a NAMED TAG pointing at `version` (default:

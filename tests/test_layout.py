@@ -1459,3 +1459,47 @@ def test_snapshot_compact_zorder_two_dimension_pruning(spark, tmp_path):
         .count()
     )
     assert got == 128
+
+
+def test_snapshot_optimize_one_call_maintenance(spark, tmp_path):
+    """snapshot_optimize composes fold -> binpack -> expire: one
+    scheduled call restores anti-join-free reads and metadata counts,
+    repacks sprawl, and GCs history — content exact, tagged versions
+    pinned."""
+    from e02_spark.ops import snapshot as S
+
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(300)), tbl, mode="overwrite",
+                     n_files=2, cluster_by=["id"], stats_cols=["id"])
+    S.snapshot_tag(tbl, "keep-me")  # pins v1 through the expire leg
+    # streaming-style sprawl + both delete flavors outstanding
+    for lo in (300, 320, 340):
+        S.snapshot_write(_kv(spark, range(lo, lo + 20)), tbl,
+                         mode="append", n_files=1)
+    S.snapshot_merge(spark, tbl, _kv(spark, range(0, 30), tag="up"),
+                     on=["id"], strategy="mor")
+    S.snapshot_merge(
+        spark, tbl,
+        spark.createDataFrame([(i,) for i in range(330, 335)], "id BIGINT"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="eq",
+    )
+    # eq deletes outstanding: metadata count honestly refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="EQUALITY"):
+        S.snapshot_rows(tbl)
+    want = {r["id"]: r["tag"]
+            for r in S.snapshot_read(spark, tbl).collect()}
+    res = S.snapshot_optimize(
+        spark, tbl, target_rows=400, keep_last=1, orphan_grace_s=0.0,
+    )
+    assert res["rewrite_deletes"]["eq_files_removed"] == 1
+    assert res["binpack"]["files_rewritten"] > 0
+    assert res["expire"]["manifests_dropped"] > 0
+    # counts restored, content exact, tag still resolvable
+    assert S.snapshot_rows(tbl) == len(want) == 355
+    got = {r["id"]: r["tag"] for r in S.snapshot_read(spark, tbl).collect()}
+    assert got == want
+    assert 1 in S.snapshot_versions(tbl)  # the tagged version survived
+    assert S.snapshot_read(spark, tbl, tag="keep-me").count() == 300
