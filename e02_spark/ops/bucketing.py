@@ -98,8 +98,10 @@ def snapshot_bucket_layout(table: str, key: str, manifest: dict | None = None):
     every bucket, rows routed by the re-derived filter (NULL keys match
     no bucket and drop, the inner-join semantics) — correct, just n
     scans of that one file until maintenance splits it. rows are
-    manifest counts attributed to the file's low bucket (metadata
-    heuristic for broadcast-side choice, never correctness).
+    manifest counts spread evenly across the buckets the file spans
+    (metadata heuristic for broadcast-side choice, never correctness) —
+    attributing a spanning/boundless file's whole count to one bucket
+    would skew the per-bucket broadcast-side decision.
     `manifest`, if given, pins the version (snapshot isolation —
     callers joining two reads must not let a racing commit tear the
     file list from the delete state)."""
@@ -132,13 +134,14 @@ def snapshot_bucket_layout(table: str, key: str, manifest: dict | None = None):
         # boundless file: could hold any bucket (or only NULL keys) —
         # plan it everywhere; the per-bucket row filter keeps it exact
         span = (0, int(t[2]) - 1) if b is None else (int(b[0]), int(b[1]))
+        width = span[1] - span[0] + 1
         for bucket in range(span[0], span[1] + 1):
             by_bucket.setdefault(bucket, []).append(
                 os.path.join(table, e["path"])
             )
-        rows_by_bucket[span[0]] = (
-            rows_by_bucket.get(span[0], 0) + e["rows"]
-        )
+            rows_by_bucket[bucket] = (
+                rows_by_bucket.get(bucket, 0) + e["rows"] / width
+            )
     return t, by_bucket, rows_by_bucket
 
 

@@ -205,48 +205,112 @@ def _probe_value(v):
     return _stat_value(v)
 
 
+def _harvest_one(path: str, stats_cols: list[str], table: str) -> dict:
+    """Footer → manifest entry for ONE parquet file. Shared verbatim by
+    the sequential and the distributed harvest paths so both produce
+    byte-identical manifest entries. Column chunk stats are aggregated
+    across row groups; a column missing stats in any row group — or
+    whose stat type has no JSON-safe ordered encoding (see _stat_value)
+    — gets null bounds (reader then cannot prune on it, which is the
+    safe direction)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    bounds: dict[str, list] = {}
+    for col in stats_cols:
+        if col not in schema_names:
+            continue
+        ci = schema_names.index(col)
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        jlo, jhi = _stat_value(lo), _stat_value(hi)
+        if ok and jlo is not None and jhi is not None:
+            bounds[col] = [jlo, jhi]
+    return {
+        # TABLE-relative: the manifest stays valid if the table
+        # root moves or the reader's CWD differs from the writer's
+        "path": os.path.relpath(path, table),
+        "rows": meta.num_rows,
+        "stats": bounds,
+    }
+
+
+# Below this file count the commit-plane harvest stays a driver loop; at
+# or above it the footer reads fan out to executors so a bulk
+# commit/backfill of 10⁵ files doesn't serialize on the driver. The
+# threshold is calibrated from scripts/stress_harvest.py: on a local FS
+# a footer read is ~0.1 ms and the Spark job costs ~1.5 s fixed, so the
+# crossover sits near 10⁴ files; on an object store each footer is a
+# ~10-50 ms network round-trip and the crossover drops to ~100 files —
+# a remote deployment lowers this constant (module-level, one line)
+# when registering its store.
+_HARVEST_DISTRIBUTE_MIN = 8192
+
+
 def _harvest_stats(
     files: list[str], stats_cols: list[str], table: str
 ) -> list[dict]:
-    """Per-file entries from the parquet FOOTERS (row count + min/max per
-    stats column) — driver-side metadata reads, no Spark job. Column
-    chunk stats are aggregated across row groups; a column missing stats
-    in any row group — or whose stat type has no JSON-safe ordered
-    encoding (see _stat_value) — gets null bounds (reader then cannot
-    prune on it, which is the safe direction)."""
-    import pyarrow.parquet as pq
+    """Per-file entries from the parquet FOOTERS (row count + min/max
+    per stats column). Small commits (the steady state) read footers
+    driver-side with no Spark job; a commit at or above
+    _HARVEST_DISTRIBUTE_MIN files distributes the footer reads as a
+    mapInPandas over the file list — O(files/executors) wall instead of
+    O(files) on the driver — and returns IDENTICAL entries (same
+    per-file parser, same path sort; pinned by test_layout). The
+    collected result is manifest metadata (~100 bytes/file), not data."""
+    files = sorted(files)
+    if len(files) >= _HARVEST_DISTRIBUTE_MIN:
+        from pyspark.sql import SparkSession
 
-    entries = []
-    for path in sorted(files):
-        meta = pq.ParquetFile(path).metadata
-        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
-        bounds: dict[str, list] = {}
-        for col in stats_cols:
-            if col not in schema_names:
-                continue
-            ci = schema_names.index(col)
-            lo = hi = None
-            ok = True
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            jlo, jhi = _stat_value(lo), _stat_value(hi)
-            if ok and jlo is not None and jhi is not None:
-                bounds[col] = [jlo, jhi]
-        entries.append(
-            {
-                # TABLE-relative: the manifest stays valid if the table
-                # root moves or the reader's CWD differs from the writer's
-                "path": os.path.relpath(path, table),
-                "rows": meta.num_rows,
-                "stats": bounds,
-            }
-        )
-    return entries
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            return _harvest_stats_distributed(spark, files, stats_cols, table)
+    return [_harvest_one(p, stats_cols, table) for p in files]
+
+
+def _harvest_stats_distributed(
+    spark, files: list[str], stats_cols: list[str], table: str
+) -> list[dict]:
+    """Executor-side twin of the sequential harvest: ship the file list,
+    parse each footer where the data lives (executors share the table's
+    filesystem — the same assumption every scan already makes), return
+    JSON-encoded entries, and re-sort by path on the driver so shard
+    layout / pruning order is byte-identical to the sequential path."""
+    import json as _json
+
+    cols, tbl = list(stats_cols), table
+
+    def _part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "entry": [
+                        _json.dumps(_harvest_one(p, cols, tbl), sort_keys=True)
+                        for p in pdf["path"]
+                    ]
+                }
+            )
+
+    n_slices = min(len(files), max(spark.sparkContext.defaultParallelism, 1) * 4)
+    rows = (
+        spark.createDataFrame([(p,) for p in files], "path string")
+        .repartition(n_slices)
+        .mapInPandas(_part, "entry string")
+        .collect()
+    )
+    return sorted(
+        (_json.loads(r["entry"]) for r in rows), key=lambda e: e["path"]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1704,6 +1768,7 @@ def snapshot_publish(
     idempotency_key: str | None = None,
     max_retries: int = 3,
     properties: dict | None = None,
+    staging_version: int | None = None,
 ) -> dict:
     """WRITE-AUDIT-PUBLISH: atomically adopt the staging snapshot
     table's current data files into `main_table` as one append commit —
@@ -1731,10 +1796,26 @@ def snapshot_publish(
     commit contract; publishing the same staging content twice WITHOUT
     a key appends duplicate rows, exactly like any other append.
 
+    `staging_version` pins WHICH staging snapshot is adopted (default:
+    latest at call time). A caller that audited / derived metadata from
+    a specific version (e.g. clone bootstrap recording its base) passes
+    it through so the delete-free/schema checks, the adopted entries,
+    and anything the caller records all derive from ONE snapshot — a
+    staging commit racing between the caller's read and this call can
+    then never be adopted silently.
+
     Returns {'version', 'files_adopted', 'rows_adopted'}."""
     versions = snapshot_versions(staging_table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {staging_table}")
+    if staging_version is None:
+        staging_version = versions[-1]
+    elif staging_version not in versions:
+        raise ValueError(
+            f"snapshot_publish: pinned staging_version {staging_version} "
+            f"is not a committed version of {staging_table} "
+            f"(have {versions[0]}..{versions[-1]})"
+        )
     if idempotency_key is not None and idempotency_key in committed_keys(
         main_table
     ):
@@ -1742,7 +1823,7 @@ def snapshot_publish(
             "version": snapshot_versions(main_table)[-1],
             "files_adopted": 0, "rows_adopted": 0,
         }
-    sm = _read_manifest(staging_table, versions[-1])
+    sm = _read_manifest(staging_table, staging_version)
     if sm.get("deletes") or sm.get("eq_deletes"):
         raise ValueError(
             f"snapshot_publish: {staging_table} carries outstanding "
@@ -1976,10 +2057,16 @@ def snapshot_replicate(
                     dst_table, mode="overwrite", n_files=1,
                     stats_cols=sm.get("stats_cols") or None,
                 )
+            # pin the publish to v0 — a src commit racing between the
+            # v0 read above and the publish must not be adopted under a
+            # base marker that says v0 (the stream would re-apply
+            # v0→vN changes; keyed merges converge but extra versions
+            # churn and the marker lies)
             snapshot_publish(
                 spark, src_table, dst_table,
                 idempotency_key=f"clone-{v0}",
                 properties={"replicate_base_version": v0},
+                staging_version=v0,
             )
         base_prop = (
             _read_manifest(dst_table, snapshot_versions(dst_table)[-1])

@@ -55,6 +55,7 @@ import glob as _glob
 import json
 import os
 import shutil
+import threading
 import uuid
 
 
@@ -152,36 +153,44 @@ class FakeObjectStore(LocalFSStore):
         exposed to callers.
 
     `counts` tallies the primitives used, so a test can assert the code
-    under test stayed within the object-store-expressible subset."""
+    under test stayed within the object-store-expressible subset. The
+    tally is lock-guarded: the concurrency suites (e.g. concurrent merge
+    writers) drive one store instance from many threads, and a bare
+    `dict[k] += 1` can drop increments under contention."""
 
     def __init__(self) -> None:
+        self._counts_lock = threading.Lock()
         self.counts = {
             "get": 0, "put": 0, "conditional_put": 0, "list": 0,
             "delete": 0, "copy": 0,
         }
 
+    def _tally(self, key: str) -> None:
+        with self._counts_lock:
+            self.counts[key] += 1
+
     def get_json(self, path: str) -> dict:
-        self.counts["get"] += 1
+        self._tally("get")
         return super().get_json(path)
 
     def put_json(self, path: str, obj: dict) -> None:
-        self.counts["put"] += 1
+        self._tally("put")
         super().put_json(path, obj)
 
     def put_json_if_absent(self, path: str, obj: dict) -> bool:
-        self.counts["conditional_put"] += 1
+        self._tally("conditional_put")
         return super().put_json_if_absent(path, obj)
 
     def list_glob(self, pattern: str) -> list[str]:
-        self.counts["list"] += 1
+        self._tally("list")
         return super().list_glob(pattern)
 
     def delete(self, path: str) -> None:
-        self.counts["delete"] += 1
+        self._tally("delete")
         super().delete(path)
 
     def adopt_file(self, src: str, dst: str) -> None:
-        self.counts["copy"] += 1
+        self._tally("copy")
         shutil.copyfile(src, dst)  # server-side COPY: never a link
 
 
@@ -221,7 +230,9 @@ def store_for(table: str):
             if (
                 p == prefix
                 or p.startswith(prefix + os.sep)
-                or ("://" in prefix and p.startswith(prefix))
+                # URI prefixes match on a path-segment boundary only:
+                # 's3://bucket' must NOT capture 's3://bucket-other/tbl'.
+                or ("://" in prefix and p.startswith(prefix.rstrip("/") + "/"))
             ) and (best is None or len(prefix) > len(best)):
                 best = prefix
         if best is not None:

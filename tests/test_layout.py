@@ -1503,3 +1503,49 @@ def test_snapshot_optimize_one_call_maintenance(spark, tmp_path):
     assert got == want
     assert 1 in S.snapshot_versions(tbl)  # the tagged version survived
     assert S.snapshot_read(spark, tbl, tag="keep-me").count() == 300
+
+
+def test_harvest_stats_distributed_matches_sequential(spark, tmp_path,
+                                                      monkeypatch):
+    """The executor-side footer harvest must produce BYTE-IDENTICAL
+    manifest entries to the driver loop (same per-file parser, same path
+    order), including temporal isoformat bounds and missing-stats
+    columns; and a commit above the distribution threshold still yields
+    a table whose pruning/reads behave exactly as before."""
+    import json
+
+    from e02_spark.ops import snapshot as S
+
+    tbl = str(tmp_path / "tbl")
+    df = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+                "o_orderstatus")
+    )
+    S.snapshot_write(df, tbl, mode="overwrite", n_files=12,
+                     cluster_by=["o_orderkey"],
+                     stats_cols=["o_orderkey", "o_orderdate", "nosuchcol"])
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    files = [os.path.join(tbl, e["path"]) for e in S._all_entries(tbl, m)]
+    assert len(files) == 12
+    cols = ["o_orderkey", "o_orderdate", "nosuchcol"]
+    seq = [S._harvest_one(p, cols, tbl) for p in sorted(files)]
+    dist = S._harvest_stats_distributed(spark, sorted(files), cols, tbl)
+    assert json.dumps(seq, sort_keys=True) == json.dumps(dist, sort_keys=True)
+    # end-to-end with the threshold forced low: the auto-distributed
+    # commit path records the same manifest a sequential commit does
+    tbl2, tbl3 = str(tmp_path / "t2"), str(tmp_path / "t3")
+    monkeypatch.setattr(S, "_HARVEST_DISTRIBUTE_MIN", 2)
+    S.snapshot_write(df, tbl2, mode="overwrite", n_files=8,
+                     cluster_by=["o_orderkey"], stats_cols=["o_orderkey"])
+    monkeypatch.setattr(S, "_HARVEST_DISTRIBUTE_MIN", 10**9)
+    S.snapshot_write(df, tbl3, mode="overwrite", n_files=8,
+                     cluster_by=["o_orderkey"], stats_cols=["o_orderkey"])
+    e2 = S._all_entries(tbl2, S._read_manifest(tbl2, 1))
+    e3 = S._all_entries(tbl3, S._read_manifest(tbl3, 1))
+    strip = lambda es: [
+        {k: v for k, v in e.items() if k != "path"} for e in es
+    ]
+    assert strip(e2) == strip(e3)  # same rows + bounds per file position
+    kept, _ = S._plan_files(tbl2, None, ("o_orderkey", 1, 50))
+    assert 0 < len(kept) < len(e2)  # distributed stats still prune

@@ -532,3 +532,21 @@ def test_snapshot_colocated_join_edge_cases(spark, tmp_path):
     )
     got = snapshot_colocated_join(spark, ta, tb, "k").collect()
     assert [(r["k"], r["va"], r["vb"]) for r in got] == [(kb, 7, 2)]
+    # rows_by_bucket spreads a boundless file's count across ALL buckets
+    # instead of dumping it into bucket 0 (broadcast-side estimate skew):
+    # an 8-row all-NULL-key file (no parquet min/max → no hidden bounds)
+    # must contribute 1 row-equivalent to EVERY bucket, and the total
+    # row-count estimate must be preserved
+    from e02_spark.ops.bucketing import snapshot_bucket_layout
+
+    _, _, rows_before = snapshot_bucket_layout(ta, "k")
+    total_before = sum(rows_before.values())
+    S.snapshot_write(
+        spark.createDataFrame([(None, i) for i in range(8)],
+                              "k bigint, va bigint"),
+        ta, mode="append", n_files=1,
+    )
+    _, by_bucket, rows = snapshot_bucket_layout(ta, "k")
+    assert abs(sum(rows.values()) - (total_before + 8)) < 1e-9
+    for b in range(8):
+        assert rows.get(b, 0) >= rows_before.get(b, 0) + 1 - 1e-9, (b, rows)

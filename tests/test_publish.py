@@ -122,3 +122,28 @@ def test_publish_rejects_staging_deletes_and_is_idempotent(spark, tmp_path):
     assert r2["files_adopted"] == 0
     assert S.snapshot_versions(main)[-1] == r1["version"]
     assert S.snapshot_rows(main) == 119
+
+
+def test_publish_pinned_staging_version(spark, tmp_path):
+    """A caller that audited a specific staging version pins it: a
+    staging commit racing between the caller's read and the publish is
+    NOT silently adopted (the clone-bootstrap base-marker guarantee)."""
+    main = _mk_main(spark, tmp_path)
+    stg = str(tmp_path / "stg")
+    S.snapshot_write(
+        spark.range(1000, 1050).selectExpr("id", "id * 2 AS v"), stg,
+        mode="overwrite", n_files=1, stats_cols=["id"],
+    )
+    v1 = S.snapshot_versions(stg)[-1]
+    # a racing commit lands AFTER the caller resolved v1
+    S.snapshot_write(
+        spark.range(2000, 2100).selectExpr("id", "id * 2 AS v"), stg,
+        mode="append", n_files=1,
+    )
+    res = S.snapshot_publish(spark, stg, main, staging_version=v1)
+    assert res["rows_adopted"] == 50  # v1's content, not latest's 150
+    got = {r["id"] for r in S.snapshot_read(spark, main).collect()}
+    assert got == set(range(100)) | set(range(1000, 1050))
+    # pinning a version that was never committed raises by name
+    with pytest.raises(ValueError, match="not a committed version"):
+        S.snapshot_publish(spark, stg, main, staging_version=999)

@@ -46,6 +46,55 @@ def test_registry_longest_prefix_wins(tmp_path):
         unregister_store(str(tmp_path / "deep"))
 
 
+def test_registry_uri_prefix_needs_segment_boundary():
+    """'s3://bucket' must not capture 's3://bucket-other/tbl' — URI
+    routing matches on a path-segment boundary, like filesystem
+    prefixes do."""
+    a = FakeObjectStore()
+    register_store("s3://bucket", a)
+    try:
+        assert store_for("s3://bucket") is a
+        assert store_for("s3://bucket/tbl") is a
+        assert store_for("s3://bucket/deep/tbl") is a
+        other = store_for("s3://bucket-other/tbl")
+        assert other is not a  # falls through to the default
+        assert not isinstance(other, FakeObjectStore)
+    finally:
+        unregister_store("s3://bucket")
+    # trailing-slash registration behaves identically
+    register_store("s3://bucket2/", a)
+    try:
+        assert store_for("s3://bucket2/tbl") is a
+        assert not isinstance(
+            store_for("s3://bucket2x/tbl"), FakeObjectStore
+        )
+    finally:
+        unregister_store("s3://bucket2/")
+
+
+def test_fake_store_counts_are_thread_safe(tmp_path):
+    """The primitive tally must not drop increments under the same
+    multi-thread contention the concurrency suites apply."""
+    import threading
+
+    st = FakeObjectStore()
+    n_threads, per_thread = 8, 200
+
+    def hammer(i):
+        for k in range(per_thread):
+            st.put_json(str(tmp_path / f"obj-{i}-{k}.json"), {"k": k})
+            st.delete(str(tmp_path / f"obj-{i}-{k}.json"))
+
+    threads = [threading.Thread(target=hammer, args=(i,))
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert st.counts["put"] == n_threads * per_thread
+    assert st.counts["delete"] == n_threads * per_thread
+
+
 def test_object_store_publish_adopts_by_copy(spark, tmp_path):
     """Write-audit-publish under S3 semantics: adoption copies bytes
     (distinct inodes — no link dependency), main survives staging-side
