@@ -1632,6 +1632,7 @@ def snapshot_cdc_sink(
     stats_cols: list[str] | None = None,
     checkpoint_dir: str | None = None,
     app_id: str | None = None,
+    auto_fold_rows: int | str | None = "auto",
 ):
     """Structured Streaming CDC-APPLY sink: maintain a snapshot table as
     the materialization of a change stream (the Debezium/Delta
@@ -1686,9 +1687,27 @@ def snapshot_cdc_sink(
     feed's early batches would collide with the old keys and be
     silently dropped as replays.
 
+    AUTO-FOLD (the maintenance invariant, self-enforced): after each
+    batch the sink checks the table's outstanding delete state (total
+    rows across DV + eq-delete files, straight off the manifest — zero
+    reads) and runs snapshot_rewrite_deletes when it reaches
+    `auto_fold_rows` ('auto' = half the CDF driver-shipping cap). The
+    fold is a data_change=false commit, so downstream CDF consumers see
+    a silent maintenance step, never churned rows — a long-running eq
+    CDC feed keeps its read-side anti-join state bounded without a
+    human ever running maintenance. Pass None to disable (a scheduled
+    snapshot_optimize then owns folding), or an int threshold. A crash
+    between the fold and the streaming commit is safe: the replayed
+    batch's legs no-op on their keys and the fold re-evaluates against
+    the already-folded (empty) delete state.
+
     Returns the started StreamingQuery."""
 
     kp = f"cdc-{app_id}-" if app_id is not None else "cdc-"
+    if auto_fold_rows == "auto":
+        from ..sources.snapshot_cdf_stream import _DELETE_ROWS_CAP
+
+        auto_fold_rows = _DELETE_ROWS_CAP // 2
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -1752,6 +1771,19 @@ def snapshot_cdc_sink(
                     stats_cols=stats_cols,
                     commit_key=f"{kp}{batch_id}-u",
                 )
+            if auto_fold_rows is not None:
+                versions = snapshot_versions(table)
+                if versions:
+                    m = _read_manifest(table, versions[-1])
+                    pending = sum(
+                        r["rows"]
+                        for r in m.get("deletes", []) + m.get("eq_deletes", [])
+                    )
+                    if pending >= auto_fold_rows:
+                        snapshot_rewrite_deletes(
+                            spark, table, n_files_new=n_files_new,
+                            cluster_by=cluster_by,
+                        )
         finally:
             raw.unpersist()
 

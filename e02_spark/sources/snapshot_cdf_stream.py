@@ -37,7 +37,10 @@ Planning (all driver-side, all from metadata — no Spark jobs):
   matched since the last rewrite), so their position sets are read
   driver-side with pyarrow and shipped inside the partition — the
   executor read stays a single-file Arrow scan with a row-index filter,
-  no joins.
+  no joins. A delete file ABOVE the driver-shipping cap
+  (maxDeleteRows) never bricks the stream: the slice ships the delete
+  FILE PATH instead and the executor reads/applies it during the scan
+  (see _DELETE_ROWS_CAP).
 - Cost per micro-batch is O(changed files + tombstone bytes), never
   O(table): an append streams only its new files, a MoR merge streams
   only the tombstoned positions and the appended replacements, and
@@ -76,39 +79,20 @@ from pyspark.sql.datasource import (
 )
 
 
-class DeleteStateOverflowError(RuntimeError):
-    """A DV/eq-delete file exceeds the driver-shipping cap (see
-    _DELETE_ROWS_CAP): the stream plans delete state driver-side under
-    the 'fold deletes regularly' maintenance invariant, and this error
-    is that invariant ENFORCED instead of assumed — run
-    snapshot_rewrite_deletes on the table (or raise
-    .option('maxDeleteRows', N) if the deployment can afford the driver
-    memory and task-serialization cost)."""
-
-
 # Driver-shipping cap, in ROWS per delete file (positions for DVs, keys
-# for eq files), checked against the parquet FOOTER before any read —
-# overflow costs one metadata read, never an OOM. 2M rows ≈ tens of MB
-# pickled: comfortably driver-safe, far above any table honoring the
-# maintenance invariant, and small enough that a runaway CDC feed that
-# skipped rewrite_deletes fails loudly instead of ballooning every
-# micro-batch's task payloads.
+# for eq files), decided from the MANIFEST row count — zero reads. A
+# delete file AT or under the cap is read driver-side and its
+# positions/keys ship inside the InputPartition (cheapest for the
+# executor: a pre-computed filter, no extra I/O). A file ABOVE the cap
+# is never materialized on the driver: the slice carries the delete
+# FILE PATH instead and the EXECUTOR reads/applies it during the scan
+# (the same side the batch path anti-joins on) — degraded to one extra
+# executor-side Arrow read per slice, never a driver OOM, never a
+# refused stream. 2M rows ≈ tens of MB pickled is comfortably
+# driver-safe and far above any table honoring the fold-deletes
+# maintenance invariant (which snapshot_cdc_sink now auto-enforces —
+# see ops/snapshot.snapshot_cdc_sink auto_fold_rows).
 _DELETE_ROWS_CAP = 2_000_000
-
-
-def _check_delete_cap(path: str, cap: int) -> None:
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(path).metadata.num_rows
-    if n > cap:
-        raise DeleteStateOverflowError(
-            f"delete file {path} carries {n} rows, above the {cap}-row "
-            "driver-shipping cap — the stream plans DV positions and "
-            "eq-delete keys driver-side under the 'fold deletes "
-            "regularly' maintenance invariant; run "
-            "snapshot_rewrite_deletes on the table to fold outstanding "
-            "deletes, or raise .option('maxDeleteRows', N)"
-        )
 
 
 _CDF_COLS_JSON = (
@@ -117,23 +101,42 @@ _CDF_COLS_JSON = (
 )
 
 
-def _dv_positions(
+def _dv_state(
     table: str, manifest: dict, cap: int = _DELETE_ROWS_CAP
-) -> dict[str, frozenset[int]]:
-    """Per-data-file tombstoned-position sets of one committed manifest,
-    read driver-side with pyarrow — small by the module's maintenance
-    invariant, ENFORCED by the per-file row cap (a file above it raises
-    DeleteStateOverflowError from the footer alone, before any read).
-    Memoized per DV file path — DV files are immutable once
-    referenced."""
+) -> tuple[dict[str, frozenset[int]], list[tuple[str, tuple | None]]]:
+    """One committed manifest's positional-delete state, split by the
+    driver-shipping cap: (eager, lazy).
+
+    eager: per-data-file tombstoned-position sets from DV files at or
+    under the cap, read driver-side with pyarrow (memoized — DV files
+    are immutable once referenced).
+    lazy: [(abs DV path, (_file min, _file max) bounds or None)] for DV
+    files ABOVE the cap (decided from the manifest row count, zero
+    reads): these are applied EXECUTOR-side per slice, pruned per data
+    file via the DV file's harvested `_file` bounds."""
     from ..ops.snapshot import _all_entries
 
     out: dict[str, set[int]] = {}
+    lazy: list[tuple[str, tuple | None]] = []
     for e in _all_entries(table, manifest, "deletes"):
         path = os.path.abspath(os.path.join(table, e["path"]))
-        for f, p in _read_dv_file(path, cap):
+        if int(e.get("rows", 0)) > cap:
+            b = (e.get("stats") or {}).get("_file")
+            lazy.append((path, (b[0], b[1]) if b is not None else None))
+            continue
+        for f, p in _read_dv_file(path):
             out.setdefault(f, set()).add(p)
-    return {f: frozenset(s) for f, s in out.items()}
+    return {f: frozenset(s) for f, s in out.items()}, lazy
+
+
+def _dv_lazy_for(
+    lazy: list[tuple[str, tuple | None]], rel_path: str
+) -> tuple[str, ...]:
+    """The over-cap DV paths whose `_file` bounds could reference
+    `rel_path` (boundless files are kept — safe direction)."""
+    return tuple(
+        p for p, b in lazy if b is None or (b[0] <= rel_path <= b[1])
+    )
 
 
 _DV_FILE_MEMO: dict[str, list[tuple[str, int]]] = {}
@@ -146,13 +149,10 @@ import threading as _threading
 _MEMO_LOCK = _threading.Lock()
 
 
-def _read_dv_file(path: str, cap: int = _DELETE_ROWS_CAP) -> list[tuple[str, int]]:
+def _read_dv_file(path: str) -> list[tuple[str, int]]:
     with _MEMO_LOCK:
         hit = _DV_FILE_MEMO.get(path)
     if hit is None:
-        # cap checked on the cache MISS only: a memoized file already
-        # sits in driver memory, so re-checking buys nothing
-        _check_delete_cap(path, cap)
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=["_file", "_pos"])
@@ -169,19 +169,15 @@ def _read_dv_file(path: str, cap: int = _DELETE_ROWS_CAP) -> list[tuple[str, int
 _EQ_FILE_MEMO: dict[str, tuple[tuple, ...]] = {}
 
 
-def _read_eq_keys(
-    path: str, on: list[str], cap: int = _DELETE_ROWS_CAP
-) -> tuple[tuple, ...]:
-    """One eq-delete file's key tuples, read driver-side — O(merge-
-    source keys) small by the maintenance invariant, enforced by the
-    per-file row cap (DeleteStateOverflowError from the footer alone).
+def _read_eq_keys(path: str, on: list[str]) -> tuple[tuple, ...]:
+    """One eq-delete file's key tuples, read driver-side — callers gate
+    on the manifest row count so only at-or-under-cap files reach here.
     Keys with any NULL component never match (SQL equality) and are
     dropped here once instead of re-checked per row. Memoized — eq
     files are immutable once referenced."""
     with _MEMO_LOCK:
         hit = _EQ_FILE_MEMO.get(path)
     if hit is None:
-        _check_delete_cap(path, cap)
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=list(on))
@@ -197,10 +193,13 @@ def _read_eq_keys(
 def _eq_applicable(
     table: str, eq_entries: list[dict], e: dict, cap: int = _DELETE_ROWS_CAP
 ):
-    """The eq-delete (key_cols, key_tuples) pairs that can shadow rows
-    of data-file entry `e`: seq-scoped (eq applies only below its seq)
-    and stats-pruned on the first key column — the same applicability
-    rule as ops/snapshot._apply_eq_deletes / snapshot_changes."""
+    """The eq-delete key specs that can shadow rows of data-file entry
+    `e`: seq-scoped (eq applies only below its seq) and stats-pruned on
+    the first key column — the same applicability rule as
+    ops/snapshot._apply_eq_deletes / snapshot_changes. Each spec is a
+    (key_cols, key_tuples, eq_path) triple: at-or-under-cap files ship
+    their key tuples (eq_path None); over-cap files ship only the PATH
+    (key_tuples None) and the executor reads the keys itself."""
     out = []
     for q in eq_entries:
         if int(e.get("seq", 0)) >= int(q["seq"]):
@@ -212,11 +211,13 @@ def _eq_applicable(
             eb[0] > qb[1] or eb[1] < qb[0]
         ):
             continue
-        keys = _read_eq_keys(
-            os.path.abspath(os.path.join(table, q["path"])), q["on"], cap
-        )
+        path = os.path.abspath(os.path.join(table, q["path"]))
+        if int(q.get("rows", 0)) > cap:
+            out.append((tuple(q["on"]), None, path))
+            continue
+        keys = _read_eq_keys(path, q["on"])
         if keys:
-            out.append((tuple(q["on"]), keys))
+            out.append((tuple(q["on"]), keys, None))
     return tuple(out)
 
 
@@ -227,10 +228,24 @@ class _ChangeSlice(InputPartition):
     exclude: emit all rows EXCEPT these (added/removed-file slices);
     at most one of the two is non-None.
 
-    match:  ((key_cols, key_tuples), ...) — emit only rows whose key is
-            in SOME pair's set (eq-delta slices; None = every row).
+    match:  ((key_cols, key_tuples, eq_path), ...) — emit only rows
+            whose key is in SOME spec's set (eq-delta slices; None =
+            every row). key_tuples is None for an over-cap eq file: the
+            executor reads the keys from eq_path itself.
     shadow: same shape — additionally DROP rows whose key is in some
-            pair's set (the owning version's outstanding eq deletes)."""
+            spec's set (the owning version's outstanding eq deletes).
+
+    Executor-side (over-cap) positional state — paths, not positions:
+    rel_path:      the data file's table-relative path (what DV files'
+                   `_file` column stores), needed to filter them.
+    lazy_exclude:  DV file paths whose positions for rel_path join the
+                   exclude set (added/removed/eq-delta slices).
+    lazy_delta:    (eager_a, dv_paths_a, eager_b, dv_paths_b) or None —
+                   a tombstone-delta slice where either version's DV
+                   state for this file is over-cap: the executor
+                   derives include = (b − a) for 'delete' slices and
+                   (a − b) for 'insert' slices, where x = eager_x ∪
+                   positions(dv_paths_x, rel_path)."""
 
     def __init__(
         self,
@@ -242,6 +257,9 @@ class _ChangeSlice(InputPartition):
         exclude: tuple[int, ...] | None = None,
         match: tuple | None = None,
         shadow: tuple = (),
+        rel_path: str | None = None,
+        lazy_exclude: tuple[str, ...] = (),
+        lazy_delta: tuple | None = None,
     ):
         self.path = path
         self.change_type = change_type
@@ -251,6 +269,9 @@ class _ChangeSlice(InputPartition):
         self.exclude = exclude
         self.match = match
         self.shadow = shadow
+        self.rel_path = rel_path
+        self.lazy_exclude = lazy_exclude
+        self.lazy_delta = lazy_delta
 
 
 class SnapshotCDFStreamReader(DataSourceStreamReader):
@@ -266,8 +287,9 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 "pass startingVersion OR startingTimestamp, not both"
             )
         self.start_version = int(options.get("startingversion", 0))
-        # per-delete-file driver-shipping cap (rows); see
-        # DeleteStateOverflowError / _DELETE_ROWS_CAP
+        # per-delete-file driver-shipping cap (rows): files above it
+        # are applied executor-side instead of shipped in task
+        # payloads; see _DELETE_ROWS_CAP
         self.max_delete_rows = int(
             options.get("maxdeleterows", _DELETE_ROWS_CAP)
         )
@@ -346,15 +368,15 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 eq_a = _eq_entries(self.table, prev_m) if prev_m else []
                 eq_b = _eq_entries(self.table, m)
                 cap = self.max_delete_rows
-                dv_a = (
-                    _dv_positions(self.table, prev_m, cap)
+                dv_a, dvlazy_a = (
+                    _dv_state(self.table, prev_m, cap)
                     if prev_m is not None and prev_m.get("deletes")
-                    else {}
+                    else ({}, [])
                 )
-                dv_b = (
-                    _dv_positions(self.table, m, cap)
+                dv_b, dvlazy_b = (
+                    _dv_state(self.table, m, cap)
                     if m.get("deletes")
-                    else {}
+                    else ({}, [])
                 )
                 for p in sorted(b - a):  # added files -> live rows insert
                     out.append(
@@ -363,6 +385,8 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             self._schema_json,
                             exclude=tuple(sorted(dv_b.get(p, ()))),
                             shadow=_eq_applicable(self.table, eq_b, ents_b[p], cap),
+                            rel_path=p,
+                            lazy_exclude=_dv_lazy_for(dvlazy_b, p),
                         )
                     )
                 for p in sorted(a - b):  # removed files -> live rows delete
@@ -372,11 +396,33 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             self._schema_json,
                             exclude=tuple(sorted(dv_a.get(p, ()))),
                             shadow=_eq_applicable(self.table, eq_a, ents_a[p], cap),
+                            rel_path=p,
+                            lazy_exclude=_dv_lazy_for(dvlazy_a, p),
                         )
                     )
                 for p in sorted(a & b):  # tombstone deltas on kept files
+                    lz_a = _dv_lazy_for(dvlazy_a, p)
+                    lz_b = _dv_lazy_for(dvlazy_b, p)
                     d0 = dv_a.get(p, frozenset())
                     d1 = dv_b.get(p, frozenset())
+                    if lz_a or lz_b:
+                        # over-cap DV state on either side: ship the
+                        # spec, the executor derives both direction
+                        # deltas (an empty delta yields no rows)
+                        spec = (
+                            tuple(sorted(d0)), lz_a,
+                            tuple(sorted(d1)), lz_b,
+                        )
+                        for ctype in ("delete", "insert"):
+                            out.append(
+                                _ChangeSlice(
+                                    os.path.join(self.table, p), ctype, v,
+                                    self._schema_json,
+                                    rel_path=p,
+                                    lazy_delta=spec,
+                                )
+                            )
+                        continue
                     newly = d1 - d0
                     gone = d0 - d1
                     if newly:
@@ -429,6 +475,9 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                                 shadow=_eq_applicable(
                                     self.table, own_eq, ent, cap
                                 ),
+                                rel_path=p,
+                                lazy_exclude=_dv_lazy_for(dvlazy_a, p)
+                                + _dv_lazy_for(dvlazy_b, p),
                             )
                         )
             finally:
@@ -454,31 +503,73 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         have = set(pf.schema_arrow.names)
         import numpy as np
 
+        def _lazy_positions(paths: tuple[str, ...]) -> set[int]:
+            """Positions for THIS data file from over-cap DV files,
+            read executor-side. The predicate pushes to row groups —
+            DV files are written sorted by (_file, _pos)."""
+            pos: set[int] = set()
+            for dvp in paths:
+                t = pq.read_table(
+                    dvp, columns=["_pos"],
+                    filters=[("_file", "==", partition.rel_path)],
+                )
+                pos.update(t.column("_pos").to_pylist())
+            return pos
+
         include = (
             np.asarray(partition.include, dtype=np.int64)
             if partition.include is not None
             else None
         )
+        if partition.lazy_delta is not None:
+            # over-cap tombstone delta: derive the include set here
+            ea, lza, eb, lzb = partition.lazy_delta
+            d0 = set(ea) | _lazy_positions(lza)
+            d1 = set(eb) | _lazy_positions(lzb)
+            delta = d1 - d0 if partition.change_type == "delete" else d0 - d1
+            if not delta:
+                return
+            include = np.asarray(sorted(delta), dtype=np.int64)
+        exc_set = set(partition.exclude or ())
+        if partition.lazy_exclude:
+            exc_set |= _lazy_positions(partition.lazy_exclude)
         exclude = (
-            np.asarray(partition.exclude, dtype=np.int64)
-            if partition.exclude
-            else None
+            np.asarray(sorted(exc_set), dtype=np.int64) if exc_set else None
         )
-        def _keys_mask(batch, pairs, n):
-            """OR over (key_cols, key_tuples) pairs: True where the
-            row's key is in some pair's set. Single-column keys go
+        eq_key_cache: dict[str, tuple[tuple, ...]] = {}
+
+        def _spec_keys(on, keys, eq_path):
+            """An eq spec's key tuples: shipped eagerly, or read here
+            (over-cap files — executor-side, once per slice read).
+            NULL-component keys never match and are dropped."""
+            if keys is not None:
+                return keys
+            hit = eq_key_cache.get(eq_path)
+            if hit is None:
+                t = pq.read_table(eq_path, columns=list(on))
+                cols_ = [t.column(c).to_pylist() for c in on]
+                hit = tuple(k for k in zip(*cols_) if None not in k)
+                eq_key_cache[eq_path] = hit
+            return hit
+
+        def _keys_mask(batch, specs, n):
+            """OR over (key_cols, key_tuples, eq_path) specs: True where
+            the row's key is in some spec's set. Single-column keys go
             through Arrow is_in (vectorized); composite keys through a
             python set of tuples (eq key sets are merge-source sized)."""
             import pyarrow.compute as pc
 
             acc = np.zeros(n, dtype=bool)
             names = set(batch.schema.names)
-            for on, keys in pairs:
+            for on, keys, eq_path in specs:
                 if not all(c in names for c in on):
                     # a pre-evolution data file lacking an evolved eq-key
                     # column: the column reads as all-NULL and NULL keys
                     # never match (SQL equality) — the batch path's
                     # NULL-backfill behavior, not a KeyError
+                    continue
+                keys = _spec_keys(on, keys, eq_path)
+                if not keys:
                     continue
                 if len(on) == 1:
                     m = pc.is_in(

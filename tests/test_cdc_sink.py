@@ -567,3 +567,84 @@ def test_snapshot_replicate_clone_bootstrap(spark, tmp_path):
             spark, src2, dst2, on=["id"],
             checkpoint_dir=str(tmp_path / "ck2"), bootstrap="clone",
         )
+
+
+def test_cdc_sink_auto_folds_delete_state_mid_stream(spark, tmp_path):
+    """The fold-deletes maintenance invariant is SELF-ENFORCED: an eq
+    CDC feed whose outstanding delete state crosses auto_fold_rows
+    triggers snapshot_rewrite_deletes mid-stream (between batches, not
+    by a human), the folds are data_change=false (CDF-silent — the
+    q122 invariant), and the feed's net content is unchanged."""
+    from e02_spark.ops.snapshot import _read_manifest
+    from e02_spark.sources.snapshot_cdf_stream import (
+        read_snapshot_changes_stream,
+    )
+
+    b0 = spark.createDataFrame(
+        [(i, i * 2, "insert", i) for i in range(30)], CDC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(i, i * 100, "update", 100 + i) for i in range(10)]
+        + [(i, 0, "delete", 120 + i) for i in range(10, 15)],
+        CDC_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [(i, i * 7, "update", 200 + i) for i in range(5, 8)], CDC_SCHEMA
+    )
+    feed = _feed(spark, tmp_path, [b0, b1, b2])
+    table = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = snapshot_cdc_sink(
+        stream, table, on=["id"], op_col="op", dedup_by="lsn",
+        strategy="eq", checkpoint_dir=str(tmp_path / "ck"),
+        auto_fold_rows=8,
+    )
+    assert q.awaitTermination(300)
+    # content is the same as an unfolded run would produce
+    want = (
+        {(i, i * 100) for i in range(5)}
+        | {(i, i * 7) for i in range(5, 8)}
+        | {(i, i * 100) for i in range(8, 10)}
+        | {(i, i * 2) for i in range(15, 30)}
+    )
+    assert _rows(spark, table) == want
+    # folds happened MID-stream: at least two rewrite_deletes commits,
+    # and at least one of them is not the final version
+    versions = snapshot_versions(table)
+    modes = {v: _read_manifest(table, v).get("mode") for v in versions}
+    folds = [v for v, mo in modes.items() if mo == "rewrite_deletes"]
+    assert len(folds) >= 2, modes
+    assert any(v < versions[-1] for v in folds)
+    for v in folds:  # CDF-silent maintenance steps
+        assert _read_manifest(table, v).get("data_change") is False
+    # outstanding delete state ended below the threshold
+    m = _read_manifest(table, versions[-1])
+    pending = sum(
+        r["rows"] for r in m.get("deletes", []) + m.get("eq_deletes", [])
+    )
+    assert pending < 8
+    # a CDF consumer over the whole history nets to the same content and
+    # never attributes a row to a fold version
+    out = []
+    cq = (
+        read_snapshot_changes_stream(spark, table)
+        .writeStream.foreachBatch(lambda b, i: out.append(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_cdf"))
+        .start()
+    )
+    cq.awaitTermination(120)
+    rows = [r for b in out for r in b]
+    assert not any(r["_commit_version"] in folds for r in rows)
+    state: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: (r["_commit_version"],
+                                         r["_change_type"] != "delete")):
+        if r["_change_type"] == "delete":
+            state.pop(r["id"], None)
+        else:
+            state[r["id"]] = r["v"]
+    assert set(state.items()) == want

@@ -366,14 +366,31 @@ def test_cdf_stream_eq_delete_on_evolved_key_column(spark, tmp_path):
     )
 
 
-def test_cdf_stream_delete_state_cap_enforced(spark, tmp_path):
-    """The 'deletes are small by maintenance invariant' assumption is
-    ENFORCED: a delete file above the driver-shipping row cap fails the
-    stream with the named fold-your-deletes error (from the parquet
-    footer alone), and folding with snapshot_rewrite_deletes unblocks
-    a fresh consumer."""
-    from pyspark.errors.exceptions.captured import StreamingQueryException
+def _run_capped(spark, tmp_path, tbl, ck, **opts):
+    reader = (
+        spark.readStream.format("snapshot_changes_stream")
+        .option("table", tbl)
+    )
+    for k, val in opts.items():
+        reader = reader.option(k, val)
+    out = []
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda b, i: out.append(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / ck))
+        .start()
+    )
+    q.awaitTermination(120)
+    return [r for b in out for r in b]
 
+
+def test_cdf_stream_over_cap_falls_back_to_executor_side(spark, tmp_path):
+    """A delete file above the driver-shipping row cap no longer bricks
+    the stream: its positions/keys are applied EXECUTOR-side (the slice
+    ships the delete-file path, not its contents) and the feed matches
+    the uncapped run exactly; folding with snapshot_rewrite_deletes
+    stays a CDF-silent maintenance step."""
     tbl = str(tmp_path / "tbl")
     S.snapshot_write(
         spark.range(0, 30).selectExpr("id", "id * 2 AS v"),
@@ -384,35 +401,72 @@ def test_cdf_stream_delete_state_cap_enforced(spark, tmp_path):
         when_matched="delete", insert_not_matched=False, strategy="mor",
     )  # one DV file with 10 positions
 
-    def _run(ck, **opts):
-        reader = (
-            spark.readStream.format("snapshot_changes_stream")
-            .option("table", tbl)
-        )
-        for k, val in opts.items():
-            reader = reader.option(k, val)
-        out = []
-        q = (
-            reader.load()
-            .writeStream.foreachBatch(lambda b, i: out.append(b.collect()))
-            .trigger(availableNow=True)
-            .option("checkpointLocation", str(tmp_path / ck))
-            .start()
-        )
-        q.awaitTermination(120)
-        return [r for b in out for r in b]
-
     from e02_spark.sources.snapshot_cdf_stream import (
         SnapshotCDFStreamDataSource,
     )
 
     spark.dataSource.register(SnapshotCDFStreamDataSource)
-    with pytest.raises(StreamingQueryException, match="driver-shipping cap"):
-        _run("ck1", maxDeleteRows=2)
-    # the cap is per FILE and footer-checked: the default cap passes
-    rows = _run("ck2")
-    assert sum(1 for r in rows if r["_change_type"] == "delete") == 10
-    # fold the deletes: the capped consumer now plans clean from scratch
+    # cap 2 < 10 positions: DV state goes executor-side, result identical
+    capped = _run_capped(spark, tmp_path, tbl, "ck1", maxDeleteRows=2)
+    uncapped = _run_capped(spark, tmp_path, tbl, "ck2")
+    key = lambda r: (r["_commit_version"], r["_change_type"], r["id"])
+    assert sorted(capped, key=key) == sorted(uncapped, key=key)
+    assert sum(1 for r in capped if r["_change_type"] == "delete") == 10
+    # fold the deletes: still a data_change=false (CDF-silent) step
     S.snapshot_rewrite_deletes(spark, tbl)
-    rows = _run("ck3", maxDeleteRows=2, startingVersion=3)
-    assert rows == []  # rewrite_deletes is a data_change=false step
+    rows = _run_capped(spark, tmp_path, tbl, "ck3", maxDeleteRows=2,
+                       startingVersion=3)
+    assert rows == []
+
+
+def test_cdf_stream_10x_cap_matches_batch_changes(spark, tmp_path):
+    """Delete state at 10× the configured cap (both flavors: DV from a
+    MoR delete, eq keys from an eq merge) streams executor-side and
+    matches batch snapshot_changes version-for-version — including the
+    eq-delta 'delete' emissions and a CoW-style rewrite slice carrying
+    over-cap shadows."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(0, 400).selectExpr("id", "id * 2 AS v"),
+        tbl, mode="overwrite", n_files=2, stats_cols=["id"],
+    )
+    # v2: MoR delete of 200 rows -> one DV file with 200 positions
+    S.snapshot_merge(
+        spark, tbl, spark.range(0, 200).selectExpr("id"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    # v3: eq upsert touching 150 keys -> one over-cap eq-delete file
+    S.snapshot_merge(
+        spark, tbl,
+        spark.range(150, 300).selectExpr("id", "id * 7 AS v"),
+        on=["id"], when_matched="update", insert_not_matched=True,
+        strategy="eq",
+    )
+    from e02_spark.sources.snapshot_cdf_stream import (
+        SnapshotCDFStreamDataSource,
+    )
+
+    spark.dataSource.register(SnapshotCDFStreamDataSource)
+    # cap=15: DV 200 rows and eq 150 keys are both >10x over it
+    streamed = _run_capped(spark, tmp_path, tbl, "ck", maxDeleteRows=15)
+    batch = []
+    for v in S.snapshot_versions(tbl)[0:]:
+        if v == 1:
+            df = S.snapshot_read(spark, tbl, version=1).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        else:
+            df = S.snapshot_changes(spark, tbl, v - 1, v)
+        batch.extend(
+            (v, r["_change_type"], r["id"], r["v"])
+            for r in df.select("_change_type", "id", "v").collect()
+        )
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in streamed
+    )
+    assert got == sorted(batch)
+    # and the capped feed equals the uncapped feed byte-for-byte
+    uncapped = _run_capped(spark, tmp_path, tbl, "ck_u")
+    key = lambda r: (r["_commit_version"], r["_change_type"], r["id"])
+    assert sorted(streamed, key=key) == sorted(uncapped, key=key)
