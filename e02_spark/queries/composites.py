@@ -493,6 +493,9 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # MV (ops/mv.py) refreshed to the same state.
         # round 10: + the CONTINUOUS MV (mv_stream — CDF stream ->
         # foreachBatch fold, one exactly-once commit per micro-batch)
+        # round 11: feeds from the QUARTER-sized chain (streaming_q.
+        # _small_chain) — every pinned invariant is feed-size-invariant
+        # and the oracle CTE carries the same source restriction
         ("q119", "q119_incremental_view",
          [("o_orderpriority", "s"), ("n_orders", "n"), ("total_price", "n"),
           ("min_price", "n"), ("max_price", "n"),
@@ -508,10 +511,12 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("eq_zero_reads", "s"), ("cdf_eq_ok", "s"),
           ("meta_restored", "s"), ("cdc_idempotent", "s")]),
-        # TABLE REPLICATION — a mirror maintained from the q116 chain's
-        # CDF stream through the CDC-apply sink, hashed against the SAME
-        # v3 CTE (the fourth convergence pin on one oracle); incremental
-        # catch-up and post-fold metadata parity as booleans.
+        # TABLE REPLICATION — a mirror maintained from the chain's CDF
+        # stream through the CDC-apply sink, hashed against the v3 CTE
+        # over the same feed (the fourth convergence pin); incremental
+        # catch-up and post-fold metadata parity as booleans. round 11:
+        # replicates the QUARTER-sized chain — CDC convergence and
+        # exactly-once catch-up are feed-size-invariant pins.
         ("q124", "q124_replication",
          [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("replicate_incremental", "s"),

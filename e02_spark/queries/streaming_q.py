@@ -828,6 +828,69 @@ def _merge_chain(spark: SparkSession, sf_dir: str) -> dict:
         return _merge_chain_build(spark, sf_dir, key)
 
 
+_SMALL_MEMO: dict[tuple, dict] = {}
+_SMALL_LOCK = _threading.Lock()
+
+
+def _small_chain(spark: SparkSession, sf_dir: str) -> dict:
+    """The _merge_chain scenario over the quarter-sized feed (see
+    _SMALL_WHERE): identical three-version CoW shape, identical key
+    bands (bnd derives from FULL orders), a quarter of the rows. The
+    replay-heavy parts (q119, q124) feed from this chain — every code
+    path they pin is feed-size-invariant — so the big chain's volume
+    stays with the parts whose hash IS the volume (q116/q117/q118/
+    q123). Memoized per (session, sf) like _merge_chain; independent
+    lock so neither build blocks the other."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SMALL_MEMO.get(key)
+    if hit is not None:
+        return hit
+    with _SMALL_LOCK:
+        hit = _SMALL_MEMO.get(key)
+        if hit is not None:
+            return hit
+        from ..io import load_table
+        from ..ops.snapshot import snapshot_merge, snapshot_write
+
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.expr(_SMALL_WHERE.removeprefix("WHERE "))
+        )
+        table = os.path.join(_tracked_mkdtemp(prefix="e02_smallchain_"), "tbl")
+        snapshot_write(
+            orders, table, mode="overwrite", n_files=4,
+            cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+        )
+        q = _orders_max_key(spark, sf_dir) // 4
+        dels = orders.where(
+            (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") < q)
+        ).select("o_orderkey")
+        m1 = snapshot_merge(
+            spark, table, dels, on=["o_orderkey"],
+            when_matched="delete", insert_not_matched=False,
+        )
+        upd = orders.where(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_orderkey") >= q)
+            & (F.col("o_orderkey") < 2 * q)
+        ).withColumn("o_orderpriority", F.lit("X-MERGED"))
+        ins = (
+            orders.where(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+        m2 = snapshot_merge(
+            spark, table, upd.unionByName(ins), on=["o_orderkey"],
+            when_matched="update", insert_not_matched=True,
+            n_files_new=2, cluster_by=["o_orderkey"],
+        )
+        hit = {
+            "table": table, "v1": 1, "v2": m1["version"],
+            "v3": m2["version"], "m1": m1, "m2": m2,
+        }
+        _SMALL_MEMO[key] = hit
+        return hit
+
+
 def _merge_chain_build(spark: SparkSession, sf_dir: str, key) -> dict:
     hit = _MERGE_MEMO.get(key)  # a lock-waiter reuses the winner's build
     if hit is not None:
@@ -906,11 +969,17 @@ def q117_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared CTEs: the merged table's logical content, derived from orders
-_Q116_CTES = """
+# shared CTEs: the merged table's logical content, derived from orders.
+# `src_where` restricts the chain's SOURCE rows (the small-chain feed for
+# the replay-heavy parts); the key bands (bnd) always derive from the
+# FULL orders table so every chain uses identical band boundaries.
+def _chain_ctes(src_where: str = "") -> str:
+    src = f"(SELECT * FROM orders {src_where})" if src_where else "orders"
+    return f"""
 bnd AS (SELECT MAX(o_orderkey) // 4 AS q FROM orders),
+src AS (SELECT * FROM {src}),
 v2 AS (
-  SELECT * FROM orders
+  SELECT * FROM src
   WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey < (SELECT q FROM bnd))
 ),
 v3 AS (
@@ -921,16 +990,28 @@ v3 AS (
   UNION ALL
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
          'X-MERGED' AS o_orderpriority
-  FROM orders
+  FROM src
   WHERE o_orderkey % 7 = 0
     AND o_orderkey >= (SELECT q FROM bnd)
     AND o_orderkey < 2 * (SELECT q FROM bnd)
   UNION ALL
   SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
          o_totalprice, o_orderdate, o_orderpriority
-  FROM orders WHERE o_orderkey % 97 = 0
+  FROM src WHERE o_orderkey % 97 = 0
 )
 """
+
+
+_Q116_CTES = _chain_ctes()
+
+# the small chain's feed: a quarter of orders. The replay-heavy parts
+# (q119's MV legs + stream, q124's CDC replication) run over this chain:
+# their pins are MACHINERY invariants (exactly-once refresh, cursor
+# no-op, incremental catch-up, CDC convergence, MIN/MAX-on-retract) that
+# hold at any feed size, so the feed is the smallest chain that still
+# exercises every code path — the round-11 bench-slimming ask.
+_SMALL_WHERE = "WHERE o_orderkey % 4 = 1"
+_Q116_CTES_SMALL = _chain_ctes(_SMALL_WHERE)
 
 _Q116_SQL = f"""
 WITH {_Q116_CTES}
@@ -1198,7 +1279,7 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.ivm import apply_agg_delta, finish_agg, materialize_agg
     from ..ops.snapshot import snapshot_changes, snapshot_read
 
-    ch = _merge_chain(spark, sf_dir)
+    ch = _small_chain(spark, sf_dir)
     keys, sums = ["o_orderpriority"], {"total_price": "o_totalprice"}
     minmax = {"price": "o_totalprice"}
     state = materialize_agg(
@@ -1294,7 +1375,7 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q119_SQL = f"""
-WITH {_Q116_CTES}
+WITH {_Q116_CTES_SMALL}
 SELECT o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
@@ -1851,7 +1932,7 @@ def q124_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_versions,
     )
 
-    ch = _merge_chain(spark, sf_dir)
+    ch = _small_chain(spark, sf_dir)
     base = _tracked_mkdtemp(prefix="e02_repl_")
     mirror = os.path.join(base, "mirror")
     ck = os.path.join(base, "ck")
@@ -1886,7 +1967,7 @@ def q124_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q124_SQL = f"""
-WITH {_Q116_CTES}
+WITH {_Q116_CTES_SMALL}
 SELECT o_orderstatus, o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
