@@ -1,0 +1,185 @@
+"""Mini-catalog: MULTI-TABLE atomic commits on one conditional PUT.
+
+Every snapshot table commits independently (ops/snapshot.py), which is
+single-table snapshot isolation. Workloads that pair tables — an MV and
+its source, a replica and its upstream, a fact and its dimension cut —
+need a reader to see a CONSISTENT pair: source-at-vN with the MV state
+that was derived FROM vN, never a torn (vN, state-of-vN-1) combination
+assembled from two independent latest-reads. This is what a catalog
+commit gives Iceberg/Nessie deployments; here it is one JSON manifest
+committed through the same conditional-PUT protocol as table manifests
+(ops/store.py — object-store safe, fuzz-tested primitives):
+
+    catalog manifest vK = {"version": K, "tables":
+        {name: {"dir": <table path>, "version": <pinned table version>}}}
+
+- `catalog_set` updates ANY NUMBER of entries in ONE compare-and-swap
+  commit — the atomic two-table swap. A lost race re-reads and retries
+  (entries it didn't touch carry forward).
+- `catalog_resolve` reads ONE manifest and returns every requested
+  entry from it — the multi-table snapshot. Two resolves may see
+  different catalog versions, but a single resolve is internally
+  consistent by construction (it IS one immutable JSON object).
+- Tables keep committing on their own; the catalog pins which of their
+  versions belong together. Publishing to the catalog is the LAST step
+  of a multi-table update (write tables first, swap pointers once) —
+  a crash before the swap leaves readers on the previous consistent
+  pair, exactly like a crashed single-table commit.
+
+The catalog is deliberately tiny: names to (dir, version). It is not a
+metastore (no schemas — tables carry their own) and not a lock service
+(writers race through CAS like table commits do).
+"""
+
+from __future__ import annotations
+
+import os
+
+from .store import store_for
+
+_CATALOG = "_catalog"
+
+
+def _manifest_path(catalog: str, version: int) -> str:
+    return os.path.join(catalog, _CATALOG, f"v{version:012d}.json")
+
+
+def catalog_versions(catalog: str) -> list[int]:
+    out = []
+    for p in store_for(catalog).list_glob(
+        os.path.join(catalog, _CATALOG, "v*.json")
+    ):
+        stem = os.path.basename(p)[1:-5]
+        if stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _read(catalog: str, version: int) -> dict:
+    return store_for(catalog).get_json(_manifest_path(catalog, version))
+
+
+def catalog_create(catalog: str) -> None:
+    """Create an empty catalog (v1). Raises if one already exists —
+    creation is itself a conditional put."""
+    os.makedirs(os.path.join(catalog, _CATALOG), exist_ok=True)
+    ok = store_for(catalog).put_json_if_absent(
+        _manifest_path(catalog, 1), {"version": 1, "tables": {}}
+    )
+    if not ok:
+        raise FileExistsError(f"catalog already exists at {catalog}")
+
+
+def catalog_set(
+    catalog: str,
+    updates: dict[str, tuple[str, int | None]],
+    drops: list[str] | None = None,
+    max_retries: int = 10,
+) -> int:
+    """Atomically update MULTIPLE entries in one catalog commit:
+    `updates` maps name -> (table dir, pinned table version); a None
+    version pins the table's CURRENT latest (resolved here, once, so
+    the pin is still a fixed number in the manifest). `drops` removes
+    names. All changes land in ONE conditional put — the atomic
+    multi-table swap. Returns the new catalog version."""
+    from .snapshot import snapshot_versions
+
+    resolved: dict[str, dict] = {}
+    for name, (tdir, ver) in updates.items():
+        tdir = os.path.abspath(tdir)
+        if ver is None:
+            versions = snapshot_versions(tdir)
+            if not versions:
+                raise FileNotFoundError(
+                    f"catalog_set: no committed snapshots under {tdir}"
+                )
+            ver = versions[-1]
+        resolved[name] = {"dir": tdir, "version": int(ver)}
+    st = store_for(catalog)
+    for _ in range(max_retries):
+        versions = catalog_versions(catalog)
+        if not versions:
+            raise FileNotFoundError(f"no catalog at {catalog}")
+        base = versions[-1]
+        cur = _read(catalog, base)
+        tables = dict(cur.get("tables") or {})
+        for name in drops or []:
+            tables.pop(name, None)
+        tables.update(resolved)
+        if st.put_json_if_absent(
+            _manifest_path(catalog, base + 1),
+            {"version": base + 1, "tables": tables},
+        ):
+            return base + 1
+    raise RuntimeError(
+        f"catalog_set lost {max_retries} consecutive commit races on "
+        f"{catalog}"
+    )
+
+
+def catalog_resolve(
+    catalog: str, names: list[str] | None = None
+) -> dict[str, tuple[str, int]]:
+    """One consistent multi-table snapshot: read the LATEST catalog
+    manifest ONCE and return {name: (dir, pinned version)} from it.
+    Unknown requested names raise KeyError (naming the known set)."""
+    versions = catalog_versions(catalog)
+    if not versions:
+        raise FileNotFoundError(f"no catalog at {catalog}")
+    tables = _read(catalog, versions[-1]).get("tables") or {}
+    if names is None:
+        names = sorted(tables)
+    out = {}
+    for name in names:
+        e = tables.get(name)
+        if e is None:
+            raise KeyError(
+                f"catalog {catalog} has no table {name!r} "
+                f"(known: {sorted(tables)})"
+            )
+        out[name] = (e["dir"], int(e["version"]))
+    return out
+
+
+def catalog_read(spark, catalog: str, name: str):
+    """snapshot_read of a cataloged table AT ITS PINNED VERSION. For a
+    consistent multi-table read, catalog_resolve once and snapshot_read
+    each (dir, version) pair yourself — calling catalog_read twice is
+    two resolves and may straddle a swap."""
+    from .snapshot import snapshot_read
+
+    tdir, ver = catalog_resolve(catalog, [name])[name]
+    return snapshot_read(spark, tdir, version=ver)
+
+
+def mv_refresh_cataloged(
+    spark,
+    src_table: str,
+    mv_table: str,
+    catalog: str,
+    src_name: str = "src",
+    mv_name: str = "mv",
+) -> dict:
+    """mv_refresh + one atomic catalog swap publishing the CONSISTENT
+    (source version, MV version) pair. External readers who resolve both
+    tables through the catalog can never observe the torn combination
+    of a new source version with the previous MV state (or vice versa):
+    the pins move together or not at all. A crash between the refresh
+    and the swap leaves the catalog on the previous consistent pair —
+    the refresh itself stays exactly-once (ops/mv.py), so the next call
+    just re-publishes. Returns mv_refresh's result + {'catalog_version'}.
+
+    The published pair comes from the refresh's OWN result (the MV
+    version it committed, the source version it folded to) — never from
+    re-reading latest, which a racing refresher could have moved."""
+    from .mv import mv_refresh
+
+    r = mv_refresh(spark, src_table, mv_table)
+    cv = catalog_set(
+        catalog,
+        {
+            src_name: (src_table, r["refreshed_to"]),
+            mv_name: (mv_table, r["version"]),
+        },
+    )
+    return {**r, "catalog_version": cv}

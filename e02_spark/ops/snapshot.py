@@ -3539,6 +3539,213 @@ def snapshot_drop_tag(table: str, name: str, max_retries: int = 10) -> int:
                         data_change=False)
 
 
+# --------------------------------------------------------------------------
+# BRANCHES (writable refs) — the natural completion of write-audit-publish:
+# tags (above) are read-only pins; a branch is a WRITABLE lineage you
+# commit to, audit, and FAST-FORWARD main onto as one atomic commit (the
+# Iceberg branch + fast_forward shape).
+#
+# Implementation: a branch is a full snapshot table rooted at
+# <table>/branches/<name>, bootstrapped ZERO-COPY from main's current
+# snapshot — live data/delete files and manifest shards are adopted at
+# IDENTICAL table-relative paths (hard links on a local FS: no bytes
+# move and main expiring its own path can't pull the inode out from
+# under the branch; server-side copies on an object store). Because the
+# branch is an ordinary table, every operation — write, merge, CDC sink,
+# compact, checks, WAP — works on it unchanged, and its history diverges
+# independently. Creating a branch commits NOTHING on main (so creating
+# branch B never breaks branch A's fast-forward condition); instead
+# snapshot_expire scans live branch workspaces and keeps each one's
+# branch-point version alive on main (the Iceberg ref-retention rule,
+# extended from tags to writable refs).
+#
+# Fast-forward requires main to still BE at the branch point (the
+# fast-forward condition; a moved main raises — re-branch and replay,
+# exactly like git). The ff itself adopts every branch object main lacks
+# (identical rel paths, so only the branch's NEW commits' files move)
+# and commits the branch head's manifest as main's next version in ONE
+# conditional put — readers see the whole branch history land atomically
+# or not at all. Keyed `ff-<name>-<branch head version>`: a replay
+# no-ops. GC safety is structural: main's expire never scans
+# branches/ subtrees, a branch's own expire touches only its paths, and
+# shared immutable files survive either side's unlink via link counts.
+# --------------------------------------------------------------------------
+
+_BRANCHES = "branches"
+
+
+def snapshot_branch_path(table: str, name: str) -> str:
+    return os.path.join(table, _BRANCHES, name)
+
+
+def _adopt_rel(st, src_root: str, dst_root: str, rel: str) -> int:
+    """Adopt one object at its identical table-relative path; 0 if the
+    destination already has it (shared base content)."""
+    dst = os.path.join(dst_root, rel)
+    if os.path.exists(dst):
+        return 0
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    st.adopt_file(os.path.join(src_root, rel), dst)
+    return 1
+
+
+def snapshot_branch_create(table: str, name: str) -> str:
+    """Create writable branch `name` from the table's current snapshot;
+    returns the branch workspace path (a full snapshot table). See the
+    section comment for semantics. The workspace build is staged under a
+    tmp name and renamed into place, so a crashed create leaves no
+    half-branch under the visible name."""
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid branch name {name!r}")
+    versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    bp = snapshot_branch_path(table, name)
+    if os.path.isdir(bp):
+        raise ValueError(f"branch {name!r} already exists on {table}")
+    base = versions[-1]
+    m = _read_manifest(table, base)
+    st = store_for(table)
+    tmp = os.path.join(table, _BRANCHES, f".tmp-{uuid.uuid4().hex}")
+    try:
+        for r in (
+            m["manifests"] + m.get("deletes", []) + m.get("eq_deletes", [])
+        ):
+            _adopt_rel(st, table, tmp, r["path"])
+        for e in (
+            _all_entries(table, m)
+            + _all_entries(table, m, "deletes")
+            + _all_entries(table, m, "eq_deletes")
+        ):
+            _adopt_rel(st, table, tmp, e["path"])
+        head = dict(m)
+        # tags point at main versions the branch doesn't carry; the
+        # branch starts with no refs of its own
+        head["refs"] = None
+        head["mode"] = "branch"
+        head["properties"] = {
+            **(m.get("properties") or {}),
+            "branch_of": os.path.abspath(table),
+            "branch_base": base,
+        }
+        os.makedirs(os.path.join(tmp, _MANIFESTS), exist_ok=True)
+        st.put_json(_manifest_path(tmp, base), head)
+        os.rename(tmp, bp)
+    except BaseException:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return bp
+
+
+def snapshot_branches(table: str) -> dict[str, int]:
+    """Live branches: {name: branch-point version}. Discovered from the
+    workspaces (creating/dropping a branch never commits on main)."""
+    out: dict[str, int] = {}
+    for bdir in store_for(table).list_glob(
+        os.path.join(table, _BRANCHES, "*")
+    ):
+        name = os.path.basename(bdir)
+        if name.startswith("."):  # half-built tmp workspace
+            continue
+        bvs = snapshot_versions(bdir)
+        if not bvs:
+            continue
+        bb = (
+            _read_manifest(bdir, bvs[-1]).get("properties") or {}
+        ).get("branch_base")
+        if bb is not None:
+            out[name] = int(bb)
+    return out
+
+
+def snapshot_branch_fastforward(
+    spark: SparkSession, table: str, name: str
+) -> dict:
+    """Fast-forward main onto branch `name`'s head as ONE atomic commit
+    (see the section comment). Requires main to still be at the branch
+    point; a moved main — including one that moves DURING this call (the
+    commit race loser) — raises by name instead of merging divergent
+    histories. Keyed `ff-<name>-<head version>`: replays no-op. Returns
+    {'version', 'objects_adopted', 'noop'}."""
+    bp = snapshot_branch_path(table, name)
+    bversions = snapshot_versions(bp)
+    if not bversions:
+        raise FileNotFoundError(f"no branch {name!r} under {table}")
+    bh = bversions[-1]
+    bm = _read_manifest(bp, bh)
+    props = dict(bm.get("properties") or {})
+    base = props.pop("branch_base", None)
+    props.pop("branch_of", None)
+    if base is None:
+        raise ValueError(
+            f"{bp} carries no branch_base marker — not a branch workspace"
+        )
+    ff_key = f"ff-{name}-{bh}"
+    main_latest = snapshot_versions(table)[-1]
+    prev = _read_manifest(table, main_latest)
+    prev_keys = set(prev.get("keys", committed_keys(table)))
+    if ff_key in prev_keys:
+        return {"version": main_latest, "objects_adopted": 0, "noop": True}
+    if main_latest != int(base):
+        raise ValueError(
+            f"fast-forward refused: {table} advanced to v{main_latest} "
+            f"past the branch point v{base} — the branch no longer "
+            "fast-forwards; create a fresh branch and replay onto it"
+        )
+    st = store_for(table)
+    adopted = 0
+    for r in (
+        bm["manifests"] + bm.get("deletes", []) + bm.get("eq_deletes", [])
+    ):
+        adopted += _adopt_rel(st, bp, table, r["path"])
+    for e in (
+        _all_entries(bp, bm)
+        + _all_entries(bp, bm, "deletes")
+        + _all_entries(bp, bm, "eq_deletes")
+    ):
+        adopted += _adopt_rel(st, bp, table, e["path"])
+    new_refs = dict(prev.get("refs") or {})
+    manifest = {
+        "version": main_latest + 1,
+        "mode": "fastforward",
+        "stats_cols": bm.get("stats_cols", prev.get("stats_cols", [])),
+        "idempotency_key": ff_key,
+        # branch commit keys ride along: an exactly-once feed that wrote
+        # to the branch and replays against main after the ff no-ops
+        "keys": sorted(prev_keys | set(bm.get("keys", [])) | {ff_key}),
+        "manifests": bm["manifests"],
+        "deletes": bm.get("deletes", []),
+        "eq_deletes": bm.get("eq_deletes", []),
+        "partition_spec": bm.get("partition_spec"),
+        "partition_specs": bm.get("partition_specs") or _specs_carry(bm, None),
+        "refs": new_refs or None,
+        "schema": bm.get("schema"),
+        "checks": bm.get("checks"),
+        "properties": {**(prev.get("properties") or {}), **props} or None,
+    }
+    if not _try_commit(table, main_latest + 1, manifest):
+        raise ValueError(
+            f"fast-forward refused: a commit raced onto {table} at the "
+            "branch point — the fast-forward condition no longer holds"
+        )
+    return {
+        "version": main_latest + 1, "objects_adopted": adopted,
+        "noop": False,
+    }
+
+
+def snapshot_branch_drop(table: str, name: str) -> None:
+    """Drop branch `name`: remove the workspace (its branch point on
+    main becomes expirable again — see snapshot_expire's branch scan).
+    Idempotent — a missing branch is not an error (the crash-retry
+    direction)."""
+    import shutil as _shutil
+
+    _shutil.rmtree(snapshot_branch_path(table, name), ignore_errors=True)
+
+
 def snapshot_expire(
     table: str,
     keep_last: int = 1,
@@ -3584,6 +3791,9 @@ def snapshot_expire(
         tagged = set(
             (_read_manifest(table, versions[-1]).get("refs") or {}).values()
         )
+        # ...and so are live branches' branch-point versions (writable
+        # refs — snapshot_branch_create): dropped with the workspace
+        tagged |= set(snapshot_branches(table).values())
         if tagged:
             keep = sorted(set(keep) | (tagged & set(versions)))
     dropped = 0

@@ -418,11 +418,15 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # commit times) and expire/GC driver-pinned (compact -> expire
         # keep_last=1 physically collects the pre-compact files; the
         # hash-checked aggregate reads the POST-GC table)
+        # round 11: + writable refs (branches) — a net-identity MoR
+        # round-trip rides a branch and fast-forwards main as one atomic
+        # commit (branch_ok); a live branch pins its branch point
+        # against expire and survives main's GC (branch_gc_ok)
         ("q114", "q114_snapshot_table",
          [("o_orderpriority", "s"), ("meta_rows_match", "s"),
           ("replay_noop", "s"), ("rollback_history_ok", "s"),
           ("publish_ok", "s"), ("as_of_ts_ok", "s"), ("tag_ok", "s"),
-          ("expire_ok", "s"),
+          ("expire_ok", "s"), ("branch_ok", "s"), ("branch_gc_ok", "s"),
           ("n_orders", "n"), ("total_price", "n")]),
         # round 8: add-only schema evolution — an append carrying a new
         # column evolves the manifest schema; old files NULL-backfill at

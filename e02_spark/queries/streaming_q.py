@@ -599,6 +599,45 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and pub_replay["files_adopted"] == 0
         and pub_replay["version"] == pub["version"]
     )
+    # BRANCH leg (round 11, writable refs): a NET-IDENTITY mutation
+    # rides a branch — MoR-delete a slice, re-append the identical rows,
+    # audit on the branch, FAST-FORWARD main as one atomic commit, fold.
+    # Content is unchanged by construction, so the final hash-checked
+    # aggregate pins that the branch round-trip (including adopting the
+    # branch's outstanding DV files) corrupted nothing; the booleans pin
+    # the ref machinery itself.
+    from ..ops.snapshot import (
+        snapshot_branch_create,
+        snapshot_branch_drop,
+        snapshot_branch_fastforward,
+        snapshot_merge,
+        snapshot_rewrite_deletes,
+    )
+
+    bp = snapshot_branch_create(table, "wip")
+    rows_at_branch = snapshot_rows(table)
+    ver_at_branch = snapshot_versions(table)[-1]
+    bslice = orders.where(F.col("o_orderkey") % 8 == 2)
+    snapshot_merge(
+        spark, bp, bslice.select("o_orderkey"), on=["o_orderkey"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    snapshot_write(bslice, bp, mode="append", n_files=1,
+                   stats_cols=["o_orderkey"])
+    audit_ok = snapshot_rows(bp) == rows_at_branch  # branch-side audit
+    ff = snapshot_branch_fastforward(spark, table, "wip")
+    ff_replay = snapshot_branch_fastforward(spark, table, "wip")
+    branch_ok = (
+        audit_ok
+        # main stayed at the branch point while the branch diverged,
+        # and the ff landed the whole branch history as ONE commit
+        and ff["version"] == ver_at_branch + 1
+        and ff["noop"] is False
+        and ff_replay["noop"] is True
+        and snapshot_rows(table) == rows_at_branch
+    )
+    snapshot_branch_drop(table, "wip")
+    snapshot_rewrite_deletes(spark, table)  # fold the adopted DV files
     feed = _stage_orders_feed(spark, sf_dir)
 
     def run_stream() -> None:
@@ -675,11 +714,24 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-checked aggregate below reads the POST-GC table, so the
     # content pin proves GC deleted nothing live.
     n_before = len(snapshot_versions(table))
+    # GC-respect leg: a live branch pins its branch point against the
+    # aggressive expire below (the ref-retention rule for writable
+    # refs), and stays fully readable after main's GC collected every
+    # other pre-compact object; dropping it makes the version expirable.
+    ver_pin = snapshot_versions(table)[-1]
+    bp_gc = snapshot_branch_create(table, "gc-pin")
     snapshot_compact(spark, table, n_files=4, cluster_by=["o_orderkey"])
     exp = snapshot_expire(table, keep_last=1, clean_orphans=True)
+    branch_gc_ok = (
+        ver_pin in snapshot_versions(table)
+        and exp["manifests_dropped"] == n_before - 1
+        and snapshot_rows(bp_gc) == rows_v1
+    )
+    snapshot_branch_drop(table, "gc-pin")
+    exp2 = snapshot_expire(table, keep_last=1, clean_orphans=True)
     expire_ok = (
-        exp["manifests_dropped"] == n_before
-        and exp["files_deleted"] > 0
+        exp["files_deleted"] > 0
+        and exp2["manifests_dropped"] == 1
         and len(snapshot_versions(table)) == 1
         and snapshot_rows(table) == rows_v1
     )
@@ -705,6 +757,8 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("as_of_ts_ok", F.lit(bool(as_of_ts_ok)))
         .withColumn("tag_ok", F.lit(bool(tag_ok)))
         .withColumn("expire_ok", F.lit(bool(expire_ok)))
+        .withColumn("branch_ok", F.lit(bool(branch_ok)))
+        .withColumn("branch_gc_ok", F.lit(bool(branch_gc_ok)))
     )
 
 
@@ -718,7 +772,9 @@ SELECT o_orderpriority,
   TRUE AS publish_ok,
   TRUE AS as_of_ts_ok,
   TRUE AS tag_ok,
-  TRUE AS expire_ok
+  TRUE AS expire_ok,
+  TRUE AS branch_ok,
+  TRUE AS branch_gc_ok
 FROM orders
 WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
 GROUP BY o_orderpriority
