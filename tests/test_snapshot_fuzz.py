@@ -273,3 +273,163 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed, table_store):
     # GC never changes the surviving snapshot
     S.snapshot_expire(table, keep_last=1, clean_orphans=True)
     assert _table_content(spark, table) == model
+
+
+# --------------------------------------------------------------------------
+# Object-store FAILURE INJECTION (round 11): the conditional-PUT commit
+# protocol must never publish a manifest referencing unreadable objects,
+# and a failed primitive must leave the table exactly where it was.
+#
+# Fault model (what S3-class stores actually do):
+#   * torn multipart PUT / request failure -> the object is ABSENT and
+#     the client sees an exception (multipart uploads are invisible
+#     until CompleteMultipartUpload; there are no partial objects).
+#     Injected as a raise BEFORE the primitive applies.
+#   * 503 SlowDown on any call -> same shape: exception, not applied.
+#   * delayed LIST visibility -> a reader's list omits the newest
+#     commit; it must resolve the PREVIOUS snapshot (normal snapshot
+#     isolation), never an error or a torn view. (S3/GCS LIST has been
+#     strongly consistent since 2020 — injected anyway to prove readers
+#     don't depend on it.)
+# NOT modeled: the ambiguous outcome where the service applied the
+# conditional put but the RESPONSE was lost — recovering that needs a
+# read-back-and-compare the protocol does not implement (a keyed commit
+# replay no-ops; an unkeyed one would duplicate, like every system
+# without idempotency keys).
+# --------------------------------------------------------------------------
+
+
+class _FaultyObjectStore:
+    """FakeObjectStore wrapper injecting seeded pre-application
+    failures on the WRITE primitives (put/conditional-put/adopt) —
+    the calls the commit protocol's atomicity rests on. Read-path 503s
+    are deliberately NOT injected: a real SDK retries them internally,
+    and a read faulted AFTER an op's commit landed only recreates the
+    ambiguous-response case scoped out above (client doesn't learn the
+    outcome; the table is still consistent). `armed` gates injection so
+    the fuzz's own verification reads run clean."""
+
+    def __init__(self, rng, p):
+        from e02_spark.ops.store import FakeObjectStore
+
+        self._inner = FakeObjectStore()
+        self.rng, self.p = rng, p
+        self.armed = False
+        self.faults = 0
+
+    def _maybe_fail(self, what):
+        if self.armed and self.rng.random() < self.p:
+            self.faults += 1
+            raise OSError(f"injected 503: {what}")
+
+    def __getattr__(self, name):
+        target = getattr(self._inner, name)
+        if name in ("put_json", "put_json_if_absent", "adopt_file"):
+            def wrapped(*a, _t=target, _n=name, **kw):
+                self._maybe_fail(_n)
+                return _t(*a, **kw)
+
+            return wrapped
+        return target
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_snapshot_mutation_fuzz_with_fault_injection(spark, tmp_path, seed):
+    """The mutation fuzz under injected object-store failures: every
+    faulted op leaves content EXACTLY as it was (atomicity), every
+    surviving manifest references only readable shards and files, and
+    the run still converges to the model."""
+    import os
+
+    from e02_spark.ops.store import register_store, unregister_store
+
+    rng = random.Random(seed)
+    st = _FaultyObjectStore(random.Random(seed * 31 + 1), p=0.10)
+    register_store(str(tmp_path), st)
+    table = str(tmp_path / "tbl")
+    try:
+        init = [(k, rng.randrange(1000)) for k in range(0, 120, 2)]
+        S.snapshot_write(_df(spark, init), table, mode="overwrite",
+                         n_files=3, cluster_by=["id"], stats_cols=["id"],
+                         partition_spec=[("bucket", "id", 4)])
+        model = dict(init)
+        ctx = {"versions": [1], "history": {1: (dict(init), False, False)},
+               "check": False, "tmp": str(tmp_path), "evolved": False}
+        trace = []
+        faulted = 0
+        for step in range(16):
+            st.armed = True
+            try:
+                op = _apply_random_op(spark, rng, table, model, ctx)
+                trace.append(op)
+            except OSError as e:
+                assert "injected 503" in str(e), e
+                faulted += 1
+                trace.append("FAULT")
+            finally:
+                st.armed = False
+            got = _table_content(spark, table)
+            assert got == model, f"seed={seed} step={step} trace={trace}"
+        assert faulted > 0, "injection never fired — raise p or steps"
+        # no surviving manifest references an unreadable object
+        for v in S.snapshot_versions(table):
+            m = S._read_manifest(table, v)
+            for r in (m["manifests"] + m.get("deletes", [])
+                      + m.get("eq_deletes", [])):
+                assert os.path.exists(os.path.join(table, r["path"])), (
+                    f"v{v} references missing shard {r['path']}"
+                )
+            for key in ("manifests", "deletes", "eq_deletes"):
+                for e in S._all_entries(table, m, key):
+                    assert os.path.exists(
+                        os.path.join(table, e["path"])
+                    ), f"v{v} references missing file {e['path']}"
+        # GC with injection disarmed still lands on the model
+        S.snapshot_expire(table, keep_last=1, clean_orphans=True)
+        assert _table_content(spark, table) == model
+    finally:
+        unregister_store(str(tmp_path))
+
+
+def test_reader_tolerates_delayed_list_visibility(spark, tmp_path):
+    """A reader whose LIST lags the newest commit resolves the PREVIOUS
+    snapshot — consistent, never an error, never a torn view (the
+    protocol never needs list-after-put of its own commit)."""
+    from e02_spark.ops.store import (
+        FakeObjectStore,
+        register_store,
+        unregister_store,
+    )
+
+    class LaggedListStore(FakeObjectStore):
+        def __init__(self):
+            super().__init__()
+            self.hide: set[str] = set()
+
+        def list_glob(self, pattern):
+            return [
+                p for p in super().list_glob(pattern)
+                if p not in self.hide
+            ]
+
+    st = LaggedListStore()
+    register_store(str(tmp_path), st)
+    table = str(tmp_path / "tbl")
+    try:
+        S.snapshot_write(
+            spark.range(50).selectExpr("id", "'a' AS tag", "id AS amt"),
+            table, mode="overwrite", n_files=1,
+        )
+        S.snapshot_write(
+            spark.range(50, 80).selectExpr("id", "'b' AS tag", "id AS amt"),
+            table, mode="append", n_files=1,
+        )
+        # the newest commit hasn't "appeared" in this reader's LIST yet
+        st.hide = {S._manifest_path(table, 2)}
+        assert S.snapshot_versions(table) == [1]
+        got = {r["id"] for r in S.snapshot_read(spark, table).collect()}
+        assert got == set(range(50))  # the previous consistent snapshot
+        st.hide = set()
+        assert S.snapshot_read(spark, table).count() == 80
+    finally:
+        unregister_store(str(tmp_path))
