@@ -58,7 +58,15 @@ def run_scan(
     output_dir: str,
     checkpoint_dir: str | None = None,
 ) -> None:
-    """Entry point 1: corpus → raw_dependencies.json + flattened_dependencies.json."""
+    """Entry point 1: corpus → raw_dependencies.json + flattened_dependencies.json.
+
+    SIZE BOUND: the two writers collect() to the driver to produce the
+    reference's byte-deterministic single-file artifacts — correct for
+    this pipeline's domain (one repo's SQL function graph, KB-scale by
+    construction: the reference materializes the same dicts in plain
+    Python, scan_dependencies.py:194-208). Do not point it at a
+    corpus-sized graph; for that, write the `raw`/`flat` DataFrames to
+    parquet (the checkpoint_dir path) and skip the JSON artifacts."""
     raw = dependency_graph(sql_files)
     flat = flatten_one_hop(sql_files)
     if checkpoint_dir:  # A9: parquet checkpoint between pipeline stages
@@ -102,7 +110,9 @@ def run_codefacilitators(
 ) -> None:
     """Entry point 2: flattened deps ∘ MARTOWNERS → CODEFACILITATORS text
     sink, sorted by function name, teams sorted within each line
-    (generate_codefacilitators.py:44-49)."""
+    (generate_codefacilitators.py:44-49). Same KB-scale driver-side
+    collect bound as run_scan (see its docstring) — the artifact is a
+    single deterministic text file by contract."""
     result = codefacilitators(flatten_one_hop(sql_files), owner_lines)
     lines = [
         f"{r['def_path']} {' '.join(r['teams'])}"

@@ -22,4 +22,16 @@ DataFrame ops chosen for 100 TB behavior:
   bucketing.py    bucketed tables for exchange-free fact-to-fact joins
   layout.py       hive-partitioned writes, dynamic partition overwrite,
                   clustering (sortWithinPartitions) and compaction
+  snapshot.py     manifest-committed lakehouse table (commits, merges,
+                  CDF, time travel, refs/branches, maintenance)
+  store.py        pluggable commit-plane backend (conditional PUT,
+                  S3-mappable object semantics)
+  catalog.py      multi-table atomic commits (one conditional-PUT
+                  manifest pins versions that belong together)
+  bloom.py        per-file manifest bloom filters (point-lookup and
+                  small-key-merge file skipping; "no" is definitive)
+  meta.py         queryable metadata tables (files/deletes/history/
+                  refs/partitions as DataFrames + SQL views)
+  mv.py, ivm.py   materialized views (batch/continuous) and CDF-driven
+                  incremental view maintenance
 """

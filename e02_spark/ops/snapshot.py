@@ -205,7 +205,22 @@ def _probe_value(v):
     return _stat_value(v)
 
 
-def _harvest_one(path: str, stats_cols: list[str], table: str) -> dict:
+def _bloom_cols(manifest: dict | None) -> list[str]:
+    """Bloom-filter columns declared for the table (ops/bloom.py). A
+    TABLE PROPERTY — stored in manifest `properties`, so every commit
+    constructor, branch adoption, publish, clone, and rollback carries
+    it forward without knowing blooms exist."""
+    if manifest is None:
+        return []
+    return list((manifest.get("properties") or {}).get("bloom_cols") or [])
+
+
+def _harvest_one(
+    path: str,
+    stats_cols: list[str],
+    table: str,
+    bloom_cols: list[str] | None = None,
+) -> dict:
     """Footer → manifest entry for ONE parquet file. Shared verbatim by
     the sequential and the distributed harvest paths so both produce
     byte-identical manifest entries. Column chunk stats are aggregated
@@ -234,13 +249,25 @@ def _harvest_one(path: str, stats_cols: list[str], table: str) -> dict:
         jlo, jhi = _stat_value(lo), _stat_value(hi)
         if ok and jlo is not None and jhi is not None:
             bounds[col] = [jlo, jhi]
-    return {
+    entry = {
         # TABLE-relative: the manifest stays valid if the table
         # root moves or the reader's CWD differs from the writer's
         "path": os.path.relpath(path, table),
         "rows": meta.num_rows,
         "stats": bounds,
     }
+    if bloom_cols:
+        # per-file point-lookup filters (ops/bloom.py) — unlike the
+        # footer-only stats above this reads the declared columns'
+        # VALUES, so bloom-bearing tables pay one column read per new
+        # file at commit time (where the data was just written; the
+        # distributed path keeps it off the driver for bulk commits)
+        from .bloom import harvest_blooms
+
+        blooms = harvest_blooms(path, bloom_cols)
+        if blooms:
+            entry["bloom"] = blooms
+    return entry
 
 
 # Below this file count the commit-plane harvest stays a driver loop; at
@@ -256,7 +283,10 @@ _HARVEST_DISTRIBUTE_MIN = 8192
 
 
 def _harvest_stats(
-    files: list[str], stats_cols: list[str], table: str
+    files: list[str],
+    stats_cols: list[str],
+    table: str,
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Per-file entries from the parquet FOOTERS (row count + min/max
     per stats column). Small commits (the steady state) read footers
@@ -272,12 +302,18 @@ def _harvest_stats(
 
         spark = SparkSession.getActiveSession()
         if spark is not None:
-            return _harvest_stats_distributed(spark, files, stats_cols, table)
-    return [_harvest_one(p, stats_cols, table) for p in files]
+            return _harvest_stats_distributed(
+                spark, files, stats_cols, table, bloom_cols
+            )
+    return [_harvest_one(p, stats_cols, table, bloom_cols) for p in files]
 
 
 def _harvest_stats_distributed(
-    spark, files: list[str], stats_cols: list[str], table: str
+    spark,
+    files: list[str],
+    stats_cols: list[str],
+    table: str,
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Executor-side twin of the sequential harvest: ship the file list,
     parse each footer where the data lives (executors share the table's
@@ -287,6 +323,7 @@ def _harvest_stats_distributed(
     import json as _json
 
     cols, tbl = list(stats_cols), table
+    bcols = list(bloom_cols or [])
 
     def _part(batches):
         import pandas as pd
@@ -295,7 +332,9 @@ def _harvest_stats_distributed(
             yield pd.DataFrame(
                 {
                     "entry": [
-                        _json.dumps(_harvest_one(p, cols, tbl), sort_keys=True)
+                        _json.dumps(
+                            _harvest_one(p, cols, tbl, bcols), sort_keys=True
+                        )
                         for p in pdf["path"]
                     ]
                 }
@@ -726,6 +765,7 @@ def snapshot_write(
     partition_spec: list | None = None,
     properties: dict | None = None,
     expected_version: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write `df` as a new snapshot commit. mode='append' adds the new
     files to the current snapshot's list; mode='overwrite' replaces the
@@ -756,6 +796,13 @@ def snapshot_write(
     keyed commit ever — bytes per commit, and the stream's checkpoint
     offset log fences batches old enough to ever matter truncating.
 
+    bloom_cols declares per-file BLOOM FILTERS (ops/bloom.py) harvested
+    into the manifest entries at every file-adding commit — point
+    probes and small-key merges then skip files whose filter proves the
+    key absent, where raw [min,max] keeps them. A table property: None
+    inherits the recorded set, an explicit list re-declares it, []
+    clears it.
+
     expected_version turns the commit into a compare-and-swap: it
     succeeds only if the table is STILL at that version when the commit
     lands, raising ConcurrentWriteError otherwise (after the replay
@@ -769,11 +816,15 @@ def snapshot_write(
         return snapshot_versions(table)[-1]
     spec = _pt_validate(partition_spec) if partition_spec else None
     versions0 = snapshot_versions(table)
-    prev_spec = (
-        _read_manifest(table, versions0[-1]).get("partition_spec")
-        if versions0
-        else None
-    )
+    prev0 = _read_manifest(table, versions0[-1]) if versions0 else None
+    prev_spec = prev0.get("partition_spec") if prev0 is not None else None
+    # bloom_cols is a table property (see _bloom_cols): None inherits the
+    # recorded set — every append and plain overwrite keeps harvesting
+    # the filters — and an explicit list (or []) re-declares/clears it,
+    # riding this commit's properties merge below.
+    eff_bloom = _bloom_cols(prev0) if bloom_cols is None else list(bloom_cols)
+    if bloom_cols is not None:
+        properties = {**(properties or {}), "bloom_cols": sorted(bloom_cols)}
     if prev_spec:
         if partition_spec is None:
             # the recorded spec is a TABLE property like checks and
@@ -808,7 +859,9 @@ def snapshot_write(
         out = aug.repartition(n_files)
     out.write.mode("error").parquet(commit_dir)
     new_files = _glob.glob(os.path.join(commit_dir, "*.parquet"))
-    new_entries = _harvest_stats(new_files, (stats_cols or []) + hidden, table)
+    new_entries = _harvest_stats(
+        new_files, (stats_cols or []) + hidden, table, eff_bloom
+    )
     # A giant commit fans out across shards too (the Iceberg behavior):
     # _harvest_stats sorts entries by path = Spark's part-NNNNN order,
     # which under cluster_by's repartitionByRange IS cluster-key order,
@@ -955,7 +1008,11 @@ def snapshot_read(
     Spark sees the paths (manifest-level scan planning), at both levels:
     a SHARD whose aggregate bounds miss the range is skipped without
     being opened, then surviving shards' entries prune per-file.
-    Files/shards without bounds for the column are kept (safe). Pruning
+    Files/shards without bounds for the column are kept (safe). A POINT
+    probe (lo == hi) additionally tests per-file bloom filters when the
+    table declares bloom_cols (snapshot_write) — files whose filter
+    proves the key absent are dropped even when their raw [min,max]
+    spans it. Pruning
     is an optimization only — the caller still applies its row filter;
     an empty post-prune list returns an empty frame with the table's
     schema (read from one manifest file path's footer).
@@ -1073,12 +1130,77 @@ def snapshot_read(
     return _live_rows(spark, table, m, kept, dv)
 
 
+def _bloom_keep(entry: dict, eq_probes: list) -> bool:
+    """File-level bloom test for point probes: False only when some
+    probed column's filter PROVES the value absent. Entries or columns
+    without a filter are kept (safe — same direction as missing
+    bounds). Probe values must be the column's own value type, the same
+    contract the min/max comparison already imposes."""
+    bl = entry.get("bloom")
+    if not bl:
+        return True
+    from .bloom import bloom_maybe_contains
+
+    for col, v in eq_probes:
+        b = bl.get(col)
+        if b is not None and not bloom_maybe_contains(b, v):
+            return False
+    return True
+
+
+# Merge-candidate bloom narrowing collects the source's distinct leading
+# keys driver-side; above this count the collect is refused and planning
+# stays on range pruning alone (bulk merges prune fine by range — it is
+# the small CDC trickle whose keys scatter across the whole domain that
+# needs per-file membership).
+_BLOOM_MERGE_KEYS_CAP = 1024
+
+
+def _bloom_filter_candidates(
+    table: str,
+    manifest: dict,
+    candidates: list[str],
+    col: str,
+    values: list,
+    bounds: tuple | None = None,
+) -> list[str]:
+    """Drop candidate files whose bloom PROVES none of `values` present.
+    Files without a filter survive. `bounds` is the (lo, hi) range the
+    candidates were planned under: shards whose aggregate stats are
+    disjoint from it hold no candidates and are skipped UNOPENED, so
+    this pass opens exactly the shards the range plan already did (and
+    hits its LRU cache); each surviving file then costs one bloom
+    decompress for the whole value set."""
+    from .bloom import bloom_maybe_contains_any
+
+    lo = hi = None
+    if bounds is not None:
+        lo, hi = _probe_value(bounds[0]), _probe_value(bounds[1])
+    cand = set(candidates)
+    drop: set[str] = set()
+    for ref in manifest["manifests"]:
+        b = (ref.get("stats") or {}).get(col)
+        if b is not None and (
+            (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
+        ):
+            continue  # no candidate can live in a range-disjoint shard
+        for e in _read_shard(table, ref):
+            p = os.path.join(table, e["path"])
+            if p not in cand:
+                continue
+            bf = (e.get("bloom") or {}).get(col)
+            if bf is not None and not bloom_maybe_contains_any(bf, values):
+                drop.add(p)
+    return [p for p in candidates if p not in drop]
+
+
 def _plan_files(
     table: str,
     version: int | None,
     prune: tuple[str, object, object] | None,
     shards_opened: list | None = None,
     manifest: dict | None = None,
+    bloom_dropped: list | None = None,
 ) -> tuple[list[str], str | None]:
     """Manifest-level scan planning: (pruned file paths, one schema
     fallback path or None if the snapshot is empty). `prune` is one
@@ -1098,12 +1220,17 @@ def _plan_files(
             raise ValueError(f"version {v} not in {versions}")
         manifest = _read_manifest(table, v)
     preds = []
+    eq_probes = []  # (col, RAW value): bloom hashing needs the original
+    # type (a datetime coerced to its isoformat string would hash under
+    # the wrong type tag and "prove" a present key absent)
     if prune is not None:
         # coerce temporal probe bounds to the stored isoformat-string
         # encoding once, up front (see _probe_value); an uncoercible
         # bound becomes None = unbounded on that side
         for p in [prune] if isinstance(prune, tuple) else prune:
             preds.append((p[0], _probe_value(p[1]), _probe_value(p[2])))
+            if p[1] is not None and p[1] == p[2]:
+                eq_probes.append((p[0], p[1]))
 
     def _disjoint(stats: dict) -> bool:
         for col, lo, hi in preds:
@@ -1123,6 +1250,13 @@ def _plan_files(
             shards_opened.append(ref["path"])
         for e in entries:
             if preds and _disjoint(e["stats"]):
+                continue
+            # point probes additionally test the entry's bloom filters
+            # (ops/bloom.py): a "no" is definitive — the file cannot
+            # contain the key — where its raw [min,max] would keep it
+            if eq_probes and not _bloom_keep(e, eq_probes):
+                if bloom_dropped is not None:
+                    bloom_dropped.append(e["path"])
                 continue
             kept.append(os.path.join(table, e["path"]))
     fallback: str | None = None
@@ -1223,6 +1357,7 @@ def snapshot_compact(
     stats_cols: list[str] | None = None,
     max_retries: int = 3,
     zorder_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the CURRENT snapshot into n_files files and commit the
     result as a new overwrite version. Contents are preserved exactly;
@@ -1258,6 +1393,14 @@ def snapshot_compact(
         sc = stats_cols if stats_cols is not None else prev.get("stats_cols", [])
         if zorder_by:
             sc = sorted(set(sc) | set(zorder_by))
+        # bloom_cols here DECLARES (or clears, with []) the table's bloom
+        # property in the same pass that harvests the filters — the
+        # natural way to retrofit blooms onto an existing table without a
+        # content commit; None keeps whatever the table already declares
+        bc = _bloom_cols(prev) if bloom_cols is None else list(bloom_cols)
+        props = prev.get("properties")
+        if bloom_cols is not None:
+            props = {**(props or {}), "bloom_cols": sorted(bloom_cols)}
         cur = snapshot_read(spark, table, version=base)
         cur, hidden = _pt_materialize(cur, prev.get("partition_spec"))
         if zorder_by:
@@ -1303,7 +1446,7 @@ def snapshot_compact(
         out.write.mode("error").parquet(commit_dir)
         new_entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")),
-            list(sc) + hidden, table,
+            list(sc) + hidden, table, bc,
         )
         for e in new_entries:
             e["seq"] = base + 1
@@ -1328,7 +1471,7 @@ def snapshot_compact(
             "refs": prev.get("refs"),
             "schema": prev.get("schema"),
             "checks": prev.get("checks"),
-            "properties": prev.get("properties"),
+            "properties": props,
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -1405,7 +1548,7 @@ def snapshot_binpack(
         sc = prev.get("stats_cols", [])
         new_entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")),
-            list(sc) + hidden, table,
+            list(sc) + hidden, table, _bloom_cols(prev),
         )
         for e in new_entries:
             e["seq"] = base + 1  # eq deletes were folded into the rewrite
@@ -1534,7 +1677,7 @@ def snapshot_rewrite_deletes(
             out.write.mode("error").parquet(commit_dir)
             new_entries = _harvest_stats(
                 _glob.glob(os.path.join(commit_dir, "*.parquet")),
-                list(sc) + hidden, table,
+                list(sc) + hidden, table, _bloom_cols(prev),
             )
             for e in new_entries:
                 e["seq"] = base + 1  # both delete flavors folded in
@@ -2578,6 +2721,15 @@ def snapshot_merge(
                 commit_key, _replay_result,
             )
         aggs = [F.min(k0).alias("lo"), F.max(k0).alias("hi")]
+        # distinct leading-key count rides the same single source pass,
+        # but ONLY when the table actually declares blooms on the key —
+        # the count exists solely to gate the bloom candidate filter, so
+        # a bloom-less table (the common case) pays nothing extra
+        bloom_k0 = k0 in _bloom_cols(
+            _read_manifest(table, snapshot_versions(table)[-1])
+        )
+        if bloom_k0:
+            aggs.append(F.count_distinct(k0).alias("kcnt"))
         if when_matched == "update":
             aggs += [
                 F.count(F.lit(1)).alias("cnt"),
@@ -2590,6 +2742,7 @@ def snapshot_merge(
                 "nondeterministic (the standard MERGE ambiguity error)"
             )
         skeys = source.select(*on).distinct()
+        src_k0: list | None = None  # collected lazily, at most once
 
         for _ in range(max_retries):
             base = snapshot_versions(table)[-1]
@@ -2602,6 +2755,34 @@ def snapshot_merge(
             candidates, _ = _plan_files(
                 table, base, (k0, b["lo"], b["hi"]), manifest=prev
             )
+            # Small-key-set bloom narrowing (the CDC-trickle case): the
+            # range probe above keeps every file whose [min,max] spans
+            # the keys, which after compaction interleaves is most of
+            # the table; when the table declares blooms on the leading
+            # merge key and the source carries few distinct keys, test
+            # each candidate's filter against the actual key set and
+            # drop files that provably contain none of them. Gated on
+            # kcnt from the one agg already paid — the extra distinct
+            # collect runs only under the cap, and only once.
+            if (
+                candidates
+                and bloom_k0
+                and b["kcnt"] is not None
+                and 0 < b["kcnt"] <= _BLOOM_MERGE_KEYS_CAP
+                and k0 in _bloom_cols(prev)
+            ):
+                if src_k0 is None:
+                    src_k0 = [
+                        r[0]
+                        for r in source.select(k0)
+                        .where(F.col(k0).isNotNull())
+                        .distinct()
+                        .collect()
+                    ]
+                candidates = _bloom_filter_candidates(
+                    table, prev, candidates, k0, src_k0,
+                    bounds=(b["lo"], b["hi"]),
+                )
             n_all = sum(r["n_files"] for r in prev["manifests"])
             # live matched rows, keyed by physical position: candidate
             # files scanned key-columns-only, existing tombstones
@@ -2720,7 +2901,7 @@ def _merge_attempt(
         out.write.mode("error").parquet(commit_dir)
         entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")),
-            list(sc) + hidden, table,
+            list(sc) + hidden, table, _bloom_cols(prev),
         )
         for e in entries:
             e["seq"] = base + 1  # new files are exempt from older eq deletes
@@ -2903,7 +3084,7 @@ def _eq_merge_commit(
                 out.write.mode("error").parquet(commit_dir)
                 new_entries = _harvest_stats(
                     _glob.glob(os.path.join(commit_dir, "*.parquet")),
-                    list(sc) + hidden, table,
+                    list(sc) + hidden, table, _bloom_cols(prev),
                 )
                 for e in new_entries:
                     # the new files' HIGHER seq exempts them from the eq

@@ -572,6 +572,54 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_files=4,
         cluster_by=["o_orderkey"],
         stats_cols=["o_orderkey"],
+        # blooms declared from the FIRST commit (round 11): every later
+        # commit in this entry — publish, branch work, stream appends,
+        # merges, compact — inherits the table property and harvests
+        # filters, so the whole lifecycle runs bloom-bearing
+        bloom_cols=["o_orderkey"],
+    )
+    # BLOOM point-probe leg, on the %4==0 base while it is SPARSE by
+    # construction: a key ≡1 (mod 4) sits inside every file's [min,max]
+    # span but provably absent — only the bloom can prune it; a present
+    # key's file must NEVER be bloom-dropped (no false negatives). One
+    # absent key has the filter's small false-positive chance of
+    # planning 1 file, so 16 candidates with "at least one proven
+    # absent" makes the pin deterministic-in-practice; every candidate
+    # must also read back zero rows regardless of pruning.
+    from ..ops.meta import snapshot_meta
+    from ..ops.snapshot import _all_entries, _plan_files, _read_manifest
+
+    m_base = _read_manifest(table, snapshot_versions(table)[-1])
+    # probe keys come from the MANIFEST, zero Spark jobs: the first
+    # file's min key is a known-present key, and since every base key is
+    # ≡0 (mod 4), min+1+4j is in-range and provably absent
+    lo_key = min(
+        int(e["stats"]["o_orderkey"][0]) for e in _all_entries(table, m_base)
+    )
+    gaps = [lo_key + 1 + 4 * j for j in range(16)]
+    proven = []
+    for g in gaps:
+        bloom_dropped: list = []
+        kept_gap, _ = _plan_files(
+            table, None, ("o_orderkey", g, g),
+            manifest=m_base, bloom_dropped=bloom_dropped,
+        )
+        if kept_gap == [] and len(bloom_dropped) == 1:
+            proven.append(g)
+    kept_hit, _ = _plan_files(
+        table, None, ("o_orderkey", lo_key, lo_key), manifest=m_base
+    )
+    # two Spark jobs: the first proven key's PRUNED point read (the
+    # empty-plan schema-fallback path), and one unpruned membership
+    # check that every probe candidate is truly absent
+    bloom_probe_ok = (
+        len(proven) >= 1
+        and len(kept_hit) == 1
+        and snapshot_read(
+            spark, table, prune=("o_orderkey", proven[0], proven[0])
+        ).where(F.col("o_orderkey") == proven[0]).count() == 0
+        and snapshot_read(spark, table)
+        .where(F.col("o_orderkey").isin(gaps)).count() == 0
     )
     # WRITE-AUDIT-PUBLISH leg: the %4==2 quarter lands in its own
     # staging snapshot table and is adopted by one zero-copy publish
@@ -720,7 +768,11 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other pre-compact object; dropping it makes the version expirable.
     ver_pin = snapshot_versions(table)[-1]
     bp_gc = snapshot_branch_create(table, "gc-pin")
-    snapshot_compact(spark, table, n_files=4, cluster_by=["o_orderkey"])
+    # the compact re-DECLARES blooms explicitly (same set commit 1
+    # declared — exercises snapshot_compact's declare-and-harvest path
+    # on top of the inheritance every other commit used)
+    snapshot_compact(spark, table, n_files=4, cluster_by=["o_orderkey"],
+                     bloom_cols=["o_orderkey"])
     exp = snapshot_expire(table, keep_last=1, clean_orphans=True)
     branch_gc_ok = (
         ver_pin in snapshot_versions(table)
@@ -734,6 +786,27 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and exp2["manifests_dropped"] == 1
         and len(snapshot_versions(table)) == 1
         and snapshot_rows(table) == rows_v1
+    )
+    # METADATA-TABLE leg (round 11), on the post-GC table: the
+    # queryable metadata tables must agree exactly with the manifest
+    # they derive from, and the blooms declared on commit 1 must still
+    # be riding every file after the full lifecycle (publish, branch
+    # fast-forward, stream appends, rollbacks, compact, expire).
+    # Metadata is rows-scale tiny, so ONE collect per table (two jobs),
+    # with the aggregates checked in Python.
+    m_final = _read_manifest(table, snapshot_versions(table)[-1])
+    fm = snapshot_meta(spark, table, "files").collect()
+    hm = snapshot_meta(spark, table, "history").collect()
+    bloom_meta_ok = (
+        bloom_probe_ok
+        and all(
+            "o_orderkey" in (e.get("bloom") or {})
+            for e in _all_entries(table, m_final)
+        )
+        and len(fm) == 4
+        and all(r["bloom_cols"] == ["o_orderkey"] for r in fm)
+        and sum(r["rows"] for r in fm) == rows_v1
+        and [r["version"] for r in hm] == snapshot_versions(table)
     )
     # stats-pruned read: manifest [min,max] drops upper-half files before
     # Spark ever lists them; values prove the prune kept every needed row
@@ -759,6 +832,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("expire_ok", F.lit(bool(expire_ok)))
         .withColumn("branch_ok", F.lit(bool(branch_ok)))
         .withColumn("branch_gc_ok", F.lit(bool(branch_gc_ok)))
+        .withColumn("bloom_meta_ok", F.lit(bool(bloom_meta_ok)))
     )
 
 
@@ -774,7 +848,8 @@ SELECT o_orderpriority,
   TRUE AS tag_ok,
   TRUE AS expire_ok,
   TRUE AS branch_ok,
-  TRUE AS branch_gc_ok
+  TRUE AS branch_gc_ok,
+  TRUE AS bloom_meta_ok
 FROM orders
 WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
 GROUP BY o_orderpriority

@@ -202,9 +202,14 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed, table_store):
     # (merge/binpack/compact) RE-DERIVE the hidden columns on the files
     # they rewrite (_pt_materialize) — content must stay exact through
     # every composition regardless
+    # bloom filters ride the whole fuzz too (round 11): every rewrite
+    # path must re-harvest them and no composition may turn a bloom
+    # "maybe" into a lost row — the content equality below would catch
+    # a false negative introduced by any op interaction
     S.snapshot_write(_df(spark, init), table, mode="overwrite",
                      n_files=3, cluster_by=["id"], stats_cols=["id"],
-                     partition_spec=[("bucket", "id", 4)])
+                     partition_spec=[("bucket", "id", 4)],
+                     bloom_cols=["id"])
     model = dict(init)
     ctx = {"versions": [1], "history": {1: (dict(init), False, False)},
            "check": False, "tmp": str(tmp_path),
@@ -233,6 +238,22 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed, table_store):
             assert {
                 r["amt"] for r in pr.where(f"id = {k}").select("amt").collect()
             } == {model[k]}, f"prune drift seed={seed} step={step} trace={trace}"
+            # bloom point probe on the same live key: a false negative
+            # smuggled in by ANY op composition would lose this row
+            pb = S.snapshot_read(spark, table, prune=("id", k, k))
+            assert {
+                r["amt"] for r in pb.where(f"id = {k}").select("amt").collect()
+            } == {model[k]}, f"bloom drift seed={seed} step={step} trace={trace}"
+            # and a key the model PROVES absent returns nothing (bloom
+            # pruning composes with DVs/eq-deletes, never resurrects)
+            k_gone = next(
+                (x for x in range(k, k + 9) if x not in model), None
+            )
+            if k_gone is not None:
+                assert (
+                    S.snapshot_read(spark, table, prune=("id", k_gone, k_gone))
+                    .where(f"id = {k_gone}").count() == 0
+                ), f"bloom ghost seed={seed} step={step} trace={trace}"
     # AS OF timestamp: two random historical versions re-read through
     # their clamped commit times must equal the recorded model (before
     # expire collects them)
