@@ -665,7 +665,17 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = snapshot_branch_create(table, "wip")
     rows_at_branch = snapshot_rows(table)
     ver_at_branch = snapshot_versions(table)[-1]
-    bslice = orders.where(F.col("o_orderkey") % 8 == 2)
+    # a CONTIGUOUS slice of the published quarter (subset of the table
+    # by construction, so delete + re-append is net identity): the
+    # clustered layout then scopes the branch merge's candidate scan
+    # and the post-ff fold to the couple of files covering the band,
+    # instead of touching every file the old modulo slice scattered over
+    mk = _orders_max_key(spark, sf_dir)
+    bslice = orders.where(
+        (F.col("o_orderkey") % 4 == 2)
+        & (F.col("o_orderkey") >= mk // 2)
+        & (F.col("o_orderkey") < mk // 2 + mk // 16)
+    )
     snapshot_merge(
         spark, bp, bslice.select("o_orderkey"), on=["o_orderkey"],
         when_matched="delete", insert_not_matched=False, strategy="mor",
