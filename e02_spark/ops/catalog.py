@@ -152,6 +152,30 @@ def catalog_read(spark, catalog: str, name: str):
     return snapshot_read(spark, tdir, version=ver)
 
 
+def catalog_register(
+    spark, catalog: str, prefix: str, names: list[str] | None = None
+) -> list[str]:
+    """Register every cataloged table (or just `names`) as a temp view
+    `<prefix>_<name>`, all pinned from ONE catalog resolve — the
+    multi-table snapshot as a SQL surface:
+
+        catalog_register(spark, "/cat", "c")
+        spark.sql("SELECT ... FROM c_fact JOIN c_dim USING (k)")
+
+    Every view reads its table AT THE VERSION the same catalog manifest
+    pinned, so the join can never mix a new fact with a stale dim (or
+    vice versa). Views are frozen at registration — re-register after a
+    catalog_set to move the whole family forward atomically."""
+    from .snapshot import snapshot_read
+
+    out = []
+    for name, (tdir, ver) in sorted(catalog_resolve(catalog, names).items()):
+        view = f"{prefix}_{name}"
+        snapshot_read(spark, tdir, version=ver).createOrReplaceTempView(view)
+        out.append(view)
+    return out
+
+
 def mv_refresh_cataloged(
     spark,
     src_table: str,

@@ -766,6 +766,7 @@ def snapshot_write(
     properties: dict | None = None,
     expected_version: int | None = None,
     bloom_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
 ) -> int:
     """Write `df` as a new snapshot commit. mode='append' adds the new
     files to the current snapshot's list; mode='overwrite' replaces the
@@ -795,6 +796,13 @@ def snapshot_write(
     snapshot_expire of old versions; the set grows one short string per
     keyed commit ever — bytes per commit, and the stream's checkpoint
     offset log fences batches old enough to ever matter truncating.
+
+    target_file_rows caps rows per output FILE without a pre-count
+    (Spark's maxRecordsPerFile: each of the n_files write partitions
+    splits at the cap, keeping cluster order — so a caller who knows
+    the right file SIZE but not the incoming VOLUME gets bounded files
+    with tight per-file stats instead of guessing n_files; the manifest
+    then simply carries more entries).
 
     bloom_cols declares per-file BLOOM FILTERS (ops/bloom.py) harvested
     into the manifest entries at every file-adding commit — point
@@ -857,7 +865,14 @@ def snapshot_write(
         out = out.sortWithinPartitions(*cluster)
     else:
         out = aug.repartition(n_files)
-    out.write.mode("error").parquet(commit_dir)
+    writer = out.write.mode("error")
+    if target_file_rows is not None:
+        if target_file_rows <= 0:
+            raise ValueError(
+                f"target_file_rows must be positive, got {target_file_rows}"
+            )
+        writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+    writer.parquet(commit_dir)
     new_files = _glob.glob(os.path.join(commit_dir, "*.parquet"))
     new_entries = _harvest_stats(
         new_files, (stats_cols or []) + hidden, table, eff_bloom

@@ -269,3 +269,27 @@ def test_bloom_table_property_rides_branch_and_publish(spark, tmp_path):
     assert all(
         "id" in (e.get("bloom") or {}) for e in S._all_entries(tbl, m2)
     )
+
+
+def test_target_file_rows_bounds_files_without_precount(spark, tmp_path):
+    """snapshot_write(target_file_rows=N) splits each write partition at
+    N rows (no count job), keeps cluster order so per-file stats stay
+    tight and range pruning still works, and the bounded files carry
+    blooms like any others."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(10_000).selectExpr("id", "id * 2 as v")
+    S.snapshot_write(df, tbl, mode="overwrite", n_files=2,
+                     cluster_by=["id"], stats_cols=["id"],
+                     bloom_cols=["id"], target_file_rows=1_000)
+    m = S._read_manifest(tbl, 1)
+    entries = S._all_entries(tbl, m)
+    assert len(entries) >= 10
+    assert all(e["rows"] <= 1_000 for e in entries)
+    assert all("id" in (e.get("bloom") or {}) for e in entries)
+    # cluster order preserved through the split: a narrow range probe
+    # keeps a small fraction of the files
+    kept, _ = S._plan_files(tbl, None, ("id", 100, 150))
+    assert 0 < len(kept) <= 2
+    assert S.snapshot_rows(tbl) == 10_000
+    with pytest.raises(ValueError, match="target_file_rows"):
+        S.snapshot_write(df, tbl, mode="append", target_file_rows=0)

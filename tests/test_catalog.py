@@ -146,3 +146,40 @@ def test_catalog_no_torn_pair_under_concurrent_refresh(
     }
     got = {(r["g"], r["sv"]) for r in mv_df.select("g", "sv").collect()}
     assert got == want
+
+
+def test_catalog_register_pins_consistent_views(spark, tmp_path):
+    """catalog_register exposes the multi-table snapshot as SQL views:
+    both views come from ONE catalog resolve, stay frozen at their
+    pinned versions while the tables move on, and jump together on
+    re-register after a catalog_set."""
+    cat = str(tmp_path / "cat")
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    S.snapshot_write(
+        spark.range(100).selectExpr("id", "id % 5 as k"), fact,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_write(
+        spark.range(5).selectExpr("id as k", "concat('g', id) as name"),
+        dim, mode="overwrite", n_files=1,
+    )
+    C.catalog_create(cat)
+    C.catalog_set(cat, {"fact": (fact, None), "dim": (dim, None)})
+    views = C.catalog_register(spark, cat, "c")
+    assert views == ["c_dim", "c_fact"]
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM c_fact JOIN c_dim USING (k)"
+    ).first()["n"]
+    assert joined == 100
+    # tables advance; the REGISTERED views stay on the pinned pair
+    S.snapshot_write(
+        spark.range(100, 150).selectExpr("id", "id % 5 as k"), fact,
+        mode="append", n_files=1,
+    )
+    assert spark.sql("SELECT count(*) AS n FROM c_fact").first()["n"] == 100
+    # one catalog_set + re-register moves the family forward atomically
+    C.catalog_set(cat, {"fact": (fact, None)})
+    C.catalog_register(spark, cat, "c")
+    assert spark.sql("SELECT count(*) AS n FROM c_fact").first()["n"] == 150
+    assert spark.sql("SELECT count(*) AS n FROM c_dim").first()["n"] == 5
