@@ -471,7 +471,13 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
     # replicates it into a mirror via the CDF stream + CDC-apply sink;
     # q119 maintains an incremental view (and a persisted MV) from its
     # CDF. Four independent mutation paths converge on the SAME v3
-    # oracle CTE — the convergence pin.
+    # oracle CTE — the convergence pin. Round 11 volume split: the CoW
+    # chain (q116/q117) keeps FULL volume (its hash IS the volume pin);
+    # the MoR (q118), EQ (q123), replication (q124) and MV (q119) legs
+    # run the identical scenario at QUARTER volume and all hash against
+    # the IDENTICAL quarter-restricted v3 CTE — so the CoW/MoR/EQ/
+    # replication convergence pin is four independent engines on ONE
+    # oracle at one scale, plus the full-scale CoW hash on top.
     "q116_lakehouse_merge": [
         ("q116", "q116_merge_upsert",
          [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n_orders", "n"),
@@ -479,10 +485,12 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         ("q117", "q117_change_feed",
          [("_change_type", "s"), ("n_rows", "n"), ("n_keys", "n"),
           ("total_price", "n")]),
-        # the SAME merge chain executed merge-on-read (positional delete
-        # vectors) then folded back via snapshot_rewrite_deletes — the
-        # oracle is q116's identical v3 CTE, so the hash pins CoW/MoR
-        # convergence; boolean columns pin zero-rewrite writes, metadata
+        # the SAME merge-chain scenario executed merge-on-read
+        # (positional delete vectors) then folded back via
+        # snapshot_rewrite_deletes, at quarter volume — the oracle is
+        # the quarter v3 CTE shared with q119/q123/q124, so the hash
+        # pins CoW/MoR convergence; boolean columns pin zero-rewrite
+        # writes, metadata
         # row accounting across the rewrite, and the tombstone-delta CDF.
         # (maint_ok additionally pins binpack small-file compaction and
         # metadata-only MIN/MAX agg against a real scan)
@@ -508,8 +516,8 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
           ("persisted_mv_matches", "s"),
           ("streamed_mv_matches", "s")]),
         # EQUALITY-delete merge chain (MoR delete + eq upsert, zero
-        # target reads) hashed against the SAME v3 CTE as q116/q118 —
-        # the CoW/MoR/EQ triple-convergence pin — plus eq CDF balance,
+        # target reads) hashed against the SAME quarter v3 CTE as
+        # q118/q119/q124 — the CoW/MoR/EQ convergence pin — plus eq CDF balance,
         # rewrite folding both delete flavors, and the CDC-apply
         # exactly-once pin (commit_key replay of the delete leg no-ops).
         ("q123", "q123_eq_merge",

@@ -943,10 +943,7 @@ def _orders_base_table(spark: SparkSession, sf_dir: str) -> str:
         return table
 
 
-def _cloned_base(spark: SparkSession, sf_dir: str, prefix: str) -> str:
-    """A fresh table whose v1 is the shared base, by hard-link (no data
-    IO, no Spark job). The base itself stays immutable at v1."""
-    src = _orders_base_table(spark, sf_dir)
+def _clone_table_dir(src: str, prefix: str) -> str:
     dst = os.path.join(_tracked_mkdtemp(prefix=prefix), "tbl")
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
@@ -955,6 +952,47 @@ def _cloned_base(spark: SparkSession, sf_dir: str, prefix: str) -> str:
         for f in files:
             os.link(os.path.join(root, f), os.path.join(troot, f))
     return dst
+
+
+def _cloned_base(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """A fresh table whose v1 is the shared base, by hard-link (no data
+    IO, no Spark job). The base itself stays immutable at v1."""
+    return _clone_table_dir(_orders_base_table(spark, sf_dir), prefix)
+
+
+_SMALL_BASE_MEMO: dict[tuple, str] = {}
+_SMALL_BASE_LOCK = _threading.Lock()
+
+
+def _small_base_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared immutable v1 over the QUARTER feed (_SMALL_WHERE) — the
+    small twin of _orders_base_table, cloned by every part that runs
+    its pinned chain at quarter volume (q118's MoR chain, q123's EQ
+    chain, q119/q124 via _small_chain)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _SMALL_BASE_LOCK:
+        hit = _SMALL_BASE_MEMO.get(key)
+        if hit is not None and os.path.isdir(hit):
+            return hit
+        from ..io import load_table
+        from ..ops.snapshot import snapshot_write
+
+        table = os.path.join(
+            _tracked_mkdtemp(prefix="e02_lakebase_sm_"), "tbl"
+        )
+        snapshot_write(
+            load_table(spark, sf_dir, "orders").where(
+                F.expr(_SMALL_WHERE.removeprefix("WHERE "))
+            ),
+            table, mode="overwrite",
+            n_files=4, cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+        )
+        _SMALL_BASE_MEMO[key] = table
+        return table
+
+
+def _cloned_small_base(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    return _clone_table_dir(_small_base_table(spark, sf_dir), prefix)
 
 
 _MERGE_LOCK = _threading.Lock()
@@ -996,11 +1034,9 @@ def _small_chain(spark: SparkSession, sf_dir: str) -> dict:
         orders = load_table(spark, sf_dir, "orders").where(
             F.expr(_SMALL_WHERE.removeprefix("WHERE "))
         )
-        table = os.path.join(_tracked_mkdtemp(prefix="e02_smallchain_"), "tbl")
-        snapshot_write(
-            orders, table, mode="overwrite", n_files=4,
-            cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
-        )
+        # v1 by hard-link from the shared small base (one quarter-feed
+        # write per session feeds this chain AND q118/q123's)
+        table = _cloned_small_base(spark, sf_dir, "e02_smallchain_")
         q = _orders_max_key(spark, sf_dir) // 4
         dels = orders.where(
             (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") < q)
@@ -1570,8 +1606,15 @@ def _mor_chain_build(spark: SparkSession, sf_dir: str, key) -> dict:
         snapshot_rows,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    table = _cloned_base(spark, sf_dir, "e02_mortbl_")
+    # round 11: the MoR chain runs at QUARTER volume (same bands, bands
+    # derived from FULL orders) — every boolean it pins (zero-rewrite
+    # merges, tombstone-delta CDF, binpack scoping, metadata parity) is
+    # feed-size-invariant, and its oracle CTE carries the same source
+    # restriction. Full-volume hashing stays with q116/q117 (CoW).
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.expr(_SMALL_WHERE.removeprefix("WHERE "))
+    )
+    table = _cloned_small_base(spark, sf_dir, "e02_mortbl_")
     q = _orders_max_key(spark, sf_dir) // 4
     dels = orders.where(
         (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") < q)
@@ -1672,7 +1715,7 @@ def q118_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q118_SQL = f"""
-WITH {_Q116_CTES}
+WITH {_Q116_CTES_SMALL}
 SELECT o_orderstatus, o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
@@ -1915,8 +1958,14 @@ def q123_eq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_rows,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    table = _cloned_base(spark, sf_dir, "e02_eqtbl_")
+    # round 11: quarter volume, same rationale and same band boundaries
+    # as the MoR chain above — the EQ pins (zero-target-read commits,
+    # keyed replay no-op, eq CDF deltas, fold metadata parity) are all
+    # feed-size-invariant; oracle CTE carries the same restriction
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.expr(_SMALL_WHERE.removeprefix("WHERE "))
+    )
+    table = _cloned_small_base(spark, sf_dir, "e02_eqtbl_")
     q = _orders_max_key(spark, sf_dir) // 4
     # one source pass answers every count the boolean pins need
     cnt = orders.agg(
@@ -2119,7 +2168,7 @@ FROM v3 GROUP BY o_orderstatus, o_orderpriority
 
 
 _Q123_SQL = f"""
-WITH {_Q116_CTES}
+WITH {_Q116_CTES_SMALL}
 SELECT o_orderstatus, o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
