@@ -215,6 +215,32 @@ def _bloom_cols(manifest: dict | None) -> list[str]:
     return list((manifest.get("properties") or {}).get("bloom_cols") or [])
 
 
+def _col_mapping(manifest: dict | None) -> dict:
+    """COLUMN MAPPING for rename support: {logical name: [every former
+    physical name still present in live files]}. A table property (see
+    _bloom_cols for why properties): every commit constructor, branch,
+    publish, clone, and rollback carries it with zero mapping-specific
+    code. Empty dict = no renames ever = every read path stays on the
+    plain recorded-schema scan."""
+    if manifest is None:
+        return {}
+    return dict(
+        (manifest.get("properties") or {}).get("column_mapping") or {}
+    )
+
+
+def _dropped_cols(manifest: dict | None) -> list[str]:
+    """Names DROPPED from the recorded schema whose values still exist
+    physically in old files — re-adding such a name would silently
+    resurrect those values, so snapshot_write refuses it (the field-id
+    discipline Iceberg gets from numbering, enforced here by name)."""
+    if manifest is None:
+        return []
+    return list(
+        (manifest.get("properties") or {}).get("dropped_cols") or []
+    )
+
+
 def _harvest_one(
     path: str,
     stats_cols: list[str],
@@ -833,6 +859,21 @@ def snapshot_write(
     eff_bloom = _bloom_cols(prev0) if bloom_cols is None else list(bloom_cols)
     if bloom_cols is not None:
         properties = {**(properties or {}), "bloom_cols": sorted(bloom_cols)}
+    # column-mapping discipline (snapshot_rename_column /
+    # snapshot_drop_column): an append must not reuse a DROPPED name or
+    # a renamed column's former physical name — either would silently
+    # resurrect or shadow old files' values on read
+    cm0, dc0 = _col_mapping(prev0), _dropped_cols(prev0)
+    if mode == "append" and (cm0 or dc0):
+        retired = set(dc0) | {o for olds in cm0.values() for o in olds}
+        clash = sorted(retired & set(df.columns))
+        if clash:
+            raise ValueError(
+                f"append column(s) {clash} reuse a dropped or renamed-"
+                f"away physical name of {table} — old files still carry "
+                "values under that name; pick another name, or compact "
+                "and truncate-and-load to reset the name history"
+            )
     if prev_spec:
         if partition_spec is None:
             # the recorded spec is a TABLE property like checks and
@@ -965,6 +1006,24 @@ def snapshot_write(
             validated_checks = checks
         if idempotency_key is not None:
             prev_keys.add(idempotency_key)
+        # a rename/drop racing this write invalidates the names this
+        # write's files and stats were produced under — raise (the
+        # partition-spec-race posture), never commit stale names
+        if mode == "append" and (
+            _col_mapping(prev) != cm0 or _dropped_cols(prev) != dc0
+        ):
+            raise ValueError(
+                f"snapshot_write lost a column rename/drop race on "
+                f"{table}: the schema's name history moved while this "
+                "append was staged; re-run the write"
+            )
+        base_props = dict((prev or {}).get("properties") or {})
+        if mode == "overwrite":
+            # truncate-and-load replaces CONTENT: no old files survive,
+            # so the name history resets with them (stale mapping
+            # entries keyed like new columns would mis-coalesce reads)
+            base_props.pop("column_mapping", None)
+            base_props.pop("dropped_cols", None)
         manifest = {
             "version": base + 1,
             "mode": mode,
@@ -986,11 +1045,7 @@ def snapshot_write(
             # update rides the SAME atomic commit as the data, which is
             # what lets a consumer (e.g. ops/mv.py's refresh cursor)
             # record "state as of source version N" crash-safely
-            "properties": {
-                **((prev or {}).get("properties") or {}),
-                **(properties or {}),
-            }
-            or None,
+            "properties": {**base_props, **(properties or {})} or None,
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
@@ -1145,7 +1200,22 @@ def snapshot_read(
     return _live_rows(spark, table, m, kept, dv)
 
 
-def _bloom_keep(entry: dict, eq_probes: list) -> bool:
+def _stat_lookup(stats: dict, col: str, aliases: dict):
+    """Bounds (or bloom) for `col` under its logical name or — when the
+    table carries a column mapping — any former physical name. A file
+    records the column under exactly one of the names, so the first hit
+    is THE answer."""
+    b = stats.get(col)
+    if b is not None:
+        return b
+    for old in aliases.get(col, ()):
+        b = stats.get(old)
+        if b is not None:
+            return b
+    return None
+
+
+def _bloom_keep(entry: dict, eq_probes: list, aliases: dict) -> bool:
     """File-level bloom test for point probes: False only when some
     probed column's filter PROVES the value absent. Entries or columns
     without a filter are kept (safe — same direction as missing
@@ -1157,7 +1227,7 @@ def _bloom_keep(entry: dict, eq_probes: list) -> bool:
     from .bloom import bloom_maybe_contains
 
     for col, v in eq_probes:
-        b = bl.get(col)
+        b = _stat_lookup(bl, col, aliases)
         if b is not None and not bloom_maybe_contains(b, v):
             return False
     return True
@@ -1191,10 +1261,11 @@ def _bloom_filter_candidates(
     lo = hi = None
     if bounds is not None:
         lo, hi = _probe_value(bounds[0]), _probe_value(bounds[1])
+    aliases = _col_mapping(manifest)
     cand = set(candidates)
     drop: set[str] = set()
     for ref in manifest["manifests"]:
-        b = (ref.get("stats") or {}).get(col)
+        b = _stat_lookup(ref.get("stats") or {}, col, aliases)
         if b is not None and (
             (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
         ):
@@ -1203,7 +1274,7 @@ def _bloom_filter_candidates(
             p = os.path.join(table, e["path"])
             if p not in cand:
                 continue
-            bf = (e.get("bloom") or {}).get(col)
+            bf = _stat_lookup(e.get("bloom") or {}, col, aliases)
             if bf is not None and not bloom_maybe_contains_any(bf, values):
                 drop.add(p)
     return [p for p in candidates if p not in drop]
@@ -1247,9 +1318,11 @@ def _plan_files(
             if p[1] is not None and p[1] == p[2]:
                 eq_probes.append((p[0], p[1]))
 
+    aliases = _col_mapping(manifest)  # renamed cols: probe old names too
+
     def _disjoint(stats: dict) -> bool:
         for col, lo, hi in preds:
-            b = stats.get(col)
+            b = _stat_lookup(stats, col, aliases)
             if b is not None and (
                 (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
             ):
@@ -1269,7 +1342,7 @@ def _plan_files(
             # point probes additionally test the entry's bloom filters
             # (ops/bloom.py): a "no" is definitive — the file cannot
             # contain the key — where its raw [min,max] would keep it
-            if eq_probes and not _bloom_keep(e, eq_probes):
+            if eq_probes and not _bloom_keep(e, eq_probes, aliases):
                 if bloom_dropped is not None:
                     bloom_dropped.append(e["path"])
                 continue
@@ -2330,6 +2403,41 @@ def _reader(spark: SparkSession, manifest: dict):
     return spark.read.schema(StructType.fromJson(sch))
 
 
+def _scan_data(spark: SparkSession, manifest: dict, paths: list[str]) -> DataFrame:
+    """Mapping-aware data scan: the recorded-schema read (_reader), plus
+    — only when the manifest carries a column mapping — resolution of
+    renamed columns. The read schema includes every former physical name
+    (same type, nullable); each logical column then coalesces across its
+    name history. Sound because no single source ROW ever carries two of
+    the names non-NULL: a data file predates or postdates each rename,
+    and partial-rewrite maintenance (binpack mixing old- and new-named
+    files) unions rows, never zips them. Uses withColumn+drop, not
+    select, so callers can still attach `_metadata`-derived columns
+    afterwards. Column order = recorded schema order either way."""
+    mapping = _col_mapping(manifest)
+    if not mapping or manifest.get("schema") is None:
+        return _reader(spark, manifest).parquet(*paths)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    sch = StructType.fromJson(manifest["schema"])
+    fields = list(sch.fields)
+    for f in sch.fields:
+        for old in mapping.get(f.name, []):
+            fields.append(StructField(old, f.dataType, True))
+    df = spark.read.schema(StructType(fields)).parquet(*paths)
+    olds: list[str] = []
+    for f in sch.fields:
+        alts = mapping.get(f.name)
+        if alts:
+            df = df.withColumn(
+                f.name,
+                F.coalesce(F.col(f.name), *[F.col(a) for a in alts]),
+            )
+            olds.extend(alts)
+    return df.drop(*olds)
+
+
 def _dv_frame(spark: SparkSession, table: str, manifest: dict) -> DataFrame | None:
     """All tombstones visible in `manifest` as a DataFrame(_file, _pos),
     or None when the snapshot carries no delete files (the fast path —
@@ -2507,7 +2615,7 @@ def _live_rows(
     the end."""
     from pyspark.sql import functions as F
 
-    df = _reader(spark, manifest).parquet(*files)
+    df = _scan_data(spark, manifest, files)
     cols = df.columns
     if dv is None and not _eq_entries(table, manifest):
         return df
@@ -2821,7 +2929,7 @@ def snapshot_merge(
                     for c in e["on"]
                 ]
                 scan_cols = list(dict.fromkeys([*on, *eq_cols]))
-                raw = _reader(spark, prev).parquet(*candidates).select(
+                raw = _scan_data(spark, prev, candidates).select(
                     *scan_cols,
                     _rel_file_col().alias("_file"),
                     F.col("_metadata.row_index").alias("_pos"),
@@ -3234,7 +3342,7 @@ def snapshot_changes(
         """Live rows of `paths` under the to-version SCHEMA (a superset
         under add-only evolution) with the OWNING version's deletes of
         both flavors applied — _file/_pos attached once on the scan."""
-        df = _reader(spark, mb).parquet(*paths)
+        df = _scan_data(spark, mb, paths)
         df = df.withColumn("_file", _rel_file_col()).withColumn(
             "_pos", F.col("_metadata.row_index")
         )
@@ -3291,8 +3399,8 @@ def snapshot_changes(
                 os.path.abspath(os.path.join(table, p)) for p in cand
             )
         dv_own = _dv_frame(spark, table, own_manifest)
-        live = _reader(spark, mb).parquet(
-            *(os.path.join(table, p) for p in cand)
+        live = _scan_data(
+            spark, mb, [os.path.join(table, p) for p in cand]
         )
         live = live.withColumn("_file", _rel_file_col()).withColumn(
             "_pos", F.col("_metadata.row_index")
@@ -3343,8 +3451,9 @@ def snapshot_changes(
                     os.path.abspath(os.path.join(table, p)) for p in tfiles
                 )
             rows = (
-                _reader(spark, mb)
-                .parquet(*(os.path.join(table, p) for p in tfiles))
+                _scan_data(
+                    spark, mb, [os.path.join(table, p) for p in tfiles]
+                )
                 .withColumn("_file", _rel_file_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))
                 .join(tombs, ["_file", "_pos"], "left_semi")
@@ -3512,6 +3621,187 @@ def _meta_commit(
 
 def _checks_commit(table: str, mutate, mode: str, max_retries: int) -> int:
     return _meta_commit(table, "checks", mutate, mode, max_retries)
+
+
+def _column_refs_guard(table: str, manifest: dict, col: str, verb: str) -> None:
+    """Refuse a rename/drop of a column something else still derives
+    meaning from — each refusal names the remedy, never silently
+    degrades: partition transforms (hidden columns embed the source
+    name), CHECK constraints (expressions reference it by name), and
+    OUTSTANDING equality-delete files (their key lists anti-join by
+    name against every future read)."""
+    import re as _re
+
+    for s in _all_specs(manifest) or []:
+        for t in s:
+            if t[1] == col:
+                raise ValueError(
+                    f"cannot {verb} {col!r}: a partition transform "
+                    f"{tuple(t)} derives from it — evolve the spec off "
+                    "the column first (snapshot_set_partition_spec)"
+                )
+    for name, expr in (manifest.get("checks") or {}).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} {col!r}: CHECK {name!r} ({expr}) "
+                "references it — drop the constraint first "
+                "(snapshot_drop_check)"
+            )
+    for e in _eq_entries(table, manifest):
+        if col in e["on"]:
+            raise ValueError(
+                f"cannot {verb} {col!r}: outstanding equality-delete "
+                "files key on it — fold them first "
+                "(snapshot_rewrite_deletes)"
+            )
+
+
+def _schema_commit(table: str, mode: str, mutate, max_retries: int) -> int:
+    """Commit loop for schema-shape metadata commits (rename/drop):
+    mutate(prev) returns the full replacement manifest dict, or raises.
+    CDF-silent (no rows changed); every other field carries forward
+    inside mutate itself."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table}")
+    for _ in range(max_retries):
+        base = snapshot_versions(table)[-1]
+        prev = _read_manifest(table, base)
+        manifest = mutate(prev)
+        manifest["version"] = base + 1
+        manifest["mode"] = mode
+        manifest["data_change"] = False
+        if _try_commit(table, base + 1, manifest):
+            return base + 1
+    raise RuntimeError(
+        f"{mode} lost {max_retries} consecutive commit races on {table}"
+    )
+
+
+def snapshot_rename_column(
+    table: str, old: str, new: str, max_retries: int = 10
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — one metadata-only, CDF-silent
+    commit; ZERO data rewritten (the Delta column-mapping / Iceberg
+    field-id rename shape, realized by name history instead of ids).
+
+    The recorded schema renames the field in place; the table's COLUMN
+    MAPPING property records {new: [old, ...older names]} so reads
+    resolve the value from whichever physical name each file was
+    written under (_scan_data coalesces across the history — sound
+    because every file carries exactly one of the names), stats/bloom
+    pruning probes the history too (_stat_lookup), stats_cols/
+    bloom_cols follow the rename, and maintenance rewrites normalize
+    files to the new name as they touch them. Time travel is untouched:
+    a pre-rename version still reads under its own recorded schema.
+
+    Refused, by name, when something still derives meaning from the old
+    name (partition transforms, CHECK constraints, outstanding equality
+    deletes) or the new name collides with a live column, a historical
+    physical name, or a dropped column."""
+    if old == new:
+        raise ValueError("rename requires two different names")
+
+    def mutate(prev: dict) -> dict:
+        sch = prev.get("schema")
+        names = [f["name"] for f in (sch or {}).get("fields", [])]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {sorted(names)}")
+        mapping = _col_mapping(prev)
+        dropped = _dropped_cols(prev)
+        taken = set(names) | set(dropped) | {
+            o for olds in mapping.values() for o in olds
+        }
+        if new in taken:
+            raise ValueError(
+                f"cannot rename to {new!r}: the name is (or was) in use "
+                "— a live column, a former physical name, or a dropped "
+                "column whose values still exist in old files"
+            )
+        _column_refs_guard(table, prev, old, "rename")
+        fields = [
+            {**f, "name": new} if f["name"] == old else f
+            for f in sch["fields"]
+        ]
+        mapping[new] = [old] + mapping.pop(old, [])
+        props = dict(prev.get("properties") or {})
+        props["column_mapping"] = mapping
+        if old in (props.get("bloom_cols") or []):
+            props["bloom_cols"] = sorted(
+                new if c == old else c for c in props["bloom_cols"]
+            )
+        return {
+            "stats_cols": sorted(
+                new if c == old else c
+                for c in prev.get("stats_cols", [])
+            ),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": prev["manifests"],
+            "deletes": prev.get("deletes", []),
+            "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
+            "schema": {**sch, "fields": fields},
+            "checks": prev.get("checks"),
+            "properties": props,
+        }
+
+    return _schema_commit(table, "rename_column", mutate, max_retries)
+
+
+def snapshot_drop_column(table: str, col: str, max_retries: int = 10) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only, CDF-silent, zero
+    data rewritten: the recorded schema loses the field, so every read
+    projects it away; the physical values linger in old files until
+    maintenance rewrites them. The dropped name (and its whole physical
+    name history, if it had been renamed) is RETAINED in the table's
+    dropped_cols property, and snapshot_write refuses to re-add any of
+    those names — re-using the name would silently resurrect the old
+    files' values (the trap Iceberg's field ids exist to prevent). An
+    overwrite (truncate-and-load) resets both properties: new content,
+    new name world. Same reference guards as rename."""
+
+    def mutate(prev: dict) -> dict:
+        sch = prev.get("schema")
+        names = [f["name"] for f in (sch or {}).get("fields", [])]
+        if col not in names:
+            raise ValueError(f"no column {col!r} in {sorted(names)}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        _column_refs_guard(table, prev, col, "drop")
+        mapping = _col_mapping(prev)
+        dropped = _dropped_cols(prev)
+        dropped = sorted(set(dropped) | {col} | set(mapping.pop(col, [])))
+        props = dict(prev.get("properties") or {})
+        props["column_mapping"] = mapping
+        props["dropped_cols"] = dropped
+        if col in (props.get("bloom_cols") or []):
+            props["bloom_cols"] = sorted(
+                c for c in props["bloom_cols"] if c != col
+            )
+        return {
+            "stats_cols": sorted(
+                c for c in prev.get("stats_cols", []) if c != col
+            ),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": prev["manifests"],
+            "deletes": prev.get("deletes", []),
+            "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
+            "schema": {
+                **sch,
+                "fields": [f for f in sch["fields"] if f["name"] != col],
+            },
+            "checks": prev.get("checks"),
+            "properties": props,
+        }
+
+    return _schema_commit(table, "drop_column", mutate, max_retries)
 
 
 def snapshot_set_check(

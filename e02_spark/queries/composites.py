@@ -446,7 +446,8 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
          [("o_orderstatus", "s"), ("band", "s"), ("n_orders", "n"),
           ("total_price", "n"), ("schema_stable", "s"),
           ("hidden_prune_ok", "s"), ("check_enforced", "s"),
-          ("spj_ok", "s"), ("spec_evolution_ok", "s")]),
+          ("spj_ok", "s"), ("spec_evolution_ok", "s"),
+          ("rename_drop_ok", "s")]),
         # round 8: the lakehouse streaming loop — snapshot_stream SOURCE
         # (version offsets, per-file partitions, Arrow reads) through a
         # transform into the exactly-once snapshot sink; replay pinned.

@@ -1321,7 +1321,11 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hidden-partition point lookup: the probe names the SOURCE column,
     # the spec resolves to the derived bucket, the plan keeps a strict
     # file subset, and the pruned read still returns every matching row
-    probe = orders.select("o_custkey").first()["o_custkey"]
+    _p0 = orders.select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    ).first()
+    probe = _p0["o_custkey"]
+    probe_key, probe_comment = _p0["o_orderkey"], _p0["o_orderpriority"]
     all_files, _ = _plan_files(table, None, None)
     pruned = snapshot_read(
         spark, table, partition_prune={"o_custkey": probe}
@@ -1411,6 +1415,52 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         and 0 < len(pruned2.inputFiles()) < len(all2)
         and pruned2.count() == full2.count() > 0
     )
+    # COLUMN RENAME/DROP (round 11): one metadata-only commit renames
+    # o_orderpriority -> o_prio (zero files rewritten — the entry set
+    # is unchanged), reads resolve the value from the OLD physical name in
+    # every existing file, the dropped name's whole history is retired
+    # against silent resurrection, and a column something still derives
+    # meaning from (the partition transform's source) refuses by name.
+    from ..ops.snapshot import (
+        _all_entries,
+        snapshot_drop_column,
+        snapshot_rename_column,
+    )
+
+    pre = {e["path"] for e in _all_entries(table, _read_manifest(
+        table, snapshot_versions(table)[-1]))}
+    v_rn = snapshot_rename_column(table, "o_orderpriority", "o_prio")
+    m_rn = _read_manifest(table, v_rn)
+    renamed = snapshot_read(spark, table)
+    rename_probe = renamed.where(
+        F.col("o_orderkey") == probe_key
+    ).select("o_prio").first()
+    spec_guard = False
+    try:
+        snapshot_rename_column(table, "o_custkey", "cust")
+    except ValueError:
+        spec_guard = True  # the bucket transform derives from it
+    snapshot_drop_column(table, "o_prio")
+    retire_guard = False
+    try:
+        snapshot_write(
+            orders.limit(1).withColumnRenamed(
+                "o_orderpriority", "o_prio"
+            ),
+            table, mode="append", n_files=1,
+        )
+    except ValueError:
+        retire_guard = True  # renamed-then-dropped history is retired
+    rename_drop_ok = (
+        {e["path"] for e in _all_entries(table, m_rn)} == pre
+        and "o_prio" in renamed.columns
+        and "o_orderpriority" not in renamed.columns
+        and rename_probe is not None
+        and rename_probe["o_prio"] == probe_comment
+        and spec_guard
+        and retire_guard
+        and "o_prio" not in snapshot_read(spark, table).columns
+    )
     return (
         cur.groupBy("o_orderstatus", "band")
         .agg(
@@ -1422,6 +1472,7 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("check_enforced", F.lit(bool(check_enforced)))
         .withColumn("spj_ok", F.lit(bool(spj_ok)))
         .withColumn("spec_evolution_ok", F.lit(bool(spec_evolution_ok)))
+        .withColumn("rename_drop_ok", F.lit(bool(rename_drop_ok)))
     )
 
 
@@ -1435,7 +1486,8 @@ SELECT o_orderstatus,
   TRUE AS hidden_prune_ok,
   TRUE AS check_enforced,
   TRUE AS spj_ok,
-  TRUE AS spec_evolution_ok
+  TRUE AS spec_evolution_ok,
+  TRUE AS rename_drop_ok
 FROM orders GROUP BY 1, 2
 """
 

@@ -356,6 +356,35 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         for v in steps:
             m = self._manifest_or_lag_error(v)
             try:
+                # RENAME/DROP fence: the executor read treats a column
+                # missing from a file as all-NULL — the ADD-ONLY
+                # evolution contract (older steps simply predate added
+                # columns, which is fine). A column that EXISTED in the
+                # previous step and is gone in this one is the other
+                # direction: a rename or drop, whose files the pinned
+                # schema would silently read as NULLs. Raise by name;
+                # the consumer restarts the stream (or re-reads batch)
+                # under the new schema.
+                step_names = {
+                    f["name"]
+                    for f in (m.get("schema") or {}).get("fields", [])
+                }
+                prev_names = {
+                    f["name"]
+                    for f in ((prev_m or {}).get("schema") or {}).get(
+                        "fields", []
+                    )
+                }
+                gone = prev_names - step_names
+                if step_names and gone:
+                    raise ValueError(
+                        f"snapshot CDF stream fence: column(s) "
+                        f"{sorted(gone)} were renamed or dropped at "
+                        f"{self.table} v{v} — a pinned-schema feed "
+                        "cannot represent that; restart the stream to "
+                        "adopt the new schema (snapshot_rename_column/"
+                        "snapshot_drop_column)"
+                    )
                 if m.get("data_change") is False:
                     continue  # maintenance step: provably content-neutral
                 ents_a = (

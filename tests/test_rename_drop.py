@@ -1,0 +1,215 @@
+"""Column RENAME / DROP (metadata-only schema evolution beyond
+add-only): snapshot_rename_column / snapshot_drop_column.
+
+Contract under test: zero data rewritten; reads resolve renamed columns
+across their physical name history (sound because every file carries
+exactly one of the names); stats/bloom pruning probes the history;
+every path that cannot keep those guarantees REFUSES by name (spec /
+check / eq-delete references, name reuse, pinned-schema CDF streams)
+rather than silently degrading."""
+
+from __future__ import annotations
+
+import pytest
+
+from e02_spark.ops import snapshot as S
+
+
+def _base(spark, tbl, bloom=False):
+    evens = spark.range(0, 2000, 2).selectExpr("id", "id * 10 as v")
+    odds = spark.range(1, 2000, 2).selectExpr("id", "id * 10 as v")
+    S.snapshot_write(evens, tbl, mode="overwrite", n_files=1,
+                     stats_cols=["v"],
+                     bloom_cols=["v"] if bloom else None)
+    S.snapshot_write(odds, tbl, mode="append", n_files=1, stats_cols=["v"])
+    return evens, odds
+
+
+def test_rename_roundtrip_zero_rewrite(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    _base(spark, tbl)
+    files_before = {
+        e["path"] for e in S._all_entries(tbl, S._read_manifest(tbl, 2))
+    }
+    v = S.snapshot_rename_column(tbl, "v", "amount")
+    m = S._read_manifest(tbl, v)
+    assert {
+        e["path"] for e in S._all_entries(tbl, m)
+    } == files_before, "rename must rewrite zero data files"
+    df = S.snapshot_read(spark, tbl)
+    assert df.columns == ["id", "amount"]
+    got = {r["id"]: r["amount"] for r in df.collect()}
+    assert len(got) == 2000 and got[7] == 70 and got[8] == 80
+    # time travel: the pre-rename version still reads under its own name
+    assert S.snapshot_read(spark, tbl, version=2).columns == ["id", "v"]
+    # appends land under the NEW name and mix correctly with old files
+    S.snapshot_write(
+        spark.range(2000, 2100).selectExpr("id", "id * 10 as amount"),
+        tbl, mode="append", n_files=1,
+    )
+    assert S.snapshot_read(spark, tbl).where("amount = 20500").count() == 1
+    assert S.snapshot_read(spark, tbl).count() == 2100
+    # maintenance mixes old- and new-named files into one output — the
+    # coalesce stays row-correct through the union
+    S.snapshot_binpack(spark, tbl, target_rows=5000)
+    got2 = {r["id"]: r["amount"] for r in S.snapshot_read(spark, tbl).collect()}
+    assert got2[7] == 70 and got2[2050] == 20500 and len(got2) == 2100
+
+
+def test_rename_keeps_stats_and_bloom_pruning(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    _base(spark, tbl, bloom=True)
+    S.snapshot_rename_column(tbl, "v", "w")
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    assert S._bloom_cols(m) == ["w"]
+    assert m["stats_cols"] == ["w"]
+    # range prune on the NEW name reaches the OLD files' old-name stats
+    kept, _ = S._plan_files(tbl, None, ("w", 5_000, 6_000), manifest=m)
+    assert len(kept) == 2  # both files span the range (interleaved)
+    kept, _ = S._plan_files(tbl, None, ("w", 50_000, 60_000), manifest=m)
+    assert kept == []  # ...and a disjoint range still prunes BOTH
+    # point probe: bloom under the old physical name still prunes; 420
+    # lives only in the evens file
+    dropped: list = []
+    kept, _ = S._plan_files(
+        tbl, None, ("w", 420, 420), manifest=m, bloom_dropped=dropped
+    )
+    assert len(kept) == 1 and len(dropped) == 1
+    assert S.snapshot_read(spark, tbl, prune=("w", 420, 420)).where(
+        "w = 420"
+    ).count() == 1
+
+
+def test_merge_on_renamed_key_converges(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(100).selectExpr("id", "id * 2 as v"), tbl,
+        mode="overwrite", n_files=2, cluster_by=["id"], stats_cols=["id"],
+    )
+    S.snapshot_rename_column(tbl, "id", "key")
+    keys = spark.createDataFrame([(3,), (50,)], "key long")
+    r = S.snapshot_merge(spark, tbl, keys, on=["key"],
+                         when_matched="delete", insert_not_matched=False)
+    assert S.snapshot_rows(tbl) == 98
+    assert S.snapshot_read(spark, tbl).where("key in (3, 50)").count() == 0
+    # eq flavor records the NEW name
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(7,)], "key long"), on=["key"],
+        when_matched="delete", insert_not_matched=False, strategy="eq",
+    )
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    assert [e["on"] for e in S._eq_entries(tbl, m)] == [["key"]]
+    assert S.snapshot_read(spark, tbl).where("key = 7").count() == 0
+
+
+def test_cdf_batch_across_rename_uses_new_names(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(10).selectExpr("id", "id as v"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_rename_column(tbl, "v", "w")
+    S.snapshot_write(
+        spark.range(10, 14).selectExpr("id", "id as w"), tbl,
+        mode="append", n_files=1,
+    )
+    ch = S.snapshot_changes(spark, tbl, 1, 3)
+    assert "w" in ch.columns and "v" not in ch.columns
+    rows = ch.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {r["w"] for r in rows} == {10, 11, 12, 13}
+
+
+def test_drop_column_and_name_retirement(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(50).selectExpr("id", "id as v", "id * 3 as x"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_drop_column(tbl, "x")
+    df = S.snapshot_read(spark, tbl)
+    assert df.columns == ["id", "v"]
+    # the dropped name is RETIRED: re-adding it would resurrect the old
+    # files' physical values
+    with pytest.raises(ValueError, match="dropped or renamed-away"):
+        S.snapshot_write(
+            spark.range(5).selectExpr("id", "id as v", "id as x"), tbl,
+            mode="append", n_files=1,
+        )
+    # ...and so is the whole name history of a renamed-then-dropped col
+    S.snapshot_rename_column(tbl, "v", "u")
+    S.snapshot_drop_column(tbl, "u")
+    for name in ("u", "v"):
+        with pytest.raises(ValueError, match="dropped or renamed-away"):
+            S.snapshot_write(
+                spark.range(5).selectExpr("id", f"id as {name}"), tbl,
+                mode="append", n_files=1,
+            )
+    # truncate-and-load replaces content: the name world resets
+    S.snapshot_write(
+        spark.range(5).selectExpr("id", "id as v", "id as x"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    assert S.snapshot_read(spark, tbl).columns == ["id", "v", "x"]
+    assert S._col_mapping(
+        S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    ) == {}
+
+
+def test_rename_drop_guards(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(100).selectExpr(
+            "id", "id as v", "cast(id as string) as s"
+        ),
+        tbl, mode="overwrite", n_files=1,
+        partition_spec=[("bucket", "s", 4)],
+    )
+    with pytest.raises(ValueError, match="partition transform"):
+        S.snapshot_rename_column(tbl, "s", "s2")
+    S.snapshot_set_check(spark, tbl, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        S.snapshot_rename_column(tbl, "v", "v2")
+    with pytest.raises(ValueError, match="CHECK"):
+        S.snapshot_drop_column(tbl, "v")
+    S.snapshot_drop_check(tbl, "v_pos")
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(1,)], "id long"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="eq",
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        S.snapshot_rename_column(tbl, "id", "pk")
+    S.snapshot_rewrite_deletes(spark, tbl)
+    S.snapshot_rename_column(tbl, "id", "pk")  # now allowed
+    with pytest.raises(ValueError, match="in use"):
+        S.snapshot_rename_column(tbl, "v", "pk")  # live name
+    with pytest.raises(ValueError, match="in use"):
+        S.snapshot_rename_column(tbl, "v", "id")  # former physical name
+    with pytest.raises(ValueError, match="no column"):
+        S.snapshot_rename_column(tbl, "ghost", "g2")
+
+
+def test_cdf_stream_fences_on_rename(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from e02_spark.sources.snapshot_cdf_stream import (
+        read_snapshot_changes_stream,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(10).selectExpr("id", "id as v"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_rename_column(tbl, "v", "w")
+    S.snapshot_write(
+        spark.range(10, 12).selectExpr("id", "id as w"), tbl,
+        mode="append", n_files=1,
+    )
+    q = (
+        read_snapshot_changes_stream(spark, tbl, starting_version=0)
+        .writeStream.format("memory").queryName("fence_t")
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException, match="fence"):
+        q.awaitTermination(120)
