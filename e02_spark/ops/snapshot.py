@@ -2094,6 +2094,13 @@ def snapshot_publish(
             "file-level; run snapshot_rewrite_deletes on the staging "
             "table first"
         )
+    if _col_mapping(sm) or _dropped_cols(sm):
+        raise ValueError(
+            f"snapshot_publish: {staging_table} carries a column "
+            "rename/drop history — adopted files' physical names would "
+            "be unreadable under the main table's mapping; compact the "
+            "staging table first to normalize its physical names"
+        )
     if sm.get("schema") is None:
         raise ValueError(
             "snapshot_publish needs a manifest-recorded staging schema "
@@ -2135,6 +2142,21 @@ def snapshot_publish(
             return {  # a racing duplicate published first
                 "version": base, "files_adopted": 0, "rows_adopted": 0,
             }
+        # a staging column named like one of MAIN's retired names
+        # (dropped, or renamed-away physical) would resurrect/shadow old
+        # files' values through the add-only schema union below
+        retired = set(_dropped_cols(prev)) | {
+            o for olds in _col_mapping(prev).values() for o in olds
+        }
+        clash = sorted(
+            retired & {f["name"] for f in sm["schema"].get("fields", [])}
+        )
+        if clash:
+            raise ValueError(
+                f"snapshot_publish: staging column(s) {clash} reuse a "
+                f"dropped or renamed-away physical name of {main_table} "
+                "— rename them in staging before publishing"
+            )
         sch = _evolve_schema_json(prev.get("schema"), sm["schema"])
         checks = prev.get("checks")
         if checks and checks != validated_checks:

@@ -213,3 +213,44 @@ def test_cdf_stream_fences_on_rename(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="fence"):
         q.awaitTermination(120)
+
+
+def test_publish_guards_on_name_history(spark, tmp_path):
+    """snapshot_publish refuses (a) a staging table that itself carries
+    a rename history (adopted physical names would be unreadable under
+    main's mapping) and (b) staging columns that reuse MAIN's retired
+    names (the add-only union would resurrect old values)."""
+    main = str(tmp_path / "main")
+    S.snapshot_write(
+        spark.range(20).selectExpr("id", "id as v"), main,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_rename_column(main, "v", "w")
+    # (a) staging with its own history
+    stg1 = str(tmp_path / "stg1")
+    S.snapshot_write(
+        spark.range(5).selectExpr("id", "id as a"), stg1,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_rename_column(stg1, "a", "w")
+    with pytest.raises(ValueError, match="rename/drop history"):
+        S.snapshot_publish(spark, stg1, main)
+    # (b) staging reusing main's retired physical name
+    stg2 = str(tmp_path / "stg2")
+    S.snapshot_write(
+        spark.range(5).selectExpr("id", "id as w", "id as v"), stg2,
+        mode="overwrite", n_files=1,
+    )
+    with pytest.raises(ValueError, match="renamed-away"):
+        S.snapshot_publish(spark, stg2, main)
+    # clean staging under the CURRENT names publishes fine
+    stg3 = str(tmp_path / "stg3")
+    S.snapshot_write(
+        spark.range(20, 30).selectExpr("id", "id as w"), stg3,
+        mode="overwrite", n_files=1,
+    )
+    r = S.snapshot_publish(spark, stg3, main)
+    assert r["rows_adopted"] == 10
+    assert S.snapshot_read(spark, main).count() == 30
+    got = {r2["id"]: r2["w"] for r2 in S.snapshot_read(spark, main).collect()}
+    assert got[3] == 3 and got[25] == 25
