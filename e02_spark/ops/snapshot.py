@@ -3773,6 +3773,73 @@ def snapshot_rename_column(
     return _schema_commit(table, "rename_column", mutate, max_retries)
 
 
+# Safe type promotions (the Delta type-widening matrix, minus anything
+# lossy): integer chain upward, float->double, small-int->double.
+# long->double is EXCLUDED — doubles lose integer precision past 2^53.
+_WIDEN_OK = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def snapshot_widen_column(
+    table: str, col: str, to_type: str, max_retries: int = 10
+) -> int:
+    """ALTER TABLE ... TYPE widening — one metadata-only, CDF-silent
+    commit, zero data rewritten: the recorded schema's field takes the
+    wider type and every reader upcasts old files at scan time (Spark's
+    parquet reader and the CDF stream's per-field Arrow cast both
+    promote int->long / float->double natively). Only the provably
+    lossless matrix is allowed (_WIDEN_OK — notably NOT long->double);
+    a column that partition transforms, CHECK constraints, or
+    outstanding equality deletes derive from is refused by name (the
+    conservative posture: e.g. a bucket transform hashes the value's
+    string form, which an int->double widening would change)."""
+
+    def mutate(prev: dict) -> dict:
+        sch = prev.get("schema")
+        fields = (sch or {}).get("fields", [])
+        cur = next((f for f in fields if f["name"] == col), None)
+        if cur is None:
+            raise ValueError(
+                f"no column {col!r} in {sorted(f['name'] for f in fields)}"
+            )
+        frm = cur["type"] if isinstance(cur["type"], str) else None
+        if frm == to_type:
+            raise ValueError(f"{col!r} is already {to_type}")
+        if frm not in _WIDEN_OK or to_type not in _WIDEN_OK[frm]:
+            raise ValueError(
+                f"cannot widen {col!r} {frm} -> {to_type}: only the "
+                f"lossless promotions {_WIDEN_OK} are supported "
+                "(narrowing or precision-losing changes need a rewrite)"
+            )
+        _column_refs_guard(table, prev, col, "widen")
+        return {
+            "stats_cols": prev.get("stats_cols", []),
+            "idempotency_key": None,
+            "keys": prev.get("keys", sorted(committed_keys(table))),
+            "manifests": prev["manifests"],
+            "deletes": prev.get("deletes", []),
+            "eq_deletes": prev.get("eq_deletes", []),
+            "partition_spec": prev.get("partition_spec"),
+            "partition_specs": _specs_carry(prev, None),
+            "refs": prev.get("refs"),
+            "schema": {
+                **sch,
+                "fields": [
+                    {**f, "type": to_type} if f["name"] == col else f
+                    for f in fields
+                ],
+            },
+            "checks": prev.get("checks"),
+            "properties": prev.get("properties"),
+        }
+
+    return _schema_commit(table, "widen_column", mutate, max_retries)
+
+
 def snapshot_drop_column(table: str, col: str, max_retries: int = 10) -> int:
     """ALTER TABLE ... DROP COLUMN — metadata-only, CDF-silent, zero
     data rewritten: the recorded schema loses the field, so every read

@@ -365,18 +365,18 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 # schema would silently read as NULLs. Raise by name;
                 # the consumer restarts the stream (or re-reads batch)
                 # under the new schema.
-                step_names = {
-                    f["name"]
+                step_f = {
+                    f["name"]: f.get("type")
                     for f in (m.get("schema") or {}).get("fields", [])
                 }
-                prev_names = {
-                    f["name"]
+                prev_f = {
+                    f["name"]: f.get("type")
                     for f in ((prev_m or {}).get("schema") or {}).get(
                         "fields", []
                     )
                 }
-                gone = prev_names - step_names
-                if step_names and gone:
+                gone = set(prev_f) - set(step_f)
+                if step_f and gone:
                     raise ValueError(
                         f"snapshot CDF stream fence: column(s) "
                         f"{sorted(gone)} were renamed or dropped at "
@@ -384,6 +384,19 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         "cannot represent that; restart the stream to "
                         "adopt the new schema (snapshot_rename_column/"
                         "snapshot_drop_column)"
+                    )
+                changed = sorted(
+                    n
+                    for n in set(prev_f) & set(step_f)
+                    if prev_f[n] != step_f[n]
+                )
+                if changed:
+                    raise ValueError(
+                        f"snapshot CDF stream fence: column(s) "
+                        f"{changed} changed type at {self.table} v{v} "
+                        "(snapshot_widen_column) — the feed's schema is "
+                        "pinned; restart the stream to adopt the wider "
+                        "type"
                     )
                 if m.get("data_change") is False:
                     continue  # maintenance step: provably content-neutral

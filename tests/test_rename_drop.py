@@ -254,3 +254,76 @@ def test_publish_guards_on_name_history(spark, tmp_path):
     assert S.snapshot_read(spark, main).count() == 30
     got = {r2["id"]: r2["w"] for r2 in S.snapshot_read(spark, main).collect()}
     assert got[3] == 3 and got[25] == 25
+
+
+def test_widen_column_int_to_long(spark, tmp_path):
+    """Type widening: metadata-only, old int32 files upcast at read,
+    post-widen appends carry values past 2^31, merges span both file
+    generations, narrowing/lossy changes and reference'd columns refuse
+    by name."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(100).selectExpr(
+            "cast(id as int) as n", "id as v"
+        ),
+        tbl, mode="overwrite", n_files=2, cluster_by=["n"],
+        stats_cols=["n"],
+    )
+    files_before = {
+        e["path"] for e in S._all_entries(tbl, S._read_manifest(tbl, 1))
+    }
+    v = S.snapshot_widen_column(tbl, "n", "long")
+    m = S._read_manifest(tbl, v)
+    assert {e["path"] for e in S._all_entries(tbl, m)} == files_before
+    df = S.snapshot_read(spark, tbl)
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert df.count() == 100
+    # values past int32 now append cleanly and mix with old files
+    big = 3_000_000_000
+    S.snapshot_write(
+        spark.createDataFrame([(big, 1)], "n long, v long"), tbl,
+        mode="append", n_files=1,
+    )
+    assert S.snapshot_read(spark, tbl).where(f"n = {big}").count() == 1
+    # stats pruning still works across generations
+    kept, _ = S._plan_files(tbl, None, ("n", 0, 10))
+    assert 0 < len(kept) < 3
+    # merge spans both generations
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(7,), (big,)], "n long"),
+        on=["n"], when_matched="delete", insert_not_matched=False,
+    )
+    assert S.snapshot_rows(tbl) == 99
+    # refusals: narrowing, lossy, unknown, referenced
+    with pytest.raises(ValueError, match="lossless"):
+        S.snapshot_widen_column(tbl, "v", "integer")  # narrowing
+    with pytest.raises(ValueError, match="lossless"):
+        S.snapshot_widen_column(tbl, "v", "double")  # long->double lossy
+    with pytest.raises(ValueError, match="already"):
+        S.snapshot_widen_column(tbl, "n", "long")
+    tbl2 = str(tmp_path / "t2")
+    S.snapshot_write(
+        spark.range(10).selectExpr("cast(id as int) as k", "id as v"),
+        tbl2, mode="overwrite", n_files=1,
+        partition_spec=[("bucket", "k", 4)],
+    )
+    with pytest.raises(ValueError, match="partition transform"):
+        S.snapshot_widen_column(tbl2, "k", "long")
+
+
+def test_widen_float_to_double_and_cdf(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(10).selectExpr("id", "cast(id as float) as x"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_widen_column(tbl, "x", "double")
+    assert dict(S.snapshot_read(spark, tbl).dtypes)["x"] == "double"
+    S.snapshot_write(
+        spark.range(10, 12).selectExpr("id", "cast(id as double) as x"),
+        tbl, mode="append", n_files=1,
+    )
+    # batch CDF across the widen emits the wide type from both sides
+    ch = S.snapshot_changes(spark, tbl, 1, 3)
+    assert dict(ch.dtypes)["x"] == "double"
+    assert ch.count() == 2  # the appended rows; the widen step is silent
