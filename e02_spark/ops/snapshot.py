@@ -694,12 +694,15 @@ def _nullable_schema(schema):
 def _evolve_schema(prev_schema: dict | None, df: DataFrame, mode: str):
     """The schema an append/overwrite commits. Overwrite replaces it.
     Append UNION-BY-NAME evolves it: existing columns must keep their
-    exact type (add-only evolution — renames/widening are out of scope,
-    the Iceberg-v1 baseline), genuinely new columns append after the
-    existing ones; columns the incoming frame OMITS stay in the schema
-    and read as NULL from the new files. Returns a JSON-able dict, or
-    None for appends onto legacy manifests that never recorded a schema
-    (their file union stays the reader's source of truth)."""
+    exact type — OR a type that losslessly widens into the recorded one
+    (_WIDEN_OK: a writer still producing int data appends cleanly into
+    a long-widened table; the files carry the narrow physical type and
+    every reader upcasts at scan, exactly like pre-widening files) —
+    genuinely new columns append after the existing ones; columns the
+    incoming frame OMITS stay in the schema and read as NULL from the
+    new files. Returns a JSON-able dict, or None for appends onto
+    legacy manifests that never recorded a schema (their file union
+    stays the reader's source of truth)."""
     from pyspark.sql.types import StructType
 
     if mode != "append":
@@ -711,6 +714,9 @@ def _evolve_schema(prev_schema: dict | None, df: DataFrame, mode: str):
     for f in prev_st.fields:
         nf = by_name.get(f.name)
         if nf is not None and nf.dataType != f.dataType:
+            narrow = nf.dataType.typeName()
+            if f.dataType.typeName() in _WIDEN_OK.get(narrow, ()):
+                continue  # narrower writer into a widened column: fine
             raise ValueError(
                 f"schema evolution supports ADDING columns only: column "
                 f"{f.name!r} is {f.dataType.simpleString()} in the table "
@@ -2220,7 +2226,10 @@ def snapshot_publish(
 def _evolve_schema_json(prev_schema: dict | None, new_schema: dict) -> dict:
     """_evolve_schema's add-only union, manifest-JSON to manifest-JSON
     (publish has no DataFrame to hand the original): existing columns
-    must keep their exact type, new ones append."""
+    must keep their exact type — or one that losslessly widens into it
+    (_WIDEN_OK, matching the append path: the adopted files carry the
+    narrow physical type and readers upcast, like any pre-widening
+    file) — new ones append."""
     if prev_schema is None:
         raise ValueError(
             "publish target has no manifest-recorded schema — compact "
@@ -2230,6 +2239,11 @@ def _evolve_schema_json(prev_schema: dict | None, new_schema: dict) -> dict:
     for f in new_schema["fields"]:
         pf = prev_by.get(f["name"])
         if pf is not None and pf["type"] != f["type"]:
+            if (
+                isinstance(f["type"], str)
+                and pf["type"] in _WIDEN_OK.get(f["type"], ())
+            ):
+                continue  # narrower staging into a widened column
             raise ValueError(
                 "schema evolution supports ADDING columns only: column "
                 f"{f['name']!r} is {pf['type']} in the table but "

@@ -327,3 +327,27 @@ def test_widen_float_to_double_and_cdf(spark, tmp_path):
     ch = S.snapshot_changes(spark, tbl, 1, 3)
     assert dict(ch.dtypes)["x"] == "double"
     assert ch.count() == 2  # the appended rows; the widen step is silent
+
+
+def test_narrow_writer_appends_into_widened_column(spark, tmp_path):
+    """A writer still producing the NARROW type appends cleanly after a
+    widen — its files carry the narrow physical type and readers upcast
+    like any pre-widen file; a genuinely incompatible type still
+    raises."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(5).selectExpr("id", "cast(id as int) as n"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    S.snapshot_widen_column(tbl, "n", "long")
+    S.snapshot_write(
+        spark.range(5, 8).selectExpr("id", "cast(id as int) as n"), tbl,
+        mode="append", n_files=1,
+    )
+    df = S.snapshot_read(spark, tbl)
+    assert dict(df.dtypes)["n"] == "bigint" and df.count() == 8
+    with pytest.raises(ValueError, match="ADDING columns only"):
+        S.snapshot_write(
+            spark.range(2).selectExpr("id", "cast(id as string) as n"),
+            tbl, mode="append", n_files=1,
+        )

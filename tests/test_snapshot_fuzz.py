@@ -24,18 +24,18 @@ import pytest
 
 from e02_spark.ops import snapshot as S
 
-COLS = "id BIGINT, tag STRING, amt BIGINT"
-COLS_EVOLVED = COLS + ", score DOUBLE"
-
-
-def _df(spark, rows, evolved=False):
+# amt is INT so the widen_amt op has somewhere lossless to go; the
+# string column's NAME is fuzz-state (rename_tag renames it to a fresh
+# monotone name — never back: a once-used physical name stays retired)
+def _df(spark, rows, evolved=False, tag_col="tag"):
+    cols = f"id BIGINT, {tag_col} STRING, amt INT"
     if evolved:
         return spark.createDataFrame(
             [(k, f"t{k}-{v}", v, float(v % 7)) for k, v in rows],
-            COLS_EVOLVED,
+            cols + ", score DOUBLE",
         )
     return spark.createDataFrame(
-        [(k, f"t{k}-{v}", v) for k, v in rows], COLS
+        [(k, f"t{k}-{v}", v) for k, v in rows], cols
     )
 
 
@@ -57,7 +57,7 @@ def _apply_random_op(spark, rng, table, model, ctx):
          "rewrite", "binpack", "compact", "compact_zorder",
          "evolve_append", "rollback",
          "set_check", "drop_check", "violate_check", "publish",
-         "evolve_spec"]
+         "evolve_spec", "rename_tag", "widen_amt"]
     )
     if op in ("append", "evolve_append"):
         fresh = [
@@ -68,8 +68,10 @@ def _apply_random_op(spark, rng, table, model, ctx):
         if not fresh:
             return op
         evolved = op == "evolve_append" or ctx["evolved"]
-        S.snapshot_write(_df(spark, fresh, evolved), table, mode="append",
-                         n_files=rng.choice([1, 2]), stats_cols=["id"])
+        S.snapshot_write(
+            _df(spark, fresh, evolved, ctx["tag_name"]), table,
+            mode="append", n_files=rng.choice([1, 2]), stats_cols=["id"],
+        )
         ctx["evolved"] = evolved
         model.update(fresh)
     elif op in ("upsert_cow", "upsert_mor", "upsert_eq"):
@@ -78,7 +80,8 @@ def _apply_random_op(spark, rng, table, model, ctx):
         rows = [(k, rng.randrange(1000)) for k in keys]
         # update-mode sources must match the (possibly evolved) target
         S.snapshot_merge(
-            spark, table, _df(spark, rows, ctx["evolved"]), on=["id"],
+            spark, table,
+            _df(spark, rows, ctx["evolved"], ctx["tag_name"]), on=["id"],
             strategy=op.rsplit("_", 1)[1],
             n_files_new=rng.choice([1, 2]),
         )
@@ -108,11 +111,16 @@ def _apply_random_op(spark, rng, table, model, ctx):
     elif op == "rollback":
         target = rng.choice(sorted(ctx["history"]))
         S.snapshot_rollback(table, target)
-        past_model, past_evolved, past_check = ctx["history"][target]
+        (past_model, past_evolved, past_check,
+         past_tag, past_amt) = ctx["history"][target]
         model.clear()
         model.update(past_model)
         ctx["evolved"] = past_evolved
         ctx["check"] = past_check  # checks roll back with metadata
+        # the recorded schema AND its name/type history roll back too
+        # (rollback re-commits the target's schema + properties)
+        ctx["tag_name"] = past_tag
+        ctx["amt_type"] = past_amt
     elif op == "set_check":
         # predicate holds for every generated amt (0..999) but NOT for
         # violate_check's 5000 rows — so ADD CONSTRAINT itself must
@@ -150,7 +158,8 @@ def _apply_random_op(spark, rng, table, model, ctx):
                 ctx["tmp"], f"stg{len(ctx['versions'])}"
             )
             S.snapshot_write(
-                _df(spark, fresh, ctx["evolved"]), stg, mode="overwrite",
+                _df(spark, fresh, ctx["evolved"], ctx["tag_name"]),
+                stg, mode="overwrite",
                 n_files=1, stats_cols=["id"],
             )
             S.snapshot_publish(spark, stg, table)
@@ -163,7 +172,7 @@ def _apply_random_op(spark, rng, table, model, ctx):
         # metadata), z-order rewrites, and publish
         spec = rng.choice(
             [[("bucket", "id", 4)], [("bucket", "id", 8)],
-             [("identity", "tag")], []]
+             [("identity", ctx["tag_name"])], []]
         )
         S.snapshot_set_partition_spec(table, spec)
     elif op == "violate_check":
@@ -174,19 +183,46 @@ def _apply_random_op(spark, rng, table, model, ctx):
         if ctx["check"]:
             with pytest.raises(S.CheckViolation):
                 S.snapshot_write(
-                    _df(spark, bad, ctx["evolved"]), table, mode="append",
-                    n_files=1, stats_cols=["id"],
+                    _df(spark, bad, ctx["evolved"], ctx["tag_name"]),
+                    table, mode="append", n_files=1, stats_cols=["id"],
                 )
             # rejected pre-commit: model unchanged
         else:
             S.snapshot_write(
-                _df(spark, bad, ctx["evolved"]), table, mode="append",
-                n_files=1, stats_cols=["id"],
+                _df(spark, bad, ctx["evolved"], ctx["tag_name"]),
+                table, mode="append", n_files=1, stats_cols=["id"],
             )
             model.update(bad)
+    elif op == "rename_tag":
+        # RENAME mid-fuzz (metadata-only): content is invariant under
+        # the model, every later op writes/reads under the new name,
+        # and old files keep serving values through the name history.
+        # An identity-tag spec anywhere in the spec HISTORY refuses by
+        # name (probes resolve transforms by source column).
+        new = f"tag_r{ctx['tag_gen'] + 1}"
+        try:
+            S.snapshot_rename_column(table, ctx["tag_name"], new)
+            ctx["tag_name"] = new
+            ctx["tag_gen"] += 1
+        except ValueError as e:
+            assert "partition transform" in str(e), e
+    elif op == "widen_amt":
+        if ctx["amt_type"] == "long":
+            with pytest.raises(ValueError, match="already"):
+                S.snapshot_widen_column(table, "amt", "long")
+        elif ctx["check"]:
+            # the CHECK references amt: conservative refusal by name
+            with pytest.raises(ValueError, match="CHECK"):
+                S.snapshot_widen_column(table, "amt", "long")
+        else:
+            S.snapshot_widen_column(table, "amt", "long")
+            ctx["amt_type"] = "long"
     v = S.snapshot_versions(table)[-1]
     ctx["versions"].append(v)
-    ctx["history"][v] = (dict(model), ctx["evolved"], ctx["check"])
+    ctx["history"][v] = (
+        dict(model), ctx["evolved"], ctx["check"],
+        ctx["tag_name"], ctx["amt_type"],
+    )
     return op
 
 
@@ -211,9 +247,11 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed, table_store):
                      partition_spec=[("bucket", "id", 4)],
                      bloom_cols=["id"])
     model = dict(init)
-    ctx = {"versions": [1], "history": {1: (dict(init), False, False)},
+    ctx = {"versions": [1],
+           "history": {1: (dict(init), False, False, "tag", "integer")},
            "check": False, "tmp": str(tmp_path),
-           "evolved": False}
+           "evolved": False, "tag_name": "tag", "tag_gen": 0,
+           "amt_type": "integer"}
     trace = []
     for step in range(11):
         op = _apply_random_op(spark, rng, table, model, ctx)
@@ -374,7 +412,9 @@ def test_snapshot_mutation_fuzz_with_fault_injection(spark, tmp_path, seed):
                          n_files=3, cluster_by=["id"], stats_cols=["id"],
                          partition_spec=[("bucket", "id", 4)])
         model = dict(init)
-        ctx = {"versions": [1], "history": {1: (dict(init), False, False)},
+        ctx = {"versions": [1],
+               "history": {1: (dict(init), False, False, "tag", "integer")},
+               "tag_name": "tag", "tag_gen": 0, "amt_type": "integer",
                "check": False, "tmp": str(tmp_path), "evolved": False}
         trace = []
         faulted = 0
