@@ -260,6 +260,7 @@ class _ChangeSlice(InputPartition):
         rel_path: str | None = None,
         lazy_exclude: tuple[str, ...] = (),
         lazy_delta: tuple | None = None,
+        mapping: tuple = (),
     ):
         self.path = path
         self.change_type = change_type
@@ -272,6 +273,11 @@ class _ChangeSlice(InputPartition):
         self.rel_path = rel_path
         self.lazy_exclude = lazy_exclude
         self.lazy_delta = lazy_delta
+        # ((logical, (former physical names...)), ...) — the STEP
+        # manifest's column mapping (snapshot_rename_column): the
+        # executor resolves a pinned column absent from an old file
+        # through its name history instead of NULL-backfilling it
+        self.mapping = mapping
 
 
 class SnapshotCDFStreamReader(DataSourceStreamReader):
@@ -310,6 +316,23 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 "once to record one)"
             )
         self._schema_json = json.dumps(sch)
+        self._pinned = {
+            f["name"]: f.get("type") for f in sch.get("fields", [])
+        }
+        # the PINNED column mapping, from the same manifest as the
+        # pinned schema: it covers every former physical name up to the
+        # pin, so pre-rename steps' files resolve correctly; a rename
+        # landing after the pin is caught by the step fence below
+        from ..ops.snapshot import _col_mapping
+
+        self._mapping_t = tuple(
+            (k, tuple(v))
+            for k, v in sorted(
+                _col_mapping(
+                    _read_manifest(self.table, versions[-1])
+                ).items()
+            )
+        )
 
     # -- driver-side planning ------------------------------------------------
     def initialOffset(self) -> dict:
@@ -356,15 +379,21 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         for v in steps:
             m = self._manifest_or_lag_error(v)
             try:
-                # RENAME/DROP fence: the executor read treats a column
-                # missing from a file as all-NULL — the ADD-ONLY
-                # evolution contract (older steps simply predate added
-                # columns, which is fine). A column that EXISTED in the
-                # previous step and is gone in this one is the other
-                # direction: a rename or drop, whose files the pinned
-                # schema would silently read as NULLs. Raise by name;
-                # the consumer restarts the stream (or re-reads batch)
-                # under the new schema.
+                # SCHEMA fence, relative to the PINNED schema: the feed
+                # can represent everything the pin already accounts for
+                # — added columns older steps predate (NULL backfill),
+                # renames/drops AT OR BEFORE the pin (former physical
+                # names resolve through the pinned mapping; dropped
+                # columns are simply projected away, the batch-at-`to`
+                # semantics), and widenings at or before the pin (narrow
+                # files upcast to the pinned type). What it CANNOT
+                # represent is a change landing AFTER the pin: a step
+                # whose schema loses a column the pin still carries, or
+                # records a type the pinned type cannot losslessly hold.
+                # Raise by name; the consumer restarts under the new
+                # schema.
+                from ..ops.snapshot import _WIDEN_OK
+
                 step_f = {
                     f["name"]: f.get("type")
                     for f in (m.get("schema") or {}).get("fields", [])
@@ -375,28 +404,30 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         "fields", []
                     )
                 }
-                gone = set(prev_f) - set(step_f)
+                gone = (set(prev_f) - set(step_f)) & set(self._pinned)
                 if step_f and gone:
                     raise ValueError(
                         f"snapshot CDF stream fence: column(s) "
                         f"{sorted(gone)} were renamed or dropped at "
-                        f"{self.table} v{v} — a pinned-schema feed "
-                        "cannot represent that; restart the stream to "
-                        "adopt the new schema (snapshot_rename_column/"
+                        f"{self.table} v{v} after the stream pinned its "
+                        "schema — restart the stream to adopt the new "
+                        "schema (snapshot_rename_column/"
                         "snapshot_drop_column)"
                     )
-                changed = sorted(
+                hot = sorted(
                     n
-                    for n in set(prev_f) & set(step_f)
-                    if prev_f[n] != step_f[n]
+                    for n, t in step_f.items()
+                    if n in self._pinned
+                    and t != self._pinned[n]
+                    and self._pinned[n] not in _WIDEN_OK.get(t, ())
                 )
-                if changed:
+                if hot:
                     raise ValueError(
-                        f"snapshot CDF stream fence: column(s) "
-                        f"{changed} changed type at {self.table} v{v} "
-                        "(snapshot_widen_column) — the feed's schema is "
-                        "pinned; restart the stream to adopt the wider "
-                        "type"
+                        f"snapshot CDF stream fence: column(s) {hot} "
+                        f"carry a type at {self.table} v{v} that the "
+                        "stream's pinned schema cannot hold losslessly "
+                        "(snapshot_widen_column after the pin) — "
+                        "restart the stream to adopt the wider type"
                     )
                 if m.get("data_change") is False:
                     continue  # maintenance step: provably content-neutral
@@ -425,6 +456,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         _ChangeSlice(
                             os.path.join(self.table, p), "insert", v,
                             self._schema_json,
+                            mapping=self._mapping_t,
                             exclude=tuple(sorted(dv_b.get(p, ()))),
                             shadow=_eq_applicable(self.table, eq_b, ents_b[p], cap),
                             rel_path=p,
@@ -436,6 +468,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         _ChangeSlice(
                             os.path.join(self.table, p), "delete", v,
                             self._schema_json,
+                            mapping=self._mapping_t,
                             exclude=tuple(sorted(dv_a.get(p, ()))),
                             shadow=_eq_applicable(self.table, eq_a, ents_a[p], cap),
                             rel_path=p,
@@ -460,6 +493,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                                 _ChangeSlice(
                                     os.path.join(self.table, p), ctype, v,
                                     self._schema_json,
+                            mapping=self._mapping_t,
                                     rel_path=p,
                                     lazy_delta=spec,
                                 )
@@ -472,6 +506,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             _ChangeSlice(
                                 os.path.join(self.table, p), "delete", v,
                                 self._schema_json,
+                            mapping=self._mapping_t,
                                 include=tuple(sorted(newly)),
                             )
                         )
@@ -480,6 +515,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             _ChangeSlice(
                                 os.path.join(self.table, p), "insert", v,
                                 self._schema_json,
+                            mapping=self._mapping_t,
                                 include=tuple(sorted(gone)),
                             )
                         )
@@ -512,6 +548,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             _ChangeSlice(
                                 os.path.join(self.table, p), ctype, v,
                                 self._schema_json,
+                            mapping=self._mapping_t,
                                 exclude=tuple(sorted(pos)),
                                 match=match,
                                 shadow=_eq_applicable(
@@ -543,6 +580,19 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         want = to_arrow_schema(tbl_schema)
         pf = pq.ParquetFile(partition.path)
         have = set(pf.schema_arrow.names)
+        aliases = {k: list(v) for k, v in partition.mapping}
+
+        def _physical(name: str) -> str | None:
+            """The name this FILE carries the logical column under: the
+            logical name itself, or the first former physical name
+            present (snapshot_rename_column history) — None when the
+            file genuinely predates the column."""
+            if name in have:
+                return name
+            for old in aliases.get(name, ()):
+                if old in have:
+                    return old
+            return None
         import numpy as np
 
         def _lazy_positions(paths: tuple[str, ...]) -> set[int]:
@@ -604,7 +654,11 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             acc = np.zeros(n, dtype=bool)
             names = set(batch.schema.names)
             for on, keys, eq_path in specs:
-                if not all(c in names for c in on):
+                # each eq key column resolves through the rename name
+                # history for THIS file (a post-rename eq spec must
+                # still match rows in files written under the old name)
+                phys = [_physical(c) for c in on]
+                if any(p is None or p not in names for p in phys):
                     # a pre-evolution data file lacking an evolved eq-key
                     # column: the column reads as all-NULL and NULL keys
                     # never match (SQL equality) — the batch path's
@@ -615,7 +669,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                     continue
                 if len(on) == 1:
                     m = pc.is_in(
-                        batch.column(on[0]),
+                        batch.column(phys[0]),
                         value_set=pa.array([k[0] for k in keys]),
                     )
                     acc |= pc.fill_null(m, False).to_numpy(
@@ -623,16 +677,19 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                     )
                 else:
                     ks = frozenset(keys)
-                    cols = [batch.column(c).to_pylist() for c in on]
+                    cols = [batch.column(c).to_pylist() for c in phys]
                     acc |= np.fromiter(
                         (t in ks for t in zip(*cols)), dtype=bool, count=n
                     )
             return acc
 
         offset = 0
-        for batch in pf.iter_batches(
-            columns=[n for n in want.names if n in have]
-        ):
+        read_cols = [
+            p
+            for p in (_physical(n) for n in want.names)
+            if p is not None
+        ]
+        for batch in pf.iter_batches(columns=read_cols):
             n = batch.num_rows
             mask = None
             idx = None
@@ -655,8 +712,9 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                     continue
             cols = []
             for field in want:
-                if field.name in have:
-                    cols.append(batch.column(field.name).cast(field.type))
+                p = _physical(field.name)
+                if p is not None:
+                    cols.append(batch.column(p).cast(field.type))
                 else:  # file predates this column: NULL backfill
                     cols.append(pa.nulls(batch.num_rows, type=field.type))
             m = batch.num_rows

@@ -189,30 +189,77 @@ def test_rename_drop_guards(spark, tmp_path):
         S.snapshot_rename_column(tbl, "ghost", "g2")
 
 
-def test_cdf_stream_fences_on_rename(spark, tmp_path):
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
+def test_cdf_stream_replays_history_across_pre_pin_rename(spark, tmp_path):
+    """A stream STARTED AFTER a rename replays the whole history under
+    the pinned (new) schema with correct VALUES — the pinned column
+    mapping resolves pre-rename files' old physical names executor-side
+    (the silent-NULL hole this pin closes)."""
     from e02_spark.sources.snapshot_cdf_stream import (
         read_snapshot_changes_stream,
     )
 
     tbl = str(tmp_path / "tbl")
     S.snapshot_write(
-        spark.range(10).selectExpr("id", "id as v"), tbl,
+        spark.range(10).selectExpr("id", "id * 10 as v"), tbl,
         mode="overwrite", n_files=1,
     )
     S.snapshot_rename_column(tbl, "v", "w")
     S.snapshot_write(
-        spark.range(10, 12).selectExpr("id", "id as w"), tbl,
+        spark.range(10, 12).selectExpr("id", "id * 10 as w"), tbl,
         mode="append", n_files=1,
     )
     q = (
         read_snapshot_changes_stream(spark, tbl, starting_version=0)
-        .writeStream.format("memory").queryName("fence_t")
+        .writeStream.format("memory").queryName("replay_ren")
         .trigger(availableNow=True).start()
     )
-    with pytest.raises(StreamingQueryException, match="fence"):
-        q.awaitTermination(120)
+    assert q.awaitTermination(120)
+    got = {
+        (r["id"], r["w"], r["_change_type"])
+        for r in spark.sql("SELECT * FROM replay_ren").collect()
+    }
+    assert got == {(i, i * 10, "insert") for i in range(12)}, got
+
+
+def test_cdf_stream_fences_on_post_pin_rename_and_widen(spark, tmp_path):
+    """A rename/drop/widen landing AFTER the stream pinned its schema
+    is NOT representable and fences by name (driver-side planning unit:
+    the reader object pins at construction)."""
+    from e02_spark.sources.snapshot_cdf_stream import (
+        SnapshotCDFStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(10).selectExpr(
+            "id", "id as v", "cast(id as int) as n"
+        ),
+        tbl, mode="overwrite", n_files=1,
+    )
+    rdr = SnapshotCDFStreamReader({"table": tbl})  # pins v1's schema
+    S.snapshot_rename_column(tbl, "v", "w")
+    S.snapshot_write(
+        spark.range(10, 12).selectExpr(
+            "id", "id as w", "cast(id as int) as n"
+        ),
+        tbl, mode="append", n_files=1,
+    )
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        rdr.partitions({"version": 0}, {"version": 3})
+    # widen after the pin: the pinned narrow type cannot hold it
+    tbl2 = str(tmp_path / "t2")
+    S.snapshot_write(
+        spark.range(5).selectExpr("id", "cast(id as int) as n"), tbl2,
+        mode="overwrite", n_files=1,
+    )
+    rdr2 = SnapshotCDFStreamReader({"table": tbl2})
+    S.snapshot_widen_column(tbl2, "n", "long")
+    S.snapshot_write(
+        spark.range(5, 7).selectExpr("id", "id as n"), tbl2,
+        mode="append", n_files=1,
+    )
+    with pytest.raises(ValueError, match="losslessly"):
+        rdr2.partitions({"version": 0}, {"version": 3})
 
 
 def test_publish_guards_on_name_history(spark, tmp_path):
