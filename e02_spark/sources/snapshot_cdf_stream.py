@@ -273,10 +273,10 @@ class _ChangeSlice(InputPartition):
         self.rel_path = rel_path
         self.lazy_exclude = lazy_exclude
         self.lazy_delta = lazy_delta
-        # ((logical, (former physical names...)), ...) — the STEP
-        # manifest's column mapping (snapshot_rename_column): the
-        # executor resolves a pinned column absent from an old file
-        # through its name history instead of NULL-backfilling it
+        # ((logical, (former physical names...)), ...) — the PINNED
+        # column mapping (snapshot_rename_column history as of stream
+        # start): the executor resolves a pinned column absent from an
+        # old file through its name history instead of NULL-backfilling
         self.mapping = mapping
 
 
@@ -493,7 +493,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                                 _ChangeSlice(
                                     os.path.join(self.table, p), ctype, v,
                                     self._schema_json,
-                            mapping=self._mapping_t,
+                                    mapping=self._mapping_t,
                                     rel_path=p,
                                     lazy_delta=spec,
                                 )
@@ -506,7 +506,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             _ChangeSlice(
                                 os.path.join(self.table, p), "delete", v,
                                 self._schema_json,
-                            mapping=self._mapping_t,
+                                mapping=self._mapping_t,
                                 include=tuple(sorted(newly)),
                             )
                         )
@@ -515,7 +515,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             _ChangeSlice(
                                 os.path.join(self.table, p), "insert", v,
                                 self._schema_json,
-                            mapping=self._mapping_t,
+                                mapping=self._mapping_t,
                                 include=tuple(sorted(gone)),
                             )
                         )
@@ -548,7 +548,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                             _ChangeSlice(
                                 os.path.join(self.table, p), ctype, v,
                                 self._schema_json,
-                            mapping=self._mapping_t,
+                                mapping=self._mapping_t,
                                 exclude=tuple(sorted(pos)),
                                 match=match,
                                 shadow=_eq_applicable(
