@@ -96,6 +96,52 @@ def bloom_key(v) -> bytes | None:
     return None
 
 
+def probe_forms(v) -> list:
+    """Every encoding a point-probe value may have been STORED under.
+
+    The filter hashes values as pyarrow materialized them (timestamp
+    columns -> datetime objects, tag t:), while min/max pruning compares
+    the _stat_value-coerced form (isoformat strings) — so a probe that
+    PASSES range pruning can still carry a different Python type than
+    the built filter and hash under the wrong tag, turning a bloom
+    "maybe" into a false "no" that silently drops a file holding the
+    key. Canonicalizing one side is not enough (we don't know the
+    file's column type at plan time); instead the probe tests EVERY
+    plausible encoding and a file survives if ANY says maybe:
+
+    - iso-parsable str  <-> datetime/date object (temporal column probed
+      with the string form range pruning itself uses, or vice versa)
+    - bool              <-> int 0/1 (bool probing an int column hashes
+      b:, the ints hashed the splitmix64 path; True == 1 in min/max)
+
+    A couple of extra bloom tests per probe, only for ambiguous types —
+    never a lost file."""
+    import datetime as _dt
+
+    forms = [v]
+    if isinstance(v, bool):
+        forms.append(int(v))
+    elif isinstance(v, int):
+        if v in (0, 1):
+            forms.append(bool(v))
+    elif isinstance(v, str):
+        try:
+            forms.append(_dt.datetime.fromisoformat(v))
+        except ValueError:
+            pass
+        try:
+            forms.append(_dt.date.fromisoformat(v))
+        except ValueError:
+            pass
+    elif isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        forms.append(v.isoformat())
+    elif isinstance(v, _dt.date):
+        forms.append(v.isoformat())
+    return forms
+
+
 def _hashes(key: bytes) -> tuple[int, int]:
     d = hashlib.md5(key).digest()
     h1 = int.from_bytes(d[:8], "big")
@@ -175,10 +221,9 @@ def _mix64_vec(x):
     return x ^ (x >> np.uint64(31))
 
 
-def bloom_maybe_contains(bloom: list, v) -> bool:
-    """True unless the filter PROVES v absent. A value with no canonical
-    encoding returns True (cannot prune — same safe direction as a file
-    with no bounds)."""
+def _one_probe(bits, m: int, k: int, v) -> bool:
+    """Test a SINGLE encoding of v against a decompressed bitset.
+    True = maybe present (including unencodable values — can't prune)."""
     if type(v) is int:
         h1, h2 = _int_hashes(v)
     else:
@@ -186,13 +231,21 @@ def bloom_maybe_contains(bloom: list, v) -> bool:
         if kb is None:
             return True
         h1, h2 = _hashes(kb)
-    m, k, b64 = bloom
-    bits = zlib.decompress(base64.b64decode(b64))
     for i in range(k):
         idx = (h1 + i * h2) % m
         if not (bits[idx >> 3] & (1 << (idx & 7))):
             return False
     return True
+
+
+def bloom_maybe_contains(bloom: list, v) -> bool:
+    """True unless the filter PROVES v absent under EVERY encoding the
+    value may have been stored as (probe_forms — the type-tag ambiguity
+    fix). A value with no canonical encoding returns True (cannot prune
+    — same safe direction as a file with no bounds)."""
+    m, k, b64 = bloom
+    bits = zlib.decompress(base64.b64decode(b64))
+    return any(_one_probe(bits, m, k, f) for f in probe_forms(v))
 
 
 def bloom_maybe_contains_any(bloom: list, values) -> bool:
@@ -201,21 +254,9 @@ def bloom_maybe_contains_any(bloom: list, values) -> bool:
     live in it). Decompresses once for the whole probe set."""
     m, k, b64 = bloom
     bits = zlib.decompress(base64.b64decode(b64))
-    for v in values:
-        if type(v) is int:
-            h1, h2 = _int_hashes(v)
-        else:
-            kb = bloom_key(v)
-            if kb is None:
-                return True
-            h1, h2 = _hashes(kb)
-        if all(
-            bits[idx >> 3] & (1 << (idx & 7))
-            for i in range(k)
-            for idx in ((h1 + i * h2) % m,)
-        ):
-            return True
-    return False
+    return any(
+        _one_probe(bits, m, k, f) for v in values for f in probe_forms(v)
+    )
 
 
 def harvest_blooms(path: str, bloom_cols: list[str]) -> dict:

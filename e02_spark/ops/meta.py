@@ -91,9 +91,15 @@ def snapshot_meta(
                     key columns in eq_on).
     - 'history':    one row per committed version — version, commit
                     timestamp, mode, data_change, plus the live totals
-                    recorded in that version's manifest list.
-    - 'refs':       one row per named ref — tags AND writable branches,
-                    with the version each pins.
+                    recorded in that version's manifest list. A pinned
+                    `version` truncates the rows at it (no post-pin
+                    commits leak through the frozen view).
+    - 'refs':       one row per named ref — tags (read from the pinned
+                    manifest) AND writable branches, with the version
+                    each pins. Branch rows reflect CURRENT branch heads:
+                    branches live in the ref store outside any manifest,
+                    so there is no meaningful "branch state as of
+                    version v" to resolve.
     - 'partitions': per hidden-partition-value rollup (files whose
                     bounds collapse to one derived value group by it;
                     files spanning several report value='*mixed*') —
@@ -102,6 +108,15 @@ def snapshot_meta(
     if kind not in _KINDS:
         raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
     if kind == "history":
+        # validate + resolve the pin the same way the file kinds do, then
+        # truncate: a version-pinned metadata view must not expose
+        # commits that happened after the pin
+        v_cap = None
+        if version is not None:
+            versions = snapshot_versions(table)
+            if version not in versions:
+                raise ValueError(f"version {version} not in {versions}")
+            v_cap = version
         rows = [
             {
                 "version": int(h["version"]),
@@ -120,6 +135,7 @@ def snapshot_meta(
                 "idempotency_key": h.get("idempotency_key"),
             }
             for h in snapshot_history(table)
+            if v_cap is None or int(h["version"]) <= v_cap
         ]
         return spark.createDataFrame(
             rows,

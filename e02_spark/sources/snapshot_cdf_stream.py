@@ -414,12 +414,20 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         "schema (snapshot_rename_column/"
                         "snapshot_drop_column)"
                     )
+                # a non-string step type (struct/map dict — nothing the
+                # widen API emits today, but future schema shapes) is
+                # never widen-compatible with a pinned primitive: treat
+                # the mismatch as hot rather than letting the unhashable
+                # dict reach _WIDEN_OK.get and raise a bare TypeError
                 hot = sorted(
                     n
                     for n, t in step_f.items()
                     if n in self._pinned
                     and t != self._pinned[n]
-                    and self._pinned[n] not in _WIDEN_OK.get(t, ())
+                    and (
+                        not isinstance(t, str)
+                        or self._pinned[n] not in _WIDEN_OK.get(t, ())
+                    )
                 )
                 if hot:
                     raise ValueError(

@@ -67,6 +67,52 @@ def test_bloom_nulls_skipped_and_any_semantics():
     assert not bloom_maybe_contains_any(b, [999_991, 999_993])
 
 
+def test_bloom_cross_type_probe_forms_no_false_negative():
+    """The ADVICE-flagged type-tag gap: a probe whose Python type differs
+    from the stored values' type but whose min/max comparison WOULD pass
+    must not turn into a bloom false negative. Each ambiguous pair tests
+    every plausible encoding."""
+    # iso string probing a timestamp column (stored bounds ARE iso
+    # strings, so range pruning passed the probe through)
+    ts = dt.datetime(2026, 1, 1, 0, 1)
+    b = bloom_build([ts])
+    assert bloom_maybe_contains(b, ts.isoformat())
+    assert bloom_maybe_contains_any(b, [ts.isoformat()])
+    # datetime probing a string column that stores iso text
+    b2 = bloom_build([ts.isoformat()])
+    assert bloom_maybe_contains(b2, ts)
+    # date string <-> date object
+    d = dt.date(2026, 5, 4)
+    assert bloom_maybe_contains(bloom_build([d]), d.isoformat())
+    assert bloom_maybe_contains(bloom_build([d.isoformat()]), d)
+    # bool probing an int column and int 0/1 probing a bool column
+    assert bloom_maybe_contains(bloom_build([0, 1, 7]), True)
+    assert bloom_maybe_contains(bloom_build([True, False]), 1)
+    assert bloom_maybe_contains(bloom_build([True, False]), 0)
+    # definitive "no" still works for genuinely absent cross-type probes
+    assert not bloom_maybe_contains(
+        bloom_build([ts]), dt.datetime(2030, 7, 7, 7, 7).isoformat()
+    )
+
+
+def test_iso_string_point_probe_on_timestamp_column(spark, tmp_path):
+    """End-to-end twin of the unit test above: a bloomed timestamp
+    column probed with the ISOFORMAT STRING (the form range pruning
+    itself compares) must keep the file holding the instant."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT id, timestamp'2026-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0,id*60) AS ts FROM range(100)"
+    )
+    S.snapshot_write(df, tbl, mode="overwrite", n_files=1,
+                     stats_cols=["ts"], bloom_cols=["ts"])
+    probe = dt.datetime(2026, 1, 1, 0, 1).isoformat()
+    kept, _ = S._plan_files(tbl, None, ("ts", probe, probe))
+    assert len(kept) == 1, "iso-string probe must not bloom-drop the file"
+    got = S.snapshot_read(spark, tbl, prune=("ts", probe, probe))
+    assert got.where("id = 1").count() == 1
+
+
 def test_bloom_tz_aware_probe_matches_naive_utc_build():
     naive = dt.datetime(2026, 3, 1, 12, 30)
     b = bloom_build([naive])

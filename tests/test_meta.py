@@ -86,6 +86,14 @@ def test_history_refs_and_version_pin(spark, lake):
     # version pin: v1's files view has only the 4 clustered base files
     f1 = snapshot_meta(spark, lake, "files", version=1)
     assert f1.count() == 4
+    # history pins too: post-pin commits must not leak into the frozen
+    # view (the ADVICE-flagged inconsistency with files/deletes)
+    h1 = snapshot_meta(spark, lake, "history", version=1).collect()
+    assert [r["version"] for r in h1] == [1]
+    h2 = snapshot_meta(spark, lake, "history", version=2).collect()
+    assert [r["version"] for r in h2] == [1, 2]
+    with pytest.raises(ValueError, match="version 99"):
+        snapshot_meta(spark, lake, "history", version=99)
     S.snapshot_branch_drop(lake, "wip")
 
 

@@ -262,6 +262,40 @@ def test_cdf_stream_fences_on_post_pin_rename_and_widen(spark, tmp_path):
         rdr2.partitions({"version": 0}, {"version": 3})
 
 
+def test_cdf_stream_fences_on_non_string_step_type(spark, tmp_path):
+    """A step manifest recording a NON-STRING type (a struct/map dict —
+    nothing today's widen API writes, but a future schema shape) for a
+    pinned column must raise the documented fence ValueError, not a bare
+    TypeError from hashing the dict against _WIDEN_OK."""
+    import json
+
+    from e02_spark.sources.snapshot_cdf_stream import (
+        SnapshotCDFStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(5).selectExpr("id", "cast(id as int) as n"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    rdr = SnapshotCDFStreamReader({"table": tbl})  # pins v1's schema
+    S.snapshot_write(
+        spark.range(5, 7).selectExpr("id", "cast(id as int) as n"), tbl,
+        mode="append", n_files=1,
+    )
+    # forge v2's `n` into a struct type, bypassing the widen API
+    mp = S._manifest_path(tbl, 2)
+    with open(mp) as fh:
+        m = json.load(fh)
+    for f in m["schema"]["fields"]:
+        if f["name"] == "n":
+            f["type"] = {"type": "struct", "fields": []}
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="losslessly"):
+        rdr.partitions({"version": 0}, {"version": 2})
+
+
 def test_publish_guards_on_name_history(spark, tmp_path):
     """snapshot_publish refuses (a) a staging table that itself carries
     a rename history (adopted physical names would be unreadable under
