@@ -101,7 +101,13 @@ def catalog_set(
         if not versions:
             raise FileNotFoundError(f"no catalog at {catalog}")
         base = versions[-1]
-        cur = _read(catalog, base)
+        try:
+            cur = _read(catalog, base)
+        except FileNotFoundError:
+            # a racing catalog_expire dropped the version we listed
+            # (only possible when newer versions already exist) —
+            # re-list and retry against the new latest
+            continue
         tables = dict(cur.get("tables") or {})
         for name in drops or []:
             tables.pop(name, None)
@@ -117,16 +123,60 @@ def catalog_set(
     )
 
 
+def catalog_expire(catalog: str, keep_last: int = 10) -> dict:
+    """Retention for the catalog plane: every `catalog_set` CAS appends
+    one immutable JSON manifest, so a long-lived catalog otherwise grows
+    one object per swap forever. Drop all but the newest `keep_last`
+    manifests (floor 1 — the latest always survives; it is the CAS base
+    every writer and the resolve every reader depends on).
+
+    Safe against concurrent writers by construction: writers only read
+    the LATEST version (catalog_set re-lists before each CAS attempt)
+    and commit at latest+1, which expire never touches — version numbers
+    are never reused, so a concurrent swap and expire cannot collide on
+    a path. A reader that listed before a racing expire may fail one
+    read of an already-dropped OLD version and simply re-lists — the
+    same torn-read posture the table plane's expire documents. Returns
+    {'manifests_dropped': n, 'kept': [versions]}."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    st = store_for(catalog)
+    versions = catalog_versions(catalog)
+    if not versions:
+        raise FileNotFoundError(f"no catalog at {catalog}")
+    keep = versions[-keep_last:]
+    dropped = 0
+    for v in versions:
+        if v in keep:
+            continue
+        st.delete(_manifest_path(catalog, v))
+        dropped += 1
+    return {"manifests_dropped": dropped, "kept": keep}
+
+
 def catalog_resolve(
     catalog: str, names: list[str] | None = None
 ) -> dict[str, tuple[str, int]]:
     """One consistent multi-table snapshot: read the LATEST catalog
     manifest ONCE and return {name: (dir, pinned version)} from it.
     Unknown requested names raise KeyError (naming the known set)."""
-    versions = catalog_versions(catalog)
-    if not versions:
-        raise FileNotFoundError(f"no catalog at {catalog}")
-    tables = _read(catalog, versions[-1]).get("tables") or {}
+    tables = None
+    for _ in range(10):
+        versions = catalog_versions(catalog)
+        if not versions:
+            raise FileNotFoundError(f"no catalog at {catalog}")
+        try:
+            tables = _read(catalog, versions[-1]).get("tables") or {}
+            break
+        except FileNotFoundError:
+            # racing expire dropped the listed version; a newer one
+            # exists by the expire invariant — re-list
+            continue
+    if tables is None:  # pragma: no cover — needs 10 racing expires
+        raise RuntimeError(
+            f"catalog_resolve lost 10 consecutive list/read races on "
+            f"{catalog}"
+        )
     if names is None:
         names = sorted(tables)
     out = {}

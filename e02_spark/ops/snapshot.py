@@ -313,6 +313,7 @@ def _harvest_stats(
     stats_cols: list[str],
     table: str,
     bloom_cols: list[str] | None = None,
+    spark=None,
 ) -> list[dict]:
     """Per-file entries from the parquet FOOTERS (row count + min/max
     per stats column). Small commits (the steady state) read footers
@@ -321,16 +322,34 @@ def _harvest_stats(
     mapInPandas over the file list — O(files/executors) wall instead of
     O(files) on the driver — and returns IDENTICAL entries (same
     per-file parser, same path sort; pinned by test_layout). The
-    collected result is manifest metadata (~100 bytes/file), not data."""
+    collected result is manifest metadata (~100 bytes/file), not data.
+
+    Callers pass the SESSION THEY JUST WROTE WITH (every commit site
+    holds one) so distribution never depends on thread-local
+    getActiveSession state; a bulk harvest that still ends up without a
+    session warns by name instead of silently serializing on the
+    driver."""
     files = sorted(files)
     if len(files) >= _HARVEST_DISTRIBUTE_MIN:
-        from pyspark.sql import SparkSession
+        if spark is None:
+            from pyspark.sql import SparkSession
 
-        spark = SparkSession.getActiveSession()
+            spark = SparkSession.getActiveSession()
         if spark is not None:
             return _harvest_stats_distributed(
                 spark, files, stats_cols, table, bloom_cols
             )
+        import warnings
+
+        warnings.warn(
+            f"snapshot harvest: {len(files)} files meet the distribute "
+            f"threshold ({_HARVEST_DISTRIBUTE_MIN}) but no SparkSession "
+            "was passed and none is active on this thread — parquet "
+            "footer stats will be read SEQUENTIALLY on the driver. Pass "
+            "spark= through the commit call to fan the harvest out.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return [_harvest_one(p, stats_cols, table, bloom_cols) for p in files]
 
 
@@ -922,7 +941,8 @@ def snapshot_write(
     writer.parquet(commit_dir)
     new_files = _glob.glob(os.path.join(commit_dir, "*.parquet"))
     new_entries = _harvest_stats(
-        new_files, (stats_cols or []) + hidden, table, eff_bloom
+        new_files, (stats_cols or []) + hidden, table, eff_bloom,
+        spark=df.sparkSession,
     )
     # A giant commit fans out across shards too (the Iceberg behavior):
     # _harvest_stats sorts entries by path = Spark's part-NNNNN order,
@@ -1540,7 +1560,7 @@ def snapshot_compact(
         out.write.mode("error").parquet(commit_dir)
         new_entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")),
-            list(sc) + hidden, table, bc,
+            list(sc) + hidden, table, bc, spark=out.sparkSession,
         )
         for e in new_entries:
             e["seq"] = base + 1
@@ -1643,6 +1663,7 @@ def snapshot_binpack(
         new_entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")),
             list(sc) + hidden, table, _bloom_cols(prev),
+            spark=out.sparkSession,
         )
         for e in new_entries:
             e["seq"] = base + 1  # eq deletes were folded into the rewrite
@@ -1772,6 +1793,7 @@ def snapshot_rewrite_deletes(
             new_entries = _harvest_stats(
                 _glob.glob(os.path.join(commit_dir, "*.parquet")),
                 list(sc) + hidden, table, _bloom_cols(prev),
+                spark=out.sparkSession,
             )
             for e in new_entries:
                 e["seq"] = base + 1  # both delete flavors folded in
@@ -2619,7 +2641,8 @@ def _write_eq_delete_commit(
         *on
     ).write.mode("error").parquet(eq_dir)
     entries = _harvest_stats(
-        _glob.glob(os.path.join(eq_dir, "*.parquet")), [on[0]], table
+        _glob.glob(os.path.join(eq_dir, "*.parquet")), [on[0]], table,
+        spark=keys_df.sparkSession,
     )
     for e in entries:
         e["on"] = list(on)
@@ -2675,7 +2698,8 @@ def _write_delete_commit(tombs: DataFrame, table: str) -> tuple[dict, int]:
         "error"
     ).parquet(dv_dir)
     entries = _harvest_stats(
-        _glob.glob(os.path.join(dv_dir, "*.parquet")), ["_file"], table
+        _glob.glob(os.path.join(dv_dir, "*.parquet")), ["_file"], table,
+        spark=tombs.sparkSession,
     )
     ref = _write_shard(table, entries)
     return ref, sum(e["rows"] for e in entries)
@@ -3061,6 +3085,7 @@ def _merge_attempt(
         entries = _harvest_stats(
             _glob.glob(os.path.join(commit_dir, "*.parquet")),
             list(sc) + hidden, table, _bloom_cols(prev),
+            spark=out.sparkSession,
         )
         for e in entries:
             e["seq"] = base + 1  # new files are exempt from older eq deletes
@@ -3244,6 +3269,7 @@ def _eq_merge_commit(
                 new_entries = _harvest_stats(
                     _glob.glob(os.path.join(commit_dir, "*.parquet")),
                     list(sc) + hidden, table, _bloom_cols(prev),
+                    spark=out.sparkSession,
                 )
                 for e in new_entries:
                     # the new files' HIGHER seq exempts them from the eq

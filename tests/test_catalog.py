@@ -73,6 +73,80 @@ def test_catalog_concurrent_swappers_all_land(tmp_path, table_store):
     assert C.catalog_versions(cat)[-1] == 13  # 1 create + 12 commits
 
 
+def test_catalog_expire_retention(spark, tmp_path, table_store):
+    """catalog_expire keeps the newest keep_last manifests (floor 1 —
+    the CAS base every writer needs) and drops the rest; resolve and
+    subsequent swaps keep working, and version numbers never rewind —
+    on both stores."""
+    cat = str(tmp_path / "cat")
+    t1 = str(tmp_path / "t1")
+    S.snapshot_write(spark.range(10).selectExpr("id", "id AS v"), t1,
+                     mode="overwrite", n_files=1)
+    C.catalog_create(cat)
+    for i in range(8):
+        C.catalog_set(cat, {"a": (t1, 1), f"x{i}": (t1, 1)})
+    assert len(C.catalog_versions(cat)) == 9
+    r = C.catalog_expire(cat, keep_last=3)
+    assert r["manifests_dropped"] == 6
+    assert C.catalog_versions(cat) == r["kept"] == [7, 8, 9]
+    # the surviving latest still resolves the full accumulated state
+    got = C.catalog_resolve(cat)
+    assert "a" in got and "x7" in got and len(got) == 9
+    # swaps continue from latest+1 (no version reuse after expire)
+    cv = C.catalog_set(cat, {"b": (t1, 1)})
+    assert cv == 10
+    with pytest.raises(ValueError, match="keep_last"):
+        C.catalog_expire(cat, keep_last=0)
+    # floor: keep_last larger than history is a no-op
+    r2 = C.catalog_expire(cat, keep_last=50)
+    assert r2["manifests_dropped"] == 0
+
+
+def test_catalog_expire_races_concurrent_swappers(tmp_path, table_store):
+    """Expire running INSIDE a storm of catalog_set swaps: every swap
+    still lands exactly once (expire never touches latest or latest+1),
+    and the final state reflects all of them."""
+    import os
+
+    cat = str(tmp_path / "cat")
+    C.catalog_create(cat)
+    os.makedirs(str(tmp_path / "d"), exist_ok=True)
+    errs: list[Exception] = []
+    stop = threading.Event()
+
+    def swap(i):
+        try:
+            C.catalog_set(
+                cat, {f"t{i}": (str(tmp_path / "d"), i)}, max_retries=200
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def gc():
+        try:
+            while not stop.is_set():
+                C.catalog_expire(cat, keep_last=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    g = threading.Thread(target=gc)
+    g.start()
+    threads = [threading.Thread(target=swap, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    g.join()
+    assert not errs
+    got = C.catalog_resolve(cat)
+    assert {k: v[1] for k, v in got.items()} == {
+        f"t{i}": i for i in range(10)
+    }
+    C.catalog_expire(cat, keep_last=2)  # quiesced: retention is exact
+    assert len(C.catalog_versions(cat)) == 2
+
+
 def test_catalog_no_torn_pair_under_concurrent_refresh(
     spark, tmp_path, table_store
 ):

@@ -7,6 +7,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from e02_spark.io import load_table
@@ -1549,3 +1550,37 @@ def test_harvest_stats_distributed_matches_sequential(spark, tmp_path,
     assert strip(e2) == strip(e3)  # same rows + bounds per file position
     kept, _ = S._plan_files(tbl2, None, ("o_orderkey", 1, 50))
     assert 0 < len(kept) < len(e2)  # distributed stats still prune
+
+
+def test_harvest_bulk_without_session_warns(spark, tmp_path, monkeypatch):
+    """A bulk harvest (>= distribute threshold) issued with no session —
+    neither passed explicitly nor active on the thread — must WARN BY
+    NAME before serializing footer reads on the driver, never fall back
+    silently. With the commit site's own session passed, it distributes
+    without consulting thread-local state."""
+    import json
+    import warnings
+
+    from pyspark.sql import SparkSession
+
+    from e02_spark.ops import snapshot as S
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    S.snapshot_write(df, tbl, mode="overwrite", n_files=4,
+                     stats_cols=["id"])
+    m = S._read_manifest(tbl, 1)
+    files = [os.path.join(tbl, e["path"]) for e in S._all_entries(tbl, m)]
+    monkeypatch.setattr(S, "_HARVEST_DISTRIBUTE_MIN", 2)
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    with pytest.warns(RuntimeWarning, match="snapshot harvest"):
+        seq = S._harvest_stats(files, ["id"], tbl)
+    # explicit session: distributes, no warning, identical entries
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dist = S._harvest_stats(files, ["id"], tbl, spark=spark)
+    assert json.dumps(seq, sort_keys=True) == json.dumps(
+        dist, sort_keys=True
+    )

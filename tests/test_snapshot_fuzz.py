@@ -57,7 +57,8 @@ def _apply_random_op(spark, rng, table, model, ctx):
          "rewrite", "binpack", "compact", "compact_zorder",
          "evolve_append", "rollback",
          "set_check", "drop_check", "violate_check", "publish",
-         "evolve_spec", "rename_tag", "widen_amt"]
+         "evolve_spec", "rename_tag", "widen_amt",
+         "catalog_swap", "catalog_expire"]
     )
     if op in ("append", "evolve_append"):
         fresh = [
@@ -206,6 +207,33 @@ def _apply_random_op(spark, rng, table, model, ctx):
             ctx["tag_gen"] += 1
         except ValueError as e:
             assert "partition transform" in str(e), e
+    elif op == "catalog_swap":
+        # catalog plane interleaved with table mutations (round 12):
+        # pin the table's CURRENT version in a catalog CAS swap; later
+        # steps verify the pinned read still serves exactly the model
+        # recorded AT THE SWAP, whatever the table does afterwards
+        from e02_spark.ops import catalog as C
+
+        import os as _os
+
+        cat = _os.path.join(ctx["tmp"], "cat")
+        if not C.catalog_versions(cat):
+            C.catalog_create(cat)  # idempotent under a faulted create:
+            # the dir may exist with no v1 — versions() stays empty
+        C.catalog_set(cat, {"tbl": (table, None)})
+        ctx["cat_pin"] = S.snapshot_versions(table)[-1]
+        ctx["cat_pin_model"] = dict(model)
+    elif op == "catalog_expire":
+        from e02_spark.ops import catalog as C
+
+        import os as _os
+
+        cat = _os.path.join(ctx["tmp"], "cat")
+        if ctx.get("cat_pin") is not None:
+            r = C.catalog_expire(cat, keep_last=rng.choice([1, 2]))
+            assert C.catalog_versions(cat) == r["kept"]
+            # retention never moves the resolve: latest pins survive
+            assert C.catalog_resolve(cat)["tbl"][1] == ctx["cat_pin"]
     elif op == "widen_amt":
         if ctx["amt_type"] == "long":
             with pytest.raises(ValueError, match="already"):
@@ -258,6 +286,21 @@ def test_snapshot_mutation_fuzz(spark, tmp_path, seed, table_store):
         trace.append(op)
         got = _table_content(spark, table)
         assert got == model, f"seed={seed} step={step} trace={trace}"
+        if ctx.get("cat_pin") is not None:
+            # the cataloged pin is a frozen snapshot: whatever the ops
+            # since the swap did, reading THROUGH the catalog serves
+            # exactly the model recorded at the swap
+            from e02_spark.ops import catalog as C
+
+            got_pin = {
+                r["id"]: r["amt"]
+                for r in C.catalog_read(
+                    spark, str(tmp_path / "cat"), "tbl"
+                ).select("id", "amt").collect()
+            }
+            assert got_pin == ctx["cat_pin_model"], (
+                f"catalog pin drift seed={seed} step={step} trace={trace}"
+            )
         v_now = S.snapshot_versions(table)[-1]
         if S._read_manifest(table, v_now).get("eq_deletes"):
             # equality deletes outstanding: the metadata count MUST
@@ -431,6 +474,19 @@ def test_snapshot_mutation_fuzz_with_fault_injection(spark, tmp_path, seed):
                 st.armed = False
             got = _table_content(spark, table)
             assert got == model, f"seed={seed} step={step} trace={trace}"
+            if ctx.get("cat_pin") is not None:
+                from e02_spark.ops import catalog as C
+
+                got_pin = {
+                    r["id"]: r["amt"]
+                    for r in C.catalog_read(
+                        spark, os.path.join(str(tmp_path), "cat"), "tbl"
+                    ).select("id", "amt").collect()
+                }
+                assert got_pin == ctx["cat_pin_model"], (
+                    f"catalog pin drift seed={seed} step={step} "
+                    f"trace={trace}"
+                )
         assert faulted > 0, "injection never fired — raise p or steps"
         # no surviving manifest references an unreadable object
         for v in S.snapshot_versions(table):
