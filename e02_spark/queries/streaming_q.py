@@ -818,6 +818,69 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and sum(r["rows"] for r in fm) == rows_v1
         and [r["version"] for r in hm] == snapshot_versions(table)
     )
+    # DELTA EXPORT leg (round 12): the post-GC table (4 files, no
+    # deletes, no rename history) exports ZERO-COPY as a genuine Delta
+    # Lake table, and a THIRD-PARTY reader reconstructs it — the log is
+    # replayed with plain json exactly as the public Delta protocol doc
+    # specifies, and DuckDB (not Spark, not snapshot_read) reads the
+    # data files it selects. Green iff DuckDB's view of our exported
+    # bytes matches snapshot_read on count, key-sum, key-xor, and the
+    # count of distinct md5 row digests over the int/string columns —
+    # an order-insensitive content pin computed by two independent
+    # engines sharing only the md5 algorithm.
+    from ..ops.export import snapshot_export_delta
+
+    dest = os.path.join(_tracked_mkdtemp(prefix="e02_delta_"), "delta")
+    exp_r = snapshot_export_delta(spark, table, dest)
+    import json as _json
+
+    import duckdb as _duckdb
+
+    live: dict = {}
+    for lg in sorted(glob.glob(os.path.join(dest, "_delta_log", "*.json"))):
+        with open(lg) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = _json.loads(line)
+                if "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+    _digest_cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+    ]
+    duck = _duckdb.connect().execute(
+        "SELECT count(*), sum(o_orderkey), bit_xor(o_orderkey), "
+        "count(DISTINCT md5(concat_ws('|', "
+        + ", ".join(_digest_cols)
+        + "))) FROM read_parquet(?)",
+        [[os.path.join(dest, p) for p in sorted(live)]],
+    ).fetchone()
+    sp = (
+        snapshot_read(spark, table)
+        .agg(
+            F.count(F.lit(1)),
+            F.sum("o_orderkey"),
+            F.expr("bit_xor(o_orderkey)"),
+            F.countDistinct(
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in _digest_cols]
+                    )
+                )
+            ),
+        )
+        .first()
+    )
+    delta_export_ok = (
+        exp_r["mode"] == "zero-copy"
+        and exp_r["files_added"] == 4
+        and duck[0] == sp[0] == rows_v1
+        and duck[1] == sp[1]
+        and duck[2] == sp[2]
+        and duck[3] == sp[3]
+    )
     # stats-pruned read: manifest [min,max] drops upper-half files before
     # Spark ever lists them; values prove the prune kept every needed row
     mid = _orders_max_key(spark, sf_dir) // 2
@@ -843,6 +906,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("branch_ok", F.lit(bool(branch_ok)))
         .withColumn("branch_gc_ok", F.lit(bool(branch_gc_ok)))
         .withColumn("bloom_meta_ok", F.lit(bool(bloom_meta_ok)))
+        .withColumn("delta_export_ok", F.lit(bool(delta_export_ok)))
     )
 
 
@@ -859,7 +923,8 @@ SELECT o_orderpriority,
   TRUE AS expire_ok,
   TRUE AS branch_ok,
   TRUE AS branch_gc_ok,
-  TRUE AS bloom_meta_ok
+  TRUE AS bloom_meta_ok,
+  TRUE AS delta_export_ok
 FROM orders
 WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
 GROUP BY o_orderpriority
