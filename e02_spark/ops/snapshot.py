@@ -759,6 +759,34 @@ class ConcurrentWriteError(RuntimeError):
     re-plans from the new latest version — never retries blindly."""
 
 
+class ConcurrentModificationError(ConcurrentWriteError):
+    """An optimistic commit lost `max_retries` CONSECUTIVE races and gave
+    up. Nothing was published: every attempt's data files are orphans the
+    next expire collects, and the table sits at whatever the winning
+    writers committed.
+
+    ISOLATION CONTRACT (why losing is safe): every mutating op here —
+    merge (all three strategies), write, compact, binpack,
+    rewrite-deletes, publish — reacts to a lost race by REPLANNING from
+    scratch against the new latest snapshot (re-prune, re-scan,
+    re-match), never by rebasing its already-planned file set onto the
+    winner's manifest. The committed history is therefore SERIALIZABLE:
+    equivalent to running the same ops one-at-a-time in commit order.
+    Two merges updating the SAME key concurrently have defined winner
+    semantics — the later commit's replan reads the earlier commit's row
+    and replaces it, so the later writer wins in full and no update is
+    lost (strictly stronger than Delta's default WriteSerializable,
+    which admits orders no serial execution produces). The one thing NO
+    engine's MERGE protects is read-modify-write ABOVE the API: a source
+    DataFrame computed from a pre-merge read bakes in the stale read;
+    derive merge inputs from the CDF or re-read inside a retry loop.
+
+    Retry guidance: this error means live contention, not corruption —
+    back off (jittered sleep), then call the same op again; it replans
+    from the current snapshot. Raise max_retries for hot tables, or
+    serialize writers through a queue when contention is structural."""
+
+
 def _validate_checks(
     df: DataFrame, checks: dict | None, schema_json: dict | None, context: str
 ) -> None:
@@ -1075,7 +1103,7 @@ def snapshot_write(
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"snapshot_write lost {max_retries} consecutive commit races on {table}"
     )
 
@@ -1591,7 +1619,7 @@ def snapshot_compact(
             return base + 1
         # lost the race: this attempt's files are expire-collectable
         # orphans; replan against the new latest snapshot
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"snapshot_compact lost {max_retries} consecutive commit races on {table}"
     )
 
@@ -1708,7 +1736,7 @@ def snapshot_binpack(
                 "files_added": len(new_entries),
                 "rows_rewritten": rows_in,
             }
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"snapshot_binpack lost {max_retries} consecutive commit races on {table}"
     )
 
@@ -1838,7 +1866,7 @@ def snapshot_rewrite_deletes(
                 "tombstones_removed": n_tombs,
                 "eq_files_removed": sum(1 for _ in eqs),
             }
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"snapshot_rewrite_deletes lost {max_retries} consecutive commit races on {table}"
     )
 
@@ -2239,7 +2267,7 @@ def snapshot_publish(
                 "files_adopted": len(new_entries),
                 "rows_adopted": rows_adopted,
             }
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"snapshot_publish lost {max_retries} consecutive commit races "
         f"on {main_table}"
     )
@@ -2752,7 +2780,18 @@ def snapshot_merge(
     discards the attempt's files (orphans until expire — the Iceberg
     loser's fate) and REPLANS against the new latest snapshot, so a
     merge never clobbers a concurrent append's rows; after `max_retries`
-    lost races it raises.
+    lost races it raises ConcurrentModificationError.
+
+    ISOLATION: SERIALIZABLE (see ConcurrentModificationError for the
+    full contract). Because a loser replans — re-prunes, re-scans,
+    re-matches — rather than rebasing its planned file set, two merges
+    racing on the SAME key have defined winner semantics: the later
+    commit's replan sees the earlier commit's row and replaces it
+    wholesale. The final state always equals some serial order of the
+    committed merges; a torn state (one racer's value on some keys, the
+    other's on the rest of a single merge's key set) is not
+    representable. Pinned by test_concurrent_merge_same_key_serializable
+    and the race_upsert fuzz op on both metadata stores.
 
     Semantics notes (both mirrored by the DuckDB twin in queries):
     NULL source keys never match (SQL join semantics) — they delete
@@ -3021,7 +3060,7 @@ def snapshot_merge(
             # this attempt's data files become expire-collectable orphans
             # and the loop replans against the new latest (matched keys /
             # touched files may have changed under us)
-        raise RuntimeError(
+        raise ConcurrentModificationError(
             f"snapshot_merge lost {max_retries} consecutive commit races on {table}"
         )
     finally:
@@ -3308,7 +3347,7 @@ def _eq_merge_commit(
                 "rows_before": _rows_or_none(table, base),
                 "rows_after": None, "replayed": False,
             }
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"snapshot_merge(eq) lost {max_retries} consecutive commit races on {table}"
     )
 
@@ -3628,7 +3667,7 @@ def snapshot_rollback(table: str, to_version: int, max_retries: int = 10) -> int
         }
         if _try_commit(table, base + 1, manifest):
             return base + 1
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"snapshot_rollback lost {max_retries} consecutive commit races on {table}"
     )
 
@@ -3676,7 +3715,7 @@ def _meta_commit(
             manifest["data_change"] = data_change
         if _try_commit(table, base + 1, manifest):
             return base + 1
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"{mode} lost {max_retries} consecutive commit races on {table}"
     )
 
@@ -3735,7 +3774,7 @@ def _schema_commit(table: str, mode: str, mutate, max_retries: int) -> int:
         manifest["data_change"] = False
         if _try_commit(table, base + 1, manifest):
             return base + 1
-    raise RuntimeError(
+    raise ConcurrentModificationError(
         f"{mode} lost {max_retries} consecutive commit races on {table}"
     )
 

@@ -1422,6 +1422,86 @@ def test_concurrent_merge_writers_both_land(spark, tmp_path, table_store):
     assert len(S.snapshot_versions(table)) == 7
 
 
+def test_concurrent_merge_same_key_serializable(spark, tmp_path,
+                                                table_store):
+    """Two writers merging the SAME key set race for real: the loser's
+    replan applies on top of the winner, so the final state carries ONE
+    writer's values for the whole key set (mixed per-key values would be
+    a torn, non-serializable state), both commits appear in history, and
+    the CDF shows neither update was lost — on both stores."""
+    import threading
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(40)), table, mode="overwrite",
+                     n_files=2, cluster_by=["id"], stats_cols=["id"])
+    keys = list(range(5, 15))
+    errs: list = []
+    versions: dict[str, int] = {}
+    gate = threading.Barrier(2)
+
+    def writer(tag, strategy):
+        try:
+            src = _kv(spark, keys, tag=tag)
+            gate.wait()
+            r = S.snapshot_merge(spark, table, src, on=["id"],
+                                 strategy=strategy, max_retries=12)
+            versions[tag] = r["version"]
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=("X", "cow"))
+    t2 = threading.Thread(target=writer, args=("Y", "mor"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert len(versions) == 2 and versions["X"] != versions["Y"]
+    winner = max(versions, key=versions.get)
+    got = {r["id"]: r["tag"] for r in S.snapshot_read(spark, table).collect()}
+    assert len(got) == 40 == S.snapshot_rows(table)
+    # serializable: EVERY raced key carries the later commit's value
+    assert all(got[k] == f"{winner}{k}" for k in keys), {
+        k: got[k] for k in keys
+    }
+    # no lost update: EACH writer's commit landed as its own version
+    # whose CDF step inserts exactly that writer's full row set (the
+    # endpoint-to-endpoint CDF is a net diff, so the intermediate state
+    # is only visible per step)
+    for tag, v in versions.items():
+        step_ins = {
+            r["tag"]
+            for r in S.snapshot_changes(spark, table, v - 1, v)
+            .where("_change_type = 'insert'")
+            .select("tag")
+            .collect()
+        }
+        assert step_ins == {f"{tag}{k}" for k in keys}, (tag, step_ins)
+    # untouched keys never raced
+    assert got[0] == "a0" and got[30] == "a30"
+
+
+def test_exhausted_retries_raise_named_error(spark, tmp_path, monkeypatch):
+    """A merge that loses every retry raises the NAMED
+    ConcurrentModificationError (an ops-visible contention signal with
+    retry guidance), never a bare RuntimeError — and publishes nothing."""
+    import pytest as _pytest
+
+    from e02_spark.ops import snapshot as S
+
+    table = str(tmp_path / "tbl")
+    S.snapshot_write(_kv(spark, range(10)), table, mode="overwrite",
+                     n_files=1, stats_cols=["id"])
+    monkeypatch.setattr(S, "_try_commit", lambda *a, **kw: False)
+    with _pytest.raises(S.ConcurrentModificationError,
+                        match="lost 2 consecutive commit races"):
+        S.snapshot_merge(spark, table, _kv(spark, [3], tag="Z"),
+                         on=["id"], max_retries=2)
+    monkeypatch.undo()
+    assert S.snapshot_versions(table) == [1]
+    got = {r["id"]: r["tag"] for r in S.snapshot_read(spark, table).collect()}
+    assert got[3] == "a3"
+
+
 def test_snapshot_compact_zorder_two_dimension_pruning(spark, tmp_path):
     """snapshot_compact(zorder_by=[x, y]) — the Iceberg z-order rewrite
     at the MANIFEST level: after the rewrite, file [min,max] stats prune

@@ -58,7 +58,7 @@ def _apply_random_op(spark, rng, table, model, ctx):
          "evolve_append", "rollback",
          "set_check", "drop_check", "violate_check", "publish",
          "evolve_spec", "rename_tag", "widen_amt",
-         "catalog_swap", "catalog_expire"]
+         "catalog_swap", "catalog_expire", "race_upsert"]
     )
     if op in ("append", "evolve_append"):
         fresh = [
@@ -207,6 +207,45 @@ def _apply_random_op(spark, rng, table, model, ctx):
             ctx["tag_gen"] += 1
         except ValueError as e:
             assert "partition transform" in str(e), e
+    elif op == "race_upsert":
+        # two threads MERGE THE SAME KEYS with different values, racing
+        # the commit CAS for real. Serializable isolation (the loser
+        # replans on the winner's snapshot) means the final state holds
+        # exactly ONE writer's values for the whole key set — a mixed
+        # per-key outcome is a torn state the content check below would
+        # catch. Under fault injection a racer may die on an injected
+        # 503 BEFORE committing; the model then follows whoever landed.
+        import threading
+
+        keys = rng.sample(sorted(set(model) | set(range(0, 400))),
+                          rng.randrange(2, 8))
+        vals = {"A": rng.randrange(1000), "B": rng.randrange(1000)}
+        landed: dict[str, int] = {}
+        fails: list[Exception] = []
+        gate = threading.Barrier(2)
+
+        def _race(tag):
+            rows = [(k, vals[tag]) for k in keys]
+            src = _df(spark, rows, ctx["evolved"], ctx["tag_name"])
+            gate.wait()
+            try:
+                r = S.snapshot_merge(spark, table, src, on=["id"],
+                                     max_retries=20)
+                landed[tag] = r["version"]
+            except Exception as e:
+                fails.append(e)
+
+        ts = [threading.Thread(target=_race, args=(t,)) for t in ("A", "B")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for e in fails:
+            if "injected 503" not in str(e):
+                raise e
+        if landed:
+            winner = max(landed, key=landed.get)
+            model.update({k: vals[winner] for k in keys})
     elif op == "catalog_swap":
         # catalog plane interleaved with table mutations (round 12):
         # pin the table's CURRENT version in a catalog CAS swap; later
