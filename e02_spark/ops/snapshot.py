@@ -1920,6 +1920,7 @@ def snapshot_cdc_sink(
     checkpoint_dir: str | None = None,
     app_id: str | None = None,
     auto_fold_rows: int | str | None = "auto",
+    merge_schema: bool = False,
 ):
     """Structured Streaming CDC-APPLY sink: maintain a snapshot table as
     the materialization of a change stream (the Debezium/Delta
@@ -1987,6 +1988,12 @@ def snapshot_cdc_sink(
     between the fold and the streaming commit is safe: the replayed
     batch's legs no-op on their keys and the fold re-evaluates against
     the already-folded (empty) delete state.
+
+    merge_schema=True passes through to the upsert leg: a feed that
+    starts carrying a NEW column mid-stream auto-adds it to the table
+    (add-only, NULL-backfilled history — see snapshot_merge) instead of
+    failing the batch; downstream CDF streams keep flowing (add-only
+    evolution never trips their pin-relative fences).
 
     Returns the started StreamingQuery."""
 
@@ -2057,6 +2064,7 @@ def snapshot_cdc_sink(
                     n_files_new=n_files_new, cluster_by=cluster_by,
                     stats_cols=stats_cols,
                     commit_key=f"{kp}{batch_id}-u",
+                    merge_schema=merge_schema,
                 )
             if auto_fold_rows is not None:
                 versions = snapshot_versions(table)
@@ -2746,6 +2754,7 @@ def snapshot_merge(
     max_retries: int = 3,
     strategy: str = "cow",
     commit_key: str | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """MERGE `source` into the snapshot table by key columns `on` —
     copy-on-write upsert/delete, the Delta/Iceberg MERGE INTO shape:
@@ -2842,6 +2851,18 @@ def snapshot_merge(
     merges with the same key commit exactly one version: the loser's
     replan sees the winner's key and backs off to a replay no-op.
 
+    merge_schema=True enables ADD-ONLY schema evolution through the
+    merge (Delta's mergeSchema): source columns the table lacks are
+    appended to the recorded schema in one commit with the merge itself
+    — new files carry the column, rewritten survivors NULL-fill it, and
+    every untouched pre-merge file NULL-backfills at read with zero
+    rewrite (the same contract as an evolve-append). Existing columns
+    still must match by name and (widen-compatibly) by type; names that
+    were dropped or renamed-away are refused (value resurrection);
+    without the flag a novel source column stays a hard error. The
+    union is re-derived inside the retry loop, so racing a concurrent
+    schema-evolving commit unions with it instead of stomping it.
+
     Returns {'version', 'files_rewritten', 'files_kept', 'files_added',
     'tombstones_added', 'rows_before', 'rows_after', 'replayed'} (row
     counts from manifest metadata — no extra jobs)."""
@@ -2904,14 +2925,60 @@ def snapshot_merge(
     source = source.persist()
     try:
         target_cols = snapshot_read(spark, table).columns
+        new_cols: list[str] = []
         if when_matched == "update" or insert_not_matched:
-            if set(source.columns) != set(target_cols):
+            extra = [c for c in source.columns if c not in target_cols]
+            missing = set(target_cols) - set(source.columns)
+            if missing or (extra and not merge_schema):
+                hint = (
+                    " (pass merge_schema=True to auto-add new source "
+                    "columns)" if extra and not missing else ""
+                )
                 raise ValueError(
                     f"update/insert merge source columns {sorted(source.columns)} "
-                    f"must match target {sorted(target_cols)}"
+                    f"must match target {sorted(target_cols)}{hint}"
                 )
+            new_cols = extra
         elif not set(on) <= set(source.columns):
             raise ValueError(f"delete merge source must carry key columns {on}")
+        evolve_fn = None
+        if new_cols:
+            # add-only evolution through MERGE (Delta's mergeSchema): the
+            # committed schema becomes the union (new columns appended
+            # after existing, types checked by the same append-evolution
+            # rules), the merge's new files carry the columns, and every
+            # pre-merge file NULL-backfills at read exactly like an
+            # evolve-append — zero rewrite of untouched data. Computed
+            # PER ATTEMPT against the attempt's base manifest, so a lost
+            # race against another schema-evolving commit unions with
+            # the winner's schema instead of stomping it (the same
+            # in-loop re-derivation snapshot_write's append path does).
+            src_evolved = source.select(*(list(target_cols) + new_cols))
+
+            def evolve_fn(prev_m: dict) -> dict:
+                if prev_m.get("schema") is None:
+                    raise ValueError(
+                        "merge_schema=True needs a recorded table schema "
+                        f"(legacy manifest at {table} has none)"
+                    )
+                clash = set(new_cols) & (
+                    set(_dropped_cols(prev_m))
+                    | {
+                        o
+                        for olds in _col_mapping(prev_m).values()
+                        for o in olds
+                    }
+                )
+                if clash:
+                    raise ValueError(
+                        f"merge source column(s) {sorted(clash)} reuse a "
+                        f"dropped or renamed-away physical name of "
+                        f"{table} — old files still carry values under "
+                        "that name"
+                    )
+                return _evolve_schema(prev_m["schema"], src_evolved, "append")
+
+            target_cols = list(target_cols) + new_cols
         # One driver agg does double duty: the key-range probe for the
         # manifest-stats prune (None bounds = all-NULL keys = pruning off,
         # still correct) and, in update mode, the MERGE-ambiguity check —
@@ -2940,7 +3007,7 @@ def snapshot_merge(
             return _eq_merge_commit(
                 spark, table, source, on, when_matched, n_files_new,
                 cluster_by, stats_cols, max_retries, target_cols,
-                commit_key, _replay_result,
+                commit_key, _replay_result, evolve_fn,
             )
         aggs = [F.min(k0).alias("lo"), F.max(k0).alias("hi")]
         # distinct leading-key count rides the same single source pass,
@@ -3050,6 +3117,7 @@ def snapshot_merge(
                     skeys, source, on, when_matched, insert_not_matched,
                     strategy, n_files_new, cluster_by, stats_cols,
                     target_cols, n_all, commit_key,
+                    evolve_fn(prev) if evolve_fn else None, new_cols,
                 )
             finally:
                 if matched is not None:
@@ -3071,13 +3139,16 @@ def _merge_attempt(
     spark, table, base, prev, dv, matched, matched_keys, skeys,
     source, on, when_matched, insert_not_matched,
     strategy, n_files_new, cluster_by, stats_cols, target_cols, n_all,
-    commit_key=None,
+    commit_key=None, evolved_schema=None, new_cols=None,
 ):
     """One optimistic attempt of snapshot_merge against snapshot `base`:
     returns the result dict on a won commit race, None on a lost one
     (the caller replans). `matched` is the live-matched-row frame
     (on + _file + _pos) or None when no candidate files survived the
-    stats prune."""
+    stats prune. `evolved_schema`/`new_cols` carry merge_schema=True
+    add-only evolution: the commit records the union schema and
+    rewritten survivors NULL-fill the new columns (pre-merge files
+    backfill at read like any evolve-append)."""
     from functools import reduce
 
     from pyspark.sql import functions as F  # noqa: F401  (parity with caller)
@@ -3146,7 +3217,7 @@ def _merge_attempt(
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
             "refs": prev.get("refs"),
-            "schema": prev.get("schema"),
+            "schema": evolved_schema or prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
         }
@@ -3213,9 +3284,14 @@ def _merge_attempt(
             spark, table, prev,
             sorted(os.path.join(table, p) for p in touched_rel), dv,
         )
-        parts.insert(
-            0, surv.join(skeys, on, "left_anti").select(*target_cols)
-        )
+        keep = surv.join(skeys, on, "left_anti")
+        if new_cols:
+            # survivors predate the merge's new columns: typed NULLs,
+            # exactly what a read of their un-rewritten siblings serves
+            src_types = {f.name: f.dataType for f in source.schema.fields}
+            for c in new_cols:
+                keep = keep.withColumn(c, F.lit(None).cast(src_types[c]))
+        parts.insert(0, keep.select(*target_cols))
     if not parts and not touched_rel:
         return _noop()
     new_entries = _write_data(parts)
@@ -3255,7 +3331,7 @@ def _merge_attempt(
 def _eq_merge_commit(
     spark, table, source, on, when_matched, n_files_new,
     cluster_by, stats_cols, max_retries, target_cols,
-    commit_key=None, _replay_result=None,
+    commit_key=None, _replay_result=None, evolve_fn=None,
 ):
     """strategy='eq' commit loop: write one key-valued delete file (and,
     in update mode, the source rows as new data files) — ZERO target
@@ -3335,7 +3411,7 @@ def _eq_merge_commit(
             "partition_spec": prev.get("partition_spec"),
             "partition_specs": _specs_carry(prev, None),
             "refs": prev.get("refs"),
-            "schema": prev.get("schema"),
+            "schema": evolve_fn(prev) if evolve_fn else prev.get("schema"),
             "checks": prev.get("checks"),
             "properties": prev.get("properties"),
         }

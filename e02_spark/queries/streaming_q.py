@@ -1588,19 +1588,12 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, delta, keys, sums, minmax=minmax, base=v3
     ).persist()
     try:
-        recompute = materialize_agg(v3, keys, sums, minmax=minmax)
-        # symmetric difference emptiness in ONE job
-        matches = (
-            maintained.exceptAll(recompute)
-            .unionByName(recompute.exceptAll(maintained))
-            .limit(1)
-            .count()
-            == 0
-        )
-        # two persisted forms of the same maintenance, run CONCURRENTLY
-        # (independent tables; Spark schedules both legs' jobs in one
-        # session — sequential order would pay sum-of-walls for two
-        # fixed streaming/refresh machinery costs):
+        # three independent verification legs run CONCURRENTLY
+        # (independent tables/jobs; Spark schedules them in one session
+        # — sequential order would pay sum-of-walls for fixed
+        # streaming/refresh machinery plus the recompute job):
+        #   * RECOMPUTE: symmetric-difference emptiness of the
+        #     maintained state vs a full v3 recompute, in ONE job.
         #   * BATCH (ops/mv.mv_refresh): state in its own snapshot
         #     table, cursor riding the commit, one exactly-once refresh
         #     rolls v1 -> v3; a second refresh is a cursor no-op.
@@ -1622,6 +1615,9 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .count()
                 == 0
             )
+
+        def _recompute_leg() -> bool:
+            return _diff_empty(materialize_agg(v3, keys, sums, minmax=minmax))
 
         def _batch_leg() -> bool:
             mv = os.path.join(_tracked_mkdtemp(prefix="e02_mvtbl_"), "mv")
@@ -1646,9 +1642,11 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
             return _diff_empty(_sread(spark, mv2))
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            fut_m = ex.submit(_recompute_leg)
             fut_b = ex.submit(_batch_leg)
             fut_s = ex.submit(_stream_leg)
+            matches = fut_m.result()
             persisted_mv_matches = fut_b.result()
             streamed_mv_matches = fut_s.result()
         out = finish_agg(

@@ -299,6 +299,30 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         self.max_delete_rows = int(
             options.get("maxdeleterows", _DELETE_ROWS_CAP)
         )
+        # ADMISSION CONTROL (maxFilesPerTrigger / maxRowsPerTrigger —
+        # the Delta rate-limit options; rows instead of bytes because
+        # manifests track rows): a stream catching up on a deep version
+        # backlog otherwise plans the whole range as ONE micro-batch.
+        # latestOffset advances the offset only as far as the caps
+        # allow, so catch-up is incremental and memory-bounded; weights
+        # come from SHARD-REF diffs between consecutive manifests (zero
+        # shard reads — changed shards are new ref paths by
+        # immutability, so the ref-level n_files/rows of added+removed
+        # shards upper-bound the step's changed files/rows). At least
+        # one version is always admitted per trigger (progress
+        # guarantee), so a single over-cap commit still flows.
+        self.max_files_per_trigger = (
+            int(options.get("maxfilespertrigger", 0)) or None
+        )
+        self.max_rows_per_trigger = (
+            int(options.get("maxrowspertrigger", 0)) or None
+        )
+        # last version handed to the engine (initialOffset / planned /
+        # committed) — the admission base. None until anchored: a fresh
+        # stream anchors at the initial version (see latestOffset), a
+        # restart at the checkpointed range the engine re-plans through
+        # partitions() before its first latestOffset.
+        self._cursor: int | None = None
         import json
 
         from ..ops.snapshot import _read_manifest, snapshot_versions
@@ -344,17 +368,86 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         # contract): changes of every commit whose clamped time is AT or
         # after T are emitted — the offset is the last version strictly
         # BEFORE T.
+        v0 = self._initial_version()
+        self._cursor = v0
+        return {"version": v0}
+
+    def _initial_version(self) -> int:
         if self._start_ts is not None:
             from ..ops.snapshot import _resolve_from_ts
 
-            return {"version": _resolve_from_ts(self.table, self._start_ts)}
-        return {"version": self.start_version}
+            return _resolve_from_ts(self.table, self._start_ts)
+        return self.start_version
+
+    @staticmethod
+    def _ref_weights(a: dict | None, b: dict) -> tuple[int, int]:
+        """(files, rows) upper bound on the a->b step's changed data,
+        from shard-ref paths alone (manifest JSON, zero shard reads)."""
+
+        def _refs(m):
+            if m is None:
+                return {}
+            return {
+                r["path"]: r
+                for k in ("manifests", "deletes", "eq_deletes")
+                for r in (m.get(k) or [])
+            }
+
+        ra, rb = _refs(a), _refs(b)
+        changed = [rb[p] for p in rb.keys() - ra.keys()] + [
+            ra[p] for p in ra.keys() - rb.keys()
+        ]
+        return (
+            sum(int(r.get("n_files") or 0) for r in changed),
+            sum(int(r.get("rows") or 0) for r in changed),
+        )
 
     def latestOffset(self) -> dict:
         from ..ops.snapshot import snapshot_versions
 
         versions = snapshot_versions(self.table)
-        return {"version": versions[-1] if versions else 0}
+        latest = versions[-1] if versions else 0
+        cap_f, cap_r = self.max_files_per_trigger, self.max_rows_per_trigger
+        cur = self._cursor
+        if cur is None:
+            # the engine consults latestOffset BEFORE initialOffset on a
+            # fresh stream (observed call order), so an unanchored
+            # cursor means either (a) fresh stream — the engine's start
+            # WILL be _initial_version(), making it the correct
+            # admission base — or (b) a restart, where the engine
+            # re-plans the checkpointed last batch through partitions()
+            # BEFORE its first latestOffset (also observed), anchoring
+            # the cursor there first; this branch then never sees a
+            # restart. Anchoring at the initial version is therefore
+            # safe: admission never returns an offset behind the
+            # engine's start (no offset rewind, no replay).
+            cur = self._initial_version()
+        if (cap_f is None and cap_r is None) or cur >= latest:
+            self._cursor = max(latest, cur)
+            return {"version": self._cursor}
+        files = rows = 0
+        admitted = cur
+        prev_m = self._manifest_or_lag_error(cur) if cur > 0 else None
+        for v in versions:
+            if not (cur < v <= latest):
+                continue
+            m = self._manifest_or_lag_error(v)
+            wf, wr = self._ref_weights(prev_m, m)
+            over = (cap_f is not None and files + wf > cap_f) or (
+                cap_r is not None and rows + wr > cap_r
+            )
+            if over and admitted > cur:
+                break  # this version waits for the next trigger
+            files += wf
+            rows += wr
+            admitted = v
+            prev_m = m
+            if (cap_f is not None and files >= cap_f) or (
+                cap_r is not None and rows >= cap_r
+            ):
+                break
+        self._cursor = admitted
+        return {"version": admitted}
 
     def _manifest_or_lag_error(self, version: int) -> dict:
         from ..ops.snapshot import _read_manifest
@@ -373,6 +466,10 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         from ..ops.snapshot import _all_entries, _eq_entries, snapshot_versions
 
         lo, hi = start["version"], end["version"]
+        # the engine's planned range is authoritative (a restart replans
+        # a checkpointed range this reader object never saw): admission
+        # resumes from its end, so rate limiting is restart-stable
+        self._cursor = max(self._cursor or 0, hi)
         steps = [v for v in snapshot_versions(self.table) if lo < v <= hi]
         out: list[_ChangeSlice] = []
         prev_m = self._manifest_or_lag_error(lo) if lo > 0 else None
@@ -572,7 +669,10 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         return out
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream's checkpoint; nothing to GC
+        # offsets live in the stream's checkpoint; nothing to GC — but
+        # the committed end anchors admission after a restart whose
+        # first engine call is commit-then-latestOffset
+        self._cursor = max(self._cursor or 0, end["version"])
 
     # -- executor-side read --------------------------------------------------
     def read(self, partition: _ChangeSlice):
@@ -772,14 +872,20 @@ class SnapshotCDFStreamDataSource(DataSource):
 
 
 def read_snapshot_changes_stream(
-    spark, table: str, starting_version: int = 0, starting_timestamp=None
+    spark, table: str, starting_version: int = 0, starting_timestamp=None,
+    max_files_per_trigger: int | None = None,
+    max_rows_per_trigger: int | None = None,
 ):
     """Convenience: register the source and open a change-feed stream over
     `table` from (exclusive) `starting_version` — 0 replays the whole
     table's history as inserts (plus any later deletes).
     `starting_timestamp` (epoch / datetime / ISO string) instead starts
     AFTER the snapshot current at that instant (the Delta readChangeFeed
-    startingTimestamp shape)."""
+    startingTimestamp shape). max_files_per_trigger /
+    max_rows_per_trigger bound each micro-batch's admitted backlog (the
+    Delta rate-limit options) — a deep catch-up then processes as many
+    bounded batches instead of one giant one, with identical final
+    state."""
     spark.dataSource.register(SnapshotCDFStreamDataSource)
     reader = (
         spark.readStream.format("snapshot_changes_stream")
@@ -789,4 +895,8 @@ def read_snapshot_changes_stream(
         reader = reader.option("startingTimestamp", str(starting_timestamp))
     else:
         reader = reader.option("startingVersion", starting_version)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_rows_per_trigger is not None:
+        reader = reader.option("maxRowsPerTrigger", max_rows_per_trigger)
     return reader.load()

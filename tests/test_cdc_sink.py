@@ -191,6 +191,42 @@ def test_cdc_sink_end_to_end_mixed_ops(spark, tmp_path):
     assert got == want
 
 
+def test_cdc_sink_merge_schema_new_feed_column(spark, tmp_path):
+    """A CDC feed that carries a column the target table predates:
+    merge_schema=True auto-adds it through the upsert leg (add-only,
+    one commit with the batch), pre-feed rows NULL-backfill, and the
+    delete leg — key-columns-only — is unaffected."""
+    table = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(10).selectExpr("id", "id * 2 AS v"), table,
+        mode="overwrite", n_files=1,
+    )
+    schema = "id BIGINT, v BIGINT, w STRING, op STRING, lsn BIGINT"
+    b0 = spark.createDataFrame(
+        [(3, 300, "w3", "update", 1), (5, 0, None, "delete", 2),
+         (20, 40, "w20", "insert", 3)],
+        schema,
+    )
+    feed = _feed(spark, tmp_path, [b0])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = snapshot_cdc_sink(
+        stream, table, on=["id"], op_col="op", dedup_by="lsn",
+        checkpoint_dir=str(tmp_path / "ck"), merge_schema=True,
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["id"]: (r["v"], r["w"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got[3] == (300, "w3") and got[20] == (40, "w20")
+    assert 5 not in got and len(got) == 10
+    assert got[1] == (2, None)  # pre-feed row: NULL-backfilled
+
+
 def test_cdc_sink_replay_fresh_checkpoint_noop(spark, tmp_path):
     """The q114-style replay pin for MERGES: rerunning the whole feed
     from a FRESH checkpoint re-executes every batch, and every leg must

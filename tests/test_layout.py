@@ -1422,6 +1422,82 @@ def test_concurrent_merge_writers_both_land(spark, tmp_path, table_store):
     assert len(S.snapshot_versions(table)) == 7
 
 
+def test_merge_schema_adds_new_source_column(spark, tmp_path,
+                                             table_store):
+    """merge_schema=True: a MERGE whose source carries a NOVEL column
+    lands it as add-only schema evolution in the same commit — new and
+    rewritten rows carry values, untouched pre-merge files NULL-backfill
+    at read with zero rewrite, a CDF stream pinned BEFORE the merge
+    keeps flowing (add-only never fences), and without the flag the
+    novel column stays a hard error naming the fix — on both stores."""
+    from e02_spark.ops import snapshot as S
+    from e02_spark.sources.snapshot_cdf_stream import (
+        SnapshotCDFStreamReader,
+    )
+
+    table = str(tmp_path / "tbl")
+    base = spark.range(100).selectExpr("id", "id % 7 AS v")
+    S.snapshot_write(base, table, mode="overwrite", n_files=2,
+                     cluster_by=["id"], stats_cols=["id"])
+    rdr = SnapshotCDFStreamReader({"table": table})  # pins v1's schema
+    src = spark.createDataFrame(
+        [(5, 99, 0.5), (200, 1, 2.5)], "id long, v long, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        S.snapshot_merge(spark, table, src, on=["id"])
+    r = S.snapshot_merge(spark, table, src, on=["id"], merge_schema=True)
+    assert r["files_rewritten"] == 1  # only the file holding id=5
+    got = {
+        row["id"]: (row["v"], row["score"])
+        for row in S.snapshot_read(spark, table).collect()
+    }
+    assert len(got) == 101
+    assert got[5] == (99, 0.5) and got[200] == (1, 2.5)
+    assert got[6] == (6, None)   # rewritten survivor: NULL-filled
+    assert got[60] == (4, None)  # untouched file: NULL-backfilled read
+    # the recorded schema evolved add-only (new field appended last)
+    m = S._read_manifest(table, S.snapshot_versions(table)[-1])
+    assert [f["name"] for f in m["schema"]["fields"]] == [
+        "id", "v", "score"
+    ]
+    # the pre-merge CDF pin still flows: add-only is not a fence
+    parts = rdr.partitions(
+        {"version": 1}, {"version": S.snapshot_versions(table)[-1]}
+    )
+    assert parts  # planned, no fence error raised
+    # batch CDF across the evolution carries the new column
+    ch = S.snapshot_changes(spark, table, 1, r["version"])
+    ins = {
+        row["id"]: row["score"]
+        for row in ch.where("_change_type = 'insert'").collect()
+    }
+    assert ins[5] == 0.5 and ins[200] == 2.5
+    # eq strategy evolves too (the CDC hot path)
+    src2 = spark.createDataFrame(
+        [(7, 1, 1.0, "x")],
+        "id long, v long, score double, note string",
+    )
+    r2 = S.snapshot_merge(spark, table, src2, on=["id"], strategy="eq",
+                          merge_schema=True)
+    m2 = S._read_manifest(table, r2["version"])
+    assert [f["name"] for f in m2["schema"]["fields"]][-1] == "note"
+    got2 = {
+        row["id"]: row["note"]
+        for row in S.snapshot_read(spark, table).collect()
+    }
+    assert got2[7] == "x" and got2[5] is None
+    # dropped/renamed-away names refuse resurrection through the merge
+    S.snapshot_rewrite_deletes(spark, table)
+    S.snapshot_drop_column(table, "note")
+    src3 = spark.createDataFrame(
+        [(8, 1, 1.0, "ghost")],
+        "id long, v long, score double, note string",
+    )
+    with pytest.raises(ValueError, match="renamed-away|dropped"):
+        S.snapshot_merge(spark, table, src3, on=["id"],
+                         merge_schema=True)
+
+
 def test_concurrent_merge_same_key_serializable(spark, tmp_path,
                                                 table_store):
     """Two writers merging the SAME key set race for real: the loser's

@@ -58,7 +58,8 @@ def _apply_random_op(spark, rng, table, model, ctx):
          "evolve_append", "rollback",
          "set_check", "drop_check", "violate_check", "publish",
          "evolve_spec", "rename_tag", "widen_amt",
-         "catalog_swap", "catalog_expire", "race_upsert"]
+         "catalog_swap", "catalog_expire", "race_upsert",
+         "evolve_merge"]
     )
     if op in ("append", "evolve_append"):
         fresh = [
@@ -207,6 +208,23 @@ def _apply_random_op(spark, rng, table, model, ctx):
             ctx["tag_gen"] += 1
         except ValueError as e:
             assert "partition transform" in str(e), e
+    elif op == "evolve_merge":
+        # add-only schema evolution THROUGH a merge (merge_schema=True,
+        # round 12): the first time, the upsert source carries the
+        # evolved score column against a table that lacks it — landing
+        # the column and the rows in one commit; thereafter it's a
+        # normal evolved upsert exercising the flag's no-op path. Same
+        # model/ctx transitions as evolve_append, so rollback/CDF/check
+        # invariants compose identically.
+        keys = rng.sample(sorted(set(model) | set(range(0, 400))),
+                          rng.randrange(1, 10))
+        rows = [(k, rng.randrange(1000)) for k in keys]
+        S.snapshot_merge(
+            spark, table, _df(spark, rows, True, ctx["tag_name"]),
+            on=["id"], n_files_new=rng.choice([1, 2]), merge_schema=True,
+        )
+        ctx["evolved"] = True
+        model.update(rows)
     elif op == "race_upsert":
         # two threads MERGE THE SAME KEYS with different values, racing
         # the commit CAS for real. Serializable isolation (the loser
