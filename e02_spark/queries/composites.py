@@ -652,6 +652,17 @@ CLONE_SESSION: set[str] = {
     "q123", "q124",
 }
 
+# Cloned sessions additionally sized to their data: the merge-chain
+# family shuffles ~10^5 rows per exchange, where the session-default 32
+# partitions is pure task overhead (the six parts race ~dozens of tiny
+# jobs on one scheduler). 8 matches the streaming entries'
+# _stream_shuffle width. Values are width-invariant — file counts come
+# from explicit repartition(n_files), never the shuffle conf — and the
+# driver's hash check pins that every round.
+CLONE_SHUFFLE: dict[str, int] = {
+    "q116": 8, "q117": 8, "q118": 8, "q119": 8, "q123": 8, "q124": 8,
+}
+
 for _name, _groups in PARALLEL_GROUPS.items():
     _declared = {t for g in _groups for t in g}
     _actual = {t for t, _, _ in SPEC[_name]}
@@ -671,6 +682,9 @@ def _make_query(name, parts):
             from e02_spark.session import tune_session
 
             spark = tune_session(spark.newSession())
+            w = CLONE_SHUFFLE.get(tag)
+            if w is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", str(w))
         t0 = time.time()
         df = _ALL_Q[qname](spark, sf_dir)
         PART_TIMINGS[f"{name}/{qname}"] = round(time.time() - t0, 3)
