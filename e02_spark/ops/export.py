@@ -1,4 +1,7 @@
-"""Export a committed snapshot version as a genuine DELTA LAKE table.
+"""DELTA LAKE interop: export committed snapshots as genuine Delta
+tables (snapshot_export_delta) and import/mirror foreign Delta tables
+as snapshot tables (snapshot_import_delta) — both directions zero-copy
+when legal, both spec-pinned by readers that share no code with them.
 
 Why: every format claim the snapshot table makes about itself
 ("Iceberg-shaped manifests", "Delta-style time travel") is verified by
@@ -93,37 +96,50 @@ def _log_path(dest: str, version: int) -> str:
     return os.path.join(dest, _LOG_DIR, f"{version:020d}.json")
 
 
-def _read_log_state(dest: str) -> tuple[int | None, dict, int | None]:
-    """Replay an existing export log: (last log version or None,
-    {path: add action} live at the tip, last exported source version).
-    Plain JSON reads — the same thing any spec reader does."""
+def _replay_log(dest: str) -> dict:
+    """Replay a Delta log with plain JSON — the same thing any spec
+    reader does. Returns {'last_v', 'live' ({path: add action} at the
+    tip), 'src_version' (our exporter's commitInfo marker, None for
+    foreign tables), 'protocol', 'metadata'}."""
     st = store_for(dest)
     files = sorted(st.list_glob(os.path.join(dest, _LOG_DIR, "*.json")))
-    if not files:
-        return None, {}, None
-    live: dict[str, dict] = {}
-    src_version = None
-    last_v = None
+    out = {
+        "last_v": None,
+        "live": {},
+        "src_version": None,
+        "protocol": None,
+        "metadata": None,
+    }
     for p in files:
         stem = os.path.basename(p)[:-5]
         if not stem.isdigit():
             continue
-        last_v = int(stem)
+        out["last_v"] = int(stem)
         with open(p) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 act = json.loads(line)
                 if "add" in act:
-                    live[act["add"]["path"]] = act["add"]
+                    out["live"][act["add"]["path"]] = act["add"]
                 elif "remove" in act:
-                    live.pop(act["remove"]["path"], None)
+                    out["live"].pop(act["remove"]["path"], None)
+                elif "protocol" in act:
+                    out["protocol"] = act["protocol"]
+                elif "metaData" in act:
+                    out["metadata"] = act["metaData"]
                 elif "commitInfo" in act:
                     sv = (act["commitInfo"].get("operationParameters")
                           or {}).get("sourceVersion")
                     if sv is not None:
-                        src_version = int(sv)
-    return last_v, live, src_version
+                        out["src_version"] = int(sv)
+    return out
+
+
+def _read_log_state(dest: str) -> tuple[int | None, dict, int | None]:
+    """Exporter's view of _replay_log (kept for the export path)."""
+    s = _replay_log(dest)
+    return s["last_v"], s["live"], s["src_version"]
 
 
 def _entry_stats_json(entry: dict) -> str:
@@ -378,3 +394,177 @@ def snapshot_export_delta(
         "files_removed": len(to_remove),
         "mode": "materialized" if do_mat else "zero-copy",
     }
+
+
+def snapshot_import_delta(
+    spark,
+    delta_dir: str,
+    table: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """IMPORT a Delta Lake table as a snapshot table — the migration
+    path INTO this engine, and snapshot_export_delta's inverse.
+
+    The `_delta_log` is replayed with plain JSON (the spec reader), the
+    LIVE data files are adopted ZERO-COPY (store.adopt_file — hard
+    links locally, server-side copy on an object store; the foreign
+    bytes are never rewritten or re-read beyond footer stats), their
+    footer stats/blooms are harvested through the same (distributed
+    when bulk) pass every native commit uses, and one commit publishes
+    the snapshot with the Delta schemaString as its recorded schema.
+
+    Re-imports are INCREMENTAL MIRROR SYNCS: the commit records the
+    imported Delta version as a table property, and a later call diffs
+    the log's live file set against the mirror's entries — new files
+    adopt, vanished files drop from the manifest (their links collect
+    at the next expire), an unchanged Delta version is a no-op. The
+    mirror is an ordinary snapshot table in every other way: time
+    travel, CDF, merges, metadata tables all work; local mutations are
+    allowed but the next sync only reconciles the IMPORTED file set
+    (it never touches files the import didn't adopt).
+
+    Honest scope (refused BY NAME, never read wrong): reader protocol
+    above minReaderVersion 1 (deletion vectors, column mapping, v2
+    checkpoints...), adds carrying `deletionVector`, hive
+    `partitionColumns` (their values live outside the files; import
+    the materialized frame via snapshot_write instead), and a dest
+    table that is not an import mirror. Returns {'version',
+    'delta_version', 'files_adopted', 'files_removed', 'mode'}."""
+    from .snapshot import (
+        _DATA,
+        _harvest_stats,
+        _read_manifest,
+        _read_shard,
+        _try_commit,
+        _write_shard,
+        committed_keys,
+        snapshot_versions,
+    )
+
+    s = _replay_log(delta_dir)
+    if s["last_v"] is None:
+        raise FileNotFoundError(f"no _delta_log under {delta_dir}")
+    proto = s["protocol"] or {}
+    if int(proto.get("minReaderVersion") or 1) > 1:
+        raise ValueError(
+            f"cannot import {delta_dir}: protocol minReaderVersion "
+            f"{proto.get('minReaderVersion')} implies reader features "
+            "(deletion vectors / column mapping / v2 checkpoints) this "
+            "importer does not claim — rewrite the table to a plain "
+            "protocol first"
+        )
+    md = s["metadata"] or {}
+    if md.get("partitionColumns"):
+        raise ValueError(
+            f"cannot zero-copy import {delta_dir}: hive partition "
+            f"columns {md['partitionColumns']} live outside the data "
+            "files — read the Delta table into a DataFrame and "
+            "snapshot_write it instead"
+        )
+    cmode = (md.get("configuration") or {}).get("delta.columnMapping.mode")
+    if cmode and cmode != "none":
+        raise ValueError(
+            f"cannot import {delta_dir}: delta.columnMapping.mode="
+            f"{cmode} means physical column names differ from the "
+            "schema — this importer reads files by schema name"
+        )
+    if any("deletionVector" in a for a in s["live"].values()):
+        raise ValueError(
+            f"cannot import {delta_dir}: live files carry deletion "
+            "vectors — compact/VACUUM the source to plain files first"
+        )
+    sch = json.loads(md["schemaString"]) if md.get("schemaString") else None
+    if not sch:
+        raise ValueError(f"{delta_dir} has no metaData.schemaString")
+    from pyspark.sql.types import StructType
+
+    StructType.fromJson(sch)  # validate before committing it
+
+    st = store_for(table)
+    delta_v = int(s["last_v"])
+    live_rel = sorted(s["live"])
+    sub = os.path.join(_DATA, "delta-import")
+    for _ in range(max_retries):
+        versions = snapshot_versions(table)
+        prev = _read_manifest(table, versions[-1]) if versions else None
+        prev_prop = (
+            ((prev or {}).get("properties") or {}).get(
+                "imported_delta_version"
+            )
+        )
+        if prev is not None and prev_prop is None:
+            raise ValueError(
+                f"{table} exists but is not a Delta import mirror "
+                "(no imported_delta_version property) — import into a "
+                "fresh path"
+            )
+        if prev_prop is not None and int(prev_prop) >= delta_v:
+            return {
+                "version": versions[-1],
+                "delta_version": int(prev_prop),
+                "files_adopted": 0,
+                "files_removed": 0,
+                "mode": "noop",
+            }
+        have = {}
+        if prev is not None:
+            for ref in prev["manifests"]:
+                for e in _read_shard(table, ref):
+                    have[e["path"]] = e
+        want_rel = {os.path.join(sub, p) for p in live_rel}
+        to_add = sorted(want_rel - set(have))
+        to_drop = set(have) - want_rel
+        new_files = []
+        for rel in to_add:
+            src = os.path.join(delta_dir, os.path.relpath(rel, sub))
+            dst = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):
+                st.adopt_file(src, dst)
+            new_files.append(dst)
+        new_entries = _harvest_stats(
+            new_files, list(stats_cols or []), table,
+            bloom_cols, spark=spark,
+        )
+        survivors = [e for p, e in sorted(have.items()) if p not in to_drop]
+        refs = []
+        all_entries = survivors + new_entries
+        for i in range(0, len(all_entries), 100_000):
+            refs.append(_write_shard(table, all_entries[i: i + 100_000]))
+        props = dict(((prev or {}).get("properties")) or {})
+        props["imported_from"] = os.path.abspath(delta_dir)
+        props["imported_delta_version"] = delta_v
+        if bloom_cols is not None:
+            props["bloom_cols"] = sorted(bloom_cols)
+        base = versions[-1] if versions else 0
+        manifest = {
+            "version": base + 1,
+            "mode": "import" if prev is None else "import_sync",
+            "stats_cols": sorted(stats_cols or []),
+            "idempotency_key": None,
+            "keys": sorted(committed_keys(table)) if versions else [],
+            "manifests": refs,
+            "deletes": [],
+            "eq_deletes": [],
+            "partition_spec": (prev or {}).get("partition_spec"),
+            "refs": (prev or {}).get("refs"),
+            "schema": sch,
+            "checks": (prev or {}).get("checks"),
+            "properties": props,
+        }
+        if _try_commit(table, base + 1, manifest):
+            return {
+                "version": base + 1,
+                "delta_version": delta_v,
+                "files_adopted": len(to_add),
+                "files_removed": len(to_drop),
+                "mode": manifest["mode"],
+            }
+    from .snapshot import ConcurrentModificationError
+
+    raise ConcurrentModificationError(
+        f"snapshot_import_delta lost {max_retries} consecutive commit "
+        f"races on {table}"
+    )

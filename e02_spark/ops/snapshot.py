@@ -118,6 +118,7 @@ def _write_shard(table: str, entries: list[dict]) -> dict:
         "path": os.path.join(_MANIFESTS, name),
         "n_files": len(entries),
         "rows": sum(e["rows"] for e in entries),
+        "bytes": sum(int(e.get("bytes") or 0) for e in entries),
         "stats": stats,
     }
 
@@ -280,6 +281,10 @@ def _harvest_one(
         # root moves or the reader's CWD differs from the writer's
         "path": os.path.relpath(path, table),
         "rows": meta.num_rows,
+        # on-disk size: feeds byte-based stream admission
+        # (maxBytesPerTrigger) and size-aware maintenance planning from
+        # the manifest alone; older manifests lack it (readers .get)
+        "bytes": os.path.getsize(path),
         "stats": bounds,
     }
     if bloom_cols:
@@ -4482,6 +4487,7 @@ def snapshot_expire(
     clean_orphans: bool = False,
     orphan_grace_s: float = 0.0,
     max_age_s: float | None = None,
+    catalogs: list[str] | None = None,
 ) -> dict:
     """Garbage collection: drop all but the last `keep_last` manifest
     lists, then delete manifest shards and data files referenced by NO
@@ -4502,6 +4508,15 @@ def snapshot_expire(
     anywhere in the advertised retention period keeps resolving. So
     `keep_last=1, max_age_s=7*86400` reads as "time travel works for a
     week, and the latest version always survives".
+
+    `catalogs` closes the CROSS-PLANE retention gap: a version pinned by
+    a multi-table catalog (ops/catalog.py) lives in the catalog's
+    manifest, which this table's GC otherwise cannot see — an aggressive
+    expire would collect a version external readers still resolve
+    through the catalog. Passing the catalog dirs retains every version
+    their LATEST manifests pin for THIS table, the same ref-retention
+    rule tags and branches get. (Older catalog manifests are themselves
+    retention-managed by catalog_expire and intentionally don't pin.)
     Returns {'manifests_dropped': n, 'files_deleted': n}."""
     st = store_for(table)
     versions = snapshot_versions(table)
@@ -4524,6 +4539,16 @@ def snapshot_expire(
         # ...and so are live branches' branch-point versions (writable
         # refs — snapshot_branch_create): dropped with the workspace
         tagged |= set(snapshot_branches(table).values())
+        # ...and versions the given catalogs' latest manifests pin for
+        # this table (the cross-plane ref-retention rule)
+        if catalogs:
+            from .catalog import catalog_resolve
+
+            abs_table = os.path.abspath(table)
+            for cat in catalogs:
+                for tdir, ver in catalog_resolve(cat).values():
+                    if os.path.abspath(tdir) == abs_table:
+                        tagged.add(int(ver))
         if tagged:
             keep = sorted(set(keep) | (tagged & set(versions)))
     dropped = 0

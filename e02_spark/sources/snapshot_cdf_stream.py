@@ -299,9 +299,9 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         self.max_delete_rows = int(
             options.get("maxdeleterows", _DELETE_ROWS_CAP)
         )
-        # ADMISSION CONTROL (maxFilesPerTrigger / maxRowsPerTrigger —
-        # the Delta rate-limit options; rows instead of bytes because
-        # manifests track rows): a stream catching up on a deep version
+        # ADMISSION CONTROL (maxFilesPerTrigger / maxRowsPerTrigger /
+        # maxBytesPerTrigger — the Delta rate-limit options): a stream
+        # catching up on a deep version
         # backlog otherwise plans the whole range as ONE micro-batch.
         # latestOffset advances the offset only as far as the caps
         # allow, so catch-up is incremental and memory-bounded; weights
@@ -316,6 +316,13 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         )
         self.max_rows_per_trigger = (
             int(options.get("maxrowspertrigger", 0)) or None
+        )
+        # bytes come from the shard refs' harvested file sizes; shards
+        # written before byte harvesting weigh 0 there (admission then
+        # degrades toward the progress floor — bounded by the other
+        # caps, never wrong)
+        self.max_bytes_per_trigger = (
+            int(options.get("maxbytespertrigger", 0)) or None
         )
         # last version handed to the engine (initialOffset / planned /
         # committed) — the admission base. None until anchored: a fresh
@@ -380,9 +387,10 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         return self.start_version
 
     @staticmethod
-    def _ref_weights(a: dict | None, b: dict) -> tuple[int, int]:
-        """(files, rows) upper bound on the a->b step's changed data,
-        from shard-ref paths alone (manifest JSON, zero shard reads)."""
+    def _ref_weights(a: dict | None, b: dict) -> tuple[int, int, int]:
+        """(files, rows, bytes) upper bound on the a->b step's changed
+        data, from shard-ref paths alone (manifest JSON, zero shard
+        reads)."""
 
         def _refs(m):
             if m is None:
@@ -400,6 +408,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         return (
             sum(int(r.get("n_files") or 0) for r in changed),
             sum(int(r.get("rows") or 0) for r in changed),
+            sum(int(r.get("bytes") or 0) for r in changed),
         )
 
     def latestOffset(self) -> dict:
@@ -408,6 +417,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         versions = snapshot_versions(self.table)
         latest = versions[-1] if versions else 0
         cap_f, cap_r = self.max_files_per_trigger, self.max_rows_per_trigger
+        cap_b = self.max_bytes_per_trigger
         cur = self._cursor
         if cur is None:
             # the engine consults latestOffset BEFORE initialOffset on a
@@ -422,28 +432,35 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             # safe: admission never returns an offset behind the
             # engine's start (no offset rewind, no replay).
             cur = self._initial_version()
-        if (cap_f is None and cap_r is None) or cur >= latest:
+        if (
+            cap_f is None and cap_r is None and cap_b is None
+        ) or cur >= latest:
             self._cursor = max(latest, cur)
             return {"version": self._cursor}
-        files = rows = 0
+        files = rows = nbytes = 0
         admitted = cur
         prev_m = self._manifest_or_lag_error(cur) if cur > 0 else None
         for v in versions:
             if not (cur < v <= latest):
                 continue
             m = self._manifest_or_lag_error(v)
-            wf, wr = self._ref_weights(prev_m, m)
-            over = (cap_f is not None and files + wf > cap_f) or (
-                cap_r is not None and rows + wr > cap_r
+            wf, wr, wb = self._ref_weights(prev_m, m)
+            over = (
+                (cap_f is not None and files + wf > cap_f)
+                or (cap_r is not None and rows + wr > cap_r)
+                or (cap_b is not None and nbytes + wb > cap_b)
             )
             if over and admitted > cur:
                 break  # this version waits for the next trigger
             files += wf
             rows += wr
+            nbytes += wb
             admitted = v
             prev_m = m
-            if (cap_f is not None and files >= cap_f) or (
-                cap_r is not None and rows >= cap_r
+            if (
+                (cap_f is not None and files >= cap_f)
+                or (cap_r is not None and rows >= cap_r)
+                or (cap_b is not None and nbytes >= cap_b)
             ):
                 break
         self._cursor = admitted
@@ -875,6 +892,7 @@ def read_snapshot_changes_stream(
     spark, table: str, starting_version: int = 0, starting_timestamp=None,
     max_files_per_trigger: int | None = None,
     max_rows_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ):
     """Convenience: register the source and open a change-feed stream over
     `table` from (exclusive) `starting_version` — 0 replays the whole
@@ -899,4 +917,6 @@ def read_snapshot_changes_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if max_rows_per_trigger is not None:
         reader = reader.option("maxRowsPerTrigger", max_rows_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     return reader.load()

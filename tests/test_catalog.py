@@ -147,6 +147,44 @@ def test_catalog_expire_races_concurrent_swappers(tmp_path, table_store):
     assert len(C.catalog_versions(cat)) == 2
 
 
+def test_expire_respects_catalog_pins(spark, tmp_path, table_store):
+    """The cross-plane retention gap: a version pinned only by a CATALOG
+    manifest must survive snapshot_expire when the catalog is named
+    (the tag/branch ref-retention rule extended across planes) — and is
+    honestly collectable when it is not."""
+    cat = str(tmp_path / "cat")
+    tbl = str(tmp_path / "t1")
+    S.snapshot_write(spark.range(10).selectExpr("id", "id AS v"), tbl,
+                     mode="overwrite", n_files=1)
+    S.snapshot_write(spark.range(10, 20).selectExpr("id", "id AS v"), tbl,
+                     mode="append", n_files=1)
+    C.catalog_create(cat)
+    C.catalog_set(cat, {"a": (tbl, 2)})
+    S.snapshot_write(spark.range(20, 30).selectExpr("id", "id AS v"), tbl,
+                     mode="append", n_files=1)
+    r = S.snapshot_expire(tbl, keep_last=1, clean_orphans=True,
+                          catalogs=[cat])
+    assert r["manifests_dropped"] == 1  # v1 went, v2 pinned, v3 kept
+    assert S.snapshot_versions(tbl) == [2, 3]
+    # the cataloged read still resolves, content exact
+    assert C.catalog_read(spark, cat, "a").count() == 20
+    # re-pin to latest, then the old pin is collectable again
+    C.catalog_set(cat, {"a": (tbl, None)})
+    r2 = S.snapshot_expire(tbl, keep_last=1, clean_orphans=True,
+                           catalogs=[cat])
+    assert S.snapshot_versions(tbl) == [3]
+    assert r2["manifests_dropped"] == 1
+    assert C.catalog_read(spark, cat, "a").count() == 30
+    # a table the catalog does not mention expires exactly as before
+    tbl2 = str(tmp_path / "t2")
+    S.snapshot_write(spark.range(5).selectExpr("id", "id AS v"), tbl2,
+                     mode="overwrite", n_files=1)
+    S.snapshot_write(spark.range(5, 9).selectExpr("id", "id AS v"), tbl2,
+                     mode="append", n_files=1)
+    S.snapshot_expire(tbl2, keep_last=1, catalogs=[cat])
+    assert S.snapshot_versions(tbl2) == [2]
+
+
 def test_catalog_no_torn_pair_under_concurrent_refresh(
     spark, tmp_path, table_store
 ):

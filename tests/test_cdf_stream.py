@@ -99,6 +99,16 @@ def test_cdf_stream_rate_limited_backlog_catchup(spark, tmp_path):
     rdr3.initialOffset()
     e3 = rdr3.latestOffset()
     assert e3["version"] == 2  # 10 rows/version: 2 fit under 25
+    # --- byte-cap flavor (weights from harvested shard-ref bytes)
+    m1 = S._read_manifest(tbl, 1)
+    v1_bytes = sum(int(r.get("bytes") or 0) for r in m1["manifests"])
+    assert v1_bytes > 0  # harvest records on-disk size
+    rdr4 = SnapshotCDFStreamReader(
+        {"table": tbl, "maxbytespertrigger": str(v1_bytes + 1)}
+    )
+    rdr4.initialOffset()
+    e4 = rdr4.latestOffset()
+    assert e4["version"] == 1  # one version's bytes fill the cap
     # --- end to end: capped stream == uncapped stream, more batches.
     # availableNow captures its end offset once up front (one batch by
     # design), so the incremental path is exercised with a continuous

@@ -213,3 +213,184 @@ def test_export_pinned_old_version(spark, tmp_path):
     assert len(rows) == 50
     with pytest.raises(ValueError, match="version 99"):
         snapshot_export_delta(spark, tbl, dest, version=99)
+
+
+# ------------------------------------------------------------------ import
+
+from e02_spark.ops.export import snapshot_import_delta  # noqa: E402
+
+
+def _write_foreign_delta(spark, root, rows, version=0, removes=(),
+                         schema_fields=None, extra_meta=None,
+                         protocol=None):
+    """Act as a FOREIGN Delta writer: plain parquet files + a hand-written
+    spec log. Shares zero code with the exporter or importer."""
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    adds = []
+    if rows is not None:
+        part = f"part-{version:05d}-foreign.snappy.parquet"
+        stage = os.path.join(root, f"_stage{version}")
+        spark.createDataFrame(rows, "id long, name string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.rename(src, os.path.join(root, part))
+        import shutil
+
+        shutil.rmtree(stage)
+        adds.append(part)
+    actions = []
+    if version == 0:
+        actions.append({"protocol": protocol or {
+            "minReaderVersion": 1, "minWriterVersion": 2}})
+        meta = {
+            "id": "foreign-test-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema_fields or {
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "name", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ],
+            }),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        actions.append({"metaData": meta})
+    for r in removes:
+        actions.append({"remove": {
+            "path": r, "deletionTimestamp": 0, "dataChange": True}})
+    for a in adds:
+        actions.append({"add": {
+            "path": a, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, a)),
+            "modificationTime": 0, "dataChange": True}})
+    with open(os.path.join(
+        root, "_delta_log", f"{version:020d}.json"
+    ), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return adds
+
+
+def test_import_foreign_delta_and_incremental_sync(spark, tmp_path):
+    """A Delta table written BY THE TEST from the public spec imports
+    zero-copy as a live snapshot table; a later foreign commit
+    (add + remove) syncs incrementally; an unchanged log no-ops."""
+    root = str(tmp_path / "foreign")
+    (a0,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(50)], version=0
+    )
+    tbl = str(tmp_path / "mirror")
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert (r["mode"], r["files_adopted"], r["delta_version"]) == (
+        "import", 1, 0,
+    )
+    got = {
+        row["id"]: row["name"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    assert got == {i: f"n{i}" for i in range(50)}
+    assert S.snapshot_rows(tbl) == 50
+    # zero-copy: the mirror's file IS the foreign file
+    m = S._read_manifest(tbl, 1)
+    (e,) = S._all_entries(tbl, m)
+    assert os.path.samefile(os.path.join(tbl, e["path"]),
+                            os.path.join(root, a0))
+    # stats harvested -> pruning works on the mirror
+    kept, _ = S._plan_files(tbl, None, ("id", 1000, 2000))
+    assert kept == []
+    # foreign commit 1: replace the file with a 60-row version
+    _write_foreign_delta(
+        spark, root, [(i, f"m{i}") for i in range(60)], version=1,
+        removes=[a0],
+    )
+    r2 = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert (r2["mode"], r2["files_adopted"], r2["files_removed"]) == (
+        "import_sync", 1, 1,
+    )
+    got2 = {
+        row["id"]: row["name"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    assert got2 == {i: f"m{i}" for i in range(60)}
+    # the mirror is a REAL snapshot table: CDF between sync versions
+    ch = S.snapshot_changes(spark, tbl, 1, 2)
+    ins = sum(1 for c in ch.collect() if c["_change_type"] == "insert")
+    assert ins == 60
+    # unchanged log: no-op
+    r3 = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r3["mode"] == "noop" and S.snapshot_versions(tbl) == [1, 2]
+
+
+def test_import_roundtrips_our_own_export(spark, tmp_path):
+    """export -> import -> content identical to the source snapshot
+    (the two directions are inverses on clean tables)."""
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "delta")
+    back = str(tmp_path / "back")
+    df = spark.range(400).selectExpr(
+        "id", "concat('t', id % 11) AS tag", "cast(id AS double) / 3 AS x"
+    )
+    S.snapshot_write(df, src, mode="overwrite", n_files=3,
+                     cluster_by=["id"], stats_cols=["id"])
+    snapshot_export_delta(spark, src, dest)
+    r = snapshot_import_delta(spark, dest, back, stats_cols=["id"])
+    assert r["files_adopted"] == 3
+    cols = ["id", "tag", "x"]
+    assert _snapshot_rows_sorted(spark, back, cols) == \
+        _snapshot_rows_sorted(spark, src, cols)
+    # schema survived both directions verbatim
+    assert S._read_manifest(back, 1)["schema"] == \
+        S._read_manifest(src, 1)["schema"]
+
+
+def test_import_refusals_are_named(spark, tmp_path):
+    rows = [(1, "a")]
+    # reader features beyond protocol 1
+    r1 = str(tmp_path / "r1")
+    _write_foreign_delta(spark, r1, rows, protocol={
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"]})
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        snapshot_import_delta(spark, r1, str(tmp_path / "t1"))
+    # hive partition columns
+    r2 = str(tmp_path / "r2")
+    _write_foreign_delta(spark, r2, rows,
+                         extra_meta={"partitionColumns": ["name"]})
+    with pytest.raises(ValueError, match="partition"):
+        snapshot_import_delta(spark, r2, str(tmp_path / "t2"))
+    # column mapping
+    r3 = str(tmp_path / "r3")
+    _write_foreign_delta(spark, r3, rows, extra_meta={
+        "configuration": {"delta.columnMapping.mode": "name"}})
+    with pytest.raises(ValueError, match="columnMapping"):
+        snapshot_import_delta(spark, r3, str(tmp_path / "t3"))
+    # a dest that is not an import mirror
+    r4 = str(tmp_path / "r4")
+    _write_foreign_delta(spark, r4, rows)
+    native = str(tmp_path / "native")
+    S.snapshot_write(
+        spark.range(3).selectExpr("id", "'x' AS name"), native,
+        mode="overwrite", n_files=1,
+    )
+    with pytest.raises(ValueError, match="mirror"):
+        snapshot_import_delta(spark, r4, native)
+    # live add carrying a deletion vector
+    r5 = str(tmp_path / "r5")
+    (a5,) = _write_foreign_delta(spark, r5, rows)
+    lg = os.path.join(r5, "_delta_log", f"{0:020d}.json")
+    lines = open(lg).read().strip().splitlines()
+    patched = []
+    for ln in lines:
+        act = json.loads(ln)
+        if "add" in act:
+            act["add"]["deletionVector"] = {"storageType": "u"}
+        patched.append(json.dumps(act))
+    open(lg, "w").write("\n".join(patched) + "\n")
+    with pytest.raises(ValueError, match="deletion"):
+        snapshot_import_delta(spark, r5, str(tmp_path / "t5"))
