@@ -881,6 +881,25 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and duck[2] == sp[2]
         and duck[3] == sp[3]
     )
+    # ...and back IN: the exported Delta table imports as a snapshot
+    # mirror (zero-copy adoption + footer-stat harvest + one commit),
+    # whose metadata row count must equal the source's — the
+    # export/import inverse pin, on the driver's own gate. Content
+    # equality at full depth is pinned by
+    # test_import_roundtrips_our_own_export.
+    from ..ops.export import snapshot_import_delta
+    from ..ops.snapshot import snapshot_rows as _srows
+
+    back = os.path.join(_tracked_mkdtemp(prefix="e02_deltain_"), "back")
+    imp_r = snapshot_import_delta(
+        spark, dest, back, stats_cols=["o_orderkey"]
+    )
+    delta_export_ok = (
+        delta_export_ok
+        and imp_r["mode"] == "import"
+        and imp_r["files_adopted"] == 4
+        and _srows(back) == rows_v1
+    )
     # stats-pruned read: manifest [min,max] drops upper-half files before
     # Spark ever lists them; values prove the prune kept every needed row
     mid = _orders_max_key(spark, sf_dir) // 2
