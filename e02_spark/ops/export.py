@@ -241,6 +241,12 @@ def snapshot_export_delta(
         blockers.append("outstanding delete files (DV/equality)")
     if _col_mapping(m) or _dropped_cols(m):
         blockers.append("column rename/drop history")
+    if m.get("partition_spec") or m.get("partition_specs"):
+        # hidden-partitioned files physically carry derived _pt_*
+        # columns the schemaString does not declare; most readers
+        # project them away, but the spec does not promise that —
+        # materialize (which selects exactly the schema) instead
+        blockers.append("hidden partition columns in data files")
     entries = _all_entries(table, m)
     if materialize == "auto" or materialize is False:
         if not blockers:

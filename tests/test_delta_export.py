@@ -194,6 +194,31 @@ def test_export_incremental_append_and_compact(spark, tmp_path):
     assert len(rows) == 400
 
 
+def test_export_materializes_hidden_partitioned_tables(spark, tmp_path):
+    """Hidden-partitioned files physically carry derived _pt_* columns
+    the schemaString never declares — the export materializes instead
+    of handing a spec-pedantic reader undeclared columns, and the
+    materialized files carry EXACTLY the schema."""
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    df = spark.range(400).selectExpr("id", "id % 4 AS b")
+    S.snapshot_write(df, tbl, mode="overwrite", n_files=4,
+                     partition_spec=[("bucket", "b", 4)])
+    with pytest.raises(ValueError, match="hidden partition"):
+        snapshot_export_delta(spark, tbl, dest, materialize=False)
+    r = snapshot_export_delta(spark, tbl, dest)
+    assert r["mode"] == "materialized"
+    cols, rows = _read_delta_independently(dest)
+    assert cols == ["id", "b"]
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    import pyarrow.parquet as pq
+
+    for lg in sorted(glob.glob(os.path.join(dest, "_delta_log", "*.json"))):
+        for line in open(lg):
+            if line.strip() and "\"add\"" in line:
+                p = os.path.join(dest, json.loads(line)["add"]["path"])
+                assert pq.ParquetFile(p).schema_arrow.names == ["id", "b"]
+
+
 def test_export_pinned_old_version(spark, tmp_path):
     """Exporting a PINNED historical version serves that version's
     content, not latest — Delta bytes as a time-travel artifact."""
