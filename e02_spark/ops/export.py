@@ -270,6 +270,14 @@ def snapshot_export_delta(
         do_mat = True
 
     last_log_v, prev_live, prev_src = _read_log_state(dest)
+    if last_log_v is not None and prev_src is None:
+        # a Delta log we didn't write: appending our adds/removes to a
+        # FOREIGN table would silently mix two schemas and file sets
+        raise ValueError(
+            f"{dest} already holds a Delta log this exporter did not "
+            "write (no sourceVersion marker) — export into a fresh "
+            "directory"
+        )
     if prev_src is not None and prev_src == v:
         return {
             "log_version": last_log_v,
@@ -491,6 +499,16 @@ def snapshot_import_delta(
     st = store_for(table)
     delta_v = int(s["last_v"])
     live_rel = sorted(s["live"])
+    # a foreign log's paths are data, not trust: a crafted ../ or
+    # absolute path must never adopt a file outside the source dir or
+    # land one outside the table's import namespace
+    for rel in live_rel:
+        norm = os.path.normpath(rel)
+        if os.path.isabs(norm) or norm.startswith(".."):
+            raise ValueError(
+                f"cannot import {delta_dir}: add path {rel!r} escapes "
+                "the table directory"
+            )
     sub = os.path.join(_DATA, "delta-import")
     for _ in range(max_retries):
         versions = snapshot_versions(table)
@@ -521,7 +539,12 @@ def snapshot_import_delta(
                     have[e["path"]] = e
         want_rel = {os.path.join(sub, p) for p in live_rel}
         to_add = sorted(want_rel - set(have))
-        to_drop = set(have) - want_rel
+        # the sync owns ONLY the import namespace: a file the import
+        # didn't adopt (a local append/merge on the mirror) is never a
+        # drop candidate — the docstring's reconciliation contract
+        to_drop = {
+            p for p in have if p.startswith(sub) and p not in want_rel
+        }
         new_files = []
         for rel in to_add:
             src = os.path.join(delta_dir, os.path.relpath(rel, sub))

@@ -419,3 +419,59 @@ def test_import_refusals_are_named(spark, tmp_path):
     open(lg, "w").write("\n".join(patched) + "\n")
     with pytest.raises(ValueError, match="deletion"):
         snapshot_import_delta(spark, r5, str(tmp_path / "t5"))
+
+
+def test_import_sync_preserves_local_mirror_mutations(spark, tmp_path):
+    """The sync owns only the files it adopted: rows appended LOCALLY to
+    the mirror survive a later incremental import (reconciliation never
+    drops non-import files)."""
+    root = str(tmp_path / "foreign")
+    (a0,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(20)], version=0
+    )
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    # local append on the mirror, outside the import namespace
+    S.snapshot_write(
+        spark.createDataFrame([(1000, "local")], "id long, name string"),
+        tbl, mode="append", n_files=1,
+    )
+    # foreign replaces its file; the sync must keep the local row
+    _write_foreign_delta(
+        spark, root, [(i, f"m{i}") for i in range(20)], version=1,
+        removes=[a0],
+    )
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert (r["files_adopted"], r["files_removed"]) == (1, 1)
+    got = {
+        row["id"]: row["name"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    assert got[1000] == "local" and got[5] == "m5" and len(got) == 21
+
+
+def test_import_rejects_escaping_add_paths(spark, tmp_path):
+    root = str(tmp_path / "foreign")
+    _write_foreign_delta(spark, root, [(1, "a")])
+    lg = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(lg).read().strip().splitlines()]
+    for act in lines:
+        if "add" in act:
+            act["add"]["path"] = "../../etc/evil.parquet"
+    open(lg, "w").write("\n".join(json.dumps(a) for a in lines) + "\n")
+    with pytest.raises(ValueError, match="escapes"):
+        snapshot_import_delta(spark, root, str(tmp_path / "t"))
+
+
+def test_export_refuses_foreign_destination(spark, tmp_path):
+    """Exporting onto a directory holding a Delta log WE did not write
+    (no sourceVersion marker) refuses instead of mixing two tables."""
+    dest = str(tmp_path / "foreign")
+    _write_foreign_delta(spark, dest, [(1, "a")])
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(5).selectExpr("id", "'x' AS name"), tbl,
+        mode="overwrite", n_files=1,
+    )
+    with pytest.raises(ValueError, match="did not\n?\\s*write"):
+        snapshot_export_delta(spark, tbl, dest)
