@@ -100,18 +100,77 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "compacted once to record one)"
             )
         self._schema_json = json.dumps(sch)
+        # ADMISSION CONTROL — identical contract to the CDF source
+        # (sources/snapshot_cdf_stream.py): a deep append backlog is
+        # admitted as bounded micro-batches instead of one giant one.
+        # Weights come from shard-ref diffs (manifest JSON only); at
+        # least one version always admits (progress floor); the cursor
+        # anchors at the initial version on fresh streams and at the
+        # engine-replanned checkpoint range on restarts.
+        self.max_files_per_trigger = (
+            int(options.get("maxfilespertrigger", 0)) or None
+        )
+        self.max_rows_per_trigger = (
+            int(options.get("maxrowspertrigger", 0)) or None
+        )
+        self.max_bytes_per_trigger = (
+            int(options.get("maxbytespertrigger", 0)) or None
+        )
+        self._cursor: int | None = None
 
     # -- driver-side planning ------------------------------------------------
     def initialOffset(self) -> dict:
+        self._cursor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        from ..ops.snapshot import snapshot_versions
+        from ..ops.snapshot import _read_manifest, snapshot_versions
+
+        from .snapshot_cdf_stream import SnapshotCDFStreamReader
 
         versions = snapshot_versions(self.table)
-        return {"version": versions[-1] if versions else 0}
+        latest = versions[-1] if versions else 0
+        cap_f, cap_r = self.max_files_per_trigger, self.max_rows_per_trigger
+        cap_b = self.max_bytes_per_trigger
+        cur = self._cursor
+        if cur is None:
+            cur = self.start_version
+        if (
+            cap_f is None and cap_r is None and cap_b is None
+        ) or cur >= latest:
+            self._cursor = max(latest, cur)
+            return {"version": self._cursor}
+        files = rows = nbytes = 0
+        admitted = cur
+        prev_m = _read_manifest(self.table, cur) if cur > 0 else None
+        for v in versions:
+            if not (cur < v <= latest):
+                continue
+            m = _read_manifest(self.table, v)
+            wf, wr, wb = SnapshotCDFStreamReader._ref_weights(prev_m, m)
+            over = (
+                (cap_f is not None and files + wf > cap_f)
+                or (cap_r is not None and rows + wr > cap_r)
+                or (cap_b is not None and nbytes + wb > cap_b)
+            )
+            if over and admitted > cur:
+                break
+            files += wf
+            rows += wr
+            nbytes += wb
+            admitted = v
+            prev_m = m
+            if (
+                (cap_f is not None and files >= cap_f)
+                or (cap_r is not None and rows >= cap_r)
+                or (cap_b is not None and nbytes >= cap_b)
+            ):
+                break
+        self._cursor = admitted
+        return {"version": admitted}
 
     def partitions(self, start: dict, end: dict):
+        self._cursor = max(self._cursor or 0, end["version"])
         a, tombs_a = _manifest_state(self.table, start["version"])
         b, tombs_b = _manifest_state(self.table, end["version"])
         removed = a - b
@@ -131,7 +190,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         ]
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream's checkpoint; nothing to GC
+        # offsets live in the stream's checkpoint; the committed end
+        # anchors admission after a restart
+        self._cursor = max(self._cursor or 0, end["version"])
 
     # -- executor-side read --------------------------------------------------
     def read(self, partition: _FileSlice):
@@ -185,13 +246,24 @@ class SnapshotStreamDataSource(DataSource):
         return self._get_reader()
 
 
-def read_snapshot_stream(spark, table: str, starting_version: int = 0):
+def read_snapshot_stream(spark, table: str, starting_version: int = 0,
+                         max_files_per_trigger: int | None = None,
+                         max_rows_per_trigger: int | None = None,
+                         max_bytes_per_trigger: int | None = None):
     """Convenience: register the source and open a stream over `table`
-    from (exclusive) `starting_version` — 0 replays the whole table."""
+    from (exclusive) `starting_version` — 0 replays the whole table.
+    The max_*_per_trigger caps bound each micro-batch's admitted
+    backlog (same contract as the CDF source)."""
     spark.dataSource.register(SnapshotStreamDataSource)
-    return (
+    reader = (
         spark.readStream.format("snapshot_stream")
         .option("table", table)
         .option("startingVersion", starting_version)
-        .load()
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_rows_per_trigger is not None:
+        reader = reader.option("maxRowsPerTrigger", max_rows_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    return reader.load()

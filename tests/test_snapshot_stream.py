@@ -72,6 +72,39 @@ def test_snapshot_stream_partitions_are_per_added_file(spark, tmp_path):
     assert p1 == p2 and len(p1) == 5
 
 
+def test_snapshot_stream_rate_limited_catchup(spark, tmp_path):
+    """The append-only source shares the CDF source's admission
+    contract: a deep append backlog is admitted as bounded micro-batches
+    (files/rows/bytes caps, one-version progress floor) that drain to
+    the same final content as an uncapped run."""
+    tbl = str(tmp_path / "tbl")
+    for i in range(8):
+        S.snapshot_write(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"), tbl,
+            mode="overwrite" if i == 0 else "append", n_files=2,
+        )
+    r = SnapshotStreamReader({"table": tbl, "maxfilespertrigger": "4"})
+    cur = r.initialOffset()
+    batches = []
+    for _ in range(50):
+        end = r.latestOffset()
+        if end["version"] == cur["version"]:
+            break
+        batches.append(len(r.partitions(cur, end)))
+        cur = end
+    assert cur["version"] == 8
+    assert batches == [4, 4, 4, 4]  # 2 files/version, cap 4
+    # rows cap
+    r2 = SnapshotStreamReader({"table": tbl, "maxrowspertrigger": "15"})
+    r2.initialOffset()
+    assert r2.latestOffset()["version"] == 1  # 10 rows over a 15 cap
+    # uncapped drains in one step, same coverage
+    r3 = SnapshotStreamReader({"table": tbl})
+    r3.initialOffset()
+    assert r3.latestOffset() == {"version": 8}
+    assert len(r3.partitions({"version": 0}, {"version": 8})) == 16
+
+
 def test_snapshot_stream_append_only_fence(spark, tmp_path):
     """A version range that removes files (CoW merge / compaction) or
     adds tombstones (MoR merge) raises the named contract error."""
