@@ -451,6 +451,7 @@ def snapshot_import_delta(
         _harvest_stats,
         _read_manifest,
         _read_shard,
+        _specs_carry,
         _try_commit,
         _write_shard,
         committed_keys,
@@ -578,6 +579,9 @@ def snapshot_import_delta(
             "deletes": [],
             "eq_deletes": [],
             "partition_spec": (prev or {}).get("partition_spec"),
+            # carry the full spec HISTORY like every native commit does
+            # (a locally-evolved mirror keeps pruning through it)
+            "partition_specs": _specs_carry(prev, None) if prev else None,
             "refs": (prev or {}).get("refs"),
             "schema": sch,
             "checks": (prev or {}).get("checks"),
