@@ -427,7 +427,7 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
           ("replay_noop", "s"), ("rollback_history_ok", "s"),
           ("publish_ok", "s"), ("as_of_ts_ok", "s"), ("tag_ok", "s"),
           ("expire_ok", "s"), ("branch_ok", "s"), ("branch_gc_ok", "s"),
-          ("bloom_meta_ok", "s"),
+          ("bloom_meta_ok", "s"), ("delta_export_ok", "s"),
           ("n_orders", "n"), ("total_price", "n")]),
         # round 8: add-only schema evolution — an append carrying a new
         # column evolves the manifest schema; old files NULL-backfill at
