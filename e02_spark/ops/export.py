@@ -60,7 +60,11 @@ Scale posture: the export is manifest-driven — O(#files) metadata plus
 hard links for zero-copy (no data read at all; the footer type check is
 the same O(files) footer pass the commit harvest already pays), or one
 distributed write for materialize. Nothing collects data rows on the
-driver.
+driver. Measured (scripts/stress_delta.py, 512 files x 2k rows,
+local[32]): zero-copy export 0.07 s (~140 us/file), incremental
+re-export after one append 0.07 s, zero-copy import 0.12 s,
+materialized export of the same table 19.1 s — a ~270x gap that widens
+with data volume since only the materialized path touches rows.
 """
 
 from __future__ import annotations
