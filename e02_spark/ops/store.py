@@ -15,6 +15,13 @@ interface:
     list_glob           LIST by prefix (+ client-side suffix filter)
     delete              DELETE                (idempotent)
     mtime               HEAD Last-Modified
+    size / exists       HEAD Content-Length / existence
+    get_bytes / put_bytes / put_bytes_if_absent
+                        raw-object twins of the JSON ops for metadata
+                        that is not JSON-object-shaped (Delta's NDJSON
+                        commit logs, its `_last_checkpoint` pointer) —
+                        same atomic whole-object / conditional-PUT
+                        contract
     adopt_file          server-side COPY (or a hard link where the
                         backing store supports one — a pure optimization)
 
@@ -95,6 +102,47 @@ class LocalFSStore:
             return False
         finally:
             os.remove(tmp)
+
+    # Raw-bytes twins of the JSON primitives, for metadata objects that
+    # are not JSON-object-shaped (Delta's NDJSON commit logs, its
+    # `_last_checkpoint` pointer). Same atomicity contract: a reader
+    # never observes a partial object, and the conditional put is the
+    # commit-race arbiter (`If-None-Match: *` on a real object store).
+
+    def _write_tmp_bytes(self, path: str, data: bytes) -> str:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"tmp-{uuid.uuid4().hex}.bin")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        return tmp
+
+    def get_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        os.replace(self._write_tmp_bytes(path, data), path)
+
+    def put_bytes_if_absent(self, path: str, data: bytes) -> bool:
+        tmp = self._write_tmp_bytes(path, data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def size(self, path: str) -> int:
+        """Object size in bytes (HEAD Content-Length)."""
+        return os.path.getsize(path)
+
+    def exists(self, path: str) -> bool:
+        """Object existence (HEAD, 404 -> False)."""
+        return os.path.exists(path)
 
     def list_glob(self, pattern: str) -> list[str]:
         return _glob.glob(pattern)
@@ -180,6 +228,18 @@ class FakeObjectStore(LocalFSStore):
     def put_json_if_absent(self, path: str, obj: dict) -> bool:
         self._tally("conditional_put")
         return super().put_json_if_absent(path, obj)
+
+    def get_bytes(self, path: str) -> bytes:
+        self._tally("get")
+        return super().get_bytes(path)
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        self._tally("put")
+        super().put_bytes(path, data)
+
+    def put_bytes_if_absent(self, path: str, data: bytes) -> bool:
+        self._tally("conditional_put")
+        return super().put_bytes_if_absent(path, data)
 
     def list_glob(self, pattern: str) -> list[str]:
         self._tally("list")

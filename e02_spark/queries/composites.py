@@ -475,8 +475,8 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
     # oracle CTE — the convergence pin. Round 11 volume split: the CoW
     # chain (q116/q117) keeps FULL volume (its hash IS the volume pin);
     # the MoR (q118), EQ (q123), replication (q124) and MV (q119) legs
-    # run the identical scenario at QUARTER volume and all hash against
-    # the IDENTICAL quarter-restricted v3 CTE — so the CoW/MoR/EQ/
+    # run the identical scenario at SMALL volume (an eighth, round 13)
+    # and all hash against the IDENTICAL small-restricted v3 CTE — so the CoW/MoR/EQ/
     # replication convergence pin is four independent engines on ONE
     # oracle at one scale, plus the full-scale CoW hash on top.
     "q116_lakehouse_merge": [
@@ -488,8 +488,8 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
           ("total_price", "n")]),
         # the SAME merge-chain scenario executed merge-on-read
         # (positional delete vectors) then folded back via
-        # snapshot_rewrite_deletes, at quarter volume — the oracle is
-        # the quarter v3 CTE shared with q119/q123/q124, so the hash
+        # snapshot_rewrite_deletes, at small volume — the oracle is
+        # the small v3 CTE shared with q119/q123/q124, so the hash
         # pins CoW/MoR convergence; boolean columns pin zero-rewrite
         # writes, metadata
         # row accounting across the rewrite, and the tombstone-delta CDF.
@@ -507,7 +507,7 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
         # MV (ops/mv.py) refreshed to the same state.
         # round 10: + the CONTINUOUS MV (mv_stream — CDF stream ->
         # foreachBatch fold, one exactly-once commit per micro-batch)
-        # round 11: feeds from the QUARTER-sized chain (streaming_q.
+        # rounds 11/13: feeds from the SMALL chain (streaming_q.
         # _small_chain) — every pinned invariant is feed-size-invariant
         # and the oracle CTE carries the same source restriction
         ("q119", "q119_incremental_view",
@@ -517,7 +517,7 @@ SPEC: dict[str, list[tuple[str, str, list[tuple[str, str]]]]] = {
           ("persisted_mv_matches", "s"),
           ("streamed_mv_matches", "s")]),
         # EQUALITY-delete merge chain (MoR delete + eq upsert, zero
-        # target reads) hashed against the SAME quarter v3 CTE as
+        # target reads) hashed against the SAME small v3 CTE as
         # q118/q119/q124 — the CoW/MoR/EQ convergence pin — plus eq CDF balance,
         # rewrite folding both delete flavors, and the CDC-apply
         # exactly-once pin (commit_key replay of the delete leg no-ops).
@@ -658,9 +658,13 @@ CLONE_SESSION: set[str] = {
 # jobs on one scheduler). 8 matches the streaming entries'
 # _stream_shuffle width. Values are width-invariant — file counts come
 # from explicit repartition(n_files), never the shuffle conf — and the
-# driver's hash check pins that every round.
+# driver's hash check pins that every round. Round 13 added q120-q122:
+# each runs ~a dozen tiny commits/merges whose 32-way exchanges were
+# pure task overhead inside the q86 group wall (q122 already set 8 for
+# itself; the entry here just moves it before first use).
 CLONE_SHUFFLE: dict[str, int] = {
     "q116": 8, "q117": 8, "q118": 8, "q119": 8, "q123": 8, "q124": 8,
+    "q120": 8, "q121": 8, "q122": 8,
 }
 
 for _name, _groups in PARALLEL_GROUPS.items():
