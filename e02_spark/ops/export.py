@@ -23,13 +23,17 @@ github.com/delta-io/delta/blob/master/PROTOCOL.md):
         {"metaData": {"id", "format", "schemaString", ...}}
         {"add": {"path", "partitionValues", "size",
                  "modificationTime", "dataChange", "stats"}}*
+    dest/_delta_log/<v>.checkpoint.parquet + _last_checkpoint
+        (every _CHECKPOINT_INTERVAL commits — see CHECKPOINTS below)
     dest/<data files>
 
 `schemaString` is the Spark StructType JSON the manifest already
 records — the exact wire format Delta uses. Per-file `stats` carry
-numRecords + minValues/maxValues from the manifest entries, so a
-stats-aware Delta reader data-skips on the exported table the same way
-`snapshot_read` prunes on the manifest.
+numRecords + minValues/maxValues, so a stats-aware Delta reader
+data-skips on the exported table the same way `snapshot_read` prunes on
+the manifest — on BOTH export modes: zero-copy reuses the manifest's
+harvested bounds; materialize (round 13) harvests the rewritten files'
+footers through the same `_harvest_one` every native commit uses.
 
 Two materialization modes, chosen per export:
 
@@ -51,10 +55,38 @@ Two materialization modes, chosen per export:
 Repeated exports of a MOVING snapshot table into the same dest are
 INCREMENTAL and idempotent: export N+1 appends the next
 `_delta_log/<v>.json` with add/remove actions for exactly the files
-that changed (zero-copy mirrors share unchanged bytes), and
-re-exporting an already-exported source version is a no-op — the
-commitInfo records the source version, making the export replay-safe
-the same way keyed snapshot commits are.
+that changed (zero-copy mirrors share unchanged bytes), re-exporting
+an already-exported source version is a no-op, and exporting an OLDER
+source version than the last exported one is REFUSED BY NAME (a mirror
+rollback) unless `allow_rewind=True` — the commitInfo records the
+source version, making the export replay-safe the same way keyed
+snapshot commits are. A schema that evolved between exports (add-only
+evolution stays zero-copy-legal) re-emits a fresh `metaData` action in
+the incremental commit — spec readers pick up the widened schema
+instead of silently dropping the new column (round-13 ADVICE fix).
+
+CHECKPOINTS (the spec's own O(1)-open mechanism): every
+`_CHECKPOINT_INTERVAL` commits the exporter writes a classic
+single-file checkpoint parquet — one row per live action (protocol,
+metaData, one `txn` carrying the exporter's source-version marker,
+every live `add`) — plus the `_last_checkpoint` pointer. A reader
+(including `_replay_log` itself, and the import path) bootstraps from
+the newest checkpoint and replays only the JSON commits after it, so a
+long-lived incremental mirror opens in O(live files + recent commits)
+instead of O(#exports) JSON replays, and JSON commits older than the
+checkpoint may be cleaned. `_replay_log` REFUSES BY NAME when the JSON
+log has a version gap no checkpoint covers (a log cleaned past its
+checkpoint would otherwise silently replay a partial file set —
+round-13 ADVICE fix). `export_vacuum` is the VACUUM analog for
+incremental mirrors: data files referenced by NONE of the last
+`retain_versions` log versions are deleted.
+
+Store posture (round 13): the `_delta_log` commit, `_last_checkpoint`
+pointer, and all log reads route through `store_for(dest)`'s raw-bytes
+primitives (conditional PUT for the commit — the same discipline as
+snapshot manifests), and data-file sizes come from `store.size`; only
+the checkpoint/materialized PARQUET bytes are written directly (the
+data plane, like every Spark/pyarrow write in this engine).
 
 Scale posture: the export is manifest-driven — O(#files) metadata plus
 hard links for zero-copy (no data read at all; the footer type check is
@@ -69,14 +101,23 @@ with data volume since only the materialized path touches rows.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import time
 import uuid
 
 from .store import store_for
 
 _LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+# txn appId for the exporter's source-version marker: checkpoints carry
+# no commitInfo, so replay-safety across a cleaned JSON log rides the
+# spec's own transaction-identifier action instead
+_TXN_APP = "e02-spark-snapshot-export"
+# classic checkpoint cadence (delta-spark's own default)
+_CHECKPOINT_INTERVAL = 10
 
 # declared Spark type (manifest schema) -> parquet/arrow physical types a
 # minReaderVersion-1 Delta reader is guaranteed to read as that type.
@@ -100,43 +141,144 @@ def _log_path(dest: str, version: int) -> str:
     return os.path.join(dest, _LOG_DIR, f"{version:020d}.json")
 
 
+def _checkpoint_path(dest: str, version: int) -> str:
+    return os.path.join(
+        dest, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    )
+
+
+def _find_checkpoint(dest: str, st) -> tuple[int | None, str | None]:
+    """Newest usable classic checkpoint: the `_last_checkpoint` pointer
+    when it resolves, else the newest `<v>.checkpoint.parquet` on disk
+    (the spec's fallback listing). Multi-part checkpoints (a `parts`
+    field) are a scale feature this reader does not claim — refused by
+    name rather than replaying a partial state."""
+    lc = os.path.join(dest, _LOG_DIR, _LAST_CHECKPOINT)
+    if st.exists(lc):
+        info = json.loads(st.get_bytes(lc))
+        if info.get("parts"):
+            raise ValueError(
+                f"{dest}: _last_checkpoint declares a multi-part "
+                f"checkpoint (parts={info['parts']}) — this reader "
+                "handles single-file classic checkpoints only"
+            )
+        v = int(info["version"])
+        p = _checkpoint_path(dest, v)
+        if st.exists(p):
+            return v, p
+    cps = sorted(
+        st.list_glob(os.path.join(dest, _LOG_DIR, "*.checkpoint.parquet"))
+    )
+    for p in reversed(cps):
+        stem = os.path.basename(p).split(".", 1)[0]
+        if stem.isdigit():
+            return int(stem), p
+    return None, None
+
+
+def _as_map(v) -> dict:
+    """Arrow map columns read back as a list of (key, value) pairs;
+    JSON actions carry plain dicts. Normalize to dict."""
+    if isinstance(v, list):
+        return {k: val for k, val in v}
+    return dict(v or {})
+
+
+def _checkpoint_actions(path: str):
+    """One action dict per checkpoint row, in the JSON-log shape, so the
+    replay loop is shared between the two encodings."""
+    import pyarrow.parquet as pq
+
+    for row in pq.read_table(path).to_pylist():
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
+            v = row.get(key)
+            if v is None or all(x is None for x in v.values()):
+                continue
+            v = dict(v)
+            if key == "add":
+                v["partitionValues"] = _as_map(v.get("partitionValues"))
+            elif key == "metaData":
+                v["configuration"] = _as_map(v.get("configuration"))
+                fmt = dict(v.get("format") or {})
+                fmt["options"] = _as_map(fmt.get("options"))
+                v["format"] = fmt
+                v["partitionColumns"] = list(v.get("partitionColumns") or [])
+            yield {key: v}
+
+
+def _apply_action(out: dict, act: dict) -> None:
+    if act.get("add") is not None:
+        out["live"][act["add"]["path"]] = act["add"]
+    elif act.get("remove") is not None:
+        out["live"].pop(act["remove"]["path"], None)
+    elif act.get("protocol") is not None:
+        out["protocol"] = act["protocol"]
+    elif act.get("metaData") is not None:
+        out["metadata"] = act["metaData"]
+    elif act.get("commitInfo") is not None:
+        sv = (act["commitInfo"].get("operationParameters") or {}).get(
+            "sourceVersion"
+        )
+        if sv is not None:
+            out["src_version"] = int(sv)
+    elif act.get("txn") is not None:
+        if act["txn"].get("appId") == _TXN_APP:
+            out["src_version"] = int(act["txn"]["version"])
+
+
 def _replay_log(dest: str) -> dict:
-    """Replay a Delta log with plain JSON — the same thing any spec
-    reader does. Returns {'last_v', 'live' ({path: add action} at the
-    tip), 'src_version' (our exporter's commitInfo marker, None for
-    foreign tables), 'protocol', 'metadata'}."""
+    """Replay a Delta log exactly as a spec reader does: bootstrap from
+    the newest classic checkpoint (if any), then apply the JSON commits
+    after it in version order. Returns {'last_v', 'live' ({path: add
+    action} at the tip), 'src_version' (our exporter's marker — from
+    commitInfo in JSON commits or the txn row in checkpoints; None for
+    foreign tables), 'protocol', 'metadata', 'checkpoint_v'}.
+
+    REFUSES BY NAME when the JSON log has a version gap the checkpoint
+    does not cover (including a log that does not start at version 0
+    with no checkpoint at all): replaying a partial file set would
+    silently serve a subset of the table."""
     st = store_for(dest)
-    files = sorted(st.list_glob(os.path.join(dest, _LOG_DIR, "*.json")))
     out = {
         "last_v": None,
         "live": {},
         "src_version": None,
         "protocol": None,
         "metadata": None,
+        "checkpoint_v": None,
     }
-    for p in files:
+    jsons: dict[int, str] = {}
+    for p in st.list_glob(os.path.join(dest, _LOG_DIR, "*.json")):
         stem = os.path.basename(p)[:-5]
-        if not stem.isdigit():
-            continue
-        out["last_v"] = int(stem)
-        with open(p) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "add" in act:
-                    out["live"][act["add"]["path"]] = act["add"]
-                elif "remove" in act:
-                    out["live"].pop(act["remove"]["path"], None)
-                elif "protocol" in act:
-                    out["protocol"] = act["protocol"]
-                elif "metaData" in act:
-                    out["metadata"] = act["metaData"]
-                elif "commitInfo" in act:
-                    sv = (act["commitInfo"].get("operationParameters")
-                          or {}).get("sourceVersion")
-                    if sv is not None:
-                        out["src_version"] = int(sv)
+        if stem.isdigit():
+            jsons[int(stem)] = p
+    cp_v, cp_path = _find_checkpoint(dest, st)
+    if cp_path is not None:
+        for act in _checkpoint_actions(cp_path):
+            _apply_action(out, act)
+        out["checkpoint_v"] = out["last_v"] = cp_v
+    if not jsons:
+        return out
+    expect = 0 if cp_v is None else cp_v + 1
+    for v in sorted(x for x in jsons if cp_v is None or x > cp_v):
+        if v != expect:
+            raise ValueError(
+                f"Delta log at {dest} has a version GAP: expected JSON "
+                f"commit {expect} next but found {v}"
+                + (
+                    f" (newest checkpoint covers through {cp_v})"
+                    if cp_v is not None
+                    else " and the log holds no checkpoint"
+                )
+                + " — the log was cleaned past its last checkpoint; "
+                "refusing to replay a partial file set"
+            )
+        expect = v + 1
+        for line in st.get_bytes(jsons[v]).decode().splitlines():
+            if not line.strip():
+                continue
+            _apply_action(out, json.loads(line))
+        out["last_v"] = v
     return out
 
 
@@ -192,6 +334,96 @@ def _file_types_conform(path: str, declared: dict[str, str]) -> bool:
     return True
 
 
+def _write_checkpoint(
+    dest: str, log_v: int, protocol: dict, metadata: dict,
+    live: dict[str, dict], src_version: int | None, st,
+) -> None:
+    """Classic single-file checkpoint at `log_v`: one parquet row per
+    live action (PROTOCOL.md §Checkpoints), plus the `_last_checkpoint`
+    pointer (atomic whole-object PUT — readers see the old pointer or
+    the new one, never a torn file; the checkpoint parquet itself is
+    written tmp+rename, data-plane like every other parquet here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    map_t = pa.map_(pa.string(), pa.string())
+    txn_t = pa.struct(
+        [("appId", pa.string()), ("version", pa.int64()),
+         ("lastUpdated", pa.int64())]
+    )
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", map_t),
+         ("size", pa.int64()), ("modificationTime", pa.int64()),
+         ("dataChange", pa.bool_()), ("stats", pa.string())]
+    )
+    remove_t = pa.struct(
+        [("path", pa.string()), ("deletionTimestamp", pa.int64()),
+         ("dataChange", pa.bool_())]
+    )
+    meta_t = pa.struct(
+        [("id", pa.string()),
+         ("format", pa.struct([("provider", pa.string()),
+                               ("options", map_t)])),
+         ("schemaString", pa.string()),
+         ("partitionColumns", pa.list_(pa.string())),
+         ("configuration", map_t), ("createdTime", pa.int64())]
+    )
+
+    def _mapify(md: dict) -> dict:
+        md = dict(md)
+        md["configuration"] = sorted((md.get("configuration") or {}).items())
+        fmt = dict(md.get("format") or {"provider": "parquet"})
+        fmt["options"] = sorted((fmt.get("options") or {}).items())
+        md["format"] = fmt
+        return {k: md.get(k) for k in (
+            "id", "format", "schemaString", "partitionColumns",
+            "configuration", "createdTime",
+        )}
+
+    rows: list[dict] = [
+        {"protocol": {
+            "minReaderVersion": int(protocol["minReaderVersion"]),
+            "minWriterVersion": int(protocol["minWriterVersion"]),
+        }},
+        {"metaData": _mapify(metadata)},
+    ]
+    if src_version is not None:
+        rows.append({"txn": {
+            "appId": _TXN_APP, "version": int(src_version),
+            "lastUpdated": int(time.time() * 1000),
+        }})
+    for p in sorted(live):
+        a = live[p]
+        rows.append({"add": {
+            "path": a["path"],
+            "partitionValues": sorted(
+                (a.get("partitionValues") or {}).items()
+            ),
+            "size": int(a["size"]),
+            "modificationTime": int(a["modificationTime"]),
+            "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats"),
+        }})
+    cols = ("txn", "add", "remove", "metaData", "protocol")
+    types = {
+        "txn": txn_t, "add": add_t, "remove": remove_t,
+        "metaData": meta_t,
+        "protocol": pa.struct([("minReaderVersion", pa.int32()),
+                               ("minWriterVersion", pa.int32())]),
+    }
+    table = pa.table(
+        {c: pa.array([r.get(c) for r in rows], type=types[c]) for c in cols}
+    )
+    cp = _checkpoint_path(dest, log_v)
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, cp)
+    st.put_bytes(
+        os.path.join(dest, _LOG_DIR, _LAST_CHECKPOINT),
+        json.dumps({"version": log_v, "size": len(rows)}).encode(),
+    )
+
+
 def snapshot_export_delta(
     spark,
     table: str,
@@ -199,20 +431,29 @@ def snapshot_export_delta(
     version: int | None = None,
     materialize: bool | str = "auto",
     n_files: int | None = None,
+    allow_rewind: bool = False,
+    checkpoint_interval: int | None = _CHECKPOINT_INTERVAL,
 ) -> dict:
     """Materialize snapshot `table` at `version` (default latest) as a
     Delta Lake table at `dest` — see the module docstring for the
     protocol surface and the zero-copy vs materialize trade. Returns
     {'log_version', 'source_version', 'files_added', 'files_removed',
-     'mode': 'zero-copy'|'materialized'|'noop'}.
+     'mode': 'zero-copy'|'materialized'|'noop', 'checkpointed': bool}.
 
     `materialize` True forces a data rewrite; False forces zero-copy
     and RAISES (naming the reason) when that would be non-conformant;
-    'auto' picks zero-copy exactly when legal."""
+    'auto' picks zero-copy exactly when legal. Exporting a source
+    version OLDER than the last exported one is refused by name unless
+    `allow_rewind=True` (an automated mirror job with a stale version
+    pin must not silently roll the Delta mirror back). A schema change
+    since the previous export re-emits `metaData` in the incremental
+    commit. Every `checkpoint_interval`-th commit also writes a classic
+    checkpoint + `_last_checkpoint` (None disables)."""
     from .snapshot import (
         _all_entries,
         _col_mapping,
         _dropped_cols,
+        _harvest_one,
         _read_manifest,
         snapshot_read,
         snapshot_versions,
@@ -251,6 +492,11 @@ def snapshot_export_delta(
         # project them away, but the spec does not promise that —
         # materialize (which selects exactly the schema) instead
         blockers.append("hidden partition columns in data files")
+    if (m.get("properties") or {}).get("hive_cols"):
+        # an imported hive mirror's files don't physically carry the
+        # partition columns; zero-copy re-export would need hive
+        # partitionValues plumbing — materialize resolves the values
+        blockers.append("hive partition values injected at read")
     entries = _all_entries(table, m)
     if materialize == "auto" or materialize is False:
         if not blockers:
@@ -273,7 +519,10 @@ def snapshot_export_delta(
     else:
         do_mat = True
 
-    last_log_v, prev_live, prev_src = _read_log_state(dest)
+    s = _replay_log(dest)
+    last_log_v, prev_live, prev_src = (
+        s["last_v"], s["live"], s["src_version"],
+    )
     if last_log_v is not None and prev_src is None:
         # a Delta log we didn't write: appending our adds/removes to a
         # FOREIGN table would silently mix two schemas and file sets
@@ -289,7 +538,16 @@ def snapshot_export_delta(
             "files_added": 0,
             "files_removed": 0,
             "mode": "noop",
+            "checkpointed": False,
         }
+    if prev_src is not None and v < prev_src and not allow_rewind:
+        raise ValueError(
+            f"refusing to export source version {v}, OLDER than the "
+            f"already-exported version {prev_src}: this would ROLL BACK "
+            f"the Delta mirror at {dest} (a stale version pin in an "
+            "automated mirror job does exactly this) — pass "
+            "allow_rewind=True to rewind deliberately"
+        )
 
     st = store_for(dest)
     os.makedirs(os.path.join(dest, _LOG_DIR), exist_ok=True)
@@ -307,18 +565,23 @@ def snapshot_export_delta(
         df.write.mode("error").parquet(out_dir)
         import glob as _glob
 
+        stat_cols = [
+            f["name"] for f in sch.get("fields", [])
+            if isinstance(f.get("type"), str)
+        ]
         for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))):
             rel = os.path.join(sub, os.path.basename(p))
-            import pyarrow.parquet as pq
-
-            nrows = pq.ParquetFile(p).metadata.num_rows
+            # same footer harvest as native commits -> the log carries
+            # minValues/maxValues, so stats-aware Delta readers
+            # data-skip on materialized exports too (round-13 fix)
+            ent = _harvest_one(p, stat_cols, dest)
             adds[rel] = {
                 "path": rel,
                 "partitionValues": {},
-                "size": os.path.getsize(p),
+                "size": int(ent["bytes"]),
                 "modificationTime": now_ms,
                 "dataChange": True,
-                "stats": json.dumps({"numRecords": int(nrows)}),
+                "stats": _entry_stats_json(ent),
             }
     else:
         for e in entries:
@@ -327,12 +590,12 @@ def snapshot_export_delta(
             dst = os.path.join(dest, rel)
             if rel not in prev_live:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if not os.path.exists(dst):
+                if not st.exists(dst):
                     st.adopt_file(src, dst)
             adds[rel] = {
                 "path": rel,
                 "partitionValues": {},
-                "size": os.path.getsize(dst if os.path.exists(dst) else src),
+                "size": st.size(dst if st.exists(dst) else src),
                 "modificationTime": now_ms,
                 "dataChange": True,
                 "stats": _entry_stats_json(e),
@@ -343,6 +606,7 @@ def snapshot_export_delta(
     to_add = sorted(new_paths - old_paths)
     to_remove = sorted(old_paths - new_paths)
     log_v = 0 if last_log_v is None else last_log_v + 1
+    sch_str = json.dumps(sch, sort_keys=True)
 
     actions: list[dict] = [
         {
@@ -358,22 +622,44 @@ def snapshot_export_delta(
             }
         }
     ]
+    protocol = s["protocol"] or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
     if log_v == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-        actions.append(
-            {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(sch, sort_keys=True),
-                    "partitionColumns": [],
-                    "configuration": {},
-                    "createdTime": now_ms,
-                }
+        metadata = {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": sch_str,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": now_ms,
+        }
+        actions.append({"protocol": protocol})
+        actions.append({"metaData": metadata})
+    else:
+        metadata = s["metadata"]
+        if metadata is None or metadata.get("schemaString") != sch_str:
+            # the source schema evolved since the last export (add-only
+            # evolution keeps zero-copy legal — old files null-backfill
+            # under the wider schemaString): re-emit metaData, SAME
+            # table id, so spec readers pick up the new schema instead
+            # of silently dropping the added column (round-13 ADVICE
+            # high fix)
+            metadata = {
+                "id": (metadata or {}).get("id") or uuid.uuid4().hex,
+                "format": (metadata or {}).get("format")
+                or {"provider": "parquet", "options": {}},
+                "schemaString": sch_str,
+                "partitionColumns": list(
+                    (metadata or {}).get("partitionColumns") or []
+                ),
+                "configuration": dict(
+                    (metadata or {}).get("configuration") or {}
+                ),
+                "createdTime": (metadata or {}).get("createdTime")
+                or now_ms,
             }
-        )
+            actions.append({"metaData": metadata})
     for p in to_remove:
         actions.append(
             {
@@ -388,30 +674,131 @@ def snapshot_export_delta(
         actions.append({"add": adds[p]})
 
     # one conditional PUT, same commit discipline as snapshot manifests:
-    # concurrent exporters race on the log version, never tear a file
+    # concurrent exporters race on the log version, never tear a file —
+    # routed through the store's raw-bytes primitive (NDJSON, so the
+    # JSON-object put does not fit), object-store-expressible
     body = "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
-    log_file = _log_path(dest, log_v)
-    tmp = log_file + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(body)
-    try:
-        # os.link-based if-absent publish (store.put_json_if_absent is
-        # JSON-object-shaped; Delta logs are NDJSON, so publish directly
-        # with the same link-don't-overwrite primitive)
-        os.link(tmp, log_file)
-    except FileExistsError:
+    if not st.put_bytes_if_absent(_log_path(dest, log_v), body.encode()):
         raise RuntimeError(
-            f"concurrent Delta export race on {log_file} — retry"
+            f"concurrent Delta export race on {_log_path(dest, log_v)} "
+            "— retry"
         )
-    finally:
-        os.unlink(tmp)
+    checkpointed = False
+    if (
+        checkpoint_interval
+        and log_v > 0
+        and log_v % int(checkpoint_interval) == 0
+    ):
+        _write_checkpoint(dest, log_v, protocol, metadata, adds, v, st)
+        checkpointed = True
     return {
         "log_version": log_v,
         "source_version": v,
         "files_added": len(to_add),
         "files_removed": len(to_remove),
         "mode": "materialized" if do_mat else "zero-copy",
+        "checkpointed": checkpointed,
     }
+
+
+def export_clean_logs(dest: str) -> dict:
+    """Delete JSON commits STRICTLY OLDER than the newest checkpoint —
+    the Delta log-retention analog. Readers (including _replay_log and
+    any spec reader honoring `_last_checkpoint`) bootstrap from the
+    checkpoint, so the removed files are unreachable; without a
+    checkpoint this is a no-op (never orphan an open-able log).
+    Returns {'removed': n, 'checkpoint_v': v|None}."""
+    st = store_for(dest)
+    cp_v, cp_path = _find_checkpoint(dest, st)
+    removed = 0
+    if cp_path is not None:
+        for p in st.list_glob(os.path.join(dest, _LOG_DIR, "*.json")):
+            stem = os.path.basename(p)[:-5]
+            if stem.isdigit() and int(stem) < cp_v:
+                st.delete(p)
+                removed += 1
+    return {"removed": removed, "checkpoint_v": cp_v}
+
+
+def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
+    """VACUUM analog for an incremental Delta mirror: delete data files
+    referenced by NONE of the last `retain_versions` log versions.
+    Without this, a long-lived zero-copy mirror accumulates tombstoned
+    parquet forever — every incremental re-export `remove`s superseded
+    files from the log but never collects their bytes (round-13 ADVICE
+    fix). Version-count retention (not wall-clock): time travel to any
+    retained log version keeps working; older versions may lose files,
+    exactly like Delta VACUUM past its retention window.
+
+    Candidates come from the LOG itself (every add path seen during
+    replay), never from directory listing — a file this exporter did
+    not log is never touched. Idempotent (missing files skip silently).
+    Returns {'files_deleted', 'retained_from', 'last_v'}."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1 (the tip)")
+    st = store_for(dest)
+    jsons: dict[int, str] = {}
+    for p in st.list_glob(os.path.join(dest, _LOG_DIR, "*.json")):
+        stem = os.path.basename(p)[:-5]
+        if stem.isdigit():
+            jsons[int(stem)] = p
+    cp_v, cp_path = _find_checkpoint(dest, st)
+    if not jsons and cp_path is None:
+        raise FileNotFoundError(f"no _delta_log under {dest}")
+    last_v = max(list(jsons) + ([cp_v] if cp_v is not None else []))
+    retained_from = max(0, last_v - retain_versions + 1)
+    live: dict[str, dict] = {}
+    ever: set[str] = set()
+    protect: set[str] = set()
+    state = {"last_v": None, "live": live, "src_version": None,
+             "protocol": None, "metadata": None}
+    if cp_path is not None:
+        for act in _checkpoint_actions(cp_path):
+            _apply_action(state, act)
+        ever.update(live)
+        if cp_v >= retained_from:
+            protect.update(live)
+    expect = 0 if cp_v is None else cp_v + 1
+    for v in sorted(x for x in jsons if cp_v is None or x > cp_v):
+        if v != expect:
+            raise ValueError(
+                f"Delta log at {dest} has a version GAP at {expect} — "
+                "cannot vacuum a log that does not replay"
+            )
+        expect = v + 1
+        for line in st.get_bytes(jsons[v]).decode().splitlines():
+            if not line.strip():
+                continue
+            _apply_action(state, json.loads(line))
+        ever.update(live)
+        if v >= retained_from:
+            protect.update(live)
+    deleted = 0
+    for rel in sorted(ever - protect):
+        p = os.path.join(dest, rel)
+        if st.exists(p):
+            st.delete(p)
+            deleted += 1
+    return {
+        "files_deleted": deleted,
+        "retained_from": retained_from,
+        "last_v": last_v,
+    }
+
+
+# hive-partition-value stats: Delta serializes partition values as
+# strings; these coercions store them as JSON-safe ORDERED bounds under
+# the plain column name so the existing two-level stats pruning applies
+# to partition probes. Timestamps are skipped (Delta's space-separated
+# serialization would not compare against the engine's isoformat probe
+# encoding); a skipped column simply carries no bounds — pruning stays
+# sound, just inert for it.
+_HIVE_STAT_COERCE = {
+    "long": int, "integer": int, "short": int, "byte": int,
+    "double": float, "float": float,
+    "string": str, "date": str,
+    "boolean": lambda s: s == "true",
+}
 
 
 def snapshot_import_delta(
@@ -425,13 +812,28 @@ def snapshot_import_delta(
     """IMPORT a Delta Lake table as a snapshot table — the migration
     path INTO this engine, and snapshot_export_delta's inverse.
 
-    The `_delta_log` is replayed with plain JSON (the spec reader), the
-    LIVE data files are adopted ZERO-COPY (store.adopt_file — hard
-    links locally, server-side copy on an object store; the foreign
-    bytes are never rewritten or re-read beyond footer stats), their
-    footer stats/blooms are harvested through the same (distributed
-    when bulk) pass every native commit uses, and one commit publishes
-    the snapshot with the Delta schemaString as its recorded schema.
+    The `_delta_log` is replayed exactly as a spec reader does —
+    checkpoint bootstrap + JSON tail (_replay_log) — the LIVE data
+    files are adopted ZERO-COPY (store.adopt_file — hard links locally,
+    server-side copy on an object store; the foreign bytes are never
+    rewritten or re-read beyond footer stats) under FLATTENED names
+    (md5-of-foreign-path prefix + sanitized basename, so every adopted
+    file sits at the uniform, URI-safe data/<dir>/<name> depth the
+    engine's `_file` accounting — and Spark's `_metadata.file_path` —
+    expects), their footer stats/blooms are harvested through the same
+    (distributed when bulk) pass every native commit uses, and one
+    commit publishes the snapshot with the Delta schemaString as its
+    recorded schema.
+
+    HIVE-PARTITIONED tables import zero-copy too (round 13): each add's
+    `partitionValues` ride the manifest entry (`hive`), the values
+    register as per-file [v, v] stats bounds under the plain column
+    name — so `snapshot_read(prune=(col, v, v))` prunes partition
+    probes through the ordinary two-level stats machinery — and reads
+    reconstruct the partition columns the files don't physically carry
+    (see snapshot._attach_hive_values: per-file literal injection,
+    coalesced so locally-appended mirror rows keep their own physical
+    values).
 
     Re-imports are INCREMENTAL MIRROR SYNCS: the commit records the
     imported Delta version as a table property, and a later call diffs
@@ -445,10 +847,10 @@ def snapshot_import_delta(
 
     Honest scope (refused BY NAME, never read wrong): reader protocol
     above minReaderVersion 1 (deletion vectors, column mapping, v2
-    checkpoints...), adds carrying `deletionVector`, hive
-    `partitionColumns` (their values live outside the files; import
-    the materialized frame via snapshot_write instead), and a dest
-    table that is not an import mirror. Returns {'version',
+    checkpoints...), adds carrying `deletionVector`, multi-part
+    classic checkpoints, logs cleaned past their newest checkpoint
+    (version gaps), non-primitive or undeclared hive partition columns,
+    and a dest table that is not an import mirror. Returns {'version',
     'delta_version', 'files_adopted', 'files_removed', 'mode'}."""
     from .snapshot import (
         _DATA,
@@ -457,7 +859,7 @@ def snapshot_import_delta(
         _read_shard,
         _specs_carry,
         _try_commit,
-        _write_shard,
+        _write_shards,
         committed_keys,
         snapshot_versions,
     )
@@ -475,13 +877,6 @@ def snapshot_import_delta(
             "protocol first"
         )
     md = s["metadata"] or {}
-    if md.get("partitionColumns"):
-        raise ValueError(
-            f"cannot zero-copy import {delta_dir}: hive partition "
-            f"columns {md['partitionColumns']} live outside the data "
-            "files — read the Delta table into a DataFrame and "
-            "snapshot_write it instead"
-        )
     cmode = (md.get("configuration") or {}).get("delta.columnMapping.mode")
     if cmode and cmode != "none":
         raise ValueError(
@@ -501,6 +896,21 @@ def snapshot_import_delta(
 
     StructType.fromJson(sch)  # validate before committing it
 
+    # hive partition columns: values live in the log, not the files —
+    # validate they are declared primitives we can inject and prune on
+    pcols = list(md.get("partitionColumns") or [])
+    ftypes = {
+        f["name"]: f["type"]
+        for f in sch.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+    for c in pcols:
+        if c not in ftypes:
+            raise ValueError(
+                f"cannot import {delta_dir}: partition column {c!r} is "
+                "not a primitive column of the declared schema"
+            )
+
     st = store_for(table)
     delta_v = int(s["last_v"])
     live_rel = sorted(s["live"])
@@ -515,6 +925,21 @@ def snapshot_import_delta(
                 "the table directory"
             )
     sub = os.path.join(_DATA, "delta-import")
+    # FLATTENED adoption names: md5(foreign path) + sanitized basename,
+    # so every adopted file sits exactly at data/delta-import/<name> —
+    # the uniform depth the engine's relative-_file extraction (DV
+    # accounting, hive injection) keys on — with only URI-safe
+    # characters (Spark's `_metadata.file_path` percent-encodes anything
+    # else, which would break the path match). The digest prefix keys
+    # uniqueness; the basename keeps names operator-readable.
+    def _flat(rel: str) -> str:
+        base = re.sub(r"[^A-Za-z0-9._-]", "_", os.path.basename(rel))
+        return os.path.join(
+            sub, hashlib.md5(rel.encode()).hexdigest()[:16] + "-" + base
+        )
+
+    flat_of = {rel: _flat(rel) for rel in live_rel}
+    orig_of = {v: k for k, v in flat_of.items()}
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         prev = _read_manifest(table, versions[-1]) if versions else None
@@ -542,7 +967,7 @@ def snapshot_import_delta(
             for ref in prev["manifests"]:
                 for e in _read_shard(table, ref):
                     have[e["path"]] = e
-        want_rel = {os.path.join(sub, p) for p in live_rel}
+        want_rel = set(flat_of.values())
         to_add = sorted(want_rel - set(have))
         # the sync owns ONLY the import namespace: a file the import
         # didn't adopt (a local append/merge on the mirror) is never a
@@ -552,7 +977,7 @@ def snapshot_import_delta(
         }
         new_files = []
         for rel in to_add:
-            src = os.path.join(delta_dir, os.path.relpath(rel, sub))
+            src = os.path.join(delta_dir, orig_of[rel])
             dst = os.path.join(table, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if not os.path.exists(dst):
@@ -562,14 +987,31 @@ def snapshot_import_delta(
             new_files, list(stats_cols or []), table,
             bloom_cols, spark=spark,
         )
+        if pcols:
+            # partition values onto the fresh entries: raw strings for
+            # read-time injection, typed [v, v] bounds for pruning
+            for e in new_entries:
+                pv = (
+                    s["live"][orig_of[e["path"]]].get("partitionValues")
+                    or {}
+                )
+                e["hive"] = {c: pv.get(c) for c in pcols}
+                for c in pcols:
+                    raw = pv.get(c)
+                    coerce = _HIVE_STAT_COERCE.get(ftypes[c])
+                    if raw is not None and coerce is not None:
+                        try:
+                            tv = coerce(raw)
+                        except ValueError:
+                            continue
+                        e["stats"][c] = [tv, tv]
         survivors = [e for p, e in sorted(have.items()) if p not in to_drop]
-        refs = []
-        all_entries = survivors + new_entries
-        for i in range(0, len(all_entries), 100_000):
-            refs.append(_write_shard(table, all_entries[i: i + 100_000]))
+        refs = _write_shards(table, survivors + new_entries)
         props = dict(((prev or {}).get("properties")) or {})
         props["imported_from"] = os.path.abspath(delta_dir)
         props["imported_delta_version"] = delta_v
+        if pcols:
+            props["hive_cols"] = pcols
         if bloom_cols is not None:
             props["bloom_cols"] = sorted(bloom_cols)
         base = versions[-1] if versions else 0

@@ -49,11 +49,16 @@ steady appends stay flat as the table grows. Readers prune at BOTH
 levels: a shard whose aggregate [min,max] cannot intersect the probe is
 skipped without even opening it, then surviving shards' entries prune
 per-file. #shards is #commits since the last overwrite/compaction —
-compaction collapses the tree back to one shard. Remaining honesty gap
-vs production: Iceberg additionally splits one commit's entries across
-partition-aligned shards so a single giant commit also fans out; here a
-commit is one shard, fine to ~10^5 files per COMMIT rather than per
-table.
+compaction collapses the tree back to one shard. A single GIANT commit
+fans out too (round 13 closed the old one-shard-per-commit honesty
+gap): every commit constructor chunks its entries through _write_shards
+at _SHARD_MAX_ENTRIES per shard, each shard carrying its own aggregate
+bounds — a 10^6-file bulk adoption (snapshot_import_delta of a big
+foreign table) writes ~10 bounded shards that shard-level pruning skips
+individually, never one mega-shard every read must scan. Remaining
+honesty delta vs Iceberg: its shards are partition-ALIGNED; ours are
+cluster-order chunks — equally bounded, bounds merely less tight for
+unclustered writes.
 """
 
 from __future__ import annotations
@@ -92,6 +97,24 @@ def snapshot_versions(table: str) -> list[int]:
 
 def _read_manifest(table: str, version: int) -> dict:
     return store_for(table).get_json(_manifest_path(table, version))
+
+
+# One commit's entries fan out across manifest shards at this cap (the
+# Iceberg behavior): a giant commit (bulk adoption, snapshot_import_delta
+# of a big foreign table) writes ceil(n/_SHARD_MAX_ENTRIES) shards, each
+# with its own aggregate bounds, so shard-level pruning works WITHIN one
+# commit and no reader ever has to open a mega-shard. Every commit
+# constructor chunks through _write_shards below.
+_SHARD_MAX_ENTRIES = 100_000
+
+
+def _write_shards(table: str, entries: list[dict]) -> list[dict]:
+    """Chunk one commit's entries into bounded shards (>=1 shard even
+    when empty: the manifest list's refs anchor schema fallback)."""
+    return [
+        _write_shard(table, entries[i: i + _SHARD_MAX_ENTRIES])
+        for i in range(0, max(len(entries), 1), _SHARD_MAX_ENTRIES)
+    ]
 
 
 def _write_shard(table: str, entries: list[dict]) -> dict:
@@ -845,7 +868,7 @@ def snapshot_write(
     stats_cols: list[str] | None = None,
     max_retries: int = 10,
     idempotency_key: str | None = None,
-    max_files_per_shard: int = 100_000,
+    max_files_per_shard: int = _SHARD_MAX_ENTRIES,
     partition_spec: list | None = None,
     properties: dict | None = None,
     expected_version: int | None = None,
@@ -1597,10 +1620,7 @@ def snapshot_compact(
         )
         for e in new_entries:
             e["seq"] = base + 1
-        refs = [
-            _write_shard(table, new_entries[i : i + 100_000])
-            for i in range(0, max(len(new_entries), 1), 100_000)
-        ]
+        refs = _write_shards(table, new_entries)
         manifest = {
             "version": base + 1,
             "mode": "overwrite",
@@ -1708,10 +1728,8 @@ def snapshot_binpack(
                 refs.append(ref)
             elif surviving:
                 refs.append(_write_shard(table, surviving))
-        refs.extend(
-            _write_shard(table, new_entries[i : i + 100_000])
-            for i in range(0, len(new_entries), 100_000)
-        )
+        if new_entries:
+            refs.extend(_write_shards(table, new_entries))
         # tombstones on rewritten files were folded in; the rest carry.
         # every tombstoned file qualified as `small`, so the survivor set
         # is provably empty — deletes reset without a probe job.
@@ -1842,10 +1860,8 @@ def snapshot_rewrite_deletes(
                 refs.append(ref)
             elif surviving:
                 refs.append(_write_shard(table, surviving))
-        refs.extend(
-            _write_shard(table, new_entries[i : i + 100_000])
-            for i in range(0, len(new_entries), 100_000)
-        )
+        if new_entries:
+            refs.extend(_write_shards(table, new_entries))
         manifest = {
             "version": base + 1,
             "mode": "rewrite_deletes",
@@ -2243,10 +2259,7 @@ def snapshot_publish(
         if stamped_seq != base + 1:
             for e in new_entries:
                 e["seq"] = base + 1
-            new_refs = [
-                _write_shard(main_table, new_entries[i : i + 100_000])
-                for i in range(0, max(len(new_entries), 1), 100_000)
-            ]
+            new_refs = _write_shards(main_table, new_entries)
             stamped_seq = base + 1
         if idempotency_key is not None:
             prev_keys.add(idempotency_key)
@@ -2502,20 +2515,104 @@ def _reader(spark: SparkSession, manifest: dict):
     return spark.read.schema(StructType.fromJson(sch))
 
 
-def _scan_data(spark: SparkSession, manifest: dict, paths: list[str]) -> DataFrame:
+def _hive_cols(manifest: dict | None) -> list[str]:
+    """Hive partition columns of a Delta import mirror (ops/export.py):
+    their VALUES live in manifest entries (`hive`), not in the data
+    files — reads inject them per file. A table property, so every
+    commit constructor / sync carries it like bloom_cols."""
+    if manifest is None:
+        return []
+    return list((manifest.get("properties") or {}).get("hive_cols") or [])
+
+
+# Hive injection builds a literal file->value map into the plan: its
+# size is O(scanned imported files), fine for the partition-pruned reads
+# hive layouts exist for, but a full scan of a mirror beyond this many
+# imported files would bloat the plan — refused by name (prune on the
+# partition column, or import materialized via snapshot_write instead).
+_HIVE_INJECT_MAX = 32_768
+
+
+def _attach_hive_values(
+    spark: SparkSession, table: str, manifest: dict, df: DataFrame,
+    paths: list[str],
+) -> DataFrame:
+    """Reconstruct hive partition columns for an import mirror's scan:
+    per scanned file, look its entry's recorded raw value up in a
+    literal map keyed by the table-relative file path (the same
+    `_metadata`-derived expression DV accounting uses) and COALESCE it
+    under the physical column — so adopted files (which don't carry the
+    column) serve the log's value, while locally-appended mirror rows
+    (which do) keep their own. withColumn-only on purpose: callers
+    still attach `_metadata`-derived columns after this (the
+    column-mapping path's same contract)."""
+    hcols = _hive_cols(manifest)
+    if not hcols or manifest.get("schema") is None:
+        return df
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    scanned = {os.path.relpath(p, table) for p in paths}
+    by_col: dict[str, dict[str, str]] = {c: {} for c in hcols}
+    n_hive = 0
+    for e in _all_entries(table, manifest):
+        hv = e.get("hive")
+        if hv is None or e["path"] not in scanned:
+            continue
+        n_hive += 1
+        for c in hcols:
+            if hv.get(c) is not None:
+                by_col[c][e["path"]] = hv[c]
+    if n_hive == 0:
+        return df
+    if n_hive > _HIVE_INJECT_MAX:
+        raise ValueError(
+            f"hive-partition injection over {n_hive} imported files "
+            f"exceeds the literal-plan cap ({_HIVE_INJECT_MAX}): prune "
+            "on the partition column first (snapshot_read(prune=...)), "
+            "or import the table materialized via snapshot_write"
+        )
+    typ = {
+        f.name: f.dataType
+        for f in StructType.fromJson(manifest["schema"]).fields
+    }
+    key = _rel_file_col()
+    for c in hcols:
+        vals = by_col[c]
+        if not vals:
+            continue  # all-NULL partition values: physical NULL is right
+        lits = []
+        for p in sorted(vals):
+            lits.extend([F.lit(p), F.lit(vals[p])])
+        df = df.withColumn(
+            c,
+            F.coalesce(
+                F.col(c), F.element_at(F.create_map(*lits), key).cast(typ[c])
+            ),
+        )
+    return df
+
+
+def _scan_data(
+    spark: SparkSession, table: str, manifest: dict, paths: list[str]
+) -> DataFrame:
     """Mapping-aware data scan: the recorded-schema read (_reader), plus
     — only when the manifest carries a column mapping — resolution of
-    renamed columns. The read schema includes every former physical name
-    (same type, nullable); each logical column then coalesces across its
-    name history. Sound because no single source ROW ever carries two of
-    the names non-NULL: a data file predates or postdates each rename,
-    and partial-rewrite maintenance (binpack mixing old- and new-named
-    files) unions rows, never zips them. Uses withColumn+drop, not
-    select, so callers can still attach `_metadata`-derived columns
-    afterwards. Column order = recorded schema order either way."""
+    renamed columns, plus — only for Delta import mirrors with hive
+    partition columns — per-file partition-value injection
+    (_attach_hive_values). The read schema includes every former
+    physical name (same type, nullable); each logical column then
+    coalesces across its name history. Sound because no single source
+    ROW ever carries two of the names non-NULL: a data file predates or
+    postdates each rename, and partial-rewrite maintenance (binpack
+    mixing old- and new-named files) unions rows, never zips them. Uses
+    withColumn+drop, not select, so callers can still attach
+    `_metadata`-derived columns afterwards. Column order = recorded
+    schema order either way."""
     mapping = _col_mapping(manifest)
     if not mapping or manifest.get("schema") is None:
-        return _reader(spark, manifest).parquet(*paths)
+        df = _reader(spark, manifest).parquet(*paths)
+        return _attach_hive_values(spark, table, manifest, df, paths)
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
@@ -2534,7 +2631,9 @@ def _scan_data(spark: SparkSession, manifest: dict, paths: list[str]) -> DataFra
                 F.coalesce(F.col(f.name), *[F.col(a) for a in alts]),
             )
             olds.extend(alts)
-    return df.drop(*olds)
+    return _attach_hive_values(
+        spark, table, manifest, df.drop(*olds), paths
+    )
 
 
 def _dv_frame(spark: SparkSession, table: str, manifest: dict) -> DataFrame | None:
@@ -2715,7 +2814,7 @@ def _live_rows(
     the end."""
     from pyspark.sql import functions as F
 
-    df = _scan_data(spark, manifest, files)
+    df = _scan_data(spark, table, manifest, files)
     cols = df.columns
     if dv is None and not _eq_entries(table, manifest):
         return df
@@ -3100,7 +3199,7 @@ def snapshot_merge(
                     for c in e["on"]
                 ]
                 scan_cols = list(dict.fromkeys([*on, *eq_cols]))
-                raw = _scan_data(spark, prev, candidates).select(
+                raw = _scan_data(spark, table, prev, candidates).select(
                     *scan_cols,
                     _rel_file_col().alias("_file"),
                     F.col("_metadata.row_index").alias("_pos"),
@@ -3262,10 +3361,7 @@ def _merge_attempt(
         if n_tombs == 0 and not parts:
             return _noop()  # provably nothing to do
         new_entries = _write_data(parts)
-        refs = prev["manifests"] + [
-            _write_shard(table, new_entries[i : i + 100_000])
-            for i in range(0, len(new_entries), 100_000)
-        ]
+        refs = prev["manifests"] + _write_shards(table, new_entries)
         del_refs = list(prev.get("deletes", []))
         if n_tombs:
             del_refs.append(tomb_ref)
@@ -3309,10 +3405,8 @@ def _merge_attempt(
             refs.append(ref)
         elif surviving:
             refs.append(_write_shard(table, surviving))
-    refs.extend(
-        _write_shard(table, new_entries[i : i + 100_000])
-        for i in range(0, len(new_entries), 100_000)
-    )
+    if new_entries:
+        refs.extend(_write_shards(table, new_entries))
     # tombstones aimed at rewritten files die with them; survivors are
     # re-committed as one fresh DV file (only when the set actually
     # shrank — one small count() over the tombstone set decides)
@@ -3397,10 +3491,7 @@ def _eq_merge_commit(
                     # rows survive their own shadow
                     e["seq"] = base + 1
             stamped = base + 1
-        refs = prev["manifests"] + [
-            _write_shard(table, new_entries[i : i + 100_000])
-            for i in range(0, len(new_entries), 100_000)
-        ]
+        refs = prev["manifests"] + _write_shards(table, new_entries)
         ks = prev.get("keys", sorted(committed_keys(table)))
         if commit_key is not None:
             ks = sorted(set(ks) | {commit_key})
@@ -3524,7 +3615,7 @@ def snapshot_changes(
         """Live rows of `paths` under the to-version SCHEMA (a superset
         under add-only evolution) with the OWNING version's deletes of
         both flavors applied — _file/_pos attached once on the scan."""
-        df = _scan_data(spark, mb, paths)
+        df = _scan_data(spark, table, mb, paths)
         df = df.withColumn("_file", _rel_file_col()).withColumn(
             "_pos", F.col("_metadata.row_index")
         )
@@ -3582,7 +3673,7 @@ def snapshot_changes(
             )
         dv_own = _dv_frame(spark, table, own_manifest)
         live = _scan_data(
-            spark, mb, [os.path.join(table, p) for p in cand]
+            spark, table, mb, [os.path.join(table, p) for p in cand]
         )
         live = live.withColumn("_file", _rel_file_col()).withColumn(
             "_pos", F.col("_metadata.row_index")
@@ -3634,7 +3725,7 @@ def snapshot_changes(
                 )
             rows = (
                 _scan_data(
-                    spark, mb, [os.path.join(table, p) for p in tfiles]
+                    spark, table, mb, [os.path.join(table, p) for p in tfiles]
                 )
                 .withColumn("_file", _rel_file_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))

@@ -280,6 +280,25 @@ class _ChangeSlice(InputPartition):
         self.mapping = mapping
 
 
+def manifest_or_lag_error(table: str, version: int, source: str) -> dict:
+    """Manifest read with the streaming-consumer LAG CONTRACT spelled
+    out: a cursor version expired out from under a lagging capped stream
+    raises this NAMED error (shared by the CDF and the append-only
+    sources) instead of a raw FileNotFoundError the operator cannot
+    act on."""
+    from ..ops.snapshot import _read_manifest
+
+    try:
+        return _read_manifest(table, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{source} needs v{version} of {table} "
+            f"but snapshot_expire collected it — restart from a fresh "
+            f"checkpoint (keep expire's keep_last above the slowest "
+            f"consumer's lag)"
+        ) from None
+
+
 class SnapshotCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.table = options.get("table")
@@ -467,17 +486,9 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         return {"version": admitted}
 
     def _manifest_or_lag_error(self, version: int) -> dict:
-        from ..ops.snapshot import _read_manifest
-
-        try:
-            return _read_manifest(self.table, version)
-        except FileNotFoundError:
-            raise ValueError(
-                f"snapshot_changes_stream needs v{version} of {self.table} "
-                f"but snapshot_expire collected it — restart from a fresh "
-                f"checkpoint (keep expire's keep_last above the slowest "
-                f"consumer's lag)"
-            ) from None
+        return manifest_or_lag_error(
+            self.table, version, "snapshot_changes_stream"
+        )
 
     def partitions(self, start: dict, end: dict):
         from ..ops.snapshot import _all_entries, _eq_entries, snapshot_versions

@@ -124,9 +124,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        from ..ops.snapshot import _read_manifest, snapshot_versions
+        from ..ops.snapshot import snapshot_versions
 
-        from .snapshot_cdf_stream import SnapshotCDFStreamReader
+        from .snapshot_cdf_stream import (
+            SnapshotCDFStreamReader,
+            manifest_or_lag_error,
+        )
 
         versions = snapshot_versions(self.table)
         latest = versions[-1] if versions else 0
@@ -142,11 +145,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return {"version": self._cursor}
         files = rows = nbytes = 0
         admitted = cur
-        prev_m = _read_manifest(self.table, cur) if cur > 0 else None
+        # an expired cursor raises the NAMED lag/expire contract error,
+        # matching the CDF source (round-13 ADVICE fix)
+        prev_m = (
+            manifest_or_lag_error(self.table, cur, "snapshot_stream")
+            if cur > 0 else None
+        )
         for v in versions:
             if not (cur < v <= latest):
                 continue
-            m = _read_manifest(self.table, v)
+            m = manifest_or_lag_error(self.table, v, "snapshot_stream")
             wf, wr, wb = SnapshotCDFStreamReader._ref_weights(prev_m, m)
             over = (
                 (cap_f is not None and files + wf > cap_f)

@@ -147,3 +147,19 @@ def test_snapshot_stream_to_snapshot_sink_exactly_once(spark, tmp_path):
     run()  # no new upstream commits: replay must be a structural no-op
     assert S.snapshot_rows(b) == 40
     assert S.snapshot_read(spark, b).where("id % 2 = 1").count() == 0
+
+
+def test_append_stream_expired_cursor_raises_named_error(spark, tmp_path):
+    """Round-13 ADVICE fix: a capped append-only stream whose cursor
+    version was expired raises the SAME named lag/expire contract error
+    as the CDF source (shared manifest_or_lag_error), never a raw
+    FileNotFoundError."""
+    tbl = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(5).selectExpr("id"), tbl, mode="overwrite")
+    S.snapshot_write(spark.range(5, 9).selectExpr("id"), tbl, mode="append")
+    S.snapshot_write(spark.range(9, 12).selectExpr("id"), tbl, mode="append")
+    S.snapshot_expire(tbl, keep_last=1)
+    r = SnapshotStreamReader({"table": tbl, "maxfilespertrigger": "1"})
+    r._cursor = 1  # a lagging checkpointed cursor at the expired version
+    with pytest.raises(ValueError, match="snapshot_expire collected"):
+        r.latestOffset()
