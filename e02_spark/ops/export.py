@@ -92,11 +92,18 @@ Scale posture: the export is manifest-driven — O(#files) metadata plus
 hard links for zero-copy (no data read at all; the footer type check is
 the same O(files) footer pass the commit harvest already pays), or one
 distributed write for materialize. Nothing collects data rows on the
-driver. Measured (scripts/stress_delta.py, 512 files x 2k rows,
-local[32]): zero-copy export 0.07 s (~140 us/file), incremental
-re-export after one append 0.07 s, zero-copy import 0.12 s,
-materialized export of the same table 19.1 s — a ~270x gap that widens
-with data volume since only the materialized path touches rows.
+driver. Measured (scripts/stress_delta.py, 512 files x 2k rows, 40
+incremental exports, local[32], round 13): zero-copy export 0.06 s
+(~115 us/file), incremental re-export after one append 0.06 s,
+zero-copy import 0.11 s, materialized export 5.6 s (~96x; the gap
+widens with data volume since only the materialized path touches
+rows); log-open after cleaning 0.03 s from the checkpoint; vacuum
+collected 553 superseded files in 0.05 s. Honest note on checkpoint
+economics: on a LOCAL FS replaying 42 tiny JSON commits is actually
+cheaper (6 ms) than opening the checkpoint parquet (29 ms) — the
+checkpoint pays off where the spec aimed it: per-object GET latency on
+remote stores (42 sequential GETs at ~20 ms each vs 2) and histories of
+hundreds+ of commits, and it is what makes log CLEANING legal at all.
 """
 
 from __future__ import annotations

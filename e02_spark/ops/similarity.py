@@ -589,6 +589,7 @@ def pq_topk(
     k: int = 10,
     rerank: int = 100,
     codebooks: list[list[list[int]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by cosine via PQ asymmetric distance computation
     (ADC) + exact rerank — the memory-bound scan shape of a production
@@ -610,7 +611,11 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m=m, n_codes=n_codes)
     dsub = len(codebooks[0][0])
-    encoded = with_quantized(pq_encode(embeddings, codebooks))
+    if encoded is None:
+        # `encoded` lets callers share ONE materialized encode pass
+        # across queries (q112/q113 run the same corpus+codebooks); it
+        # must be with_quantized(pq_encode(embeddings, codebooks))
+        encoded = with_quantized(pq_encode(embeddings, codebooks))
     qrows = (
         encoded.where(F.col("vec_id") == query_vec_id)
         .select("q", "n2")
@@ -665,6 +670,7 @@ def ivf_pq_topk(
     rerank: int = 100,
     train: str = "first_n",
     codebooks: list[list[list[int]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composition every production-scale ANN index runs
     (faiss IndexIVFPQ) — the coarse quantizer (IVF centroids) prunes the
@@ -687,7 +693,11 @@ def ivf_pq_topk(
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m=m, n_codes=n_codes)
     dsub = len(codebooks[0][0])
-    qd = with_quantized(pq_encode(embeddings, codebooks))
+    qd = (
+        encoded  # shared materialized encode pass (see pq_topk)
+        if encoded is not None
+        else with_quantized(pq_encode(embeddings, codebooks))
+    )
     centroids = _centroids_for(qd, embeddings, n_centroids, train)
     assigned = _assign_centroids(qd, centroids).select("vec_id", "cid")
     coded = qd.join(assigned, "vec_id")

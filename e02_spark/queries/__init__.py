@@ -100,7 +100,7 @@ def reset_shared_state(spark: SparkSession) -> None:
     streaming_q._SMALL_MEMO.clear()
     streaming_q._SMALL_BASE_MEMO.clear()
     streaming_q._OMAX_MEMO.clear()
-    for memo in (llm_q._SH_MEMO, llm_q._CI_MEMO):
+    for memo in (llm_q._SH_MEMO, llm_q._CI_MEMO, llm_q._PQE_MEMO):
         for df in memo.values():
             try:
                 df.unpersist()

@@ -633,6 +633,15 @@ PARALLEL_GROUPS: dict[str, list[set[str]]] = {
     "q27_embedding_search": [
         {"q27", "q39", "q40", "q42", "q112", "q113", "q99"}
     ],
+    # Both parts are EAGER iterative algorithms (star-contraction CC and
+    # integer PageRank, each a localCheckpoint-per-round driver loop), so
+    # sequential part order pays sum-of-loops; concurrent build overlaps
+    # the per-round job latencies. Determinism is round-structural
+    # (integer-exact, iteration counts data-defined), so parallel build
+    # order cannot perturb either result.
+    "q92_dedup_clusters_star": [
+        {"q92", "q108"}
+    ],
 }
 
 # Parts that want a DIFFERENT shuffle width than their group run on a

@@ -650,12 +650,40 @@ def _pq_books(e: DataFrame, sf_dir: str) -> list[list[list[int]]]:
     return _PQ_BOOK_CACHE[key]
 
 
+# Shared ENCODED corpus for the PQ family: q112 and q113 rank the same
+# corpus under the same codebooks, and the encode expression (m
+# subspaces x n_codes exact zip_with distances per row) is the dominant
+# per-query cost — so it materializes ONCE per (session, sf) behind a
+# persist, and both queries (plus each query's own query-row collect +
+# ranking action) read the cached columns. reset_shared_state unpersists
+# and clears it, so every bench pass still re-encodes cold.
+_PQE_MEMO: dict[tuple, DataFrame] = {}
+_PQE_LOCK = __import__("threading").Lock()
+
+
+def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.similarity import pq_encode, with_quantized
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PQE_LOCK:
+        hit = _PQE_MEMO.get(key)
+        if hit is None:
+            e = _t(spark, sf_dir, "embeddings")
+            hit = with_quantized(
+                pq_encode(e, _pq_books(e, sf_dir))
+            ).persist()
+            _PQE_MEMO[key] = hit
+        return hit
+
+
 def q112_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.similarity import pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return pq_topk(
-        e, query_vec_id=0, k=10, rerank=50, codebooks=_pq_books(e, sf_dir)
+        e, query_vec_id=0, k=10, rerank=50,
+        codebooks=_pq_books(e, sf_dir),
+        encoded=_pq_encoded(spark, sf_dir),
     )
 
 
@@ -737,6 +765,7 @@ def q113_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         e, query_vec_id=0, n_centroids=8, k=5, rerank=20,
         codebooks=_pq_books(e, sf_dir),
+        encoded=_pq_encoded(spark, sf_dir),
     )
 
 

@@ -14,9 +14,13 @@ Protocol: a clustered table of N files x R rows; measure
 (c) zero-copy import of the exported log into a mirror,
 (d) the materialized export of the same table (the data-pass
     comparison point),
+(e) round 13 — checkpoint economics on a LONG-LIVED mirror: after K
+    incremental exports, log-open (_replay_log) cost WITH the classic
+    checkpoint + cleaned JSON vs the same history replayed from pure
+    JSON, plus export_vacuum wall on the accumulated tombstones,
 then verify mirror row counts and one pruned point read.
 
-Usage: python scripts/stress_delta.py [n_files] [rows_per_file]
+Usage: python scripts/stress_delta.py [n_files] [rows_per_file] [k_exports]
 """
 
 from __future__ import annotations
@@ -89,6 +93,63 @@ def main() -> int:
     kept, _ = _plan_files(mirror, None, ("id", 5, 5))
     assert len(kept) <= 2, kept  # harvested stats prune the mirror
 
+    # (e) long-lived mirror: K more single-file exports, then compare
+    # log-open cost pure-JSON vs checkpoint-bootstrapped (+ vacuum)
+    from e02_spark.ops.export import (
+        _replay_log,
+        export_clean_logs,
+        export_vacuum,
+    )
+
+    k_exports = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    lo = n_rows + rows_per
+    for i in range(k_exports):
+        snapshot_write(
+            spark.range(lo + i * 10, lo + i * 10 + 10).selectExpr(
+                "id", "id % 97 AS v"
+            ),
+            tbl, mode="append", n_files=1, stats_cols=["id"],
+        )
+        snapshot_export_delta(spark, tbl, dest)
+    t0 = time.perf_counter()
+    s_json = _replay_log(dest)  # checkpoint exists but JSON also full
+    t_open_cp_fulljson = time.perf_counter() - t0
+    # pure-JSON replay cost: hide the checkpoint pointer temporarily
+    lc = os.path.join(dest, "_delta_log", "_last_checkpoint")
+    cps = [p for p in os.listdir(os.path.join(dest, "_delta_log"))
+           if p.endswith(".checkpoint.parquet")]
+    os.rename(lc, lc + ".bak")
+    for p in cps:
+        os.rename(os.path.join(dest, "_delta_log", p),
+                  os.path.join(dest, "_delta_log", p + ".bak"))
+    t0 = time.perf_counter()
+    s_pure = _replay_log(dest)
+    t_open_pure_json = time.perf_counter() - t0
+    assert s_pure["live"].keys() == s_json["live"].keys()
+    os.rename(lc + ".bak", lc)
+    for p in cps:
+        os.rename(os.path.join(dest, "_delta_log", p + ".bak"),
+                  os.path.join(dest, "_delta_log", p))
+    cleaned = export_clean_logs(dest)
+    t0 = time.perf_counter()
+    s_cp = _replay_log(dest)
+    t_open_checkpoint = time.perf_counter() - t0
+    assert s_cp["live"].keys() == s_json["live"].keys()
+    # a compacting export supersedes every live file; vacuum at
+    # retain_versions=1 then collects the whole pre-compact generation
+    from e02_spark.ops.snapshot import snapshot_compact
+
+    snapshot_compact(spark, tbl, n_files=8)
+    snapshot_export_delta(spark, tbl, dest)
+    t0 = time.perf_counter()
+    vac = export_vacuum(dest, retain_versions=1)
+    t_vacuum = time.perf_counter() - t0
+    assert vac["files_deleted"] >= n_files, vac
+    cols_live = _replay_log(dest)["live"]
+    assert all(
+        os.path.exists(os.path.join(dest, p)) for p in cols_live
+    )
+
     print(json.dumps({
         "n_files": n_files,
         "rows": n_rows,
@@ -99,6 +160,13 @@ def main() -> int:
         "export_materialized_s": round(t_mat, 3),
         "zero_copy_speedup_vs_materialize":
             round(t_mat / max(t_export, 1e-9), 1),
+        "k_exports": k_exports,
+        "log_open_pure_json_s": round(t_open_pure_json, 3),
+        "log_open_checkpoint_fulljson_s": round(t_open_cp_fulljson, 3),
+        "log_open_checkpoint_cleaned_s": round(t_open_checkpoint, 3),
+        "json_commits_cleaned": cleaned["removed"],
+        "vacuum_s": round(t_vacuum, 3),
+        "vacuum_files_deleted": vac["files_deleted"],
     }))
     shutil.rmtree(base, ignore_errors=True)
     return 0
