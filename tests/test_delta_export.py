@@ -911,3 +911,77 @@ def test_bulk_import_fans_out_across_shards(spark, tmp_path, monkeypatch):
         S.snapshot_read(spark, tbl, prune=("id", 505, 505))
         .where("id = 505").count() == 1
     )
+
+
+def test_incremental_export_mirror_tracks_mutating_table(spark, tmp_path):
+    """Lifecycle pin for the round-13 surface in ONE flow: a mutating
+    snapshot table (appends, CoW+MoR merges, add-column evolution,
+    rename, compaction) is mirrored by incremental exports with
+    checkpoint_interval=2; after EVERY export the independent spec
+    reader must reconstruct the table exactly — across the zero-copy ->
+    materialized flips the mutations force and the metaData re-emissions
+    the schema changes force — and log cleaning + vacuum at the end
+    change nothing the reader sees."""
+    from e02_spark.ops.export import export_clean_logs, export_vacuum
+
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    model = {k: k % 7 for k in range(0, 60, 2)}
+    mk = lambda rows, cols="id long, amt long": spark.createDataFrame(  # noqa: E731
+        rows, cols
+    )
+    S.snapshot_write(
+        mk(sorted(model.items())), tbl, mode="overwrite", n_files=2,
+        cluster_by=["id"], stats_cols=["id"],
+    )
+
+    def sync_and_verify():
+        snapshot_export_delta(spark, tbl, dest, checkpoint_interval=2)
+        cols, rows = _read_delta_independently(dest)
+        assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+        idx = {c: i for i, c in enumerate(cols)}
+        got = {r[idx["id"]]: r[idx["amt"]] for r in rows}
+        assert got == model, f"mirror drift: {got} != {model}"
+
+    sync_and_verify()
+    # append fresh keys
+    fresh = {k: k % 5 for k in range(100, 120, 2)}
+    S.snapshot_write(mk(sorted(fresh.items())), tbl, mode="append",
+                     n_files=1)
+    model.update(fresh)
+    sync_and_verify()
+    # CoW upsert + MoR delete (outstanding DVs force materialize)
+    upd = {2: 99, 100: 42, 777: 1}
+    S.snapshot_merge(spark, tbl, mk(sorted(upd.items())), on=["id"],
+                     when_matched="update", insert_not_matched=True)
+    model.update(upd)
+    S.snapshot_merge(spark, tbl, mk([(4,), (102,)], "id long"), on=["id"],
+                     when_matched="delete", insert_not_matched=False,
+                     strategy="mor")
+    model.pop(4), model.pop(102)
+    sync_and_verify()
+    # fold the DVs, evolve the schema add-only, rename a column — the
+    # export must re-emit metaData (same table id) each time it changes
+    S.snapshot_rewrite_deletes(spark, tbl)
+    S.snapshot_write(
+        mk([(200, 3, "x")], "id long, amt long, note string"), tbl,
+        mode="append", n_files=1,
+    )
+    model[200] = 3
+    sync_and_verify()
+    S.snapshot_rename_column(tbl, "note", "remark")
+    S.snapshot_compact(spark, tbl, n_files=2)
+    sync_and_verify()
+    ids = set()
+    for lg in sorted(glob.glob(os.path.join(dest, "_delta_log", "*.json"))):
+        for line in open(lg):
+            if line.strip() and '"metaData"' in line:
+                ids.add(json.loads(line)["metaData"]["id"])
+    # metaData re-emitted at least twice (evolve + rename), ONE table id
+    assert len(ids) == 1
+    # clean + vacuum: the reader's view is unchanged
+    export_clean_logs(dest)
+    export_vacuum(dest, retain_versions=1)
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    idx = {c: i for i, c in enumerate(cols)}
+    assert {r[idx["id"]]: r[idx["amt"]] for r in rows} == model
