@@ -2525,60 +2525,63 @@ def _hive_cols(manifest: dict | None) -> list[str]:
     return list((manifest.get("properties") or {}).get("hive_cols") or [])
 
 
-# Hive injection builds a literal file->value map into the plan: its
-# size is O(scanned imported files), fine for the partition-pruned reads
-# hive layouts exist for, but a full scan of a mirror beyond this many
-# imported files would bloat the plan — refused by name (prune on the
-# partition column, or import materialized via snapshot_write instead).
+# Hive injection has two plan shapes, chosen by scan size:
+#   * literal MAP (the default): one file->value map literal per hive
+#     column, withColumn-only — callers can still attach `_metadata`
+#     columns afterwards (the DV/merge/CDF paths need that). Plan size
+#     O(scanned imported files), fine for the partition-pruned probes
+#     hive layouts exist for, capped below.
+#   * GROUP-UNION (the scale path, past the cap): one scan LEG per
+#     distinct partition-value tuple with plain literals attached —
+#     plan size O(#partitions) regardless of file count, the same shape
+#     Spark's own hive reader plans. Legs are separate scan relations,
+#     so `_metadata` is NOT resolvable on the union — used only when the
+#     caller declared it doesn't need it (need_metadata=False: plain
+#     reads of delete-free snapshots). A >cap scan that DOES need
+#     metadata (merge/CDF on a giant unpruned hive mirror) refuses by
+#     name with the prune/materialize escape hatches.
 _HIVE_INJECT_MAX = 32_768
+
+
+def _hive_entries_for(
+    table: str, manifest: dict, paths: list[str]
+) -> dict[str, dict]:
+    """{table-relative path: hive-values dict} for the scanned subset."""
+    scanned = {os.path.relpath(p, table) for p in paths}
+    return {
+        e["path"]: e["hive"]
+        for e in _all_entries(table, manifest)
+        if e.get("hive") is not None and e["path"] in scanned
+    }
 
 
 def _attach_hive_values(
     spark: SparkSession, table: str, manifest: dict, df: DataFrame,
-    paths: list[str],
+    hive_by_path: dict[str, dict],
 ) -> DataFrame:
-    """Reconstruct hive partition columns for an import mirror's scan:
-    per scanned file, look its entry's recorded raw value up in a
-    literal map keyed by the table-relative file path (the same
-    `_metadata`-derived expression DV accounting uses) and COALESCE it
-    under the physical column — so adopted files (which don't carry the
-    column) serve the log's value, while locally-appended mirror rows
-    (which do) keep their own. withColumn-only on purpose: callers
-    still attach `_metadata`-derived columns after this (the
-    column-mapping path's same contract)."""
-    hcols = _hive_cols(manifest)
-    if not hcols or manifest.get("schema") is None:
-        return df
+    """Literal-map injection: per scanned file, look its entry's
+    recorded raw value up in a map keyed by the table-relative file
+    path (the same `_metadata`-derived expression DV accounting uses)
+    and COALESCE it under the physical column — so adopted files (which
+    don't carry the column) serve the log's value, while
+    locally-appended mirror rows (which do) keep their own.
+    withColumn-only on purpose: callers still attach
+    `_metadata`-derived columns after this (the column-mapping path's
+    same contract)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    scanned = {os.path.relpath(p, table) for p in paths}
-    by_col: dict[str, dict[str, str]] = {c: {} for c in hcols}
-    n_hive = 0
-    for e in _all_entries(table, manifest):
-        hv = e.get("hive")
-        if hv is None or e["path"] not in scanned:
-            continue
-        n_hive += 1
-        for c in hcols:
-            if hv.get(c) is not None:
-                by_col[c][e["path"]] = hv[c]
-    if n_hive == 0:
-        return df
-    if n_hive > _HIVE_INJECT_MAX:
-        raise ValueError(
-            f"hive-partition injection over {n_hive} imported files "
-            f"exceeds the literal-plan cap ({_HIVE_INJECT_MAX}): prune "
-            "on the partition column first (snapshot_read(prune=...)), "
-            "or import the table materialized via snapshot_write"
-        )
+    hcols = _hive_cols(manifest)
     typ = {
         f.name: f.dataType
         for f in StructType.fromJson(manifest["schema"]).fields
     }
     key = _rel_file_col()
     for c in hcols:
-        vals = by_col[c]
+        vals = {
+            p: hv[c] for p, hv in hive_by_path.items()
+            if hv.get(c) is not None
+        }
         if not vals:
             continue  # all-NULL partition values: physical NULL is right
         lits = []
@@ -2593,26 +2596,99 @@ def _attach_hive_values(
     return df
 
 
+def _hive_group_scan(
+    spark: SparkSession, table: str, manifest: dict, paths: list[str],
+    hive_by_path: dict[str, dict],
+) -> DataFrame:
+    """Group-union injection (the >cap scale path): scanned imported
+    files grouped by their full partition-value TUPLE, one recorded-
+    schema scan leg per group with the values attached as plain
+    literals, plus one leg for non-imported files (local mirror
+    appends, which carry the columns physically). Plan size is
+    O(#distinct partition tuples), never O(#files) — file lists live in
+    each leg's FileIndex, not in expressions."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    hcols = _hive_cols(manifest)
+    sch = StructType.fromJson(manifest["schema"])
+    typ = {f.name: f.dataType for f in sch.fields}
+    cols = [f.name for f in sch.fields]
+    groups: dict[tuple, list[str]] = {}
+    plain: list[str] = []
+    for p in paths:
+        rel = os.path.relpath(p, table)
+        hv = hive_by_path.get(rel)
+        if hv is None:
+            plain.append(p)
+        else:
+            groups.setdefault(
+                tuple(hv.get(c) for c in hcols), []
+            ).append(p)
+    legs = []
+    for key_vals in sorted(groups, key=lambda t: tuple(map(str, t))):
+        leg = _reader(spark, manifest).parquet(*groups[key_vals])
+        for c, v in zip(hcols, key_vals):
+            if v is not None:
+                leg = leg.withColumn(
+                    c, F.coalesce(F.col(c), F.lit(v).cast(typ[c]))
+                )
+        legs.append(leg.select(*cols))
+    if plain:
+        legs.append(
+            _reader(spark, manifest).parquet(*plain).select(*cols)
+        )
+    return reduce(DataFrame.unionByName, legs)
+
+
 def _scan_data(
-    spark: SparkSession, table: str, manifest: dict, paths: list[str]
+    spark: SparkSession, table: str, manifest: dict, paths: list[str],
+    need_metadata: bool = True,
 ) -> DataFrame:
     """Mapping-aware data scan: the recorded-schema read (_reader), plus
     — only when the manifest carries a column mapping — resolution of
     renamed columns, plus — only for Delta import mirrors with hive
-    partition columns — per-file partition-value injection
-    (_attach_hive_values). The read schema includes every former
-    physical name (same type, nullable); each logical column then
-    coalesces across its name history. Sound because no single source
-    ROW ever carries two of the names non-NULL: a data file predates or
-    postdates each rename, and partial-rewrite maintenance (binpack
-    mixing old- and new-named files) unions rows, never zips them. Uses
-    withColumn+drop, not select, so callers can still attach
-    `_metadata`-derived columns afterwards. Column order = recorded
+    partition columns — per-file partition-value injection (see the
+    hive block above: literal map by default, group-union past the cap
+    when the caller passed need_metadata=False). The read schema
+    includes every former physical name (same type, nullable); each
+    logical column then coalesces across its name history. Sound
+    because no single source ROW ever carries two of the names
+    non-NULL: a data file predates or postdates each rename, and
+    partial-rewrite maintenance (binpack mixing old- and new-named
+    files) unions rows, never zips them. Uses withColumn+drop, not
+    select, so callers can still attach `_metadata`-derived columns
+    afterwards (except the group-union hive shape, which only
+    need_metadata=False callers ever get). Column order = recorded
     schema order either way."""
     mapping = _col_mapping(manifest)
+    hive_by_path: dict[str, dict] = {}
+    if _hive_cols(manifest) and manifest.get("schema") is not None:
+        hive_by_path = _hive_entries_for(table, manifest, paths)
+        if len(hive_by_path) > _HIVE_INJECT_MAX:
+            if need_metadata or mapping:
+                raise ValueError(
+                    f"hive-partition injection over {len(hive_by_path)} "
+                    f"imported files exceeds the literal-plan cap "
+                    f"({_HIVE_INJECT_MAX}) and this scan needs per-file "
+                    "metadata (outstanding deletes, merge/CDF planning, "
+                    "or a column mapping): prune on the partition column "
+                    "first (snapshot_read(prune=...)), fold deletes via "
+                    "snapshot_rewrite_deletes, or import the table "
+                    "materialized via snapshot_write"
+                )
+            return _hive_group_scan(
+                spark, table, manifest, paths, hive_by_path
+            )
     if not mapping or manifest.get("schema") is None:
         df = _reader(spark, manifest).parquet(*paths)
-        return _attach_hive_values(spark, table, manifest, df, paths)
+        if hive_by_path:
+            df = _attach_hive_values(
+                spark, table, manifest, df, hive_by_path
+            )
+        return df
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
@@ -2631,9 +2707,10 @@ def _scan_data(
                 F.coalesce(F.col(f.name), *[F.col(a) for a in alts]),
             )
             olds.extend(alts)
-    return _attach_hive_values(
-        spark, table, manifest, df.drop(*olds), paths
-    )
+    df = df.drop(*olds)
+    if hive_by_path:
+        df = _attach_hive_values(spark, table, manifest, df, hive_by_path)
+    return df
 
 
 def _dv_frame(spark: SparkSession, table: str, manifest: dict) -> DataFrame | None:
@@ -2814,9 +2891,12 @@ def _live_rows(
     the end."""
     from pyspark.sql import functions as F
 
-    df = _scan_data(spark, table, manifest, files)
+    needs_meta = dv is not None or bool(_eq_entries(table, manifest))
+    df = _scan_data(
+        spark, table, manifest, files, need_metadata=needs_meta
+    )
     cols = df.columns
-    if dv is None and not _eq_entries(table, manifest):
+    if not needs_meta:
         return df
     df = df.withColumn("_file", _rel_file_col()).withColumn(
         "_pos", F.col("_metadata.row_index")

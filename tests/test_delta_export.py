@@ -985,3 +985,54 @@ def test_incremental_export_mirror_tracks_mutating_table(spark, tmp_path):
     assert rows == _snapshot_rows_sorted(spark, tbl, cols)
     idx = {c: i for i, c in enumerate(cols)}
     assert {r[idx["id"]]: r[idx["amt"]] for r in rows} == model
+
+
+def test_hive_injection_group_union_past_literal_cap(
+    spark, tmp_path, monkeypatch
+):
+    """Past _HIVE_INJECT_MAX, a plain read of a hive mirror switches to
+    the GROUP-UNION scan (one leg per partition tuple, plan size
+    O(#partitions)) with identical content — while a scan that needs
+    per-file metadata (outstanding deletes) refuses by name until the
+    deletes fold."""
+    monkeypatch.setattr(S, "_HIVE_INJECT_MAX", 1)
+    root = str(tmp_path / "foreign")
+    _write_foreign_hive_delta(spark, root, 0, [
+        ([(i, f"e{i}") for i in range(8)], "east"),
+        ([(i, f"w{i}") for i in range(8, 16)], "west"),
+        ([(i, f"e{i}") for i in range(16, 20)], "east"),
+    ])
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    # local append carries the column physically -> its own plain leg
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(100, "local", "north")], "id long, name string, region string"
+        ),
+        tbl, mode="append", n_files=1,
+    )
+    got = {
+        row["id"]: row["region"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    expect = {i: "east" for i in range(8)}
+    expect |= {i: "west" for i in range(8, 16)}
+    expect |= {i: "east" for i in range(16, 20)}
+    expect[100] = "north"
+    assert got == expect
+    # a MoR delete makes the read need per-file metadata: past the cap
+    # that refuses by name...
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(3,)], "id long"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    with pytest.raises(ValueError, match="literal-plan cap"):
+        S.snapshot_read(spark, tbl).collect()
+    # ...and folding the deletes restores the group-union path
+    S.snapshot_rewrite_deletes(spark, tbl)
+    expect.pop(3)
+    got2 = {
+        row["id"]: row["region"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    assert got2 == expect
