@@ -1036,3 +1036,129 @@ def test_hive_injection_group_union_past_literal_cap(
         for row in S.snapshot_read(spark, tbl).collect()
     }
     assert got2 == expect
+
+
+def test_import_bootstraps_from_foreign_checkpoint(spark, tmp_path):
+    """A FOREIGN-written classic checkpoint (extra columns like
+    commitInfo/tags/stats_parsed that delta-spark adds, different field
+    order) bootstraps the import after its pre-checkpoint JSON was
+    cleaned — the reader keys on field NAMES, tolerates extras, and
+    refuses nothing it can soundly read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "foreign")
+    # versions 0 and 1 exist as data; the foreign writer checkpoints at
+    # v1 and cleans v0's JSON (standard delta log retention)
+    (a0,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(10)], version=0
+    )
+    (a1,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(10, 25)], version=1
+    )
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    map_t = pa.map_(pa.string(), pa.string())
+    # field order deliberately different from our writer's; extra
+    # `tags` field on add, extra commitInfo column on the row
+    add_t = pa.struct([
+        ("size", pa.int64()), ("path", pa.string()),
+        ("modificationTime", pa.int64()), ("dataChange", pa.bool_()),
+        ("partitionValues", map_t), ("stats", pa.string()),
+        ("tags", map_t),
+    ])
+    meta_t = pa.struct([
+        ("schemaString", pa.string()), ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", map_t)])),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", map_t), ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+    ])
+    ci_t = pa.struct([("operation", pa.string())])
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "schemaString": schema_str, "id": "foreign-test-table",
+            "format": {"provider": "parquet", "options": []},
+            "partitionColumns": [], "configuration": [],
+            "createdTime": 0,
+        }},
+        {"add": {
+            "size": os.path.getsize(os.path.join(root, a0)), "path": a0,
+            "modificationTime": 0, "dataChange": True,
+            "partitionValues": [], "stats": None, "tags": [],
+        }},
+        {"add": {
+            "size": os.path.getsize(os.path.join(root, a1)), "path": a1,
+            "modificationTime": 0, "dataChange": True,
+            "partitionValues": [], "stats": None, "tags": [],
+        }},
+        {"commitInfo": {"operation": "CHECKPOINT"}},
+    ]
+    cols = {"add": add_t, "metaData": meta_t, "protocol": proto_t,
+            "commitInfo": ci_t}
+    table = pa.table({
+        c: pa.array([r.get(c) for r in rows], type=t)
+        for c, t in cols.items()
+    })
+    pq.write_table(
+        table, os.path.join(root, "_delta_log",
+                            f"{1:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        fh.write(json.dumps({"version": 1, "size": len(rows)}))
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    tbl = str(tmp_path / "mirror")
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r["files_adopted"] == 2 and r["delta_version"] == 1
+    got = {
+        row["id"]: row["name"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    assert got == {i: f"n{i}" for i in range(25)}
+
+
+def test_concurrent_exporters_race_on_log_version(spark, tmp_path):
+    """Two exporters racing the same incremental log version: exactly
+    one commits, the loser gets the named conditional-PUT race error,
+    and the log stays spec-readable."""
+    import threading
+
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    S.snapshot_write(spark.range(50).selectExpr("id"), tbl,
+                     mode="overwrite", n_files=1, stats_cols=["id"])
+    snapshot_export_delta(spark, tbl, dest)
+    S.snapshot_write(spark.range(50, 80).selectExpr("id"), tbl,
+                     mode="append", n_files=1)
+    barrier = threading.Barrier(2)
+    results: list = [None, None]
+
+    def go(i):
+        barrier.wait()
+        try:
+            results[i] = snapshot_export_delta(spark, tbl, dest)
+        except RuntimeError as e:
+            results[i] = e
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    oks = [r for r in results if isinstance(r, dict)]
+    errs = [r for r in results if isinstance(r, RuntimeError)]
+    assert len(oks) == 1 and len(errs) == 1, results
+    assert "race" in str(errs[0])
+    assert oks[0]["log_version"] == 1
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    assert len(rows) == 80
