@@ -713,7 +713,9 @@ def export_clean_logs(dest: str) -> dict:
     the Delta log-retention analog. Readers (including _replay_log and
     any spec reader honoring `_last_checkpoint`) bootstrap from the
     checkpoint, so the removed files are unreachable; without a
-    checkpoint this is a no-op (never orphan an open-able log).
+    checkpoint this is a no-op (never orphan an open-able log). Run
+    export_vacuum FIRST when collecting bytes: the cleaned commits'
+    add actions are vacuum's record of historical data files.
     Returns {'removed': n, 'checkpoint_v': v|None}."""
     st = store_for(dest)
     cp_v, cp_path = _find_checkpoint(dest, st)
@@ -740,6 +742,10 @@ def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
     Candidates come from the LOG itself (every add path seen during
     replay), never from directory listing — a file this exporter did
     not log is never touched. Idempotent (missing files skip silently).
+    ORDERING with export_clean_logs: vacuum FIRST — cleaning drops the
+    pre-checkpoint JSON commits whose add actions are vacuum's only
+    record of historical files, so a vacuum after cleaning can collect
+    only what the surviving log still mentions (safe, just incomplete).
     Returns {'files_deleted', 'retained_from', 'last_v'}."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1 (the tip)")
