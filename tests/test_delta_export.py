@@ -827,6 +827,12 @@ def test_import_hive_partitioned_foreign_delta(spark, tmp_path):
         for row in S.snapshot_read(spark, tbl).collect()
     }
     assert got3[22] == "east" and got3[100] == "north" and len(got3) == 26
+    # the CDF path injects too: the sync's insert rows carry the
+    # partition values the files don't physically hold
+    ch = S.snapshot_changes(spark, tbl, 2, 3).collect()
+    assert {(r_["_change_type"], r_["id"], r_["region"]) for r_ in ch} == {
+        ("insert", i, "east") for i in range(20, 25)
+    }
     # re-exporting a hive mirror materializes (values injected at read)
     dest2 = str(tmp_path / "reexport")
     with pytest.raises(ValueError, match="hive partition"):
