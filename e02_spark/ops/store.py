@@ -168,11 +168,23 @@ class LocalFSStore:
         """Publish-time adoption of an immutable data file: hard link
         (no bytes move, and the source table expiring its copy cannot
         pull the inode out from under the adopter) with a byte-copy
-        fallback for cross-filesystem staging (EXDEV)."""
+        fallback for cross-filesystem staging (EXDEV). An
+        already-present dst is SUCCESS, not an error: adopted files are
+        immutable and adoption sites race (two exporters publishing the
+        same snapshot, a replayed import) — the loser's outcome is the
+        same bytes. Round 13: previously the loser fell from
+        FileExistsError into the copy fallback and crashed on
+        shutil's SameFileError (dst already hard-linked to src)."""
         try:
             os.link(src, dst)
+        except FileExistsError:
+            return  # concurrent/replayed adoption of the immutable file
         except OSError:
-            shutil.copyfile(src, dst)
+            tmp = dst + f".tmp-{uuid.uuid4().hex}"
+            shutil.copyfile(src, tmp)
+            # atomic publish: a concurrent reader sees the old complete
+            # object or the new complete object, never a torn copy
+            os.replace(tmp, dst)
 
     def cleanup_empty_dirs(self, root: str, cutoff: float) -> None:
         """FS hygiene after expire: drop commit dirs holding no parquet
@@ -251,7 +263,12 @@ class FakeObjectStore(LocalFSStore):
 
     def adopt_file(self, src: str, dst: str) -> None:
         self._tally("copy")
-        shutil.copyfile(src, dst)  # server-side COPY: never a link
+        # server-side COPY: never a link; tmp+replace stands in for the
+        # service's atomic whole-object semantics (a racing second COPY
+        # overwrites with identical bytes — the S3 outcome)
+        tmp = dst + f".tmp-{uuid.uuid4().hex}"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
 
 
 _DEFAULT_STORE = LocalFSStore()
