@@ -148,6 +148,18 @@ def _log_path(dest: str, version: int) -> str:
     return os.path.join(dest, _LOG_DIR, f"{version:020d}.json")
 
 
+def _rel_inside(rel: str) -> bool:
+    """True iff a log-carried file path stays INSIDE the table dir.
+    The Delta spec allows add.path to be an absolute URI (shallow
+    clones) or it could carry '..'; os.path.join(dest, '/abs') returns
+    '/abs', so any delete keyed on an unvalidated path could reach
+    OUTSIDE the mirror (round-13 ADVICE medium)."""
+    if os.path.isabs(rel) or re.match(r"[A-Za-z][A-Za-z0-9+.-]*://", rel):
+        return False
+    norm = os.path.normpath(rel)
+    return not (os.path.isabs(norm) or norm.split(os.sep, 1)[0] == "..")
+
+
 def _checkpoint_path(dest: str, version: int) -> str:
     return os.path.join(
         dest, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
@@ -216,8 +228,12 @@ def _checkpoint_actions(path: str):
 def _apply_action(out: dict, act: dict) -> None:
     if act.get("add") is not None:
         out["live"][act["add"]["path"]] = act["add"]
+        if "tombstones" in out:
+            out["tombstones"].pop(act["add"]["path"], None)
     elif act.get("remove") is not None:
         out["live"].pop(act["remove"]["path"], None)
+        if "tombstones" in out:
+            out["tombstones"][act["remove"]["path"]] = act["remove"]
     elif act.get("protocol") is not None:
         out["protocol"] = act["protocol"]
     elif act.get("metaData") is not None:
@@ -249,6 +265,7 @@ def _replay_log(dest: str) -> dict:
     out = {
         "last_v": None,
         "live": {},
+        "tombstones": {},
         "src_version": None,
         "protocol": None,
         "metadata": None,
@@ -344,12 +361,23 @@ def _file_types_conform(path: str, declared: dict[str, str]) -> bool:
 def _write_checkpoint(
     dest: str, log_v: int, protocol: dict, metadata: dict,
     live: dict[str, dict], src_version: int | None, st,
+    tombstones: dict[str, dict] | None = None,
 ) -> None:
     """Classic single-file checkpoint at `log_v`: one parquet row per
     live action (PROTOCOL.md §Checkpoints), plus the `_last_checkpoint`
     pointer (atomic whole-object PUT — readers see the old pointer or
     the new one, never a torn file; the checkpoint parquet itself is
-    written tmp+rename, data-plane like every other parquet here)."""
+    written tmp+rename with the tmp removed on failure, data-plane like
+    every other parquet here).
+
+    `tombstones` are NOT-YET-VACUUMED remove actions — files the log
+    removed whose bytes still sit under dest. The spec's checkpoints
+    carry unexpired tombstones for exactly this reason: once
+    export_clean_logs drops the pre-checkpoint JSON commits, the
+    checkpoint is export_vacuum's ONLY record of those historical
+    files; without the rows they would leak forever (round-13 ADVICE
+    fix). Readers are unaffected — state reconstruction keys on `add`
+    rows only."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -411,6 +439,17 @@ def _write_checkpoint(
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
         }})
+    for p in sorted(tombstones or {}):
+        if p in live:
+            continue  # re-added since: live add wins, no tombstone
+        r = tombstones[p]
+        rows.append({"remove": {
+            "path": p,
+            "deletionTimestamp": int(
+                r.get("deletionTimestamp") or time.time() * 1000
+            ),
+            "dataChange": bool(r.get("dataChange", True)),
+        }})
     cols = ("txn", "add", "remove", "metaData", "protocol")
     types = {
         "txn": txn_t, "add": add_t, "remove": remove_t,
@@ -423,8 +462,14 @@ def _write_checkpoint(
     )
     cp = _checkpoint_path(dest, log_v)
     tmp = cp + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, cp)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, cp)
+    finally:
+        # a failed write must not leak the tmp into _delta_log (the
+        # store primitives clean their tmp the same way)
+        if os.path.exists(tmp):
+            os.remove(tmp)
     st.put_bytes(
         os.path.join(dest, _LOG_DIR, _LAST_CHECKPOINT),
         json.dumps({"version": log_v, "size": len(rows)}).encode(),
@@ -696,7 +741,24 @@ def snapshot_export_delta(
         and log_v > 0
         and log_v % int(checkpoint_interval) == 0
     ):
-        _write_checkpoint(dest, log_v, protocol, metadata, adds, v, st)
+        # carry forward the not-yet-vacuumed tombstones (replayed ones
+        # plus this commit's removes), dropping any whose bytes are
+        # already collected — the checkpoint stays vacuum's complete
+        # record of historical files after the JSON log is cleaned
+        tomb = dict(s.get("tombstones") or {})
+        for p in to_remove:
+            tomb[p] = {
+                "path": p, "deletionTimestamp": now_ms, "dataChange": True,
+            }
+        tomb = {
+            p: r for p, r in tomb.items()
+            if p not in adds
+            and _rel_inside(p)
+            and st.exists(os.path.join(dest, p))
+        }
+        _write_checkpoint(
+            dest, log_v, protocol, metadata, adds, v, st, tombstones=tomb,
+        )
         checkpointed = True
     return {
         "log_version": log_v,
@@ -713,19 +775,60 @@ def export_clean_logs(dest: str) -> dict:
     the Delta log-retention analog. Readers (including _replay_log and
     any spec reader honoring `_last_checkpoint`) bootstrap from the
     checkpoint, so the removed files are unreachable; without a
-    checkpoint this is a no-op (never orphan an open-able log). Run
-    export_vacuum FIRST when collecting bytes: the cleaned commits'
-    add actions are vacuum's record of historical data files.
-    Returns {'removed': n, 'checkpoint_v': v|None}."""
+    checkpoint this is a no-op (never orphan an open-able log).
+
+    Safety contract (round-13 ADVICE fixes): (a) MIRROR-ONLY — a log
+    without this exporter's sourceVersion marker is refused by name
+    (same contract as snapshot_export_delta; cleaning a FOREIGN table's
+    history is not this tool's call to make). (b) NO SILENT BYTE LEAK —
+    checkpoints written by this exporter carry not-yet-vacuumed remove
+    tombstones, so cleaning never destroys export_vacuum's record; if
+    the to-be-cleaned commits still reference an on-disk file the
+    checkpoint does not know (an OLD-format checkpoint without
+    tombstone rows), the clean REFUSES and names export_vacuum as the
+    required first step. Returns {'removed': n, 'checkpoint_v': v|None}.
+    """
     st = store_for(dest)
+    state = _replay_log(dest)  # also validates the log replays at all
+    if state["last_v"] is not None and state["src_version"] is None:
+        raise ValueError(
+            f"{dest} holds a Delta log this exporter did not write "
+            "(no sourceVersion marker) — refusing to clean a foreign "
+            "table's history"
+        )
     cp_v, cp_path = _find_checkpoint(dest, st)
     removed = 0
     if cp_path is not None:
+        covered = set(state["live"]) | set(state["tombstones"])
+        doomed: list[str] = []
         for p in st.list_glob(os.path.join(dest, _LOG_DIR, "*.json")):
             stem = os.path.basename(p)[:-5]
             if stem.isdigit() and int(stem) < cp_v:
-                st.delete(p)
-                removed += 1
+                doomed.append(p)
+        for p in doomed:
+            for line in st.get_bytes(p).decode().splitlines():
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                a = act.get("add") or act.get("remove")
+                if a is None:
+                    continue
+                rel = a["path"]
+                if (
+                    rel not in covered
+                    and _rel_inside(rel)
+                    and st.exists(os.path.join(dest, rel))
+                ):
+                    raise ValueError(
+                        f"refusing to clean {os.path.basename(p)}: it "
+                        f"references on-disk file {rel!r} that the "
+                        "newest checkpoint carries no record of — run "
+                        "export_vacuum first (cleaning now would leak "
+                        "those bytes forever)"
+                    )
+        for p in doomed:
+            st.delete(p)
+            removed += 1
     return {"removed": removed, "checkpoint_v": cp_v}
 
 
@@ -740,13 +843,18 @@ def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
     exactly like Delta VACUUM past its retention window.
 
     Candidates come from the LOG itself (every add path seen during
-    replay), never from directory listing — a file this exporter did
-    not log is never touched. Idempotent (missing files skip silently).
-    ORDERING with export_clean_logs: vacuum FIRST — cleaning drops the
-    pre-checkpoint JSON commits whose add actions are vacuum's only
-    record of historical files, so a vacuum after cleaning can collect
-    only what the surviving log still mentions (safe, just incomplete).
-    Returns {'files_deleted', 'retained_from', 'last_v'}."""
+    replay — including remove TOMBSTONES a checkpoint carried forward
+    after its JSON history was cleaned), never from directory listing —
+    a file this exporter did not log is never touched. Idempotent
+    (missing files skip silently).
+
+    Safety contract (round-13 ADVICE medium): MIRROR-ONLY — a log
+    without this exporter's sourceVersion marker refuses by name
+    (vacuuming a FOREIGN table, e.g. a shallow-clone source, could
+    delete files the clone shares); and every candidate path is
+    validated to resolve INSIDE dest before any delete (the spec
+    allows absolute add.path URIs — os.path.join would escape the
+    mirror). Returns {'files_deleted', 'retained_from', 'last_v'}."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1 (the tip)")
     st = store_for(dest)
@@ -763,31 +871,80 @@ def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
     live: dict[str, dict] = {}
     ever: set[str] = set()
     protect: set[str] = set()
-    state = {"last_v": None, "live": live, "src_version": None,
-             "protocol": None, "metadata": None}
-    if cp_path is not None:
+    state = {"last_v": None, "live": live, "tombstones": {},
+             "src_version": None, "protocol": None, "metadata": None}
+    # `ever` (the candidate universe) comes from EVERY surviving log
+    # object — all JSON commits on disk (reachable or not) plus the
+    # checkpoint's add AND tombstone rows — so no superseded byte is
+    # invisible just because its commit predates the checkpoint
+    # (round-13 ADVICE: pre-checkpoint tombstones used to leak forever)
+    for v, p in jsons.items():
+        for line in st.get_bytes(p).decode().splitlines():
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            a = act.get("add") or act.get("remove")
+            if a is not None:
+                ever.add(a["path"])
+    # `protect`/state replay: from version 0 when the JSON history is
+    # contiguous (exactly reconstructs the live set at every retained
+    # version), else checkpoint bootstrap + post-checkpoint tail (the
+    # only reachable versions after a log clean)
+    complete_from_0 = bool(jsons) and sorted(jsons) == list(
+        range(0, max(jsons) + 1)
+    )
+    if complete_from_0:
+        seq = sorted(jsons)
+    else:
+        if cp_path is None:
+            raise ValueError(
+                f"Delta log at {dest} has a version GAP and no "
+                "checkpoint — cannot vacuum a log that does not replay"
+            )
         for act in _checkpoint_actions(cp_path):
             _apply_action(state, act)
         ever.update(live)
+        ever.update(state["tombstones"])
         if cp_v >= retained_from:
             protect.update(live)
-    expect = 0 if cp_v is None else cp_v + 1
-    for v in sorted(x for x in jsons if cp_v is None or x > cp_v):
-        if v != expect:
-            raise ValueError(
-                f"Delta log at {dest} has a version GAP at {expect} — "
-                "cannot vacuum a log that does not replay"
-            )
-        expect = v + 1
+        seq = sorted(x for x in jsons if x > cp_v)
+        expect = cp_v + 1
+        for v in seq:
+            if v != expect:
+                raise ValueError(
+                    f"Delta log at {dest} has a version GAP at "
+                    f"{expect} — cannot vacuum a log that does not "
+                    "replay"
+                )
+            expect = v + 1
+    for v in seq:
         for line in st.get_bytes(jsons[v]).decode().splitlines():
             if not line.strip():
                 continue
             _apply_action(state, json.loads(line))
-        ever.update(live)
         if v >= retained_from:
             protect.update(live)
+    if cp_path is not None and complete_from_0:
+        # checkpoint rows may remember files the (still-complete) JSON
+        # log also shows; fold them in regardless — supersets are safe
+        for act in _checkpoint_actions(cp_path):
+            a = act.get("add") or act.get("remove")
+            if a is not None:
+                ever.add(a["path"])
+    if state["src_version"] is None:
+        raise ValueError(
+            f"{dest} holds a Delta log this exporter did not write "
+            "(no sourceVersion marker) — refusing to vacuum a foreign "
+            "table (its add paths may point at files a clone shares)"
+        )
     deleted = 0
     for rel in sorted(ever - protect):
+        if not _rel_inside(rel):
+            raise ValueError(
+                f"vacuum candidate path {rel!r} resolves OUTSIDE the "
+                f"mirror at {dest} — refusing to delete anything this "
+                "directory does not own"
+            )
         p = os.path.join(dest, rel)
         if st.exists(p):
             st.delete(p)
@@ -951,8 +1108,6 @@ def snapshot_import_delta(
             sub, hashlib.md5(rel.encode()).hexdigest()[:16] + "-" + base
         )
 
-    flat_of = {rel: _flat(rel) for rel in live_rel}
-    orig_of = {v: k for k, v in flat_of.items()}
     for _ in range(max_retries):
         versions = snapshot_versions(table)
         prev = _read_manifest(table, versions[-1]) if versions else None
@@ -980,6 +1135,18 @@ def snapshot_import_delta(
             for ref in prev["manifests"]:
                 for e in _read_shard(table, ref):
                     have[e["path"]] = e
+        # adoption name per foreign file: the flat md5-prefixed scheme,
+        # EXCEPT where this mirror already adopted the file under the
+        # pre-flattening nested name (data/delta-import/<foreign rel>)
+        # — recognizing the prior scheme makes the naming change a
+        # no-op sync instead of a full re-copy of the live set on
+        # object stores (round-13 ADVICE fix); new adoptions always
+        # flatten
+        flat_of = {}
+        for rel in live_rel:
+            legacy = os.path.join(sub, os.path.normpath(rel))
+            flat_of[rel] = legacy if legacy in have else _flat(rel)
+        orig_of = {fv: k for k, fv in flat_of.items()}
         want_rel = set(flat_of.values())
         to_add = sorted(want_rel - set(have))
         # the sync owns ONLY the import namespace: a file the import

@@ -1180,3 +1180,189 @@ def test_concurrent_exporters_race_on_log_version(spark, tmp_path):
     cols, rows = _read_delta_independently(dest)
     assert rows == _snapshot_rows_sorted(spark, tbl, cols)
     assert len(rows) == 80
+
+
+def test_vacuum_and_clean_refuse_foreign_logs(spark, tmp_path):
+    """round-13 ADVICE medium: export_vacuum / export_clean_logs are
+    MIRROR-ONLY — a Delta log without this exporter's sourceVersion
+    marker (e.g. a real foreign table, or a shallow-clone source whose
+    adds the clone still shares) must refuse BY NAME, never delete."""
+    from e02_spark.ops.export import export_clean_logs, export_vacuum
+
+    root = str(tmp_path / "foreign")
+    adds = _write_foreign_delta(spark, root, [(1, "a"), (2, "b")])
+    with pytest.raises(ValueError, match="foreign"):
+        export_vacuum(root, retain_versions=1)
+    with pytest.raises(ValueError, match="foreign"):
+        export_clean_logs(root)
+    # nothing was touched
+    assert all(os.path.exists(os.path.join(root, a)) for a in adds)
+    assert os.path.exists(
+        os.path.join(root, "_delta_log", f"{0:020d}.json")
+    )
+
+
+def test_vacuum_refuses_escaping_candidate_paths(spark, tmp_path):
+    """round-13 ADVICE medium: the Delta spec allows absolute add.path
+    URIs; a tombstoned absolute (or ..-escaping) path must never be
+    deleted — os.path.join(dest, '/abs') would reach OUTSIDE the
+    mirror. Even on a log carrying OUR marker, vacuum validates every
+    candidate before deleting."""
+    from e02_spark.ops.export import export_vacuum
+
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    victim = tmp_path / "victim.parquet"
+    victim.write_bytes(b"precious bytes outside the mirror")
+    S.snapshot_write(spark.range(10).selectExpr("id"), tbl,
+                     mode="overwrite", n_files=1)
+    snapshot_export_delta(spark, tbl, dest)
+    # hand-append two commits: one ADDing an absolute path (spec-legal
+    # for a writer we are not), the next REMOVEing it -> it becomes a
+    # vacuum candidate outside the retained window
+    log = os.path.join(dest, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operationParameters": {
+            "sourceVersion": 2}}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": str(victim), "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operationParameters": {
+            "sourceVersion": 3}}}) + "\n")
+        fh.write(json.dumps({"remove": {
+            "path": str(victim), "deletionTimestamp": 0,
+            "dataChange": True}}) + "\n")
+    with pytest.raises(ValueError, match="OUTSIDE the"):
+        export_vacuum(dest, retain_versions=1)
+    assert victim.exists()
+
+
+def test_checkpoint_tombstones_make_clean_then_vacuum_safe(
+    spark, tmp_path
+):
+    """round-13 ADVICE low: checkpoints carry NOT-YET-VACUUMED remove
+    tombstones (spec-conformant), so export_clean_logs no longer
+    destroys vacuum's record — clean FIRST, vacuum SECOND still
+    collects every superseded byte."""
+    from e02_spark.ops.export import export_clean_logs, export_vacuum
+
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    S.snapshot_write(spark.range(50).selectExpr("id", "id % 3 AS v"),
+                     tbl, mode="overwrite", n_files=2, stats_cols=["id"])
+    snapshot_export_delta(spark, tbl, dest, checkpoint_interval=2)
+    superseded = set()
+    for i in range(4):
+        m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+        superseded.update(e["path"] for e in S._all_entries(tbl, m))
+        S.snapshot_write(
+            spark.range(50 * (i + 2), 50 * (i + 3)).selectExpr(
+                "id", "id % 3 AS v"),
+            tbl, mode="append", n_files=1, stats_cols=["id"],
+        )
+        S.snapshot_compact(spark, tbl, n_files=2)
+        snapshot_export_delta(spark, tbl, dest, checkpoint_interval=2)
+    live_now = set(_replay_tip_live(dest))
+    superseded -= live_now
+    assert superseded, "test needs some tombstoned files"
+    assert all(os.path.exists(os.path.join(dest, p)) for p in superseded)
+    # clean FIRST (the previously-leaky order)
+    cleaned = export_clean_logs(dest)
+    assert cleaned["removed"] > 0
+    # vacuum still finds the tombstoned bytes via the checkpoint rows
+    r = export_vacuum(dest, retain_versions=1)
+    assert not any(
+        os.path.exists(os.path.join(dest, p)) for p in superseded
+    ), "clean-before-vacuum leaked tombstoned bytes"
+    assert r["files_deleted"] >= len(superseded)
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+
+
+def _replay_tip_live(dest):
+    from e02_spark.ops.export import _replay_log
+
+    return sorted(_replay_log(dest)["live"])
+
+
+def test_clean_refuses_when_checkpoint_lacks_tombstones(
+    spark, tmp_path, monkeypatch
+):
+    """A checkpoint WITHOUT tombstone rows (the pre-round-14 format) +
+    unvacuumed on-disk files referenced only by pre-checkpoint commits:
+    export_clean_logs must REFUSE (naming export_vacuum) instead of
+    silently leaking those bytes forever."""
+    from e02_spark.ops import export as E
+
+    orig = E._write_checkpoint
+
+    def no_tomb(dest, log_v, protocol, metadata, live, src_version, st,
+                tombstones=None):
+        return orig(dest, log_v, protocol, metadata, live, src_version,
+                    st, tombstones=None)
+
+    monkeypatch.setattr(E, "_write_checkpoint", no_tomb)
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    S.snapshot_write(spark.range(40).selectExpr("id"), tbl,
+                     mode="overwrite", n_files=2, stats_cols=["id"])
+    E.snapshot_export_delta(spark, tbl, dest, checkpoint_interval=2)
+    for i in range(2):
+        S.snapshot_compact(spark, tbl, n_files=2 + i)
+        E.snapshot_export_delta(spark, tbl, dest, checkpoint_interval=2)
+    with pytest.raises(ValueError, match="export_vacuum"):
+        E.export_clean_logs(dest)
+    # vacuum-then-clean (the documented order) proceeds
+    E.export_vacuum(dest, retain_versions=1)
+    assert E.export_clean_logs(dest)["removed"] > 0
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+
+
+def test_import_sync_recognizes_legacy_adoption_names(spark, tmp_path):
+    """round-13 ADVICE low: a mirror created under the pre-flattening
+    adoption scheme (nested data/delta-import/<foreign rel> paths) must
+    NOT re-copy its entire live set on the next sync — existing
+    nested-name entries are recognized as already adopted; only
+    genuinely new foreign files adopt (under the flat scheme)."""
+    from e02_spark.ops.export import snapshot_import_delta
+
+    root = str(tmp_path / "foreign")
+    tbl = str(tmp_path / "mirror")
+    _write_foreign_delta(spark, root, [(1, "a"), (2, "b")])
+    r0 = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r0["files_adopted"] == 1
+
+    # rewrite the mirror's import entries to the LEGACY nested scheme
+    sub = os.path.join("data", "delta-import")
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    entries = S._all_entries(tbl, m)
+    from e02_spark.ops.export import _replay_log
+
+    foreign_rel = sorted(_replay_log(root)["live"])
+    assert len(foreign_rel) == 1 and len(entries) == 1
+    legacy_rel = os.path.join(sub, foreign_rel[0])
+    old_abs = os.path.join(tbl, entries[0]["path"])
+    new_abs = os.path.join(tbl, legacy_rel)
+    os.makedirs(os.path.dirname(new_abs), exist_ok=True)
+    os.rename(old_abs, new_abs)
+    entries[0]["path"] = legacy_rel
+    refs = S._write_shards(tbl, entries)
+    m2 = dict(m)
+    m2["version"] = S.snapshot_versions(tbl)[-1] + 1
+    m2["manifests"] = refs
+    assert S._try_commit(tbl, m2["version"], m2)
+
+    # a new foreign commit arrives; the sync must adopt ONLY that file
+    _write_foreign_delta(spark, root, [(3, "c")], version=1)
+    ino_before = os.stat(new_abs).st_ino
+    r1 = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r1["mode"] == "import_sync"
+    assert r1["files_adopted"] == 1, (
+        "legacy-named entry was re-adopted (full re-copy regression)"
+    )
+    assert r1["files_removed"] == 0
+    assert os.stat(new_abs).st_ino == ino_before  # untouched
+    got = sorted(
+        (r["id"], r["name"])
+        for r in S.snapshot_read(spark, tbl).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
