@@ -166,32 +166,69 @@ def _checkpoint_path(dest: str, version: int) -> str:
     )
 
 
-def _find_checkpoint(dest: str, st) -> tuple[int | None, str | None]:
-    """Newest usable classic checkpoint: the `_last_checkpoint` pointer
-    when it resolves, else the newest `<v>.checkpoint.parquet` on disk
-    (the spec's fallback listing). Multi-part checkpoints (a `parts`
-    field) are a scale feature this reader does not claim — refused by
-    name rather than replaying a partial state."""
+def _find_checkpoint(dest: str, st) -> tuple[int | None, list[str] | None]:
+    """Newest usable classic checkpoint as (version, ordered part
+    paths): the `_last_checkpoint` pointer when it resolves, else the
+    newest complete checkpoint on disk (the spec's fallback listing).
+
+    MULTI-PART classic checkpoints (PROTOCOL.md: `_last_checkpoint`
+    carries `parts=N`, files named
+    `<v>.checkpoint.<i of N>.<N>.parquet`, actions sharded across the
+    parts in no promised order) read exactly like the single-file form
+    — the parts concatenate into one action set (round-13 verdict item
+    4; large foreign tables commonly write them). An INCOMPLETE part
+    set (a torn multi-part write, or a part deleted) refuses by name
+    rather than replaying a partial file state."""
     lc = os.path.join(dest, _LOG_DIR, _LAST_CHECKPOINT)
     if st.exists(lc):
         info = json.loads(st.get_bytes(lc))
-        if info.get("parts"):
-            raise ValueError(
-                f"{dest}: _last_checkpoint declares a multi-part "
-                f"checkpoint (parts={info['parts']}) — this reader "
-                "handles single-file classic checkpoints only"
-            )
         v = int(info["version"])
+        n_parts = int(info.get("parts") or 0)
+        if n_parts:
+            paths = [
+                os.path.join(
+                    dest, _LOG_DIR,
+                    f"{v:020d}.checkpoint.{i:010d}.{n_parts:010d}.parquet",
+                )
+                for i in range(1, n_parts + 1)
+            ]
+            missing = [p for p in paths if not st.exists(p)]
+            if missing:
+                raise ValueError(
+                    f"{dest}: _last_checkpoint declares a {n_parts}-part "
+                    f"checkpoint at version {v} but "
+                    f"{len(missing)} part(s) are missing (e.g. "
+                    f"{os.path.basename(missing[0])}) — refusing to "
+                    "bootstrap from a partial checkpoint"
+                )
+            return v, paths
         p = _checkpoint_path(dest, v)
         if st.exists(p):
-            return v, p
-    cps = sorted(
-        st.list_glob(os.path.join(dest, _LOG_DIR, "*.checkpoint.parquet"))
-    )
-    for p in reversed(cps):
-        stem = os.path.basename(p).split(".", 1)[0]
-        if stem.isdigit():
-            return int(stem), p
+            return v, [p]
+    # fallback listing: group by version, prefer the newest COMPLETE
+    # checkpoint (single-file, or all N parts present)
+    by_v: dict[int, dict] = {}
+    for p in st.list_glob(
+        os.path.join(dest, _LOG_DIR, "*.checkpoint*.parquet")
+    ):
+        name = os.path.basename(p)
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
+        if m:
+            by_v.setdefault(int(m.group(1)), {})["single"] = p
+            continue
+        m = re.fullmatch(
+            r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet", name
+        )
+        if m:
+            v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            by_v.setdefault(v, {}).setdefault(("parts", n), {})[i] = p
+    for v in sorted(by_v, reverse=True):
+        g = by_v[v]
+        if "single" in g:
+            return v, [g["single"]]
+        for (_, n), parts in g.items():
+            if len(parts) == n:
+                return v, [parts[i] for i in range(1, n + 1)]
     return None, None
 
 
@@ -203,12 +240,21 @@ def _as_map(v) -> dict:
     return dict(v or {})
 
 
-def _checkpoint_actions(path: str):
-    """One action dict per checkpoint row, in the JSON-log shape, so the
-    replay loop is shared between the two encodings."""
+def _checkpoint_actions(paths: str | list[str]):
+    """One action dict per checkpoint row — across ALL parts of a
+    multi-part checkpoint — in the JSON-log shape, so the replay loop
+    is shared between the two encodings. Part order is irrelevant:
+    checkpoint rows are an unordered snapshot (a path appears in
+    exactly one row across the whole part set)."""
+    import itertools
+
     import pyarrow.parquet as pq
 
-    for row in pq.read_table(path).to_pylist():
+    if isinstance(paths, str):
+        paths = [paths]
+    for row in itertools.chain.from_iterable(
+        pq.read_table(p).to_pylist() for p in paths
+    ):
         for key in ("protocol", "metaData", "add", "remove", "txn"):
             v = row.get(key)
             if v is None or all(x is None for x in v.values()):
@@ -1015,13 +1061,30 @@ def snapshot_import_delta(
     allowed but the next sync only reconciles the IMPORTED file set
     (it never touches files the import didn't adopt).
 
-    Honest scope (refused BY NAME, never read wrong): reader protocol
-    above minReaderVersion 1 (deletion vectors, column mapping, v2
-    checkpoints...), adds carrying `deletionVector`, multi-part
-    classic checkpoints, logs cleaned past their newest checkpoint
-    (version gaps), non-primitive or undeclared hive partition columns,
-    and a dest table that is not an import mirror. Returns {'version',
-    'delta_version', 'files_adopted', 'files_removed', 'mode'}."""
+    Round-14 interop claims (each spec-pinned in tests):
+
+    * DELETION VECTORS: adds carrying `deletionVector` (storage 'u'
+      file / 'i' inline / 'p' absolute; RoaringBitmapArray portable
+      encoding — ops/delta_dv.py) import as native positional
+      tombstones, decoded executor-side. Every sync REPLACES the
+      import-owned tombstone shard (tagged origin='delta-import') with
+      the log's current truth; LOCAL merge tombstones carry forward.
+    * COLUMN MAPPING (mode 'name'/'id'): per-field physicalName
+      translates into the engine's rename name-history, so reads
+      coalesce and stats/bloom pruning probes the physical alias;
+      footer harvest runs under physical names.
+    * MULTI-PART classic checkpoints read like single-file ones.
+
+    Honest scope (refused BY NAME, never read wrong): reader features
+    beyond {deletionVectors, columnMapping} (v2Checkpoint, typeWidening,
+    timestampNtz...), DV storage types outside 'u'/'i'/'p', column
+    mapping on nested fields or combined with hive partitioning,
+    column-mapping histories that conflict with the mirror's own,
+    incomplete multi-part checkpoint sets, logs cleaned past their
+    newest checkpoint (version gaps), non-primitive or undeclared hive
+    partition columns, and a dest table that is not an import mirror.
+    Returns {'version', 'delta_version', 'files_adopted',
+    'files_removed', 'mode'}."""
     from .snapshot import (
         _DATA,
         _harvest_stats,
@@ -1029,6 +1092,7 @@ def snapshot_import_delta(
         _read_shard,
         _specs_carry,
         _try_commit,
+        _write_delete_commit,
         _write_shards,
         committed_keys,
         snapshot_versions,
@@ -1038,33 +1102,91 @@ def snapshot_import_delta(
     if s["last_v"] is None:
         raise FileNotFoundError(f"no _delta_log under {delta_dir}")
     proto = s["protocol"] or {}
-    if int(proto.get("minReaderVersion") or 1) > 1:
+    mrv = int(proto.get("minReaderVersion") or 1)
+    # reader protocol: 1 = plain; 2 = column mapping capable (whether
+    # the TABLE uses it is the delta.columnMapping.mode config below);
+    # 3 = table-features — claimable iff every listed readerFeature is
+    # one this importer implements. Anything else refuses by name.
+    _READER_FEATURES_CLAIMED = {"deletionVectors", "columnMapping"}
+    if mrv == 3:
+        feats = set(proto.get("readerFeatures") or [])
+        extra = sorted(feats - _READER_FEATURES_CLAIMED)
+        if extra:
+            raise ValueError(
+                f"cannot import {delta_dir}: protocol readerFeatures "
+                f"{extra} are outside the claimed subset "
+                f"{sorted(_READER_FEATURES_CLAIMED)} — rewrite the "
+                "table to a plain protocol first"
+            )
+    elif mrv > 3:
         raise ValueError(
             f"cannot import {delta_dir}: protocol minReaderVersion "
-            f"{proto.get('minReaderVersion')} implies reader features "
-            "(deletion vectors / column mapping / v2 checkpoints) this "
-            "importer does not claim — rewrite the table to a plain "
-            "protocol first"
+            f"{mrv} is newer than any published reader protocol this "
+            "importer claims"
         )
     md = s["metadata"] or {}
     cmode = (md.get("configuration") or {}).get("delta.columnMapping.mode")
-    if cmode and cmode != "none":
+    if cmode and cmode not in ("none", "name", "id"):
         raise ValueError(
             f"cannot import {delta_dir}: delta.columnMapping.mode="
-            f"{cmode} means physical column names differ from the "
-            "schema — this importer reads files by schema name"
+            f"{cmode} is not a published mapping mode"
         )
-    if any("deletionVector" in a for a in s["live"].values()):
-        raise ValueError(
-            f"cannot import {delta_dir}: live files carry deletion "
-            "vectors — compact/VACUUM the source to plain files first"
-        )
+    dv_rel = {
+        rel: a["deletionVector"]
+        for rel, a in s["live"].items()
+        if a.get("deletionVector")
+    }
+    for rel, d in sorted(dv_rel.items()):
+        if d.get("storageType") not in ("u", "i", "p"):
+            raise ValueError(
+                f"cannot import {delta_dir}: {rel} carries a deletion "
+                f"vector with storageType {d.get('storageType')!r} — "
+                "outside the claimed subset ('u' file / 'i' inline / "
+                "'p' absolute path)"
+            )
     sch = json.loads(md["schemaString"]) if md.get("schemaString") else None
     if not sch:
         raise ValueError(f"{delta_dir} has no metaData.schemaString")
     from pyspark.sql.types import StructType
 
     StructType.fromJson(sch)  # validate before committing it
+
+    # COLUMN MAPPING (round-14): under mode 'name'/'id' the parquet
+    # files store columns by each field's
+    # `delta.columnMapping.physicalName` (PROTOCOL.md §Column Mapping;
+    # delta-spark writes the physical name as the parquet column name
+    # in BOTH modes — 'id' additionally stamps parquet field ids, which
+    # this importer does not need since the physical name is required
+    # and stable). Each differing physical name translates into the
+    # engine's native rename name-history ({logical: [physical]}), so
+    # `_scan_data` coalesces values from whichever name each file
+    # carries and stats/bloom pruning probes the alias — the exact
+    # machinery `snapshot_rename_column` uses natively.
+    import_cm: dict[str, list[str]] = {}
+    if cmode in ("name", "id"):
+        for f in sch.get("fields", []):
+            fmeta = f.get("metadata") or {}
+            phys = fmeta.get("delta.columnMapping.physicalName")
+            if not phys:
+                raise ValueError(
+                    f"cannot import {delta_dir}: columnMapping mode "
+                    f"{cmode} but field {f.get('name')!r} carries no "
+                    "delta.columnMapping.physicalName"
+                )
+            if not isinstance(f.get("type"), str):
+                raise ValueError(
+                    f"cannot import {delta_dir}: column mapping on "
+                    f"NESTED field {f.get('name')!r} is outside the "
+                    "claimed subset (top-level primitives only)"
+                )
+            if phys != f["name"]:
+                import_cm[f["name"]] = [phys]
+        if md.get("partitionColumns"):
+            raise ValueError(
+                f"cannot import {delta_dir}: column mapping combined "
+                "with hive partitioning is outside the claimed subset "
+                "(partitionValues would be keyed by physical name)"
+            )
 
     # hive partition columns: values live in the log, not the files —
     # validate they are declared primitives we can inject and prune on
@@ -1163,9 +1285,17 @@ def snapshot_import_delta(
             if not os.path.exists(dst):
                 st.adopt_file(src, dst)
             new_files.append(dst)
+        # under column mapping the FILES carry physical names — harvest
+        # footer stats/blooms under those; pruning probes them through
+        # the alias history (_stat_lookup), so entries stay physical
+        phys_of = {k: v[0] for k, v in import_cm.items()}
         new_entries = _harvest_stats(
-            new_files, list(stats_cols or []), table,
-            bloom_cols, spark=spark,
+            new_files,
+            [phys_of.get(c, c) for c in (stats_cols or [])],
+            table,
+            [phys_of.get(c, c) for c in bloom_cols]
+            if bloom_cols is not None else None,
+            spark=spark,
         )
         if pcols:
             # partition values onto the fresh entries: raw strings for
@@ -1187,9 +1317,70 @@ def snapshot_import_delta(
                         e["stats"][c] = [tv, tv]
         survivors = [e for p, e in sorted(have.items()) if p not in to_drop]
         refs = _write_shards(table, survivors + new_entries)
+        # DELETION VECTORS (round-14): each DV-carrying live add maps
+        # onto the engine's native positional-tombstone machinery — one
+        # (_file=adopted name, _pos) row per deleted position, decoded
+        # EXECUTOR-SIDE (mapInPandas over the descriptors; the pure-
+        # stdlib decoder in ops/delta_dv.py ships with the package, so
+        # a 100k-file DV'd table never funnels bitmaps through the
+        # driver). The import's tombstone shard is tagged
+        # origin='delta-import': every sync REPLACES the import-owned
+        # tombstones with the log's current truth while LOCAL merge
+        # tombstones on the mirror (refs without the tag) carry
+        # forward untouched.
+        import_dv_refs: list[dict] = []
+        if dv_rel:
+            delta_abs = os.path.abspath(delta_dir)
+            dv_rows = [
+                (flat_of[rel], json.dumps(dv_rel[rel]))
+                for rel in sorted(dv_rel)
+            ]
+            desc_df = spark.createDataFrame(
+                dv_rows, "_file string, _desc string"
+            )
+
+            def _decode_dvs(batches):
+                import pandas as pd
+
+                from e02_spark.ops.delta_dv import dv_positions
+
+                for pdf in batches:
+                    for f, dj in zip(pdf["_file"], pdf["_desc"]):
+                        pos = dv_positions(delta_abs, json.loads(dj))
+                        yield pd.DataFrame({
+                            "_file": pd.Series([f] * len(pos)),
+                            "_pos": pd.Series(pos, dtype="int64"),
+                        })
+
+            tombs = desc_df.repartition(
+                min(len(dv_rows), 64)
+            ).mapInPandas(_decode_dvs, "_file string, _pos long")
+            dv_ref, _ = _write_delete_commit(tombs, table)
+            dv_ref["origin"] = "delta-import"
+            import_dv_refs = [dv_ref]
+        prev_local_deletes = [
+            r for r in ((prev or {}).get("deletes") or [])
+            if r.get("origin") != "delta-import"
+        ]
         props = dict(((prev or {}).get("properties")) or {})
         props["imported_from"] = os.path.abspath(delta_dir)
         props["imported_delta_version"] = delta_v
+        if import_cm:
+            merged_cm = dict(
+                ((prev or {}).get("properties") or {}).get(
+                    "column_mapping"
+                ) or {}
+            )
+            for k, v in import_cm.items():
+                if k in merged_cm and merged_cm[k] != v:
+                    raise ValueError(
+                        f"column-mapping conflict on {k!r}: the mirror "
+                        f"history maps it to {merged_cm[k]} but the "
+                        f"foreign log implies {v} — refusing to guess "
+                        "which physical name wins"
+                    )
+                merged_cm[k] = v
+            props["column_mapping"] = merged_cm
         if pcols:
             props["hive_cols"] = pcols
         if bloom_cols is not None:
@@ -1202,8 +1393,12 @@ def snapshot_import_delta(
             "idempotency_key": None,
             "keys": sorted(committed_keys(table)) if versions else [],
             "manifests": refs,
-            "deletes": [],
-            "eq_deletes": [],
+            # local MoR/equality deletes on the mirror survive a sync
+            # (the reconciliation contract: the sync owns only what the
+            # import wrote — previously both lists were zeroed, which
+            # RESURRECTED locally-deleted rows on the next sync)
+            "deletes": prev_local_deletes + import_dv_refs,
+            "eq_deletes": (prev or {}).get("eq_deletes") or [],
             "partition_spec": (prev or {}).get("partition_spec"),
             # carry the full spec HISTORY like every native commit does
             # (a locally-evolved mirror keeps pruning through it)

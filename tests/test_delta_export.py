@@ -407,13 +407,20 @@ def test_import_roundtrips_our_own_export(spark, tmp_path):
 
 def test_import_refusals_are_named(spark, tmp_path):
     rows = [(1, "a")]
-    # reader features beyond protocol 1
+    # reader features beyond the claimed subset (round 14 claims
+    # deletionVectors + columnMapping; anything else still refuses)
     r1 = str(tmp_path / "r1")
     _write_foreign_delta(spark, r1, rows, protocol={
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"]})
-    with pytest.raises(ValueError, match="minReaderVersion"):
+        "readerFeatures": ["deletionVectors", "typeWidening"]})
+    with pytest.raises(ValueError, match="typeWidening"):
         snapshot_import_delta(spark, r1, str(tmp_path / "t1"))
+    # a reader protocol newer than any published one
+    r1b = str(tmp_path / "r1b")
+    _write_foreign_delta(spark, r1b, rows, protocol={
+        "minReaderVersion": 4, "minWriterVersion": 9})
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        snapshot_import_delta(spark, r1b, str(tmp_path / "t1b"))
     # hive partition column NOT declared in the schema (round 13 made
     # declared-primitive hive partitions importable; an undeclared one
     # still refuses by name)
@@ -422,11 +429,12 @@ def test_import_refusals_are_named(spark, tmp_path):
                          extra_meta={"partitionColumns": ["ghost"]})
     with pytest.raises(ValueError, match="partition column 'ghost'"):
         snapshot_import_delta(spark, r2, str(tmp_path / "t2"))
-    # column mapping
+    # column mapping declared but the schema lacks physical names —
+    # a malformed mapped table refuses rather than reading nulls
     r3 = str(tmp_path / "r3")
     _write_foreign_delta(spark, r3, rows, extra_meta={
         "configuration": {"delta.columnMapping.mode": "name"}})
-    with pytest.raises(ValueError, match="columnMapping"):
+    with pytest.raises(ValueError, match="physicalName"):
         snapshot_import_delta(spark, r3, str(tmp_path / "t3"))
     # a dest that is not an import mirror
     r4 = str(tmp_path / "r4")
@@ -438,7 +446,8 @@ def test_import_refusals_are_named(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mirror"):
         snapshot_import_delta(spark, r4, native)
-    # live add carrying a deletion vector
+    # live add carrying a deletion vector with an UNKNOWN storage type
+    # (the claimed subset is 'u'/'i'/'p')
     r5 = str(tmp_path / "r5")
     (a5,) = _write_foreign_delta(spark, r5, rows)
     lg = os.path.join(r5, "_delta_log", f"{0:020d}.json")
@@ -447,10 +456,10 @@ def test_import_refusals_are_named(spark, tmp_path):
     for ln in lines:
         act = json.loads(ln)
         if "add" in act:
-            act["add"]["deletionVector"] = {"storageType": "u"}
+            act["add"]["deletionVector"] = {"storageType": "z"}
         patched.append(json.dumps(act))
     open(lg, "w").write("\n".join(patched) + "\n")
-    with pytest.raises(ValueError, match="deletion"):
+    with pytest.raises(ValueError, match="storageType"):
         snapshot_import_delta(spark, r5, str(tmp_path / "t5"))
 
 
@@ -1366,3 +1375,518 @@ def test_import_sync_recognizes_legacy_adoption_names(spark, tmp_path):
         for r in S.snapshot_read(spark, tbl).collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def _foreign_checkpoint_rows(root, adds, schema_str):
+    """Spec-shaped checkpoint action rows for `adds`, as plain dicts."""
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "schemaString": schema_str, "id": "foreign-test-table",
+            "format": {"provider": "parquet", "options": []},
+            "partitionColumns": [], "configuration": [],
+            "createdTime": 0,
+        }},
+    ]
+    for a in adds:
+        rows.append({"add": {
+            "path": a, "partitionValues": [],
+            "size": os.path.getsize(os.path.join(root, a)),
+            "modificationTime": 0, "dataChange": True, "stats": None,
+        }})
+    return rows
+
+
+def _write_checkpoint_rows(root, path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    map_t = pa.map_(pa.string(), pa.string())
+    types = {
+        "add": pa.struct([
+            ("path", pa.string()), ("partitionValues", map_t),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()), ("stats", pa.string()),
+        ]),
+        "metaData": pa.struct([
+            ("schemaString", pa.string()), ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", map_t)])),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t), ("createdTime", pa.int64()),
+        ]),
+        "protocol": pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ]),
+    }
+    table = pa.table({
+        c: pa.array([r.get(c) for r in rows], type=t)
+        for c, t in types.items()
+    })
+    pq.write_table(table, os.path.join(root, "_delta_log", path))
+
+
+def test_import_reads_multipart_classic_checkpoint(spark, tmp_path):
+    """round-13 verdict item 4: a foreign MULTI-PART classic checkpoint
+    (`_last_checkpoint.parts=N`, actions sharded across
+    <v>.checkpoint.<i>.<N>.parquet) bootstraps imports exactly like the
+    single-file form; an incomplete part set refuses by name."""
+    import pyarrow.parquet as pq  # noqa: F401 (helper dependency)
+
+    root = str(tmp_path / "foreign")
+    (a0,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(10)], version=0
+    )
+    (a1,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(10, 25)], version=1
+    )
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    rows = _foreign_checkpoint_rows(root, [a0, a1], schema_str)
+    # shard the actions across 2 parts: protocol+metaData+first add in
+    # part 1, the second add alone in part 2 (order is not promised)
+    p1 = f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    p2 = f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+    _write_checkpoint_rows(root, p1, rows[:3])
+    _write_checkpoint_rows(root, p2, rows[3:])
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        fh.write(json.dumps({"version": 1, "size": len(rows), "parts": 2}))
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+
+    tbl = str(tmp_path / "mirror")
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r["files_adopted"] == 2 and r["delta_version"] == 1
+    got = {
+        row["id"]: row["name"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    assert got == {i: f"n{i}" for i in range(25)}
+
+    # a part goes missing -> refuse BY NAME, never a partial replay
+    os.remove(os.path.join(root, "_delta_log", p2))
+    with pytest.raises(ValueError, match="part"):
+        snapshot_import_delta(spark, root, str(tmp_path / "m2"))
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector import (round-14): foreign DV-carrying tables map onto
+# the engine's native positional-tombstone machinery.
+# ---------------------------------------------------------------------------
+
+
+def _write_foreign_dv_delta(spark, root, version, file_rows, dvs,
+                            removes=(), mrv=3):
+    """Foreign Delta writer with DELETION VECTORS, from the public spec
+    only: pyarrow data files (row order = id order, so position k holds
+    id file_rows[path][k]), DV files in the spec's on-disk layout, adds
+    carrying deletionVector descriptors. `dvs` maps data path ->
+    (storageType, positions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_delta_dv import serialize_dv, write_dv_file
+    from e02_spark.ops.delta_dv import z85_encode
+
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    actions = []
+    if version == 0:
+        proto = {"minReaderVersion": mrv, "minWriterVersion": 2}
+        if mrv == 3:
+            proto["readerFeatures"] = ["deletionVectors"]
+            proto["minWriterVersion"] = 7
+            proto["writerFeatures"] = ["deletionVectors"]
+        actions.append({"protocol": proto})
+        actions.append({"metaData": {
+            "id": "foreign-dv-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "name", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ],
+            }),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0,
+        }})
+    for r in removes:
+        actions.append({"remove": {
+            "path": r, "deletionTimestamp": 0, "dataChange": True}})
+    for path, ids in file_rows.items():
+        full = os.path.join(root, path)
+        if not os.path.exists(full):
+            pq.write_table(pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "name": pa.array([f"n{i}" for i in ids], pa.string()),
+            }), full)
+        add = {"path": path, "partitionValues": {},
+               "size": os.path.getsize(full), "modificationTime": 0,
+               "dataChange": True}
+        spec = dvs.get(path)
+        if spec is not None:
+            storage, positions = spec
+            data = serialize_dv(positions)
+            if storage == "i":
+                padded = data + b"\x00" * (-len(data) % 4)
+                add["deletionVector"] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(padded),
+                    "sizeInBytes": len(data),
+                    "cardinality": len(positions),
+                }
+            else:
+                import uuid as _uuid
+
+                u = _uuid.uuid4()
+                (off,) = write_dv_file(
+                    os.path.join(root, f"deletion_vector_{u}.bin"),
+                    [data],
+                )
+                add["deletionVector"] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(u.bytes),
+                    "offset": off, "sizeInBytes": len(data),
+                    "cardinality": len(positions),
+                }
+        actions.append({"add": add})
+    with open(os.path.join(
+        root, "_delta_log", f"{version:020d}.json"
+    ), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def test_import_deletion_vectors(spark, tmp_path):
+    """round-13 verdict item 1 (the top next): a foreign table whose
+    adds carry deletion vectors (delta-spark >= 3.x default after any
+    MERGE/DELETE) imports — the DV positions become native positional
+    tombstones; row content equals DuckDB over the parquet minus the
+    DV'd positions."""
+    root = str(tmp_path / "foreign")
+    f0, f1 = "part-00000-dv.parquet", "part-00001-dv.parquet"
+    ids0, ids1 = list(range(0, 50)), list(range(50, 100))
+    _write_foreign_dv_delta(
+        spark, root, 0,
+        {f0: ids0, f1: ids1},
+        # file DV on f0 (positions 3,4,5 -> ids 3,4,5), inline on f1
+        {f0: ("u", [3, 4, 5]), f1: ("i", [0, 49])},
+    )
+    tbl = str(tmp_path / "mirror")
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r["files_adopted"] == 2
+    deleted = {3, 4, 5, 50, 99}
+    expect = sorted(
+        (i, f"n{i}") for i in range(100) if i not in deleted
+    )
+    got = _snapshot_rows_sorted(spark, tbl, ["id", "name"])
+    assert got == expect
+    # cross-engine: DuckDB over the raw parquet minus DV positions
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT id, name FROM read_parquet(?) ORDER BY id",
+        [[os.path.join(root, f0), os.path.join(root, f1)]],
+    ).fetchall()
+    assert sorted(t for t in raw if t[0] not in deleted) == expect
+    # row-count accounting composes with the tombstones
+    assert S.snapshot_rows(tbl) == 95
+
+
+def test_import_dv_sync_updates_tombstones_and_cdf(spark, tmp_path):
+    """An incremental sync picks up a GROWN deletion vector on an
+    unchanged data file (remove+re-add with a wider DV — the delta-spark
+    DELETE shape); CDF between the two mirror versions shows exactly
+    the newly tombstoned rows as deletes."""
+    from e02_spark.ops.snapshot import snapshot_changes
+
+    root = str(tmp_path / "foreign")
+    f0 = "part-00000-dv.parquet"
+    ids = list(range(0, 40))
+    _write_foreign_dv_delta(spark, root, 0, {f0: ids}, {f0: ("u", [1])})
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert S.snapshot_rows(tbl) == 39
+    # foreign DELETE widens the DV: remove + re-add same file
+    _write_foreign_dv_delta(
+        spark, root, 1, {f0: ids}, {f0: ("u", [1, 7, 8])},
+        removes=(f0,),
+    )
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r["mode"] == "import_sync"
+    assert r["files_adopted"] == 0  # same bytes, only tombstones moved
+    got = {row[0] for row in _snapshot_rows_sorted(spark, tbl, ["id"])}
+    assert got == set(ids) - {1, 7, 8}
+    ch = snapshot_changes(spark, tbl, from_version=1, to_version=2)
+    rows = [(r["id"], r["_change_type"]) for r in ch.collect()]
+    assert sorted(rows) == [(7, "delete"), (8, "delete")]
+
+
+def test_import_dv_local_merge_tombstones_survive_sync(spark, tmp_path):
+    """Local MoR deletes on the mirror are NOT resurrected by the next
+    sync (the sync replaces only its own origin='delta-import'
+    tombstone shard; local delete refs carry forward)."""
+    root = str(tmp_path / "foreign")
+    f0 = "part-00000-dv.parquet"
+    _write_foreign_dv_delta(
+        spark, root, 0, {f0: list(range(30))}, {f0: ("u", [0])}
+    )
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    # local MoR delete of id=5 on the mirror
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(5,)], "id long"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    assert S.snapshot_rows(tbl) == 28
+    # foreign table appends a new file; sync must keep id=5 deleted
+    f1 = "part-00001-dv.parquet"
+    _write_foreign_dv_delta(spark, root, 1, {f1: [100, 101]}, {})
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    got = {row[0] for row in _snapshot_rows_sorted(spark, tbl, ["id"])}
+    assert got == (set(range(30)) - {0, 5}) | {100, 101}
+
+
+def test_import_dv_refusals_by_name(spark, tmp_path):
+    """Outside-the-subset DV storage types and unknown readerFeatures
+    still refuse BY NAME."""
+    root = str(tmp_path / "f1")
+    f0 = "part-00000-dv.parquet"
+    _write_foreign_dv_delta(spark, root, 0, {f0: [1, 2, 3]}, {})
+    # splice an unsupported storageType onto the add
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log) if x.strip()]
+    for a in acts:
+        if "add" in a:
+            a["add"]["deletionVector"] = {
+                "storageType": "X", "pathOrInlineDv": "?",
+                "sizeInBytes": 1, "cardinality": 1}
+    with open(log, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(ValueError, match="storageType"):
+        snapshot_import_delta(spark, root, str(tmp_path / "m1"))
+
+    root2 = str(tmp_path / "f2")
+    _write_foreign_dv_delta(spark, root2, 0, {f0: [1]}, {})
+    log2 = os.path.join(root2, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log2) if x.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+            }
+    with open(log2, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        snapshot_import_delta(spark, root2, str(tmp_path / "m2"))
+
+
+# ---------------------------------------------------------------------------
+# Column-mapping import (round-14): physical names -> native name-history.
+# ---------------------------------------------------------------------------
+
+
+def _write_foreign_cm_delta(root, version, files, fields, cmode="name",
+                            removes=(), extra_protocol=None):
+    """Foreign Delta writer with COLUMN MAPPING: pyarrow files store
+    columns under each field's physicalName; the schema carries the
+    delta.columnMapping metadata keys per PROTOCOL.md. `files` maps
+    path -> {physical name: values}; `fields` is a list of
+    (logical, physical, type, id)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    actions = []
+    if version == 0:
+        proto = extra_protocol or {
+            "minReaderVersion": 2, "minWriterVersion": 5}
+        actions.append({"protocol": proto})
+        actions.append({"metaData": {
+            "id": "foreign-cm-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": lg, "type": ty, "nullable": True,
+                     "metadata": {
+                         "delta.columnMapping.id": fid,
+                         "delta.columnMapping.physicalName": ph,
+                     }}
+                    for (lg, ph, ty, fid) in fields
+                ],
+            }),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": cmode,
+                              "delta.columnMapping.maxColumnId": "10"},
+            "createdTime": 0,
+        }})
+    for r in removes:
+        actions.append({"remove": {
+            "path": r, "deletionTimestamp": 0, "dataChange": True}})
+    pa_t = {"long": pa.int64(), "string": pa.string()}
+    for path, cols in files.items():
+        full = os.path.join(root, path)
+        if not os.path.exists(full):
+            typed = {}
+            for (lg, ph, ty, fid) in fields:
+                typed[ph] = pa.array(cols[ph], pa_t[ty])
+            pq.write_table(pa.table(typed), full)
+        actions.append({"add": {
+            "path": path, "partitionValues": {},
+            "size": os.path.getsize(full), "modificationTime": 0,
+            "dataChange": True}})
+    with open(os.path.join(
+        root, "_delta_log", f"{version:020d}.json"
+    ), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def test_import_column_mapping_name_mode(spark, tmp_path):
+    """round-13 verdict item 2: a foreign table with
+    delta.columnMapping.mode=name (physical col-<uuid> parquet names)
+    imports — physical names translate into the engine's rename
+    name-history, reads come back under LOGICAL names, and stats
+    pruning probes the physical alias."""
+    root = str(tmp_path / "foreign")
+    fields = [("id", "col-aaaa1111", "long", 1),
+              ("name", "col-bbbb2222", "string", 2)]
+    _write_foreign_cm_delta(
+        root, 0,
+        {"part-0.parquet": {
+            "col-aaaa1111": [1, 2, 3],
+            "col-bbbb2222": ["a", "b", "c"]}},
+        fields,
+    )
+    tbl = str(tmp_path / "mirror")
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r["files_adopted"] == 1
+    got = _snapshot_rows_sorted(spark, tbl, ["id", "name"])
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # DuckDB agreement straight off the physical parquet
+    raw = duckdb.connect().execute(
+        'SELECT "col-aaaa1111", "col-bbbb2222" FROM read_parquet(?) '
+        "ORDER BY 1", [os.path.join(root, "part-0.parquet")],
+    ).fetchall()
+    assert raw == got
+    # the mapping rode in as native name-history
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    assert S._col_mapping(m) == {
+        "id": ["col-aaaa1111"], "name": ["col-bbbb2222"]}
+    # stats pruning works through the physical alias: a prune on the
+    # logical name must not error and must return the right rows
+    pruned = S.snapshot_read(spark, tbl, prune=("id", 2, 2)).collect()
+    assert {row["id"] for row in pruned} >= {2}
+    # incremental sync with a second file keeps resolving
+    _write_foreign_cm_delta(
+        root, 1,
+        {"part-1.parquet": {
+            "col-aaaa1111": [4], "col-bbbb2222": ["d"]}},
+        fields,
+    )
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    got = _snapshot_rows_sorted(spark, tbl, ["id", "name"])
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_import_column_mapping_with_deletion_vectors(spark, tmp_path):
+    """Column mapping AND deletion vectors together (minReaderVersion 3
+    with both readerFeatures) — the delta-spark default for a mapped
+    table that ever ran DELETE."""
+    from test_delta_dv import serialize_dv, write_dv_file
+    from e02_spark.ops.delta_dv import z85_encode
+    import uuid as _uuid
+
+    root = str(tmp_path / "foreign")
+    fields = [("id", "col-xyz", "long", 1)]
+    _write_foreign_cm_delta(
+        root, 0,
+        {"part-0.parquet": {"col-xyz": [10, 11, 12, 13]}},
+        fields,
+        extra_protocol={
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "writerFeatures": ["deletionVectors", "columnMapping"],
+        },
+    )
+    # splice a DV deleting position 1 (id=11) onto the add
+    u = _uuid.uuid4()
+    data = serialize_dv([1])
+    (off,) = write_dv_file(
+        os.path.join(root, f"deletion_vector_{u}.bin"), [data])
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log) if x.strip()]
+    for a in acts:
+        if "add" in a:
+            a["add"]["deletionVector"] = {
+                "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": off, "sizeInBytes": len(data),
+                "cardinality": 1}
+    with open(log, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    got = [row[0] for row in _snapshot_rows_sorted(spark, tbl, ["id"])]
+    assert got == [10, 12, 13]
+
+
+def test_import_column_mapping_refusals(spark, tmp_path):
+    """Missing physicalName, unknown mode, and mapping+partitioning all
+    refuse BY NAME."""
+    root = str(tmp_path / "f1")
+    _write_foreign_cm_delta(
+        root, 0, {"part-0.parquet": {"col-a": [1]}},
+        [("id", "col-a", "long", 1)],
+    )
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+
+    def _mutate(fn):
+        acts = [json.loads(x) for x in open(log) if x.strip()]
+        for a in acts:
+            if "metaData" in a:
+                fn(a["metaData"])
+        with open(log, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    # strip physicalName
+    def no_phys(md):
+        sch = json.loads(md["schemaString"])
+        for f in sch["fields"]:
+            f["metadata"].pop("delta.columnMapping.physicalName", None)
+        md["schemaString"] = json.dumps(sch)
+
+    _mutate(no_phys)
+    with pytest.raises(ValueError, match="physicalName"):
+        snapshot_import_delta(spark, root, str(tmp_path / "m1"))
+
+    root2 = str(tmp_path / "f2")
+    _write_foreign_cm_delta(
+        root2, 0, {"part-0.parquet": {"col-a": [1]}},
+        [("id", "col-a", "long", 1)], cmode="weird",
+    )
+    with pytest.raises(ValueError, match="weird"):
+        snapshot_import_delta(spark, root2, str(tmp_path / "m2"))
+
+    root3 = str(tmp_path / "f3")
+    _write_foreign_cm_delta(
+        root3, 0, {"part-0.parquet": {"col-a": [1]}},
+        [("id", "col-a", "long", 1)],
+    )
+    log3 = os.path.join(root3, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log3) if x.strip()]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["partitionColumns"] = ["id"]
+    with open(log3, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(ValueError, match="partition"):
+        snapshot_import_delta(spark, root3, str(tmp_path / "m3"))
