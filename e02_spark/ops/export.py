@@ -590,12 +590,25 @@ def snapshot_export_delta(
         # project them away, but the spec does not promise that —
         # materialize (which selects exactly the schema) instead
         blockers.append("hidden partition columns in data files")
-    if (m.get("properties") or {}).get("hive_cols"):
-        # an imported hive mirror's files don't physically carry the
-        # partition columns; zero-copy re-export would need hive
-        # partitionValues plumbing — materialize resolves the values
-        blockers.append("hive partition values injected at read")
     entries = _all_entries(table, m)
+    # HIVE-PARTITIONED ZERO-COPY (round-14): an imported hive mirror's
+    # files genuinely lack the partition columns — which is EXACTLY the
+    # Delta partitioned-table layout. When every live entry carries its
+    # `hive` values, the export emits them as per-add partitionValues +
+    # metaData.partitionColumns and stays zero-copy (partition-pruning
+    # Delta readers even get partition elimination for free). A mirror
+    # with LOCALLY-appended files (whose parquet physically carries the
+    # columns, with no `hive` values to emit) falls back to materialize.
+    hive_cols = list((m.get("properties") or {}).get("hive_cols") or [])
+    hive_zero_copy = False
+    if hive_cols:
+        if all(e.get("hive") is not None for e in entries):
+            hive_zero_copy = True
+        else:
+            blockers.append(
+                "hive partition values missing on locally-appended "
+                "mirror files"
+            )
     if materialize == "auto" or materialize is False:
         if not blockers:
             for e in entries:
@@ -616,6 +629,7 @@ def snapshot_export_delta(
         do_mat = bool(blockers)
     else:
         do_mat = True
+    hive_zero_copy = hive_zero_copy and not do_mat
 
     s = _replay_log(dest)
     last_log_v, prev_live, prev_src = (
@@ -692,7 +706,13 @@ def snapshot_export_delta(
                     st.adopt_file(src, dst)
             adds[rel] = {
                 "path": rel,
-                "partitionValues": {},
+                # Delta serializes partition values as strings; the
+                # mirror's `hive` values are exactly the strings the
+                # original foreign log carried
+                "partitionValues": (
+                    {c: e["hive"].get(c) for c in hive_cols}
+                    if hive_zero_copy else {}
+                ),
                 "size": st.size(dst if st.exists(dst) else src),
                 "modificationTime": now_ms,
                 "dataChange": True,
@@ -723,12 +743,28 @@ def snapshot_export_delta(
     protocol = s["protocol"] or {
         "minReaderVersion": 1, "minWriterVersion": 2,
     }
+    export_pcols = hive_cols if hive_zero_copy else []
+    if last_log_v is not None:
+        prev_pcols = list(
+            (s["metadata"] or {}).get("partitionColumns") or []
+        )
+        if prev_pcols != export_pcols:
+            # Delta forbids changing a table's partition columns; a
+            # mirror that flipped between hive-zero-copy and
+            # materialized (a local append landed on the source) must
+            # not silently rewrite the partitioning contract
+            raise ValueError(
+                f"{dest} was exported with partitionColumns="
+                f"{prev_pcols} but this export would write "
+                f"{export_pcols} (the source's hive zero-copy "
+                "eligibility changed) — export into a fresh directory"
+            )
     if log_v == 0:
         metadata = {
             "id": uuid.uuid4().hex,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": sch_str,
-            "partitionColumns": [],
+            "partitionColumns": export_pcols,
             "configuration": {},
             "createdTime": now_ms,
         }

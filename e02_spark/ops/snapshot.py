@@ -2503,6 +2503,23 @@ def _rel_file_col():
     )
 
 
+def _attach_lineage(df: DataFrame) -> DataFrame:
+    """(_file, _pos) row lineage for delete application / CDF diffing:
+    attached from the hidden `_metadata` column on plain scans. On the
+    over-cap hive GROUP-UNION scan the columns arrive PRE-ATTACHED per
+    leg (`_metadata` is only resolvable inside each leg's scan
+    relation, not on the union) — the no-op branch here is what lets
+    every metadata-needing caller run unchanged past the literal-plan
+    cap (round-13 verdict item 3)."""
+    if "_file" in df.columns:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_file", _rel_file_col()).withColumn(
+        "_pos", F.col("_metadata.row_index")
+    )
+
+
 def _reader(spark: SparkSession, manifest: dict):
     """DataFrameReader honoring the manifest's recorded table schema (see
     _evolve_schema): every direct scan of a snapshot's data files must go
@@ -2598,7 +2615,7 @@ def _attach_hive_values(
 
 def _hive_group_scan(
     spark: SparkSession, table: str, manifest: dict, paths: list[str],
-    hive_by_path: dict[str, dict],
+    hive_by_path: dict[str, dict], with_lineage: bool = False,
 ) -> DataFrame:
     """Group-union injection (the >cap scale path): scanned imported
     files grouped by their full partition-value TUPLE, one recorded-
@@ -2606,7 +2623,13 @@ def _hive_group_scan(
     literals, plus one leg for non-imported files (local mirror
     appends, which carry the columns physically). Plan size is
     O(#distinct partition tuples), never O(#files) — file lists live in
-    each leg's FileIndex, not in expressions."""
+    each leg's FileIndex, not in expressions.
+
+    `with_lineage=True` additionally selects (_file, _pos) INSIDE each
+    leg — the one place `_metadata` is resolvable on this shape — so
+    metadata-needing callers (merge planning, CDF, DV application) run
+    past the literal cap too; they pick the columns up via
+    _attach_lineage's no-op branch."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -2616,6 +2639,11 @@ def _hive_group_scan(
     sch = StructType.fromJson(manifest["schema"])
     typ = {f.name: f.dataType for f in sch.fields}
     cols = [f.name for f in sch.fields]
+    if with_lineage:
+        lineage = [
+            _rel_file_col().alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ]
     groups: dict[tuple, list[str]] = {}
     plain: list[str] = []
     for p in paths:
@@ -2635,10 +2663,15 @@ def _hive_group_scan(
                 leg = leg.withColumn(
                     c, F.coalesce(F.col(c), F.lit(v).cast(typ[c]))
                 )
-        legs.append(leg.select(*cols))
-    if plain:
         legs.append(
-            _reader(spark, manifest).parquet(*plain).select(*cols)
+            leg.select(*cols, *lineage) if with_lineage
+            else leg.select(*cols)
+        )
+    if plain:
+        leg = _reader(spark, manifest).parquet(*plain)
+        legs.append(
+            leg.select(*cols, *lineage) if with_lineage
+            else leg.select(*cols)
         )
     return reduce(DataFrame.unionByName, legs)
 
@@ -2668,19 +2701,23 @@ def _scan_data(
     if _hive_cols(manifest) and manifest.get("schema") is not None:
         hive_by_path = _hive_entries_for(table, manifest, paths)
         if len(hive_by_path) > _HIVE_INJECT_MAX:
-            if need_metadata or mapping:
+            if mapping:
                 raise ValueError(
                     f"hive-partition injection over {len(hive_by_path)} "
                     f"imported files exceeds the literal-plan cap "
-                    f"({_HIVE_INJECT_MAX}) and this scan needs per-file "
-                    "metadata (outstanding deletes, merge/CDF planning, "
-                    "or a column mapping): prune on the partition column "
-                    "first (snapshot_read(prune=...)), fold deletes via "
-                    "snapshot_rewrite_deletes, or import the table "
+                    f"({_HIVE_INJECT_MAX}) and the table ALSO carries a "
+                    "column mapping (the coalesce-across-names resolve "
+                    "is not composed with the group-union shape): prune "
+                    "on the partition column first "
+                    "(snapshot_read(prune=...)) or import the table "
                     "materialized via snapshot_write"
                 )
+            # metadata-needing scans (merge/CDF/DV application) get the
+            # group-union shape with (_file, _pos) pre-attached per leg
+            # — the round-13 cap on those paths is lifted
             return _hive_group_scan(
-                spark, table, manifest, paths, hive_by_path
+                spark, table, manifest, paths, hive_by_path,
+                with_lineage=need_metadata,
             )
     if not mapping or manifest.get("schema") is None:
         df = _reader(spark, manifest).parquet(*paths)
@@ -2734,12 +2771,9 @@ def _apply_deletes(df: DataFrame, dv: DataFrame | None) -> DataFrame:
     past the join (helper columns are dropped immediately)."""
     if dv is None:
         return df
-    from pyspark.sql import functions as F
-
-    cols = df.columns
+    cols = [c for c in df.columns if c not in ("_file", "_pos")]
     return (
-        df.withColumn("_file", _rel_file_col())
-        .withColumn("_pos", F.col("_metadata.row_index"))
+        _attach_lineage(df)
         .join(dv, ["_file", "_pos"], "left_anti")
         .select(*cols)
     )
@@ -2895,12 +2929,10 @@ def _live_rows(
     df = _scan_data(
         spark, table, manifest, files, need_metadata=needs_meta
     )
-    cols = df.columns
+    cols = [c for c in df.columns if c not in ("_file", "_pos")]
     if not needs_meta:
         return df
-    df = df.withColumn("_file", _rel_file_col()).withColumn(
-        "_pos", F.col("_metadata.row_index")
-    )
+    df = _attach_lineage(df)
     if dv is not None:
         df = df.join(dv, ["_file", "_pos"], "left_anti")
     df = _apply_eq_deletes(spark, table, manifest, df)
@@ -3279,11 +3311,9 @@ def snapshot_merge(
                     for c in e["on"]
                 ]
                 scan_cols = list(dict.fromkeys([*on, *eq_cols]))
-                raw = _scan_data(spark, table, prev, candidates).select(
-                    *scan_cols,
-                    _rel_file_col().alias("_file"),
-                    F.col("_metadata.row_index").alias("_pos"),
-                )
+                raw = _attach_lineage(
+                    _scan_data(spark, table, prev, candidates)
+                ).select(*scan_cols, "_file", "_pos")
                 if dv is not None:
                     raw = raw.join(dv, ["_file", "_pos"], "left_anti")
                 # rows shadowed by an equality delete are logically
@@ -3695,10 +3725,7 @@ def snapshot_changes(
         """Live rows of `paths` under the to-version SCHEMA (a superset
         under add-only evolution) with the OWNING version's deletes of
         both flavors applied — _file/_pos attached once on the scan."""
-        df = _scan_data(spark, table, mb, paths)
-        df = df.withColumn("_file", _rel_file_col()).withColumn(
-            "_pos", F.col("_metadata.row_index")
-        )
+        df = _attach_lineage(_scan_data(spark, table, mb, paths))
         if dv is not None:
             df = df.join(dv, ["_file", "_pos"], "left_anti")
         return _apply_eq_deletes(spark, table, eq_manifest, df).select(*cols)
@@ -3752,12 +3779,9 @@ def snapshot_changes(
                 os.path.abspath(os.path.join(table, p)) for p in cand
             )
         dv_own = _dv_frame(spark, table, own_manifest)
-        live = _scan_data(
+        live = _attach_lineage(_scan_data(
             spark, table, mb, [os.path.join(table, p) for p in cand]
-        )
-        live = live.withColumn("_file", _rel_file_col()).withColumn(
-            "_pos", F.col("_metadata.row_index")
-        )
+        ))
         if dv_own is not None:
             live = live.join(dv_own, ["_file", "_pos"], "left_anti")
         if other_dv is not None:
@@ -3803,14 +3827,11 @@ def snapshot_changes(
                 files_read.extend(
                     os.path.abspath(os.path.join(table, p)) for p in tfiles
                 )
-            rows = (
+            rows = _attach_lineage(
                 _scan_data(
                     spark, table, mb, [os.path.join(table, p) for p in tfiles]
                 )
-                .withColumn("_file", _rel_file_col())
-                .withColumn("_pos", F.col("_metadata.row_index"))
-                .join(tombs, ["_file", "_pos"], "left_semi")
-            )
+            ).join(tombs, ["_file", "_pos"], "left_semi")
             if eq_manifest is not None:
                 # a DV-resurrected row still shadowed by a persisting eq
                 # file is NOT live at `to` — keep it out of the feed

@@ -34,6 +34,7 @@ def _read_delta_independently(dest: str):
     live: dict[str, dict] = {}
     schema = None
     protocol = None
+    partition_cols: list[str] = []
     cp_v = None
     lc = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(lc):
@@ -46,16 +47,20 @@ def _read_delta_independently(dest: str):
             "NULL", [cp],
         ).fetchone()
         protocol = {"minReaderVersion": mrv, "minWriterVersion": mwv}
-        (ss,) = con.execute(
-            "SELECT metaData.schemaString FROM read_parquet(?) "
+        (ss, pcols) = con.execute(
+            "SELECT metaData.schemaString, metaData.partitionColumns "
+            "FROM read_parquet(?) "
             "WHERE metaData.id IS NOT NULL", [cp],
         ).fetchone()
         schema = json.loads(ss)
-        for path, stats in con.execute(
-            "SELECT add.path, add.stats FROM read_parquet(?) "
+        partition_cols = list(pcols or [])
+        for path, stats, pv in con.execute(
+            "SELECT add.path, add.stats, add.partitionValues "
+            "FROM read_parquet(?) "
             "WHERE add.path IS NOT NULL", [cp],
         ).fetchall():
-            live[path] = {"path": path, "stats": stats}
+            live[path] = {"path": path, "stats": stats,
+                          "partitionValues": dict(pv or {})}
     logs = sorted(glob.glob(os.path.join(log_dir, "*.json")))
     logs = [
         p for p in logs
@@ -70,6 +75,9 @@ def _read_delta_independently(dest: str):
                 act = json.loads(line)
                 if "metaData" in act:
                     schema = json.loads(act["metaData"]["schemaString"])
+                    partition_cols = list(
+                        act["metaData"].get("partitionColumns") or []
+                    )
                 elif "protocol" in act:
                     protocol = act["protocol"]
                 elif "add" in act:
@@ -87,8 +95,44 @@ def _read_delta_independently(dest: str):
     paths = [os.path.join(dest, p) for p in sorted(live)]
     for p in paths:
         assert os.path.exists(p), f"log references missing file {p}"
+    con = duckdb.connect()
+    if partition_cols:
+        # the spec's partitioned-table read: partition column values
+        # come from each add's partitionValues (string-serialized),
+        # cast per the declared schema type — data files do not carry
+        # the columns
+        duck_t = {"long": "BIGINT", "integer": "INTEGER",
+                  "short": "SMALLINT", "byte": "TINYINT",
+                  "double": "DOUBLE", "float": "FLOAT",
+                  "string": "VARCHAR", "date": "DATE",
+                  "boolean": "BOOLEAN"}
+        types = {f["name"]: f["type"] for f in schema["fields"]}
+        legs = []
+        for rel in sorted(live):
+            pv = live[rel].get("partitionValues") or {}
+            sel_parts = []
+            for c in cols:
+                if c in partition_cols:
+                    v = pv.get(c)
+                    lit = "NULL" if v is None else (
+                        "'" + str(v).replace("'", "''") + "'"
+                    )
+                    sel_parts.append(
+                        f'CAST({lit} AS {duck_t[types[c]]}) AS "{c}"'
+                    )
+                else:
+                    sel_parts.append(f'"{c}"')
+            legs.append(
+                f"SELECT {', '.join(sel_parts)} FROM read_parquet('"
+                + os.path.join(dest, rel).replace("'", "''") + "')"
+            )
+        rows = con.execute(
+            "SELECT * FROM (" + " UNION ALL ".join(legs)
+            + ") ORDER BY ALL"
+        ).fetchall()
+        return cols, rows
     sel = ", ".join(f'"{c}"' for c in cols)
-    rows = duckdb.connect().execute(
+    rows = con.execute(
         f"SELECT {sel} FROM read_parquet(?, union_by_name=true) "
         f"ORDER BY ALL",
         [paths],
@@ -1007,9 +1051,11 @@ def test_hive_injection_group_union_past_literal_cap(
 ):
     """Past _HIVE_INJECT_MAX, a plain read of a hive mirror switches to
     the GROUP-UNION scan (one leg per partition tuple, plan size
-    O(#partitions)) with identical content — while a scan that needs
-    per-file metadata (outstanding deletes) refuses by name until the
-    deletes fold."""
+    O(#partitions)) with identical content — and (round-14, lifting the
+    round-13 cap) scans that need per-file metadata (MoR deletes,
+    merge planning, CDF) take the same shape with (_file, _pos)
+    attached per leg. Only the column-mapping composition still
+    refuses by name."""
     monkeypatch.setattr(S, "_HIVE_INJECT_MAX", 1)
     root = str(tmp_path / "foreign")
     _write_foreign_hive_delta(spark, root, 0, [
@@ -1036,21 +1082,44 @@ def test_hive_injection_group_union_past_literal_cap(
     expect[100] = "north"
     assert got == expect
     # a MoR delete makes the read need per-file metadata: past the cap
-    # that refuses by name...
+    # the scan now runs as the lineage'd group-union (round-13 item 3)
+    v_before = S.snapshot_versions(tbl)[-1]
     S.snapshot_merge(
         spark, tbl, spark.createDataFrame([(3,)], "id long"), on=["id"],
         when_matched="delete", insert_not_matched=False, strategy="mor",
     )
-    with pytest.raises(ValueError, match="literal-plan cap"):
-        S.snapshot_read(spark, tbl).collect()
-    # ...and folding the deletes restores the group-union path
-    S.snapshot_rewrite_deletes(spark, tbl)
     expect.pop(3)
     got2 = {
         row["id"]: row["region"]
         for row in S.snapshot_read(spark, tbl).collect()
     }
     assert got2 == expect
+    # CDF past the cap: the tombstone delta materializes as a delete
+    ch = S.snapshot_changes(
+        spark, tbl, from_version=v_before,
+        to_version=S.snapshot_versions(tbl)[-1],
+    )
+    assert [(r["id"], r["_change_type"]) for r in ch.collect()] == [
+        (3, "delete")]
+    # an UPSERT merge past the cap (semi-join touched-file discovery
+    # needs _metadata too)
+    S.snapshot_merge(
+        spark, tbl,
+        spark.createDataFrame([(5, "upd", "east")],
+                              "id long, name string, region string"),
+        on=["id"],
+    )
+    got3 = {
+        row["id"]: row["name"]
+        for row in S.snapshot_read(spark, tbl).collect()
+    }
+    assert got3[5] == "upd" and 3 not in got3
+    # the one remaining composition boundary: column mapping + over-cap
+    # hive injection still refuses BY NAME
+    S.snapshot_rewrite_deletes(spark, tbl)
+    S.snapshot_rename_column(tbl, "name", "label")
+    with pytest.raises(ValueError, match="column mapping"):
+        S.snapshot_read(spark, tbl).collect()
 
 
 def test_import_bootstraps_from_foreign_checkpoint(spark, tmp_path):
@@ -1890,3 +1959,74 @@ def test_import_column_mapping_refusals(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
     with pytest.raises(ValueError, match="partition"):
         snapshot_import_delta(spark, root3, str(tmp_path / "m3"))
+
+
+def test_hive_mirror_exports_zero_copy_partitioned(spark, tmp_path):
+    """round-13 verdict item 5: a hive-import mirror exports ZERO-COPY
+    as a genuinely PARTITIONED Delta table — each add carries its
+    partitionValues, metaData declares partitionColumns, bytes are
+    shared (same inode), and the independent spec reader (which casts
+    partition values from the log, like any Delta reader) reconstructs
+    snapshot_read exactly. The export then re-imports, closing the
+    circle."""
+    root = str(tmp_path / "foreign")
+    _write_foreign_hive_delta(spark, root, 0, [
+        ([(i, f"e{i}") for i in range(10)], "east"),
+        ([(i, f"w{i}") for i in range(10, 20)], "west"),
+    ])
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    dest = str(tmp_path / "delta_out")
+    r = snapshot_export_delta(spark, tbl, dest)
+    assert r["mode"] == "zero-copy", r
+    # spec surface: partitionColumns in metaData, partitionValues on adds
+    log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log) if x.strip()]
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    assert md["partitionColumns"] == ["region"]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert sorted(a["partitionValues"]["region"] for a in adds) == [
+        "east", "west"]
+    # shared bytes: no data pass happened
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    for e in S._all_entries(tbl, m):
+        assert os.path.samefile(
+            os.path.join(tbl, e["path"]), os.path.join(dest, e["path"]))
+    # independent reader equality (partition col reconstructed from log)
+    cols, rows = _read_delta_independently(dest)
+    assert cols == ["id", "name", "region"]
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    # full circle: the export imports again as a hive mirror
+    tbl2 = str(tmp_path / "mirror2")
+    r2 = snapshot_import_delta(spark, dest, tbl2, stats_cols=["id"])
+    assert r2["files_adopted"] == 2
+    assert _snapshot_rows_sorted(spark, tbl2, cols) == rows
+
+
+def test_hive_mirror_export_after_local_append(spark, tmp_path):
+    """A locally-appended hive mirror loses zero-copy eligibility (the
+    new file physically carries the partition column, with no hive
+    values to emit): a FRESH dest materializes; the EXISTING partitioned
+    dest refuses by name instead of silently flipping partitionColumns."""
+    root = str(tmp_path / "foreign")
+    _write_foreign_hive_delta(spark, root, 0, [
+        ([(i, f"e{i}") for i in range(5)], "east"),
+    ])
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    dest = str(tmp_path / "out1")
+    assert snapshot_export_delta(spark, tbl, dest)["mode"] == "zero-copy"
+    # local append: file carries (id, name, region) physically
+    S.snapshot_write(
+        spark.createDataFrame([(100, "x", "north")],
+                              "id long, name string, region string"),
+        tbl, mode="append", n_files=1, stats_cols=["id"],
+    )
+    with pytest.raises(ValueError, match="partitionColumns"):
+        snapshot_export_delta(spark, tbl, dest)
+    dest2 = str(tmp_path / "out2")
+    r = snapshot_export_delta(spark, tbl, dest2)
+    assert r["mode"] == "materialized"
+    cols, rows = _read_delta_independently(dest2)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    assert (100, "x", "north") in rows
