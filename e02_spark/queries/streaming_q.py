@@ -1097,7 +1097,72 @@ def _merge_chain(spark: SparkSession, sf_dir: str) -> dict:
 
 
 _SMALL_MEMO: dict[tuple, dict] = {}
+_SMALL_START: dict[tuple, dict] = {}
 _SMALL_LOCK = _threading.Lock()
+
+
+def _small_chain_start(spark: SparkSession, sf_dir: str) -> dict:
+    """PHASE 1 of the small chain: clone v1 synchronously (hard-links
+    from the shared small base) and run the two CoW merges on a
+    background thread. Returns {'table', 'future'} so a caller can
+    overlap its own v1-dependent prep (q119's maintained-state base
+    and MV creations) with the merge builds instead of blocking on the
+    whole chain; `_small_chain()` joins the future. Memoized per
+    (session, sf) — concurrent parts share one build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _SMALL_LOCK:
+        hit = _SMALL_START.get(key)
+        if hit is not None:
+            return hit
+        table = _cloned_small_base(spark, sf_dir, "e02_smallchain_")
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(_small_chain_merges, spark, sf_dir, table, key)
+        ex.shutdown(wait=False)
+        hit = {"table": table, "v1": 1, "future": fut}
+        _SMALL_START[key] = hit
+        return hit
+
+
+def _small_chain_merges(
+    spark: SparkSession, sf_dir: str, table: str, key
+) -> dict:
+    from ..io import load_table
+    from ..ops.snapshot import snapshot_merge
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.expr(_SMALL_WHERE.removeprefix("WHERE "))
+    )
+    q = _orders_max_key(spark, sf_dir) // 4
+    dels = orders.where(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") < q)
+    ).select("o_orderkey")
+    m1 = snapshot_merge(
+        spark, table, dels, on=["o_orderkey"],
+        when_matched="delete", insert_not_matched=False,
+    )
+    upd = orders.where(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderkey") >= q)
+        & (F.col("o_orderkey") < 2 * q)
+    ).withColumn("o_orderpriority", F.lit("X-MERGED"))
+    ins = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    m2 = snapshot_merge(
+        spark, table, upd.unionByName(ins), on=["o_orderkey"],
+        when_matched="update", insert_not_matched=True,
+        n_files_new=2, cluster_by=["o_orderkey"],
+    )
+    hit = {
+        "table": table, "v1": 1, "v2": m1["version"],
+        "v3": m2["version"], "m1": m1, "m2": m2,
+    }
+    _SMALL_MEMO[key] = hit
+    return hit
 
 
 def _small_chain(spark: SparkSession, sf_dir: str) -> dict:
@@ -1113,48 +1178,7 @@ def _small_chain(spark: SparkSession, sf_dir: str) -> dict:
     hit = _SMALL_MEMO.get(key)
     if hit is not None:
         return hit
-    with _SMALL_LOCK:
-        hit = _SMALL_MEMO.get(key)
-        if hit is not None:
-            return hit
-        from ..io import load_table
-        from ..ops.snapshot import snapshot_merge, snapshot_write
-
-        orders = load_table(spark, sf_dir, "orders").where(
-            F.expr(_SMALL_WHERE.removeprefix("WHERE "))
-        )
-        # v1 by hard-link from the shared small base (one small-feed
-        # write per session feeds this chain AND q118/q123's)
-        table = _cloned_small_base(spark, sf_dir, "e02_smallchain_")
-        q = _orders_max_key(spark, sf_dir) // 4
-        dels = orders.where(
-            (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") < q)
-        ).select("o_orderkey")
-        m1 = snapshot_merge(
-            spark, table, dels, on=["o_orderkey"],
-            when_matched="delete", insert_not_matched=False,
-        )
-        upd = orders.where(
-            (F.col("o_orderkey") % 7 == 0)
-            & (F.col("o_orderkey") >= q)
-            & (F.col("o_orderkey") < 2 * q)
-        ).withColumn("o_orderpriority", F.lit("X-MERGED"))
-        ins = (
-            orders.where(F.col("o_orderkey") % 97 == 0)
-            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
-            .withColumn("o_orderstatus", F.lit("N"))
-        )
-        m2 = snapshot_merge(
-            spark, table, upd.unionByName(ins), on=["o_orderkey"],
-            when_matched="update", insert_not_matched=True,
-            n_files_new=2, cluster_by=["o_orderkey"],
-        )
-        hit = {
-            "table": table, "v1": 1, "v2": m1["version"],
-            "v3": m2["version"], "m1": m1, "m2": m2,
-        }
-        _SMALL_MEMO[key] = hit
-        return hit
+    return _small_chain_start(spark, sf_dir)["future"].result()
 
 
 def _merge_chain_build(spark: SparkSession, sf_dir: str, key) -> dict:
@@ -1598,16 +1622,41 @@ FROM orders GROUP BY 1, 2
 
 
 def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..ops.ivm import apply_agg_delta, finish_agg, materialize_agg
+    from ..ops.mv import mv_create
     from ..ops.snapshot import snapshot_changes, snapshot_read
 
-    ch = _small_chain(spark, sf_dir)
     keys, sums = ["o_orderpriority"], {"total_price": "o_totalprice"}
     minmax = {"price": "o_totalprice"}
-    state = materialize_agg(
-        snapshot_read(spark, ch["table"], version=ch["v1"]), keys, sums,
-        minmax=minmax,
-    )
+    # phase-1 chain handle: v1 is committed before the merges run, and
+    # the maintained-state BASE plus both MV creations depend only on
+    # v1 — run them CONCURRENTLY with the chain's merge builds instead
+    # of serially after them (they read version=1, immutable under the
+    # concurrent commits)
+    st_ch = _small_chain_start(spark, sf_dir)
+    mv = os.path.join(_tracked_mkdtemp(prefix="e02_mvtbl_"), "mv")
+    mv2 = os.path.join(_tracked_mkdtemp(prefix="e02_mvstream_"), "mv")
+    with ThreadPoolExecutor(max_workers=3) as pre:
+        fut_state = pre.submit(
+            lambda: materialize_agg(
+                snapshot_read(spark, st_ch["table"], version=1),
+                keys, sums, minmax=minmax,
+            ).localCheckpoint()
+        )
+        fut_mv = pre.submit(
+            lambda: mv_create(spark, st_ch["table"], mv, keys, sums,
+                              minmax=minmax, version=1)
+        )
+        fut_mv2 = pre.submit(
+            lambda: mv_create(spark, st_ch["table"], mv2, keys, sums,
+                              minmax=minmax, version=1)
+        )
+        ch = st_ch["future"].result()
+        state = fut_state.result()
+        fut_mv.result()
+        fut_mv2.result()
     delta = snapshot_changes(spark, ch["table"], ch["v1"], ch["v3"])
     # the chain's delete merge RETRACTS rows, so the maintained MIN/MAX
     # exercise recompute-on-retract: only dirty groups re-scan the base
@@ -1632,7 +1681,7 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-for-bit.
         from concurrent.futures import ThreadPoolExecutor
 
-        from ..ops.mv import mv_create, mv_refresh, mv_stream
+        from ..ops.mv import mv_refresh, mv_stream
         from ..ops.snapshot import snapshot_read as _sread
 
         def _diff_empty(df) -> bool:
@@ -1648,9 +1697,7 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _diff_empty(materialize_agg(v3, keys, sums, minmax=minmax))
 
         def _batch_leg() -> bool:
-            mv = os.path.join(_tracked_mkdtemp(prefix="e02_mvtbl_"), "mv")
-            mv_create(spark, ch["table"], mv, keys, sums, minmax=minmax,
-                      version=ch["v1"])
+            # mv was created at v1 up in the prefetch block
             r1 = mv_refresh(spark, ch["table"], mv)
             return (
                 r1["refreshed_to"] == ch["v3"]
@@ -1659,27 +1706,32 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def _stream_leg() -> bool:
-            mv2 = os.path.join(
-                _tracked_mkdtemp(prefix="e02_mvstream_"), "mv"
-            )
-            mv_create(spark, ch["table"], mv2, keys, sums, minmax=minmax,
-                      version=ch["v1"])
+            # mv2 was created at v1 up in the prefetch block
             _await(mv_stream(
                 spark, ch["table"], mv2,
                 _tracked_mkdtemp(prefix="e02_mvstreamck_"),
             ))
             return _diff_empty(_sread(spark, mv2))
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        def _finish_leg():
+            # the result projection depends only on `maintained` — run
+            # its job CONCURRENTLY with the verification legs instead of
+            # serially after them (the legs' booleans ride in as plain
+            # literals afterwards)
+            return finish_agg(
+                maintained, keys, sums, count_alias="n_orders",
+                minmax=minmax,
+            ).localCheckpoint()
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            fut_out = ex.submit(_finish_leg)
             fut_m = ex.submit(_recompute_leg)
             fut_b = ex.submit(_batch_leg)
             fut_s = ex.submit(_stream_leg)
+            out = fut_out.result()
             matches = fut_m.result()
             persisted_mv_matches = fut_b.result()
             streamed_mv_matches = fut_s.result()
-        out = finish_agg(
-            maintained, keys, sums, count_alias="n_orders", minmax=minmax
-        )
         return (
             out.withColumn("ivm_matches_recompute", F.lit(bool(matches)))
             .withColumn(
@@ -1688,7 +1740,6 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(
                 "streamed_mv_matches", F.lit(bool(streamed_mv_matches))
             )
-            .localCheckpoint()
         )
     finally:
         maintained.unpersist()
@@ -2028,9 +2079,13 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against the state instead of one per batch
     from functools import reduce
 
+    # ONE fold job (localCheckpoint) — the verification diff and the
+    # result projection below both read the folded state from the
+    # checkpoint instead of re-running the fold, and run CONCURRENTLY
+    # (independent jobs; serial order paid two folds plus two tail walls)
     state = apply_agg_delta(
         state, reduce(DataFrame.unionByName, batches), keys, sums
-    )
+    ).localCheckpoint()
     sl.unpersist()
     # exact feed accounting pins maintenance silence: the drain must have
     # carried the append's inserts, the delete-merge's deletes, and the
@@ -2039,19 +2094,31 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1 == rows_lo
         and n2 == (st["n"] - rows_lo) + st["n_del"] + 2 * st["n_upd"]
     )
-    recompute = materialize_agg(snapshot_read(spark, tbl), keys, sums)
-    matches = (
-        state.exceptAll(recompute)
-        .unionByName(recompute.exceptAll(state))
-        .limit(1)
-        .count()
-        == 0
-    )
-    out = finish_agg(state, keys, sums, count_alias="n_orders")
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _matches_leg() -> bool:
+        recompute = materialize_agg(snapshot_read(spark, tbl), keys, sums)
+        return (
+            state.exceptAll(recompute)
+            .unionByName(recompute.exceptAll(state))
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    def _out_leg():
+        return finish_agg(
+            state, keys, sums, count_alias="n_orders"
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_out = ex.submit(_out_leg)
+        fut_m = ex.submit(_matches_leg)
+        out = fut_out.result()
+        matches = fut_m.result()
     return (
         out.withColumn("ivm_matches_recompute", F.lit(bool(matches)))
         .withColumn("maintenance_silent", F.lit(bool(maintenance_silent)))
-        .localCheckpoint()
     )
 
 

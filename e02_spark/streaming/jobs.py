@@ -627,7 +627,14 @@ def incremental_corpus_dedup(
             return  # empty micro-batch: nothing to probe, no state to write
         prev_max = _wm["max"]
         if prev_max is None:
-            prev_max = sizes_old.agg(F.max("doc_id")).first()[0]
+            from e02_spark.ops.snapshot import snapshot_versions
+
+            # a FRESH state dir (no committed doc_sizes snapshot) has no
+            # watermark by construction — the versions() file listing
+            # answers that without scheduling a Spark job over an empty
+            # frame (profiled ~0.4 s of pure batch-0 machinery)
+            if snapshot_versions(sizes_tbl):
+                prev_max = sizes_old.agg(F.max("doc_id")).first()[0]
         if prev_max is not None and lo <= prev_max:
             raise ValueError(
                 "incremental_corpus_dedup ingest-order contract violated: "
