@@ -222,3 +222,84 @@ def dv_positions(delta_dir: str, descriptor: dict) -> list[int]:
             f"says {card}"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# WRITE side (round-14): serialize position sets so snapshot_export_delta
+# can express outstanding positional tombstones as genuine Delta DVs
+# (protocol 3 + readerFeatures=[deletionVectors]) instead of forcing a
+# materializing data rewrite. Array/bitmap containers only — the
+# portable spec's no-run cookie (12346) makes run containers optional
+# for writers; readers (ours included) must handle all three.
+# ---------------------------------------------------------------------------
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """One 32-bit roaring bitmap (portable, no run containers): values
+    must be sorted, deduplicated, < 2**32."""
+    by_key: dict[int, list[int]] = {}
+    for v in values:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = bytearray(struct.pack("<II", _SERIAL_COOKIE_NO_RUNCONTAINER,
+                                len(keys)))
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    bodies = []
+    for k in keys:
+        vals = by_key[k]
+        if len(vals) <= 4096:
+            bodies.append(struct.pack(f"<{len(vals)}H", *vals))
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            bodies.append(struct.pack("<1024Q", *words))
+    off = len(out) + 4 * len(keys)
+    for b in bodies:
+        out += struct.pack("<I", off)
+        off += len(b)
+    for b in bodies:
+        out += b
+    return bytes(out)
+
+
+def serialize_roaring_array(positions: list[int]) -> bytes:
+    """RoaringBitmapArray portable bytes for sorted 64-bit row indexes
+    (the exact encoding roaring_array_positions reads back)."""
+    by_high: dict[int, list[int]] = {}
+    for p in sorted(set(positions)):
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n = (max(by_high) + 1) if by_high else 0
+    out = bytearray(struct.pack("<iq", ROARING_ARRAY_MAGIC, n))
+    for i in range(n):
+        out += _serialize_roaring32(by_high.get(i, []))
+    return bytes(out)
+
+
+def write_dv_file(
+    path: str, blobs: dict[str, bytes]
+) -> dict[str, tuple[int, int]]:
+    """Write ONE on-disk DV file holding every blob (keyed by an
+    arbitrary id): 1-byte format version, then per blob <int32 BE size>
+    <data><int32 BE CRC-32>. Returns {id: (offset of the size word,
+    size)} for descriptor construction. Written tmp+rename (data
+    plane)."""
+    import uuid as _uuid_mod
+
+    tmp = path + f".tmp-{_uuid_mod.uuid4().hex}"
+    offsets: dict[str, tuple[int, int]] = {}
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(b"\x01")
+            for key in sorted(blobs):
+                data = blobs[key]
+                offsets[key] = (fh.tell(), len(data))
+                fh.write(struct.pack(">i", len(data)))
+                fh.write(data)
+                fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return offsets

@@ -40,14 +40,20 @@ Two materialization modes, chosen per export:
 * ZERO-COPY (the default when legal): live data files are hard-linked
   (store.adopt_file) under dest and logged as-is — O(metadata) work,
   no data pass, the exported table shares bytes with the snapshot.
-  Legal only when a plain Delta reader would see exactly the committed
-  content: no outstanding deletes (positional DVs / equality deletes —
-  minReaderVersion 1 cannot express them), no rename/drop history
-  (old files carry old physical names; Delta column mapping is a
-  reader feature 2 concern this exporter does not claim), and every
+  Legal only when a Delta reader would see exactly the committed
+  content: no outstanding EQUALITY deletes (no Delta equivalent);
+  positional tombstones DO stay zero-copy since round 14 — they
+  serialize as genuine Delta DELETION VECTORS (one RoaringBitmapArray
+  DV file per export, storageType 'u', protocol upgraded to
+  minReaderVersion 3 + readerFeatures=[deletionVectors], exactly the
+  delta-spark MoR shape; disable with deletion_vectors=False to keep a
+  protocol-1 mirror); no rename/drop history (old files carry old
+  physical names; writing column mapping is not claimed); and every
   file's physical types match the declared schema (a pre-widen int32
   file under a `long` column would need reader-side upcasting the spec
   does not promise). The per-file type check reads only footers.
+  Hive-import mirrors export zero-copy as PARTITIONED Delta tables
+  (per-add partitionValues + metaData.partitionColumns).
 * MATERIALIZE: `snapshot_read` at the pinned version is rewritten as
   fresh parquet under dest (deletes applied, names/types resolved),
   then logged. Always legal; costs one data pass.
@@ -260,8 +266,22 @@ def _checkpoint_actions(paths: str | list[str]):
             if v is None or all(x is None for x in v.values()):
                 continue
             v = dict(v)
-            if key == "add":
-                v["partitionValues"] = _as_map(v.get("partitionValues"))
+            if key in ("add", "remove"):
+                if key == "add":
+                    v["partitionValues"] = _as_map(
+                        v.get("partitionValues")
+                    )
+                    if v.get("tags") is not None:
+                        v["tags"] = _as_map(v["tags"])
+                if v.get("deletionVector") is not None and all(
+                    x is None for x in dict(v["deletionVector"]).values()
+                ):
+                    v["deletionVector"] = None
+            elif key == "protocol":
+                # feature lists absent on pre-DV checkpoints
+                for fk in ("readerFeatures", "writerFeatures"):
+                    if v.get(fk) is None:
+                        v.pop(fk, None)
             elif key == "metaData":
                 v["configuration"] = _as_map(v.get("configuration"))
                 fmt = dict(v.get("format") or {})
@@ -374,6 +394,91 @@ def _entry_stats_json(entry: dict) -> str:
     return json.dumps(out, sort_keys=True)
 
 
+def _tombstone_positions(table: str, manifest: dict) -> dict[str, list[int]]:
+    """{table-relative data path: sorted deleted positions} from the
+    manifest's positional delete shards. Driver-side pyarrow read —
+    tombstone sets are bounded by matched-rows-since-last-rewrite (the
+    MoR bargain), the same scale the commit plane already handles."""
+    import pyarrow.parquet as pq
+
+    from .snapshot import _all_entries
+
+    out: dict[str, list[int]] = {}
+    for e in _all_entries(table, manifest, "deletes"):
+        t = pq.read_table(
+            os.path.join(table, e["path"]), columns=["_file", "_pos"]
+        )
+        for f, p in zip(
+            t.column("_file").to_pylist(), t.column("_pos").to_pylist()
+        ):
+            out.setdefault(f, []).append(int(p))
+    return {f: sorted(set(ps)) for f, ps in out.items()}
+
+
+def _export_dvs(
+    dest: str, dv_by_file: dict[str, list[int]], prev_live: dict,
+) -> dict[str, dict]:
+    """Serialize the per-file tombstone sets into ONE Delta DV file
+    (storageType 'u', many vectors per file — the delta-spark packing)
+    and return {rel: {'deletionVector': descriptor, 'tags': {...}}}.
+    A file whose position set is UNCHANGED since the previous export
+    (digest comparison via the add's tags) re-uses its existing
+    descriptor verbatim — incremental mirror syncs never rewrite
+    stable DVs."""
+    from .delta_dv import serialize_roaring_array, write_dv_file, z85_encode
+
+    digests: dict[str, str] = {}
+    reuse: dict[str, dict] = {}
+    fresh: dict[str, bytes] = {}
+    for rel, positions in dv_by_file.items():
+        digest = hashlib.sha256(
+            ",".join(map(str, positions)).encode()
+        ).hexdigest()[:16]
+        digests[rel] = digest
+        prev = prev_live.get(rel) or {}
+        prev_tags = _as_map(prev.get("tags"))
+        if (
+            prev.get("deletionVector")
+            and prev_tags.get("e02DvDigest") == digest
+        ):
+            reuse[rel] = {
+                "deletionVector": dict(prev["deletionVector"]),
+                "tags": prev_tags,
+            }
+        else:
+            fresh[rel] = serialize_roaring_array(positions)
+    descs: dict[str, dict] = dict(reuse)
+    if fresh:
+        u = uuid.uuid4()
+        offsets = write_dv_file(
+            os.path.join(dest, f"deletion_vector_{u}.bin"), fresh
+        )
+        enc = z85_encode(u.bytes)
+        for rel, (off, size) in offsets.items():
+            descs[rel] = {
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": enc,
+                    "offset": off,
+                    "sizeInBytes": size,
+                    "cardinality": len(dv_by_file[rel]),
+                },
+                "tags": {"e02DvDigest": digests[rel]},
+            }
+    return descs
+
+
+def _dv_rel_of(dest: str, add: dict) -> str | None:
+    """dest-relative path of an add's on-disk DV file (storage 'u'),
+    for vacuum accounting; None for no DV / inline."""
+    d = add.get("deletionVector")
+    if not d or d.get("storageType") != "u":
+        return None
+    from .delta_dv import dv_absolute_path
+
+    return os.path.relpath(dv_absolute_path(dest, dict(d)), dest)
+
+
 def _file_types_conform(path: str, declared: dict[str, str]) -> bool:
     """True iff every declared column present in the file carries a
     physical type a plain Delta reader reads back as the declared type.
@@ -432,14 +537,20 @@ def _write_checkpoint(
         [("appId", pa.string()), ("version", pa.int64()),
          ("lastUpdated", pa.int64())]
     )
+    dv_t = pa.struct(
+        [("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+         ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+         ("cardinality", pa.int64())]
+    )
     add_t = pa.struct(
         [("path", pa.string()), ("partitionValues", map_t),
          ("size", pa.int64()), ("modificationTime", pa.int64()),
-         ("dataChange", pa.bool_()), ("stats", pa.string())]
+         ("dataChange", pa.bool_()), ("stats", pa.string()),
+         ("deletionVector", dv_t), ("tags", map_t)]
     )
     remove_t = pa.struct(
         [("path", pa.string()), ("deletionTimestamp", pa.int64()),
-         ("dataChange", pa.bool_())]
+         ("dataChange", pa.bool_()), ("deletionVector", dv_t)]
     )
     meta_t = pa.struct(
         [("id", pa.string()),
@@ -461,11 +572,20 @@ def _write_checkpoint(
             "configuration", "createdTime",
         )}
 
+    proto_row = {
+        "minReaderVersion": int(protocol["minReaderVersion"]),
+        "minWriterVersion": int(protocol["minWriterVersion"]),
+        "readerFeatures": (
+            sorted(protocol["readerFeatures"])
+            if protocol.get("readerFeatures") is not None else None
+        ),
+        "writerFeatures": (
+            sorted(protocol["writerFeatures"])
+            if protocol.get("writerFeatures") is not None else None
+        ),
+    }
     rows: list[dict] = [
-        {"protocol": {
-            "minReaderVersion": int(protocol["minReaderVersion"]),
-            "minWriterVersion": int(protocol["minWriterVersion"]),
-        }},
+        {"protocol": proto_row},
         {"metaData": _mapify(metadata)},
     ]
     if src_version is not None:
@@ -475,6 +595,7 @@ def _write_checkpoint(
         }})
     for p in sorted(live):
         a = live[p]
+        dvd = a.get("deletionVector")
         rows.append({"add": {
             "path": a["path"],
             "partitionValues": sorted(
@@ -484,24 +605,40 @@ def _write_checkpoint(
             "modificationTime": int(a["modificationTime"]),
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
+            "deletionVector": (
+                {k: dict(dvd).get(k) for k in (
+                    "storageType", "pathOrInlineDv", "offset",
+                    "sizeInBytes", "cardinality",
+                )} if dvd else None
+            ),
+            "tags": sorted(_as_map(a.get("tags")).items()) or None,
         }})
     for p in sorted(tombstones or {}):
         if p in live:
             continue  # re-added since: live add wins, no tombstone
         r = tombstones[p]
+        rdv = r.get("deletionVector")
         rows.append({"remove": {
             "path": p,
             "deletionTimestamp": int(
                 r.get("deletionTimestamp") or time.time() * 1000
             ),
             "dataChange": bool(r.get("dataChange", True)),
+            "deletionVector": (
+                {k: dict(rdv).get(k) for k in (
+                    "storageType", "pathOrInlineDv", "offset",
+                    "sizeInBytes", "cardinality",
+                )} if rdv else None
+            ),
         }})
     cols = ("txn", "add", "remove", "metaData", "protocol")
     types = {
         "txn": txn_t, "add": add_t, "remove": remove_t,
         "metaData": meta_t,
         "protocol": pa.struct([("minReaderVersion", pa.int32()),
-                               ("minWriterVersion", pa.int32())]),
+                               ("minWriterVersion", pa.int32()),
+                               ("readerFeatures", pa.list_(pa.string())),
+                               ("writerFeatures", pa.list_(pa.string()))]),
     }
     table = pa.table(
         {c: pa.array([r.get(c) for r in rows], type=types[c]) for c in cols}
@@ -531,6 +668,7 @@ def snapshot_export_delta(
     n_files: int | None = None,
     allow_rewind: bool = False,
     checkpoint_interval: int | None = _CHECKPOINT_INTERVAL,
+    deletion_vectors: bool = True,
 ) -> dict:
     """Materialize snapshot `table` at `version` (default latest) as a
     Delta Lake table at `dest` — see the module docstring for the
@@ -546,7 +684,21 @@ def snapshot_export_delta(
     pin must not silently roll the Delta mirror back). A schema change
     since the previous export re-emits `metaData` in the incremental
     commit. Every `checkpoint_interval`-th commit also writes a classic
-    checkpoint + `_last_checkpoint` (None disables)."""
+    checkpoint + `_last_checkpoint` (None disables).
+
+    DELETION VECTORS (round-14): `deletion_vectors=True` (the default)
+    lets a snapshot with outstanding POSITIONAL tombstones export
+    zero-copy — the tombstone set serializes into one Delta DV file per
+    export (RoaringBitmapArray, storageType 'u') and each shadowed add
+    carries its deletionVector descriptor, with the protocol upgraded
+    to minReaderVersion 3 + readerFeatures=[deletionVectors] (exactly
+    what delta-spark writes after a MoR DELETE). An unchanged
+    tombstone set re-uses the previous export's DV verbatim (a digest
+    rides each add's `tags`), so incremental syncs never rewrite
+    stable DVs. Pass deletion_vectors=False to keep the old behavior
+    (outstanding deletes force a materializing rewrite and the mirror
+    stays protocol-1-readable). Equality deletes are never expressible
+    as DVs and always force materialize."""
     from .snapshot import (
         _all_entries,
         _col_mapping,
@@ -580,8 +732,15 @@ def snapshot_export_delta(
         blockers = ["nested column types"]
     else:
         blockers = []
-    if m.get("deletes") or m.get("eq_deletes"):
-        blockers.append("outstanding delete files (DV/equality)")
+    if m.get("eq_deletes"):
+        blockers.append(
+            "outstanding EQUALITY deletes (no Delta DV equivalent)"
+        )
+    want_dv = bool(m.get("deletes"))
+    if want_dv and not deletion_vectors:
+        blockers.append(
+            "outstanding positional deletes (deletion_vectors=False)"
+        )
     if _col_mapping(m) or _dropped_cols(m):
         blockers.append("column rename/drop history")
     if m.get("partition_spec") or m.get("partition_specs"):
@@ -696,6 +855,11 @@ def snapshot_export_delta(
                 "stats": _entry_stats_json(ent),
             }
     else:
+        dv_descs: dict[str, dict] = {}
+        if want_dv:
+            dv_descs = _export_dvs(
+                dest, _tombstone_positions(table, m), prev_live
+            )
         for e in entries:
             src = os.path.join(table, e["path"])
             rel = e["path"]
@@ -718,11 +882,34 @@ def snapshot_export_delta(
                 "dataChange": True,
                 "stats": _entry_stats_json(e),
             }
+            d = dv_descs.get(rel)
+            if d is not None:
+                adds[rel]["deletionVector"] = d["deletionVector"]
+                adds[rel]["tags"] = d["tags"]
+
+    def _dv_state(a: dict):
+        """Identity of an add's tombstone state for the incremental
+        diff: the position-set digest when this exporter stamped one,
+        else the raw descriptor."""
+        dvd = a.get("deletionVector")
+        if not dvd:
+            return None
+        tags = _as_map(a.get("tags"))
+        return tags.get("e02DvDigest") or json.dumps(
+            dict(dvd), sort_keys=True
+        )
 
     new_paths = set(adds)
     old_paths = set(prev_live)
-    to_add = sorted(new_paths - old_paths)
-    to_remove = sorted(old_paths - new_paths)
+    # a file whose DV changed (grown tombstones, or folded back to
+    # none) re-logs as remove + add of the SAME path with the new
+    # descriptor — the Delta shape for a DV update
+    dv_changed = sorted(
+        p for p in (new_paths & old_paths)
+        if _dv_state(adds[p]) != _dv_state(prev_live[p])
+    )
+    to_add = sorted(new_paths - old_paths) + dv_changed
+    to_remove = sorted(old_paths - new_paths) + dv_changed
     log_v = 0 if last_log_v is None else last_log_v + 1
     sch_str = json.dumps(sch, sort_keys=True)
 
@@ -740,9 +927,30 @@ def snapshot_export_delta(
             }
         }
     ]
-    protocol = s["protocol"] or {
+    base_protocol = s["protocol"] or {
         "minReaderVersion": 1, "minWriterVersion": 2,
     }
+    protocol = dict(base_protocol)
+    live_after = {
+        p: a for p, a in prev_live.items() if p not in set(to_remove)
+    }
+    live_after.update({p: adds[p] for p in to_add})
+    if any(a.get("deletionVector") for a in live_after.values()):
+        # DVs in the live set require the table-features protocol —
+        # upgrade in this commit (spec-legal); never downgrade: a
+        # reader pinned to an old checkpoint may still see DV adds
+        feats_r = set(protocol.get("readerFeatures") or [])
+        feats_w = set(protocol.get("writerFeatures") or [])
+        if (
+            int(protocol.get("minReaderVersion") or 1) < 3
+            or "deletionVectors" not in feats_r
+        ):
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats_r | {"deletionVectors"}),
+                "writerFeatures": sorted(feats_w | {"deletionVectors"}),
+            }
     export_pcols = hive_cols if hive_zero_copy else []
     if last_log_v is not None:
         prev_pcols = list(
@@ -771,6 +979,8 @@ def snapshot_export_delta(
         actions.append({"protocol": protocol})
         actions.append({"metaData": metadata})
     else:
+        if protocol != base_protocol:
+            actions.append({"protocol": protocol})
         metadata = s["metadata"]
         if metadata is None or metadata.get("schemaString") != sch_str:
             # the source schema evolved since the last export (add-only
@@ -795,15 +1005,18 @@ def snapshot_export_delta(
             }
             actions.append({"metaData": metadata})
     for p in to_remove:
-        actions.append(
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        rm = {
+            "path": p,
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }
+        prev_dv = (prev_live.get(p) or {}).get("deletionVector")
+        if prev_dv:
+            # the spec's remove action carries the removed file's DV —
+            # this is what keeps the DV FILE reachable by vacuum/clean
+            # accounting after its add leaves the live set
+            rm["deletionVector"] = dict(prev_dv)
+        actions.append({"remove": rm})
     for p in to_add:
         actions.append({"add": adds[p]})
 
@@ -832,6 +1045,9 @@ def snapshot_export_delta(
             tomb[p] = {
                 "path": p, "deletionTimestamp": now_ms, "dataChange": True,
             }
+            prev_dv = (prev_live.get(p) or {}).get("deletionVector")
+            if prev_dv:
+                tomb[p]["deletionVector"] = dict(prev_dv)
         tomb = {
             p: r for p, r in tomb.items()
             if p not in adds
@@ -882,6 +1098,15 @@ def export_clean_logs(dest: str) -> dict:
     removed = 0
     if cp_path is not None:
         covered = set(state["live"]) | set(state["tombstones"])
+        # DV files referenced by the checkpoint's add rows AND remove
+        # tombstones stay derivable after the clean (descriptors ride
+        # both row kinds)
+        for a in list(state["live"].values()) + list(
+            state["tombstones"].values()
+        ):
+            dvr = _dv_rel_of(dest, a)
+            if dvr is not None:
+                covered.add(dvr)
         doomed: list[str] = []
         for p in st.list_glob(os.path.join(dest, _LOG_DIR, "*.json")):
             stem = os.path.basename(p)[:-5]
@@ -895,19 +1120,23 @@ def export_clean_logs(dest: str) -> dict:
                 a = act.get("add") or act.get("remove")
                 if a is None:
                     continue
-                rel = a["path"]
-                if (
-                    rel not in covered
-                    and _rel_inside(rel)
-                    and st.exists(os.path.join(dest, rel))
-                ):
-                    raise ValueError(
-                        f"refusing to clean {os.path.basename(p)}: it "
-                        f"references on-disk file {rel!r} that the "
-                        "newest checkpoint carries no record of — run "
-                        "export_vacuum first (cleaning now would leak "
-                        "those bytes forever)"
-                    )
+                rels = [a["path"]]
+                dvr = _dv_rel_of(dest, a)
+                if dvr is not None:
+                    rels.append(dvr)
+                for rel in rels:
+                    if (
+                        rel not in covered
+                        and _rel_inside(rel)
+                        and st.exists(os.path.join(dest, rel))
+                    ):
+                        raise ValueError(
+                            f"refusing to clean {os.path.basename(p)}: "
+                            f"it references on-disk file {rel!r} that "
+                            "the newest checkpoint carries no record of "
+                            "— run export_vacuum first (cleaning now "
+                            "would leak those bytes forever)"
+                        )
         for p in doomed:
             st.delete(p)
             removed += 1
@@ -960,6 +1189,16 @@ def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
     # checkpoint's add AND tombstone rows — so no superseded byte is
     # invisible just because its commit predates the checkpoint
     # (round-13 ADVICE: pre-checkpoint tombstones used to leak forever)
+    def _protect_set(live_now: dict) -> set[str]:
+        """Paths a retained version pins: its data files AND the DV
+        files their descriptors reference."""
+        out = set(live_now)
+        for a in live_now.values():
+            dvr = _dv_rel_of(dest, a)
+            if dvr is not None:
+                out.add(dvr)
+        return out
+
     for v, p in jsons.items():
         for line in st.get_bytes(p).decode().splitlines():
             if not line.strip():
@@ -968,6 +1207,9 @@ def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
             a = act.get("add") or act.get("remove")
             if a is not None:
                 ever.add(a["path"])
+                dvr = _dv_rel_of(dest, a)
+                if dvr is not None:
+                    ever.add(dvr)
     # `protect`/state replay: from version 0 when the JSON history is
     # contiguous (exactly reconstructs the live set at every retained
     # version), else checkpoint bootstrap + post-checkpoint tail (the
@@ -985,10 +1227,10 @@ def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
             )
         for act in _checkpoint_actions(cp_path):
             _apply_action(state, act)
-        ever.update(live)
+        ever.update(_protect_set(live))
         ever.update(state["tombstones"])
         if cp_v >= retained_from:
-            protect.update(live)
+            protect.update(_protect_set(live))
         seq = sorted(x for x in jsons if x > cp_v)
         expect = cp_v + 1
         for v in seq:
@@ -1005,7 +1247,7 @@ def export_vacuum(dest: str, retain_versions: int = 2) -> dict:
                 continue
             _apply_action(state, json.loads(line))
         if v >= retained_from:
-            protect.update(live)
+            protect.update(_protect_set(live))
     if cp_path is not None and complete_from_0:
         # checkpoint rows may remember files the (still-complete) JSON
         # log also shows; fold them in regardless — supersets are safe

@@ -47,6 +47,15 @@ def _read_delta_independently(dest: str):
             "NULL", [cp],
         ).fetchone()
         protocol = {"minReaderVersion": mrv, "minWriterVersion": mwv}
+        try:
+            (rf,) = con.execute(
+                "SELECT protocol.readerFeatures FROM read_parquet(?) "
+                "WHERE protocol.minReaderVersion IS NOT NULL", [cp],
+            ).fetchone()
+            if rf is not None:
+                protocol["readerFeatures"] = list(rf)
+        except duckdb.Error:
+            pass  # pre-table-features checkpoint: no feature columns
         (ss, pcols) = con.execute(
             "SELECT metaData.schemaString, metaData.partitionColumns "
             "FROM read_parquet(?) "
@@ -54,13 +63,29 @@ def _read_delta_independently(dest: str):
         ).fetchone()
         schema = json.loads(ss)
         partition_cols = list(pcols or [])
-        for path, stats, pv in con.execute(
-            "SELECT add.path, add.stats, add.partitionValues "
-            "FROM read_parquet(?) "
-            "WHERE add.path IS NOT NULL", [cp],
-        ).fetchall():
+        try:
+            cp_adds = con.execute(
+                "SELECT add.path, add.stats, add.partitionValues, "
+                "add.deletionVector FROM read_parquet(?) "
+                "WHERE add.path IS NOT NULL", [cp],
+            ).fetchall()
+        except duckdb.Error:
+            cp_adds = [
+                (p, s, pv, None)
+                for p, s, pv in con.execute(
+                    "SELECT add.path, add.stats, add.partitionValues "
+                    "FROM read_parquet(?) "
+                    "WHERE add.path IS NOT NULL", [cp],
+                ).fetchall()
+            ]
+        for path, stats, pv, dvd in cp_adds:
+            if dvd is not None and all(
+                v is None for v in dict(dvd).values()
+            ):
+                dvd = None
             live[path] = {"path": path, "stats": stats,
-                          "partitionValues": dict(pv or {})}
+                          "partitionValues": dict(pv or {}),
+                          "deletionVector": dict(dvd) if dvd else None}
     logs = sorted(glob.glob(os.path.join(log_dir, "*.json")))
     logs = [
         p for p in logs
@@ -84,7 +109,15 @@ def _read_delta_independently(dest: str):
                     live[act["add"]["path"]] = act["add"]
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
-    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    if protocol.get("minReaderVersion") == 3:
+        # DV-carrying exports: table-features protocol with exactly the
+        # deletionVectors reader feature (PROTOCOL.md §Table Features)
+        assert set(protocol.get("readerFeatures") or []) == {
+            "deletionVectors"}, protocol
+    else:
+        proto_min = {k: protocol.get(k) for k in (
+            "minReaderVersion", "minWriterVersion")}
+        assert proto_min == {"minReaderVersion": 1, "minWriterVersion": 2}
     assert schema is not None and schema["type"] == "struct"
     # spec shape: every field carries name/type/nullable/metadata
     for f in schema["fields"]:
@@ -96,11 +129,17 @@ def _read_delta_independently(dest: str):
     for p in paths:
         assert os.path.exists(p), f"log references missing file {p}"
     con = duckdb.connect()
-    if partition_cols:
-        # the spec's partitioned-table read: partition column values
-        # come from each add's partitionValues (string-serialized),
-        # cast per the declared schema type — data files do not carry
-        # the columns
+    has_dv = any(a.get("deletionVector") for a in live.values())
+    if partition_cols or has_dv:
+        # per-file legs: partition column values come from each add's
+        # partitionValues (string-serialized, cast per the declared
+        # type — data files do not carry the columns), and DV'd files
+        # drop their tombstoned row positions (file_row_number is
+        # DuckDB's row index within the file — the spec's DV index
+        # space). DV decode via ops/delta_dv, which is pinned against
+        # this test file's INDEPENDENT reference serializer.
+        from e02_spark.ops.delta_dv import dv_positions
+
         duck_t = {"long": "BIGINT", "integer": "INTEGER",
                   "short": "SMALLINT", "byte": "TINYINT",
                   "double": "DOUBLE", "float": "FLOAT",
@@ -122,10 +161,21 @@ def _read_delta_independently(dest: str):
                     )
                 else:
                     sel_parts.append(f'"{c}"')
-            legs.append(
-                f"SELECT {', '.join(sel_parts)} FROM read_parquet('"
-                + os.path.join(dest, rel).replace("'", "''") + "')"
-            )
+            fpath = os.path.join(dest, rel).replace("'", "''")
+            dvd = live[rel].get("deletionVector")
+            if dvd:
+                gone = dv_positions(dest, dict(dvd))
+                in_list = ", ".join(map(str, gone)) or "-1"
+                legs.append(
+                    f"SELECT {', '.join(sel_parts)} FROM read_parquet("
+                    f"'{fpath}', file_row_number=true) "
+                    f"WHERE file_row_number NOT IN ({in_list})"
+                )
+            else:
+                legs.append(
+                    f"SELECT {', '.join(sel_parts)} "
+                    f"FROM read_parquet('{fpath}')"
+                )
         rows = con.execute(
             "SELECT * FROM (" + " UNION ALL ".join(legs)
             + ") ORDER BY ALL"
@@ -200,9 +250,14 @@ def test_export_materializes_on_deletes_and_renames(spark, tmp_path):
         when_matched="delete", insert_not_matched=False, strategy="mor",
     )
     S.snapshot_rename_column(tbl, "v", "w")
-    # forced zero-copy names both blockers
-    with pytest.raises(ValueError, match="delete"):
+    # forced zero-copy names the rename blocker (positional deletes
+    # export as Delta DVs since round 14 — disable them to see the
+    # deletes blocker named too)
+    with pytest.raises(ValueError, match="rename"):
         snapshot_export_delta(spark, tbl, dest, materialize=False)
+    with pytest.raises(ValueError, match="delete"):
+        snapshot_export_delta(spark, tbl, dest, materialize=False,
+                              deletion_vectors=False)
     r = snapshot_export_delta(spark, tbl, dest)
     assert r["mode"] == "materialized"
     cols, rows = _read_delta_independently(dest)
@@ -2030,3 +2085,158 @@ def test_hive_mirror_export_after_local_append(spark, tmp_path):
     cols, rows = _read_delta_independently(dest2)
     assert rows == _snapshot_rows_sorted(spark, tbl, cols)
     assert (100, "x", "north") in rows
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector EXPORT (round-14): outstanding positional tombstones
+# export zero-copy as genuine Delta DVs instead of forcing a rewrite.
+# ---------------------------------------------------------------------------
+
+
+def test_export_mor_deletes_as_deletion_vectors(spark, tmp_path):
+    """A MoR snapshot exports ZERO-COPY: shadowed adds carry
+    deletionVector descriptors (storageType 'u'), the protocol is
+    minReaderVersion 3 + readerFeatures=[deletionVectors], the
+    independent reader (DuckDB file_row_number minus the decoded
+    positions) reconstructs snapshot_read, the product serializer is
+    byte-identical to this file's independent reference serializer,
+    and the export round-trips through snapshot_import_delta."""
+    from test_delta_dv import serialize_dv
+    from e02_spark.ops.delta_dv import serialize_roaring_array
+
+    # cross-pin the two independently-written serializers byte-for-byte
+    for ps in ([1, 5, 9], list(range(0, 9000, 2)), [0, (1 << 32) + 3]):
+        assert serialize_roaring_array(ps) == serialize_dv(ps)
+
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    S.snapshot_write(spark.range(400).selectExpr("id", "id % 9 AS v"),
+                     tbl, mode="overwrite", n_files=2, stats_cols=["id"])
+    S.snapshot_merge(
+        spark, tbl,
+        spark.createDataFrame([(7,), (13,), (250,)], "id long"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    r = snapshot_export_delta(spark, tbl, dest)
+    assert r["mode"] == "zero-copy", r
+    # shared bytes — no data rewrite happened
+    m = S._read_manifest(tbl, S.snapshot_versions(tbl)[-1])
+    for e in S._all_entries(tbl, m):
+        assert os.path.samefile(
+            os.path.join(tbl, e["path"]), os.path.join(dest, e["path"]))
+    # spec surface: DV descriptors on the shadowed adds
+    log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log) if x.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert proto["readerFeatures"] == ["deletionVectors"]
+    dv_adds = [a["add"] for a in acts
+               if "add" in a and a["add"].get("deletionVector")]
+    assert dv_adds and all(
+        a["deletionVector"]["storageType"] == "u" for a in dv_adds)
+    assert sum(a["deletionVector"]["cardinality"] for a in dv_adds) == 3
+    # independent reader equality
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    assert len(rows) == 397
+    # full circle: the DV export imports back as a mirror
+    tbl2 = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, dest, tbl2, stats_cols=["id"])
+    assert _snapshot_rows_sorted(spark, tbl2, cols) == rows
+
+
+def test_export_dv_incremental_reuse_and_update(spark, tmp_path):
+    """Incremental exports: an UNCHANGED tombstone set re-uses the
+    previous DV descriptor verbatim (no re-add, no new DV file); a
+    GROWN set re-logs the file with a fresh descriptor; folding the
+    deletes drops the DV (protocol stays upgraded); vacuum collects
+    the superseded DV file but keeps the live one."""
+    from e02_spark.ops.export import export_vacuum
+
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    S.snapshot_write(spark.range(300).selectExpr("id", "id % 5 AS v"),
+                     tbl, mode="overwrite", n_files=1, stats_cols=["id"])
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(3,)], "id long"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    r1 = snapshot_export_delta(spark, tbl, dest)
+    assert r1["mode"] == "zero-copy"
+
+    def _live_dv_descs():
+        from e02_spark.ops.export import _replay_log
+
+        s = _replay_log(dest)
+        return {
+            p: a.get("deletionVector")
+            for p, a in s["live"].items() if a.get("deletionVector")
+        }
+
+    d1 = _live_dv_descs()
+    assert len(d1) == 1
+    # append-only commit: tombstones unchanged -> descriptor reused
+    S.snapshot_write(
+        spark.range(300, 320).selectExpr("id", "id % 5 AS v"), tbl,
+        mode="append", n_files=1, stats_cols=["id"],
+    )
+    r2 = snapshot_export_delta(spark, tbl, dest)
+    assert r2["files_added"] == 1  # ONLY the appended file
+    d2 = _live_dv_descs()
+    assert d2 == d1, "stable tombstones must not rewrite the DV"
+    # grown tombstones -> same path re-logged with a new descriptor
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(5,), (9,)], "id long"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    r3 = snapshot_export_delta(spark, tbl, dest)
+    assert r3["files_added"] >= 1 and r3["files_removed"] >= 1
+    d3 = _live_dv_descs()
+    (old_desc,) = d1.values()
+    (new_desc,) = [v for v in d3.values() if v != old_desc] or [None]
+    assert new_desc is not None and new_desc["cardinality"] == 3
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    assert len(rows) == 317
+    # vacuum: the superseded DV file goes, the live one stays
+    dv_files = sorted(glob.glob(os.path.join(dest, "deletion_vector_*")))
+    assert len(dv_files) == 2
+    export_vacuum(dest, retain_versions=1)
+    left = sorted(glob.glob(os.path.join(dest, "deletion_vector_*")))
+    assert len(left) == 1
+    cols, rows2 = _read_delta_independently(dest)
+    assert rows2 == rows
+    # fold the deletes -> next export drops the DV; protocol stays 3
+    S.snapshot_rewrite_deletes(spark, tbl)
+    snapshot_export_delta(spark, tbl, dest)
+    assert _live_dv_descs() == {}
+    cols, rows3 = _read_delta_independently(dest)
+    assert rows3 == _snapshot_rows_sorted(spark, tbl, cols)
+
+
+def test_export_dv_checkpoint_carries_descriptors(spark, tmp_path):
+    """A checkpointed DV mirror bootstraps from the checkpoint alone:
+    add rows carry their deletionVector structs and the protocol row
+    its feature lists, so a log-cleaned mirror still reads exactly."""
+    from e02_spark.ops.export import export_clean_logs
+
+    tbl, dest = str(tmp_path / "tbl"), str(tmp_path / "delta")
+    S.snapshot_write(spark.range(100).selectExpr("id"), tbl,
+                     mode="overwrite", n_files=1, stats_cols=["id"])
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(42,)], "id long"), on=["id"],
+        when_matched="delete", insert_not_matched=False, strategy="mor",
+    )
+    snapshot_export_delta(spark, tbl, dest, checkpoint_interval=1)
+    for i in range(2):
+        S.snapshot_write(
+            spark.range(100 + 10 * i, 110 + 10 * i).selectExpr("id"),
+            tbl, mode="append", n_files=1, stats_cols=["id"],
+        )
+        r = snapshot_export_delta(spark, tbl, dest,
+                                  checkpoint_interval=1)
+        assert r["checkpointed"] is True
+    assert export_clean_logs(dest)["removed"] == 2
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    assert len(rows) == 119
