@@ -9,8 +9,10 @@ After each export an independent spec replay (plain json + checkpoint
 parquet via pyarrow, DuckDB on the data files — no exporter code)
 must reconstruct snapshot_read's content exactly; at the end the
 mirror is vacuumed to the tip, the log cleaned past its newest
-checkpoint (in that order — see the ordering note on both functions),
-and re-verified.
+checkpoint, and re-verified. (Since round 14 checkpoints carry remove
+tombstones — and DV references on both row kinds — so either order is
+leak-free; the vacuum-first order here simply keeps the clean's
+leak-refusal path quiet.)
 
 This is the adversarial twin of tests/test_delta_export.py's designed
 lifecycle test: seeded random op interleavings hunt export/evolution
