@@ -104,7 +104,13 @@ incremental exports, local[32], round 13): zero-copy export 0.06 s
 zero-copy import 0.11 s, materialized export 5.6 s (~96x; the gap
 widens with data volume since only the materialized path touches
 rows); log-open after cleaning 0.03 s from the checkpoint; vacuum
-collected 553 superseded files in 0.05 s. Honest note on checkpoint
+collected 553 superseded files in 0.05 s. Round 14, same harness at
+256 files / 512k rows: a MoR delete tombstoning 13.8k positions
+exported zero-copy WITH deletion vectors in 0.08 s (serialize + one DV
+file + log commit — no data pass; the materialized path on the same
+table costs 24 s), and the DV'd export imported into a fresh mirror in
+6.0 s (dominated by the fixed mapInPandas decode job + tombstone-commit
+machinery, flat in tombstone count at this scale). Honest note on checkpoint
 economics: on a LOCAL FS replaying 42 tiny JSON commits is actually
 cheaper (6 ms) than opening the checkpoint parquet (29 ms) — the
 checkpoint pays off where the spec aimed it: per-object GET latency on

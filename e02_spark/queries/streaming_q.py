@@ -2256,13 +2256,28 @@ def q123_eq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         and m2["eq_keys"] == n_upd
         and m2["rows_after"] is None
     )
-    cdf = {
-        r["_change_type"]: r["n"]
-        for r in snapshot_changes(spark, table, m1["version"], v_ins)
-        .groupBy("_change_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # the CDF count reads IMMUTABLE older versions, so it runs
+    # CONCURRENTLY with the rewrite-deletes fold (which only commits a
+    # NEWER version) — two independent job chains instead of a serial
+    # tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cdf_leg() -> dict:
+        return {
+            r["_change_type"]: r["n"]
+            for r in snapshot_changes(spark, table, m1["version"], v_ins)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_cdf = ex.submit(_cdf_leg)
+        fut_rw = ex.submit(
+            snapshot_rewrite_deletes, spark, table, n_files_new=2
+        )
+        cdf = fut_cdf.result()
+        rw = fut_rw.result()
     cdf_eq_ok = (
         cdf.get("delete", 0) == n_upd
         and cdf.get("insert", 0) == n_upd + n_ins
@@ -2270,7 +2285,6 @@ def q123_eq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the content agg reads the EQ-OUTSTANDING version: the driver hash
     # thereby pins the seq-scoped eq anti-join composing with the DVs
     cur = snapshot_read(spark, table, version=v_ins)
-    rw = snapshot_rewrite_deletes(spark, table, n_files_new=2)
     meta_restored = (
         rw["eq_files_removed"] == 1
         and rw["tombstones_removed"] == n_del

@@ -150,6 +150,33 @@ def main() -> int:
         os.path.exists(os.path.join(dest, p)) for p in cols_live
     )
 
+    # (f) round 14 — DELETION VECTORS at scale: a MoR delete touching
+    # every live file exports zero-copy (one DV file, descriptors on
+    # every add; no data pass), and the DV'd export imports into a
+    # fresh mirror with executor-side bitmap decode. Costs must stay
+    # O(tombstones) + O(files) metadata, nowhere near the data pass.
+    from e02_spark.ops.snapshot import snapshot_merge
+
+    n_live = snapshot_rows(tbl)
+    keys = spark.range(0, n_rows, 37).selectExpr("id")  # ~n/37 rows
+    snapshot_merge(spark, tbl, keys, on=["id"], when_matched="delete",
+                   insert_not_matched=False, strategy="mor")
+    n_tomb = n_live - snapshot_rows(tbl)
+    t0 = time.perf_counter()
+    r_dv = snapshot_export_delta(spark, tbl, dest)
+    t_dv_export = time.perf_counter() - t0
+    assert r_dv["mode"] == "zero-copy", r_dv
+    s_dv = _replay_log(dest)
+    n_dv_adds = sum(
+        1 for a in s_dv["live"].values() if a.get("deletionVector")
+    )
+    assert n_dv_adds > 0
+    mirror2 = os.path.join(base, "mirror_dv")
+    t0 = time.perf_counter()
+    snapshot_import_delta(spark, dest, mirror2, stats_cols=["id"])
+    t_dv_import = time.perf_counter() - t0
+    assert snapshot_rows(mirror2) == snapshot_rows(tbl)
+
     print(json.dumps({
         "n_files": n_files,
         "rows": n_rows,
@@ -167,6 +194,10 @@ def main() -> int:
         "json_commits_cleaned": cleaned["removed"],
         "vacuum_s": round(t_vacuum, 3),
         "vacuum_files_deleted": vac["files_deleted"],
+        "dv_tombstones": n_tomb,
+        "dv_shadowed_adds": n_dv_adds,
+        "dv_export_s": round(t_dv_export, 3),
+        "dv_import_s": round(t_dv_import, 3),
     }))
     shutil.rmtree(base, ignore_errors=True)
     return 0
