@@ -53,15 +53,42 @@ from e02_spark.session import get_spark  # noqa: E402
 def _spec_read(dest: str):
     """(cols, sorted rows) via checkpoint bootstrap + json replay +
     DuckDB — mirrors the test suite's independent reader, shared spec
-    knowledge only."""
+    knowledge only. DV-carrying adds subtract their decoded positions
+    (round 14: outstanding MoR deletes export as deletion vectors)."""
+    from e02_spark.ops.delta_dv import dv_positions
+
     s = _replay_log(dest)  # gap-refusal + checkpoint bootstrap included
     schema = json.loads(s["metadata"]["schemaString"])
     cols = [f["name"] for f in schema["fields"]]
     if not s["live"]:
         return cols, []
-    paths = [os.path.join(dest, p) for p in sorted(s["live"])]
     sel = ", ".join(f'"{c}"' for c in cols)
-    rows = duckdb.connect().execute(
+    con = duckdb.connect()
+    if any(a.get("deletionVector") for a in s["live"].values()):
+        legs = []
+        for rel in sorted(s["live"]):
+            fpath = os.path.join(dest, rel).replace("'", "''")
+            dvd = s["live"][rel].get("deletionVector")
+            if dvd:
+                gone = dv_positions(dest, dict(dvd))
+                in_list = ", ".join(map(str, gone)) or "-1"
+                legs.append(
+                    f"SELECT {sel} FROM read_parquet('{fpath}', "
+                    f"file_row_number=true, union_by_name=true) "
+                    f"WHERE file_row_number NOT IN ({in_list})"
+                )
+            else:
+                legs.append(
+                    f"SELECT {sel} FROM read_parquet('{fpath}', "
+                    "union_by_name=true)"
+                )
+        rows = con.execute(
+            "SELECT * FROM (" + " UNION ALL ".join(legs)
+            + ") ORDER BY ALL"
+        ).fetchall()
+        return cols, rows
+    paths = [os.path.join(dest, p) for p in sorted(s["live"])]
+    rows = con.execute(
         f"SELECT {sel} FROM read_parquet(?, union_by_name=true) "
         "ORDER BY ALL", [paths],
     ).fetchall()

@@ -37,15 +37,44 @@ from test_snapshot_fuzz import _apply_random_op, _df
 
 def _spec_read(dest: str):
     """(cols, sorted rows) via checkpoint bootstrap + json replay +
-    DuckDB — shared spec knowledge only, no exporter write-path code."""
+    DuckDB — shared spec knowledge only, no exporter write-path code.
+    DV-carrying adds (a fuzz seed whose MoR deletes were outstanding at
+    export time now exports them as deletion vectors) subtract their
+    decoded positions per file."""
+    from e02_spark.ops.delta_dv import dv_positions
+
     s = _replay_log(dest)
     schema = json.loads(s["metadata"]["schemaString"])
     cols = [f["name"] for f in schema["fields"]]
     if not s["live"]:
         return cols, []
-    paths = [os.path.join(dest, p) for p in sorted(s["live"])]
     sel = ", ".join(f'"{c}"' for c in cols)
-    rows = duckdb.connect().execute(
+    con = duckdb.connect()
+    if any(a.get("deletionVector") for a in s["live"].values()):
+        legs = []
+        for rel in sorted(s["live"]):
+            fpath = os.path.join(dest, rel).replace("'", "''")
+            dvd = s["live"][rel].get("deletionVector")
+            if dvd:
+                gone = dv_positions(dest, dict(dvd))
+                in_list = ", ".join(map(str, gone)) or "-1"
+                legs.append(
+                    f"SELECT {sel} FROM read_parquet('{fpath}', "
+                    f"file_row_number=true, union_by_name=true) "
+                    f"WHERE file_row_number NOT IN ({in_list})"
+                )
+            else:
+                legs.append(
+                    f"SELECT {sel} FROM read_parquet('{fpath}', "
+                    "union_by_name=true)"
+                )
+        rows = con.execute(
+            "SELECT * FROM (" + " UNION ALL ".join(legs)
+            + ") ORDER BY ALL"
+        ).fetchall()
+        return cols, rows
+    paths = [os.path.join(dest, p) for p in sorted(s["live"])]
+    rows = con.execute(
         f"SELECT {sel} FROM read_parquet(?, union_by_name=true) "
         "ORDER BY ALL", [paths],
     ).fetchall()
