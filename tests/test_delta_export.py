@@ -2240,3 +2240,110 @@ def test_export_dv_checkpoint_carries_descriptors(spark, tmp_path):
     cols, rows = _read_delta_independently(dest)
     assert rows == _snapshot_rows_sorted(spark, tbl, cols)
     assert len(rows) == 119
+
+
+def test_hive_mirror_with_local_mor_deletes_exports_partitioned_dv(
+    spark, tmp_path
+):
+    """The two round-14 zero-copy extensions COMPOSE: a hive-import
+    mirror with local MoR deletes exports as a PARTITIONED Delta table
+    whose shadowed adds carry deletion vectors (partitionValues + DV on
+    the same add); the independent reader reconstructs both, and the
+    export re-imports."""
+    root = str(tmp_path / "foreign")
+    _write_foreign_hive_delta(spark, root, 0, [
+        ([(i, f"e{i}") for i in range(10)], "east"),
+        ([(i, f"w{i}") for i in range(10, 20)], "west"),
+    ])
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    # local MoR delete: tombstones only, files (and their hive values)
+    # untouched -> still hive-zero-copy eligible, now with DVs
+    S.snapshot_merge(
+        spark, tbl, spark.createDataFrame([(3,), (15,)], "id long"),
+        on=["id"], when_matched="delete", insert_not_matched=False,
+        strategy="mor",
+    )
+    dest = str(tmp_path / "out")
+    r = snapshot_export_delta(spark, tbl, dest)
+    assert r["mode"] == "zero-copy", r
+    log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log) if x.strip()]
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    assert md["partitionColumns"] == ["region"]
+    dv_adds = [a["add"] for a in acts
+               if "add" in a and a["add"].get("deletionVector")]
+    assert len(dv_adds) == 2  # one deleted row in each region's file
+    assert all(a["partitionValues"]["region"] in ("east", "west")
+               for a in dv_adds)
+    cols, rows = _read_delta_independently(dest)
+    assert rows == _snapshot_rows_sorted(spark, tbl, cols)
+    assert len(rows) == 18
+    tbl2 = str(tmp_path / "mirror2")
+    snapshot_import_delta(spark, dest, tbl2, stats_cols=["id"])
+    assert _snapshot_rows_sorted(spark, tbl2, cols) == rows
+
+
+def test_import_dv_positions_span_rowgroups(spark, tmp_path):
+    """DV row indexes are FILE-GLOBAL ordinals (Delta spec); the
+    engine's `_metadata.row_index` must agree across parquet ROW-GROUP
+    boundaries — a per-rowgroup-relative misread would silently delete
+    the wrong rows in every rowgroup after the first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_delta_dv import serialize_dv, write_dv_file
+    from e02_spark.ops.delta_dv import z85_encode
+    import uuid as _uuid
+
+    root = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    ids = list(range(1000))
+    part = "part-00000-mrg.parquet"
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "name": pa.array([f"n{i}" for i in ids], pa.string()),
+        }),
+        os.path.join(root, part),
+        row_group_size=100,  # 10 rowgroups
+    )
+    assert pq.ParquetFile(os.path.join(root, part)).num_row_groups == 10
+    # delete one position in the 1st, 4th and 10th rowgroups
+    positions = [5, 350, 999]
+    u = _uuid.uuid4()
+    data = serialize_dv(positions)
+    (off,) = write_dv_file(
+        os.path.join(root, f"deletion_vector_{u}.bin"), [data])
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "mrg", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "name", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ]}),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0}},
+        {"add": {
+            "path": part, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, part)),
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {
+                "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": off, "sizeInBytes": len(data),
+                "cardinality": len(positions)}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"),
+              "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    tbl = str(tmp_path / "mirror")
+    snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    got = {row[0] for row in _snapshot_rows_sorted(spark, tbl, ["id"])}
+    assert got == set(ids) - {5, 350, 999}
