@@ -506,6 +506,10 @@ def _file_types_conform(path: str, declared: dict[str, str]) -> bool:
                 .replace(" ", "")
             )
             ok = norm == typ.replace(" ", "")
+        elif typ == "timestamp_ntz":
+            # wall-clock semantics: the physical type must NOT carry a
+            # zone adjustment (isAdjustedToUTC=false)
+            ok = phys.startswith("timestamp") and "tz=" not in phys
         elif typ.startswith("timestamp"):
             ok = phys.startswith("timestamp")
         else:
@@ -941,21 +945,28 @@ def snapshot_export_delta(
         p: a for p, a in prev_live.items() if p not in set(to_remove)
     }
     live_after.update({p: adds[p] for p in to_add})
+    need_feats: set[str] = set()
     if any(a.get("deletionVector") for a in live_after.values()):
-        # DVs in the live set require the table-features protocol —
-        # upgrade in this commit (spec-legal); never downgrade: a
-        # reader pinned to an old checkpoint may still see DV adds
+        need_feats.add("deletionVectors")
+    if any(t == "timestamp_ntz" for t in declared.values()):
+        # schemaString with timestamp_ntz is only legal under the
+        # timestampNtz table feature (PROTOCOL.md) — both export modes
+        need_feats.add("timestampNtz")
+    if need_feats:
+        # table-features protocol required — upgrade in this commit
+        # (spec-legal); never downgrade: a reader pinned to an old
+        # checkpoint may still see feature-dependent actions
         feats_r = set(protocol.get("readerFeatures") or [])
         feats_w = set(protocol.get("writerFeatures") or [])
         if (
             int(protocol.get("minReaderVersion") or 1) < 3
-            or "deletionVectors" not in feats_r
+            or not need_feats <= feats_r
         ):
             protocol = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": sorted(feats_r | {"deletionVectors"}),
-                "writerFeatures": sorted(feats_w | {"deletionVectors"}),
+                "readerFeatures": sorted(feats_r | need_feats),
+                "writerFeatures": sorted(feats_w | need_feats),
             }
     export_pcols = hive_cols if hive_zero_copy else []
     if last_log_v is not None:
@@ -1358,10 +1369,14 @@ def snapshot_import_delta(
       coalesce and stats/bloom pruning probes the physical alias;
       footer harvest runs under physical names.
     * MULTI-PART classic checkpoints read like single-file ones.
+    * TIMESTAMP_NTZ columns and TYPE-WIDENED tables (files physically
+      narrower than the declared schema) import under their features —
+      explicit-schema reads handle both natively.
 
     Honest scope (refused BY NAME, never read wrong): reader features
-    beyond {deletionVectors, columnMapping} (v2Checkpoint, typeWidening,
-    timestampNtz...), DV storage types outside 'u'/'i'/'p', column
+    beyond {deletionVectors, columnMapping, timestampNtz, typeWidening}
+    (v2Checkpoint, variantType...), DV storage types outside
+    'u'/'i'/'p', column
     mapping on nested fields or combined with hive partitioning,
     column-mapping histories that conflict with the mirror's own,
     incomplete multi-part checkpoint sets, logs cleaned past their
@@ -1391,7 +1406,16 @@ def snapshot_import_delta(
     # the TABLE uses it is the delta.columnMapping.mode config below);
     # 3 = table-features — claimable iff every listed readerFeature is
     # one this importer implements. Anything else refuses by name.
-    _READER_FEATURES_CLAIMED = {"deletionVectors", "columnMapping"}
+    # timestampNtz: schemaString carries `timestamp_ntz` — Spark's
+    # TimestampNTZType reads the isAdjustedToUTC=false physical form
+    # natively. typeWidening: files may physically carry NARROWER types
+    # than the declared schema (the Delta widening matrix) — the
+    # engine's explicit-schema reads upcast exactly as its own
+    # snapshot_widen_column machinery does.
+    _READER_FEATURES_CLAIMED = {
+        "deletionVectors", "columnMapping", "timestampNtz",
+        "typeWidening",
+    }
     if mrv == 3:
         feats = set(proto.get("readerFeatures") or [])
         extra = sorted(feats - _READER_FEATURES_CLAIMED)
