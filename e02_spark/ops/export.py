@@ -218,10 +218,12 @@ def _find_checkpoint(dest: str, st) -> tuple[int | None, list[str] | None]:
         if st.exists(p):
             return v, [p]
     # fallback listing: group by version, prefer the newest COMPLETE
-    # checkpoint (single-file, or all N parts present)
+    # checkpoint (single-file classic, all N parts of a multi-part, or
+    # a V2 top file — sidecars resolve at read time)
     by_v: dict[int, dict] = {}
-    for p in st.list_glob(
-        os.path.join(dest, _LOG_DIR, "*.checkpoint*.parquet")
+    for p in sorted(
+        st.list_glob(os.path.join(dest, _LOG_DIR, "*.checkpoint*.parquet"))
+        + st.list_glob(os.path.join(dest, _LOG_DIR, "*.checkpoint.*.json"))
     ):
         name = os.path.basename(p)
         m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
@@ -234,10 +236,20 @@ def _find_checkpoint(dest: str, st) -> tuple[int | None, list[str] | None]:
         if m:
             v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
             by_v.setdefault(v, {}).setdefault(("parts", n), {})[i] = p
+            continue
+        m = re.fullmatch(
+            r"(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)",
+            name,
+        )
+        if m:
+            # V2 top file: <v>.checkpoint.<unique>.{json,parquet}
+            by_v.setdefault(int(m.group(1)), {})["v2"] = p
     for v in sorted(by_v, reverse=True):
         g = by_v[v]
         if "single" in g:
             return v, [g["single"]]
+        if "v2" in g:
+            return v, [g["v2"]]
         for (_, n), parts in g.items():
             if len(parts) == n:
                 return v, [parts[i] for i in range(1, n + 1)]
@@ -252,21 +264,61 @@ def _as_map(v) -> dict:
     return dict(v or {})
 
 
+def _raw_checkpoint_rows(path: str):
+    """Raw action dicts from ONE checkpoint file: parquet rows for the
+    classic/multi-part/sidecar encodings, JSON lines for a V2 top file
+    written as json (both encodings are spec-legal for V2)."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            for line in fh:
+                if line.strip():
+                    yield json.loads(line)
+        return
+    import pyarrow.parquet as pq
+
+    yield from pq.read_table(path).to_pylist()
+
+
 def _checkpoint_actions(paths: str | list[str]):
     """One action dict per checkpoint row — across ALL parts of a
-    multi-part checkpoint — in the JSON-log shape, so the replay loop
-    is shared between the two encodings. Part order is irrelevant:
-    checkpoint rows are an unordered snapshot (a path appears in
-    exactly one row across the whole part set)."""
+    multi-part checkpoint, and through a V2 checkpoint's SIDECARS — in
+    the JSON-log shape, so the replay loop is shared between the
+    encodings. Row order is irrelevant: checkpoint rows are an
+    unordered snapshot (a path appears in exactly one row across the
+    whole part/sidecar set).
+
+    V2 (PROTOCOL.md §V2 Checkpoint Spec): the top file
+    (`<v>.checkpoint.<unique>.{json,parquet}`) holds checkpointMetadata
+    + protocol/metaData/txn and EITHER the file actions inline OR
+    `sidecarFile` references into `_delta_log/_sidecars/`, each a
+    parquet of add/remove rows. A referenced sidecar that is missing
+    refuses BY NAME rather than replaying a partial file set;
+    checkpointMetadata / domainMetadata rows are structural and skip."""
     import itertools
 
-    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq  # noqa: F401 (used via helper)
 
     if isinstance(paths, str):
         paths = [paths]
-    for row in itertools.chain.from_iterable(
-        pq.read_table(p).to_pylist() for p in paths
-    ):
+    expanded: list = []
+    for p in paths:
+        expanded.append(_raw_checkpoint_rows(p))
+        sidecar_dir = os.path.join(os.path.dirname(p), "_sidecars")
+        for row in _raw_checkpoint_rows(p):
+            sc = row.get("sidecarFile")
+            if sc is None or not isinstance(sc, dict) or not sc.get(
+                "path"
+            ):
+                continue
+            sp = os.path.join(sidecar_dir, sc["path"])
+            if not os.path.exists(sp):
+                raise ValueError(
+                    f"V2 checkpoint {os.path.basename(p)} references "
+                    f"missing sidecar {sc['path']!r} — refusing to "
+                    "replay a partial file set"
+                )
+            expanded.append(_raw_checkpoint_rows(sp))
+    for row in itertools.chain.from_iterable(expanded):
         for key in ("protocol", "metaData", "add", "remove", "txn"):
             v = row.get(key)
             if v is None or all(x is None for x in v.values()):
@@ -1368,15 +1420,17 @@ def snapshot_import_delta(
       translates into the engine's rename name-history, so reads
       coalesce and stats/bloom pruning probes the physical alias;
       footer harvest runs under physical names.
-    * MULTI-PART classic checkpoints read like single-file ones.
+    * MULTI-PART classic checkpoints read like single-file ones; V2
+      checkpoints (top file + `_sidecars/`, parquet or json top
+      encodings — delta.checkpointPolicy=v2) bootstrap the replay too.
     * TIMESTAMP_NTZ columns and TYPE-WIDENED tables (files physically
       narrower than the declared schema) import under their features —
       explicit-schema reads handle both natively.
 
     Honest scope (refused BY NAME, never read wrong): reader features
-    beyond {deletionVectors, columnMapping, timestampNtz, typeWidening}
-    (v2Checkpoint, variantType...), DV storage types outside
-    'u'/'i'/'p', column
+    beyond {deletionVectors, columnMapping, timestampNtz, typeWidening,
+    v2Checkpoint} (variantType, collations...), DV storage types outside
+    'u'/'i'/'p', incomplete V2 sidecar sets, column
     mapping on nested fields or combined with hive partitioning,
     column-mapping histories that conflict with the mirror's own,
     incomplete multi-part checkpoint sets, logs cleaned past their
@@ -1412,9 +1466,12 @@ def snapshot_import_delta(
     # than the declared schema (the Delta widening matrix) — the
     # engine's explicit-schema reads upcast exactly as its own
     # snapshot_widen_column machinery does.
+    # v2Checkpoint: the log-open machinery reads V2 top files +
+    # sidecars (see _checkpoint_actions), so tables checkpointed under
+    # delta.checkpointPolicy=v2 import too.
     _READER_FEATURES_CLAIMED = {
         "deletionVectors", "columnMapping", "timestampNtz",
-        "typeWidening",
+        "typeWidening", "v2Checkpoint",
     }
     if mrv == 3:
         feats = set(proto.get("readerFeatures") or [])

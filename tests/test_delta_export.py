@@ -1808,11 +1808,11 @@ def test_import_dv_refusals_by_name(spark, tmp_path):
         if "protocol" in a:
             a["protocol"] = {
                 "minReaderVersion": 3, "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                "readerFeatures": ["deletionVectors", "variantType"],
             }
     with open(log2, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="variantType"):
         snapshot_import_delta(spark, root2, str(tmp_path / "m2"))
 
 
@@ -2430,3 +2430,133 @@ def test_import_type_widening_narrow_files(spark, tmp_path):
     assert dict(df.dtypes) == {"id": "bigint", "x": "double"}
     got = sorted((r["id"], round(r["x"], 2)) for r in df.collect())
     assert got == [(i, float(i)) for i in range(20)]
+
+
+def _write_v2_checkpoint(root, version, adds_by_sidecar, schema_str,
+                         top_json=False, inline_adds=None):
+    """Foreign V2 checkpoint writer from PROTOCOL.md §V2 Checkpoint
+    Spec: a top file `<v>.checkpoint.<unique>.{json,parquet}` holding
+    checkpointMetadata + protocol + metaData + sidecarFile refs (and
+    optionally inline adds); sidecar parquet files with the add rows
+    under `_delta_log/_sidecars/`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(root, "_delta_log")
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    map_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", map_t),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+    ])
+    sidecar_names = []
+    for i, adds in enumerate(adds_by_sidecar):
+        name = f"sc-{version}-{i}.parquet"
+        rows = [{"add": {
+            "path": a, "partitionValues": [],
+            "size": os.path.getsize(os.path.join(root, a)),
+            "modificationTime": 0, "dataChange": True, "stats": None,
+        }} for a in adds]
+        pq.write_table(pa.table({
+            "add": pa.array([r["add"] for r in rows], add_t),
+        }), os.path.join(sc_dir, name))
+        sidecar_names.append(name)
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    meta = {"id": "v2-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0}
+    top_name = f"{version:020d}.checkpoint.80a083e8-7026.{'json' if top_json else 'parquet'}"
+    if top_json:
+        actions = (
+            [{"checkpointMetadata": {"version": version}},
+             {"protocol": proto}, {"metaData": meta}]
+            + [{"sidecarFile": {"path": n}} for n in sidecar_names]
+            + [{"add": a} for a in (inline_adds or [])]
+        )
+        with open(os.path.join(log_dir, top_name), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    else:
+        cm_t = pa.struct([("version", pa.int64())])
+        sf_t = pa.struct([("path", pa.string()),
+                          ("sizeInBytes", pa.int64())])
+        proto_t = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string()))])
+        meta_t = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", map_t)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t), ("createdTime", pa.int64())])
+        rows = (
+            [{"checkpointMetadata": {"version": version}},
+             {"protocol": {**proto}},
+             {"metaData": {
+                 **meta,
+                 "format": {"provider": "parquet", "options": []},
+                 "configuration": [],
+             }}]
+            + [{"sidecarFile": {"path": n, "sizeInBytes": 1}}
+               for n in sidecar_names]
+        )
+        cols = {"checkpointMetadata": cm_t, "protocol": proto_t,
+                "metaData": meta_t, "sidecarFile": sf_t, "add": add_t}
+        pq.write_table(pa.table({
+            c: pa.array([r.get(c) for r in rows], t)
+            for c, t in cols.items()
+        }), os.path.join(log_dir, top_name))
+    # _last_checkpoint points at the version; the v2 file resolves by
+    # listing (its unique suffix is not derivable from the pointer)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": version}))
+    return top_name
+
+
+@pytest.mark.parametrize("top_json", [False, True])
+def test_import_v2_checkpoint(spark, tmp_path, top_json):
+    """round-14: a foreign table checkpointed under
+    delta.checkpointPolicy=v2 (top file + sidecars, parquet AND json
+    top encodings) imports after its pre-checkpoint JSON log was
+    cleaned; a missing sidecar refuses by name."""
+    root = str(tmp_path / "foreign")
+    (a0,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(10)], version=0,
+        protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                  "readerFeatures": ["v2Checkpoint"],
+                  "writerFeatures": ["v2Checkpoint"]},
+    )
+    (a1,) = _write_foreign_delta(
+        spark, root, [(i, f"n{i}") for i in range(10, 25)], version=1
+    )
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    _write_v2_checkpoint(root, 1, [[a0], [a1]], schema_str,
+                         top_json=top_json)
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    tbl = str(tmp_path / "mirror")
+    r = snapshot_import_delta(spark, root, tbl, stats_cols=["id"])
+    assert r["files_adopted"] == 2 and r["delta_version"] == 1
+    got = {row["id"]: row["name"]
+           for row in S.snapshot_read(spark, tbl).collect()}
+    assert got == {i: f"n{i}" for i in range(25)}
+    # a sidecar goes missing -> refuse BY NAME
+    (sc,) = glob.glob(os.path.join(root, "_delta_log", "_sidecars",
+                                   "sc-1-0.parquet"))
+    os.remove(sc)
+    with pytest.raises(ValueError, match="sidecar"):
+        snapshot_import_delta(spark, root, str(tmp_path / "m2"))
