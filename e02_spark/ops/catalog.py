@@ -44,6 +44,23 @@ def _manifest_path(catalog: str, version: int) -> str:
     return os.path.join(catalog, _CATALOG, f"v{version:012d}.json")
 
 
+def _gc_marker_path(catalog: str, version: int) -> str:
+    return os.path.join(catalog, _CATALOG, f"gc-below-{version:012d}.marker")
+
+
+def _gc_floor(catalog: str, st) -> int:
+    """Highest version ever expired (0 when none). Markers are
+    append-only-then-pruned: an expire writes its marker BEFORE deleting
+    any manifest and only removes markers strictly below a higher one,
+    so the max visible marker never decreases — see catalog_expire."""
+    floor = 0
+    for p in st.list_glob(os.path.join(catalog, _CATALOG, "gc-below-*.marker")):
+        stem = os.path.basename(p)[len("gc-below-"):-len(".marker")]
+        if stem.isdigit():
+            floor = max(floor, int(stem))
+    return floor
+
+
 def catalog_versions(catalog: str) -> list[int]:
     out = []
     for p in store_for(catalog).list_glob(
@@ -116,6 +133,21 @@ def catalog_set(
             _manifest_path(catalog, base + 1),
             {"version": base + 1, "tables": tables},
         ):
+            # Version numbers CAN be observed again after catalog_expire
+            # deletes old manifests: a writer whose listing went stale
+            # (latest advanced past base+1 AND expire collected base+1)
+            # "wins" a conditional put at a RECREATED dead version — its
+            # swap would never be read by anyone (readers and writers
+            # only consume the true latest) and is silently lost. Expire
+            # writes a monotone gc-floor marker BEFORE deleting, so a
+            # successful put at or below the floor is exactly that case:
+            # undo it and retry against a fresh listing. A genuinely
+            # fresh latest+1 can never be at or below the floor (expire
+            # always keeps at least one version above everything it
+            # deletes), so this never fires on the happy path.
+            if base + 1 <= _gc_floor(catalog, st):
+                st.delete(_manifest_path(catalog, base + 1))
+                continue
             return base + 1
     raise RuntimeError(
         f"catalog_set lost {max_retries} consecutive commit races on "
@@ -130,14 +162,17 @@ def catalog_expire(catalog: str, keep_last: int = 10) -> dict:
     manifests (floor 1 — the latest always survives; it is the CAS base
     every writer and the resolve every reader depends on).
 
-    Safe against concurrent writers by construction: writers only read
-    the LATEST version (catalog_set re-lists before each CAS attempt)
-    and commit at latest+1, which expire never touches — version numbers
-    are never reused, so a concurrent swap and expire cannot collide on
-    a path. A reader that listed before a racing expire may fail one
-    read of an already-dropped OLD version and simply re-lists — the
-    same torn-read posture the table plane's expire documents. Returns
-    {'manifests_dropped': n, 'kept': [versions]}."""
+    Safe against concurrent writers: writers only read the LATEST
+    version (catalog_set re-lists before each CAS attempt) and commit at
+    latest+1, which expire never touches from ITS snapshot — but a
+    writer with a STALE listing can conditional-put onto a version
+    number this expire just deleted (a recreated dead version no reader
+    would ever consume). The gc-floor marker written below, published
+    BEFORE any manifest delete, lets catalog_set detect and undo exactly
+    that case post-CAS. A reader that listed before a racing expire may
+    fail one read of an already-dropped OLD version and simply re-lists
+    — the same torn-read posture the table plane's expire documents.
+    Returns {'manifests_dropped': n, 'kept': [versions]}."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     st = store_for(catalog)
@@ -145,13 +180,27 @@ def catalog_expire(catalog: str, keep_last: int = 10) -> dict:
     if not versions:
         raise FileNotFoundError(f"no catalog at {catalog}")
     keep = versions[-keep_last:]
-    dropped = 0
-    for v in versions:
-        if v in keep:
-            continue
-        st.delete(_manifest_path(catalog, v))
-        dropped += 1
-    return {"manifests_dropped": dropped, "kept": keep}
+    victims = [v for v in versions if v not in keep]
+    if victims:
+        # Publish the gc floor BEFORE any delete: catalog_set checks it
+        # after a successful CAS to detect (and undo) a put that landed
+        # on a recreated expired version number — the lost-swap race the
+        # concurrent-swapper test pins. put_bytes_if_absent keeps a
+        # repeated expire of the same range idempotent.
+        hi = max(victims)
+        st.put_bytes_if_absent(_gc_marker_path(catalog, hi), b"")
+        for v in victims:
+            st.delete(_manifest_path(catalog, v))
+        # Prune markers strictly below ours — the max marker visible to
+        # any concurrent reader never decreases (a marker is only ever
+        # deleted while a higher one already exists).
+        for p in st.list_glob(
+            os.path.join(catalog, _CATALOG, "gc-below-*.marker")
+        ):
+            stem = os.path.basename(p)[len("gc-below-"):-len(".marker")]
+            if stem.isdigit() and int(stem) < hi:
+                st.delete(p)
+    return {"manifests_dropped": len(victims), "kept": keep}
 
 
 def catalog_resolve(

@@ -102,6 +102,57 @@ def test_catalog_expire_retention(spark, tmp_path, table_store):
     assert r2["manifests_dropped"] == 0
 
 
+def test_catalog_set_survives_expired_version_recreation(
+    tmp_path, table_store, monkeypatch
+):
+    """The deterministic twin of the concurrent-swapper storm: a writer
+    whose listing went stale CAS-puts at a version number a racing
+    expire just collected. The put SUCCEEDS (the path is absent again),
+    but the manifest is a dead branch no reader consumes — without the
+    gc-floor check the swap is silently lost. catalog_set must detect
+    the recreation, undo it, and land the swap on the true latest."""
+    import os
+
+    cat = str(tmp_path / "cat")
+    d = str(tmp_path / "d")
+    os.makedirs(d, exist_ok=True)
+    C.catalog_create(cat)  # v1
+    for i in range(5):  # v2..v6
+        C.catalog_set(cat, {f"t{i}": (d, i)})
+
+    real_versions = C.catalog_versions
+    real_read = C._read
+    state = {"listings": 0, "expired": False}
+
+    def stale_first_listing(catalog):
+        state["listings"] += 1
+        if state["listings"] == 1:
+            return [1, 2]  # the writer saw latest=2 long ago
+        return real_versions(catalog)
+
+    def read_then_expire(catalog, version):
+        out = real_read(catalog, version)
+        if not state["expired"]:
+            state["expired"] = True
+            # expire fires AFTER the stale writer read its base but
+            # BEFORE its CAS: keeps v5/v6, deletes v1-v4 — so the
+            # writer's put at v3 lands on a recreated dead version
+            C.catalog_expire(cat, keep_last=2)
+        return out
+
+    monkeypatch.setattr(C, "catalog_versions", stale_first_listing)
+    monkeypatch.setattr(C, "_read", read_then_expire)
+    got = C.catalog_set(cat, {"t_lost": (d, 99)})
+    assert got == 7  # landed ON TOP of the true latest, not at v3
+    st = C.store_for(cat)
+    assert not st.exists(C._manifest_path(cat, 3))  # recreation undone
+    resolved = C.catalog_resolve(cat)
+    assert resolved["t_lost"][1] == 99
+    assert {k: v[1] for k, v in resolved.items()} == {
+        "t0": 0, "t1": 1, "t2": 2, "t3": 3, "t4": 4, "t_lost": 99,
+    }
+
+
 def test_catalog_expire_races_concurrent_swappers(tmp_path, table_store):
     """Expire running INSIDE a storm of catalog_set swaps: every swap
     still lands exactly once (expire never touches latest or latest+1),

@@ -32,7 +32,11 @@ def _serialize_roaring32(values, force_runs=False):
     keys = sorted(by_key)
     size = len(keys)
     out = bytearray()
-    if force_runs:
+    # an EMPTY bitmap (gap high-word in a sparse 64-bit set) cannot be
+    # run-encoded: the run cookie stores size-1 in its upper 16 bits, so
+    # size 0 is unrepresentable — the reference RoaringBitmap serializer
+    # likewise always writes an empty bitmap with the no-run cookie
+    if force_runs and size:
         out += struct.pack("<I", 12347 | ((size - 1) << 16))
         run_flags = bytearray((size + 7) // 8)
         for i in range(size):
@@ -206,7 +210,7 @@ def test_dv_refusals_by_name(tmp_path):
 # Property tests: codec roundtrips over adversarial position sets.
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from e02_spark.ops.delta_dv import serialize_roaring_array
@@ -225,6 +229,7 @@ def test_product_serializer_roundtrips_any_position_set(positions):
 @given(st.lists(st.integers(min_value=0, max_value=(1 << 33) - 1),
                 max_size=400),
        st.booleans())
+@example(positions=[4_294_967_296], force_runs=True)  # empty gap bucket
 def test_reference_serializer_decodes_identically(positions, force_runs):
     """The test-file reference serializer (runs optional) and the
     product serializer agree with the product decoder on every set —
