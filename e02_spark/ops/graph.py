@@ -71,6 +71,12 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # LAZY checkpoint + count: the convergence count's single linear
+        # scan materializes (and persists) the checkpoint in the SAME
+        # job — one scheduled job per round instead of two (eager
+        # checkpoint + count), with identical results. Safe because the
+        # count has exactly one leaf scan of `merged`, so no stage can
+        # race another into duplicate partition computation.
         merged = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -82,7 +88,7 @@ def connected_components(
                     "chg"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = merged.where("chg").count()
         labels = merged.select("node", "label")
@@ -147,7 +153,9 @@ def connected_components_star(
         half.select(F.col("a").alias("node"))
         .union(half.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: consumed exactly once, by the caller's final action (the
+        # root fill-in join) — an eager job here bought nothing
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
@@ -173,7 +181,7 @@ def connected_components_star(
             .union(mins_s.select(F.col("a"), F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Star-forest fixed point. Two conditions, BOTH required:
         #   (1) no node appears as both child (a) and parent (b), and
@@ -186,14 +194,45 @@ def connected_components_star(
         # component into two. Both operations preserve connectivity
         # (Kiveris et al., lemma 3.1), so a (1)+(2) edge set is a star
         # forest with one star per component — the true fixed point.
-        # Both violation kinds ride one union → one count() action per
-        # round over the just-materialized checkpoint.
-        parent_counts = small.groupBy("a").agg(
-            F.count_distinct("b").alias("np")
-        )
-        violations = parent_counts.where("np > 1").select("a").union(
-            small.select("a").intersect(
-                small.select(F.col("b").alias("a"))
+        # Both violation kinds are computed from ONE role-tagged explode
+        # — a SINGLE leaf scan of `small` — so the convergence count's
+        # job materializes the lazy checkpoint above and decides the
+        # fixed point together: one scheduled job per round instead of
+        # the former three (eager checkpoint + two-scan intersect
+        # count), and the single-scan shape means no concurrent stages
+        # can duplicate-compute the unpersisted checkpoint partitions.
+        # Per node: child rows carry their parent, parent rows a NULL
+        # (count_distinct skips NULLs), so `np` counts distinct parents
+        # of a as a CHILD and both/multi-parent violations fall out of
+        # one groupBy — identical semantics to the intersect form.
+        roles = small.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("node"),
+                        F.col("b").alias("parent"),
+                        F.lit(True).alias("is_child"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("node"),
+                        F.lit(None).cast(small.schema["b"].dataType).alias(
+                            "parent"
+                        ),
+                        F.lit(False).alias("is_child"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.node", "r.parent", "r.is_child")
+        violations = (
+            roles.groupBy("node")
+            .agg(
+                F.count_distinct("parent").alias("np"),
+                F.max("is_child").alias("child"),
+                F.min("is_child").alias("not_parent"),
+            )
+            .where(
+                (F.col("np") > 1)
+                | (F.col("child") & ~F.col("not_parent"))
             )
         )
         done = violations.limit(1).count() == 0
@@ -245,7 +284,16 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # eager checkpoint, not persist(): deg is scanned once per round plus
+    # the final join — all inside the caller's single deferred action now
+    # (see the lazy round checkpoints below), so it must be materialized
+    # up front to avoid concurrent duplicate computation, and checkpoint
+    # blocks are ContextCleaner-reclaimed on GC (a persist would need an
+    # unpersist() that the fully-lazy return path can no longer order
+    # after the action).
+    deg = sym.groupBy("u").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
     scores = deg.select(
         "u", F.lit(1_000_000).cast("bigint").alias("score")
     )
@@ -255,6 +303,13 @@ def pagerank_int(
             .join(deg, "u")
             .select("v", F.expr("score div deg").alias("c"))
         )
+        # LAZY per-round checkpoints: each still truncates the Catalyst
+        # plan (analysis stays O(1) per round — the reason the
+        # checkpoint exists), but the rounds' RDDs now chain into the
+        # caller's ONE final action instead of `iters` eagerly scheduled
+        # jobs. Each round's RDD is consumed exactly once (the next
+        # round's single contrib join), so laziness cannot duplicate
+        # partition computation.
         scores = (
             contrib.groupBy("v")
             .agg(F.sum("c").alias("s"))
@@ -264,10 +319,8 @@ def pagerank_int(
                 .cast("bigint")
                 .alias("score"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    out = scores.join(deg, "u").select(
+    return scores.join(deg, "u").select(
         F.col("u").alias("node"), F.col("deg").cast("bigint").alias("deg"), "score"
     )
-    deg.unpersist()
-    return out

@@ -662,16 +662,20 @@ _PQE_LOCK = __import__("threading").Lock()
 
 
 def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.similarity import pq_encode, with_quantized
+    # Arrow/NumPy vectorized encode (pq_encode_quantized_arrow): the
+    # expression form's m x n_codes HOF lambdas evaluate INTERPRETED and
+    # profiled at ~0.6 s per evaluation at sf0.1 — the dominant cost of
+    # the q112/q113 family. The arrow path is bit-identical (pinned by
+    # tests/test_similarity_arrow.py) and projects to exactly the columns
+    # the rankers consume (vec_id, pq_codes, q, n2).
+    from ..ops.similarity import pq_encode_quantized_arrow
 
     key = (spark.sparkContext.applicationId, sf_dir)
     with _PQE_LOCK:
         hit = _PQE_MEMO.get(key)
         if hit is None:
             e = _t(spark, sf_dir, "embeddings")
-            hit = with_quantized(
-                pq_encode(e, _pq_books(e, sf_dir))
-            ).persist()
+            hit = pq_encode_quantized_arrow(e, _pq_books(e, sf_dir)).persist()
             _PQE_MEMO[key] = hit
         return hit
 
