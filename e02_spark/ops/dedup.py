@@ -275,16 +275,19 @@ def simhash_hamming_pairs(
     b = banded.select(
         F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "band_idx", "band_val"
     )
-    cand = (
+    ham = F.expr("bit_count(ha ^ hb)").cast("bigint")
+    # Verify BEFORE the dedup exchange: hamming is one xor+popcount over
+    # columns the collision row already carries, so filtering first costs
+    # nothing extra per collision while the distinct's shuffle then moves
+    # only SURVIVING pairs (near-dups) instead of every multi-band
+    # collision. distinct on (da, db, hamming) == distinct on (da, db) —
+    # hamming is a function of the pair — so results are identical.
+    return (
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("da") < F.col("db"))
-        .select("da", "db", "ha", "hb")
-        .distinct()
-    )
-    ham = F.expr("bit_count(ha ^ hb)").cast("bigint")
-    return (
-        cand.select("da", "db", ham.alias("hamming"))
+        .select("da", "db", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

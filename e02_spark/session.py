@@ -47,6 +47,14 @@ def get_spark(app_name: str = "e02-spark", master: str | None = None) -> SparkSe
         # columns (ops/snapshot.py harvests footers at commit time);
         # MICROS is the modern encoding every reader here handles.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # PySpark's error-context capture walks the Python stack AND makes
+        # a JVM round-trip on EVERY DataFrame API call (pyspark/errors/
+        # utils.py _capture_call_site). The engine's build-heavy paths
+        # (iterative graph loops, lakehouse commit chains) issue thousands
+        # of API calls per query — profiled at ~3% of a lifecycle entry's
+        # wall. Static conf, so set here; errors lose only the "user code
+        # line" annotation, never the error itself.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

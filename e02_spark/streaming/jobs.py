@@ -234,7 +234,9 @@ def label_mutation_sink(
             _rows(c & f & t, "label", tech)
         )
         try:
-            existing = spark.read.parquet(state_dir)
+            # explicit schema: the state layout is exactly adds' shape,
+            # so skip the per-batch footer schema-inference pass
+            existing = spark.read.schema(adds.schema).parquet(state_dir)
         except Exception as e:
             # ONLY a missing path means "no state yet". A transient or
             # torn-directory read failure must re-raise: mapping it to
@@ -332,7 +334,11 @@ def incremental_event_counts(events: DataFrame, state_dir: str):
             F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
         )
         try:
-            existing = spark.read.parquet(state_dir)
+            # explicit schema (the persisted state is exactly the merged
+            # shape below): skips the per-batch footer schema inference
+            existing = spark.read.schema(
+                "event_type string, n_events bigint, value_sum decimal(18,4)"
+            ).parquet(state_dir)
             merged = (
                 existing.unionByName(agg)
                 .groupBy("event_type")
@@ -576,7 +582,11 @@ def incremental_corpus_dedup(
         candidate."""
         cols = [c.strip().split()[0] for c in schema.split(",")]
         try:
-            df = spark.read.parquet(path).where(
+            # explicit schema (data cols + the batch partition column):
+            # without it every micro-batch pays a footer-sampling schema
+            # inference pass over the accumulated state files before the
+            # real read — pure per-batch overhead at any state size
+            df = spark.read.schema(f"{schema}, batch INT").parquet(path).where(
                 F.col("batch") < F.lit(batch_id)
             )
             if extra is not None:
