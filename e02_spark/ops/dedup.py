@@ -320,26 +320,36 @@ def embedding_neardup_pairs(
     from .similarity import (
         _dot_q,
         cosine_q,
-        sign_lsh_bucket_seeded,
+        seeded_sign_bands_arrow,
         with_quantized,
     )
 
     qd = with_quantized(embeddings)
 
-    def _bucket(b: int):
-        if seeded:
-            return sign_lsh_bucket_seeded("embedding", bits=bits_per_band, seed=b)
-        return sign_lsh_bucket_offset("embedding", b * bits_per_band, bits_per_band)
-
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_idx"), _bucket(b).alias("bucket"))
-            for b in range(n_bands)
-        ]
-    )
-    banded = qd.select(
-        "vec_id", F.explode(bands).alias("bd")
-    ).select("vec_id", "bd.band_idx", "bd.bucket")
+    if seeded:
+        # The seeded buckets are bits*n_bands interpreted HOF lambdas per
+        # row with dim-element literal plane arrays — seconds per pass at
+        # sf0.1. The Arrow twin is the same float64 math vectorized,
+        # bit-identical (tests/test_similarity_arrow.py), and already
+        # exploded. Expression path: sign_lsh_bucket_seeded.
+        banded = seeded_sign_bands_arrow(
+            embeddings, bits=bits_per_band, n_bands=n_bands
+        )
+    else:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    sign_lsh_bucket_offset(
+                        "embedding", b * bits_per_band, bits_per_band
+                    ).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        banded = qd.select(
+            "vec_id", F.explode(bands).alias("bd")
+        ).select("vec_id", "bd.band_idx", "bd.bucket")
     a = banded.select(F.col("vec_id").alias("va"), "band_idx", "bucket")
     b = banded.select(F.col("vec_id").alias("vb"), "band_idx", "bucket")
     candidates = (
@@ -354,7 +364,13 @@ def embedding_neardup_pairs(
     qb = qd.select(
         F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("n2").alias("nb2")
     )
-    scored = candidates.join(qa, "va").join(qb, "vb").select(
-        "va", "vb", cosine_q(_dot_q("qa", "qb"), "na2", "nb2").alias("cosine")
-    )
+    # Candidate verification is one dot product PER PAIR; the interpreted
+    # _dot_q lambda dominated the query at sf0.1 (~250k candidate pairs
+    # under the 4-bit seeded blocking). cosine_pairs_arrow is the same
+    # exact int64/IEEE math vectorized — bit-identical, pinned by
+    # tests/test_similarity_arrow.py. Expression twin kept below for
+    # reference: cosine_q(_dot_q("qa", "qb"), "na2", "nb2").
+    from .similarity import cosine_pairs_arrow
+
+    scored = cosine_pairs_arrow(candidates.join(qa, "va").join(qb, "vb"))
     return scored.where(F.col("cosine") >= threshold)

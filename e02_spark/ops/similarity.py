@@ -186,6 +186,230 @@ def duck_sign_lsh_seeded_sql(
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def seeded_sign_bands_arrow(
+    df: DataFrame,
+    bits: int = 8,
+    n_bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = DIM,
+) -> DataFrame:
+    """(id_col, band_idx, bucket) — the EXPLODED multi-band seeded
+    sign-LSH table in one vectorized Arrow pass: the NumPy twin of
+    `explode([struct(b, sign_lsh_bucket_seeded(vec, bits, seed=b)) for b
+    in range(n_bands)])`.
+
+    Why it exists: each seeded bucket is `bits` interpreted
+    aggregate(zip_with(slice, <dim-element literal array>, ...)) lambdas —
+    higher-order functions evaluate OUTSIDE whole-stage codegen, and the
+    literal ±1 plane arrays bloat the expression tree (plan build time)
+    on top of the per-row cost. Profiled at seconds per evaluation over
+    2 000 x 64-dim vectors at sf0.1 while the same math in NumPy is
+    milliseconds.
+
+    Bit-determinism (same contract as the expression path): the
+    projection accumulates coalesce(x_i, .)*s_i in component index order
+    — the accumulation loop below adds one component's contribution at a
+    time across all rows/planes, so each scalar projection is the same
+    left-to-right float64 sum the aggregate() lambda produces; the sign
+    test (proj > 0.0) and the power-of-two bucket sum are exact. Pinned
+    bit-equal to sign_lsh_bucket_seeded by tests/test_similarity_arrow.py.
+
+    Precondition (validated per batch, loud failure): every vector is
+    non-null with exactly `dim` finite components. The expression path
+    handles ragged/NULL vectors via slice+zip_with padding; this fast
+    path refuses them BY NAME rather than silently diverging.
+    """
+    import numpy as np
+
+    # Plane matrix S: (dim, n_bands*bits), column p = (band b, bit k)
+    # with p = b*bits + k — the same md5-parity Rademacher signs the
+    # expression path bakes into its literal arrays.
+    S = np.empty((dim, n_bands * bits), dtype=np.float64)
+    for b in range(n_bands):
+        for k in range(bits):
+            for i in range(dim):
+                S[i, b * bits + k] = float(_rademacher_sign(b, k, i))
+    weights = np.array([1 << k for k in range(bits)], dtype=np.int64)
+
+    def _bands(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            n = len(vecs)
+            if n == 0:
+                continue
+            if vecs.null_count:
+                raise ValueError(
+                    "seeded_sign_bands_arrow: NULL embedding rows — use "
+                    "the expression path (sign_lsh_bucket_seeded)"
+                )
+            flat = (
+                vecs.combine_chunks()
+                if isinstance(vecs, pa.ChunkedArray)
+                else vecs
+            )
+            offsets = np.asarray(flat.offsets)
+            if not ((offsets[1:] - offsets[:-1]) == dim).all():
+                raise ValueError(
+                    f"seeded_sign_bands_arrow: ragged vectors (expected "
+                    f"fixed dim {dim}) — use the expression path"
+                )
+            comp = flat.values.to_numpy(zero_copy_only=False)
+            comp = comp[offsets[0]: offsets[-1]]
+            if flat.values.null_count:
+                raise ValueError(
+                    "seeded_sign_bands_arrow: NULL vector components — "
+                    "use the expression path"
+                )
+            X = comp.astype(np.float64).reshape(n, dim)
+            if not np.isfinite(X).all():
+                raise ValueError(
+                    "seeded_sign_bands_arrow: non-finite components — "
+                    "use the expression path"
+                )
+            # Left-to-right accumulation in component order: after step i,
+            # proj == x_0*s_0 + ... + x_i*s_i exactly as the expression
+            # lambda folds it (one float64 add per component, same order).
+            proj = np.zeros((n, n_bands * bits), dtype=np.float64)
+            for i in range(dim):
+                proj += X[:, i: i + 1] * S[i]
+            bitson = (proj > 0.0).reshape(n, n_bands, bits)
+            buckets = (bitson * weights).sum(axis=2)  # (n, n_bands) int64
+            idv = ids.to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(idv, n_bands), type=pa.int64()),
+                    pa.array(
+                        np.tile(
+                            np.arange(n_bands, dtype=np.int32), n
+                        ),
+                        type=pa.int32(),
+                    ),
+                    pa.array(buckets.reshape(-1), type=pa.int64()),
+                ],
+                names=[id_col, "band_idx", "bucket"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        _bands, schema=f"{id_col} bigint, band_idx int, bucket bigint"
+    )
+
+
+def cosine_pairs_arrow(
+    pairs: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+) -> DataFrame:
+    """(a_col, b_col, cosine) from a pair table carrying pre-quantized
+    vectors — the vectorized Arrow twin of
+    `select(a, b, cosine_q(_dot_q("qa", "qb"), "na2", "nb2"))`.
+
+    Why it exists: `_dot_q` is an interpreted aggregate(zip_with(..))
+    lambda evaluated once PER CANDIDATE PAIR — at sf0.1 the seeded
+    embedding near-dup blocking admits ~250 k candidate pairs and the
+    per-pair HOF dominates the query (~2-3 s). The same math in NumPy is
+    an (n, dim) int64 elementwise-multiply + row sum.
+
+    Bit-determinism: the dot product is EXACT int64 arithmetic (order
+    cannot matter), cast to float64 exactly as the expression's
+    cast("double"); cosine = dot / (sqrt(na2) * sqrt(nb2)) is the same
+    three IEEE-754 operations (correctly-rounded sqrt, multiply, divide)
+    the JVM performs. Zero-norm rows: the session runs Spark 4's
+    default ANSI mode, where the expression path RAISES
+    DIVIDE_BY_ZERO — the twin refuses a zero denominator by name
+    (silently emitting IEEE NaN would be worse than either: Spark
+    orders NaN GREATER than every number, so NaN rows would PASS >=
+    threshold filters). Pinned by tests/test_similarity_arrow.py.
+
+    Precondition (validated per batch, loud failure): non-null q arrays,
+    equal fixed length per batch, non-null ids/norms. The expression
+    path NULL-propagates ragged/NULL pairs; this fast path refuses them
+    BY NAME rather than silently diverging.
+    """
+    import numpy as np
+
+    def _cos(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            qa, qb = cols["qa"], cols["qb"]
+            if qa.null_count or qb.null_count:
+                raise ValueError(
+                    "cosine_pairs_arrow: NULL quantized vectors — use "
+                    "the expression path (_dot_q/cosine_q)"
+                )
+            mats = []
+            dim = None
+            for arr in (qa, qb):
+                flat = (
+                    arr.combine_chunks()
+                    if isinstance(arr, pa.ChunkedArray)
+                    else arr
+                )
+                offsets = np.asarray(flat.offsets)
+                lens = offsets[1:] - offsets[:-1]
+                if dim is None:
+                    dim = int(lens[0]) if len(lens) else 0
+                if not (lens == dim).all():
+                    raise ValueError(
+                        "cosine_pairs_arrow: ragged quantized vectors — "
+                        "use the expression path"
+                    )
+                if flat.values.null_count:
+                    raise ValueError(
+                        "cosine_pairs_arrow: NULL vector components — "
+                        "use the expression path"
+                    )
+                vals = flat.values.to_numpy(zero_copy_only=False)
+                mats.append(
+                    vals[offsets[0]: offsets[-1]]
+                    .astype(np.int64)
+                    .reshape(n, dim)
+                )
+            A, B = mats
+            dot = (A * B).sum(axis=1).astype(np.float64)
+            na2 = cols["na2"].to_numpy(zero_copy_only=False).astype(np.float64)
+            nb2 = cols["nb2"].to_numpy(zero_copy_only=False).astype(np.float64)
+            denom = np.sqrt(na2) * np.sqrt(nb2)
+            if (denom == 0.0).any():
+                # ANSI division (the session default) raises
+                # DIVIDE_BY_ZERO in the expression path; refuse by name
+                # rather than emit NaN (which Spark sorts ABOVE every
+                # number, silently passing >= threshold filters).
+                raise ArithmeticError(
+                    "cosine_pairs_arrow: zero-norm vector — ANSI "
+                    "division by zero; filter n2 > 0 or use the "
+                    "expression path"
+                )
+            cos = dot / denom
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.Array.from_pandas(
+                        cols[a_col].to_numpy(zero_copy_only=False)
+                    ),
+                    pa.Array.from_pandas(
+                        cols[b_col].to_numpy(zero_copy_only=False)
+                    ),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=[a_col, b_col, "cosine"],
+            )
+
+    return pairs.select(a_col, b_col, "qa", "qb", "na2", "nb2").mapInArrow(
+        _cos, schema=f"{a_col} bigint, {b_col} bigint, cosine double"
+    )
+
+
 def sign_lsh_bucket_offset(vec: str, offset: int, bits: int) -> Column:
     """Sign bucket of components [offset, offset+bits) — one band of the
     multi-band sign-LSH (see ops.dedup.embedding_neardup_pairs)."""

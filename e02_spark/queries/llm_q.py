@@ -1051,8 +1051,13 @@ def q52_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(docs)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = lsh.fit(feats)
+    # Self-joining the raw pipeline recomputes collect_list + HashingTF +
+    # minhash on BOTH legs of approxSimilarityJoin. Materializing the
+    # hashed side once (5k tiny rows) halves the pipeline cost; the join
+    # skips its internal re-transform because `hashes` is already present.
+    hashed = model.transform(feats).localCheckpoint()
     ml_cand = (
-        model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+        model.approxSimilarityJoin(hashed, hashed, 0.4, distCol="jaccard_dist")
         .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("da"),
