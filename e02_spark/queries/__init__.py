@@ -98,6 +98,10 @@ def reset_shared_state(spark: SparkSession) -> None:
     streaming_q._MOR_MEMO.clear()
     streaming_q._BASE_MEMO.clear()
     streaming_q._SMALL_MEMO.clear()
+    # _SMALL_START holds the phase-1 handle whose completed future
+    # returns the built chain; left in place it hands pass N+1 the
+    # pass-N table and the "cold re-run" contract silently breaks
+    streaming_q._SMALL_START.clear()
     streaming_q._SMALL_BASE_MEMO.clear()
     streaming_q._OMAX_MEMO.clear()
     for memo in (llm_q._SH_MEMO, llm_q._CI_MEMO, llm_q._PQE_MEMO):

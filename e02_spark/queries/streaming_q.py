@@ -238,6 +238,35 @@ FROM events GROUP BY 1, 2
 # (older ts never overwrites newer — jobs.py:_gate_fn), hence exact.
 # Reference semantics: pr-review-flow.yml:242-288.
 # --------------------------------------------------------------------------
+
+import time as _time
+
+
+class _ProfT:
+    """Env-gated phase profiler (E02_PROF=1): prints leg walls to stderr."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.on = os.environ.get("E02_PROF") == "1"
+        self.t0 = _time.perf_counter()
+        self.marks: list[tuple[str, float]] = []
+
+    def mark(self, leg: str) -> None:
+        if self.on:
+            self.marks.append((leg, _time.perf_counter()))
+
+    def dump(self) -> None:
+        if self.on:
+            import sys as _sys
+
+            prev = self.t0
+            out = []
+            for n, t in self.marks:
+                out.append(f"{n}={t - prev:.2f}")
+                prev = t
+            print(f"PROF {self.name}: " + " ".join(out), file=_sys.stderr)
+
+
 _REVIEWS_DIR_MEMO: dict[str, str] = {}
 
 
@@ -568,6 +597,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write,
     )
 
+    _pt = _ProfT("q114")
     orders = load_table(spark, sf_dir, "orders")
     table = os.path.join(_tracked_mkdtemp(prefix="e02_snaptbl_"), "tbl")
     snapshot_write(
@@ -583,6 +613,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filters, so the whole lifecycle runs bloom-bearing
         bloom_cols=["o_orderkey"],
     )
+    _pt.mark("base_write")
     # BLOOM point-probe leg, on the %4==0 base while it is SPARSE by
     # construction: a key ≡1 (mod 4) sits inside every file's [min,max]
     # span but provably absent — only the bloom can prune it; a present
@@ -616,30 +647,53 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two Spark jobs: the first proven key's PRUNED point read (the
     # empty-plan schema-fallback path), and one unpruned membership
-    # check that every probe candidate is truly absent
-    bloom_probe_ok = (
-        len(proven) >= 1
-        and len(kept_hit) == 1
-        and snapshot_read(
-            spark, table, prune=("o_orderkey", proven[0], proven[0])
-        ).where(F.col("o_orderkey") == proven[0]).count() == 0
-        and snapshot_read(spark, table)
-        .where(F.col("o_orderkey").isin(gaps)).count() == 0
+    # check that every probe candidate is truly absent. Both read ONLY
+    # the immutable v1 base (nothing touches `table` until the publish
+    # commit below), and the publish leg's source count and staging
+    # write are likewise independent of them — so all four fixed job
+    # latencies run CONCURRENTLY (guide §2.6) instead of in sequence.
+    from ..ops.snapshot import snapshot_publish
+
+    stg = os.path.join(_tracked_mkdtemp(prefix="e02_snapstg_"), "stg")
+    pub_slice = orders.where(F.col("o_orderkey") % 4 == 2)
+    probe_pruned = snapshot_read(
+        spark, table, prune=("o_orderkey", proven[0], proven[0])
+    ).where(F.col("o_orderkey") == proven[0]) if proven else None
+    probe_member = snapshot_read(spark, table).where(
+        F.col("o_orderkey").isin(gaps)
     )
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=4) as _ex:
+        fut_pruned = (
+            _ex.submit(probe_pruned.count) if probe_pruned is not None
+            else None
+        )
+        fut_member = _ex.submit(probe_member.count)
+        fut_npub = _ex.submit(pub_slice.count)
+        # the meta_rows_match comparison far below needs COUNT(*) of the
+        # immutable source parquet — same pool, same overlap
+        fut_total = _ex.submit(orders.count)
+        fut_stg = _ex.submit(
+            snapshot_write, pub_slice, stg, mode="overwrite", n_files=2,
+            cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
+        )
+        n_pub = fut_npub.result()
+        n_orders_total = fut_total.result()
+        fut_stg.result()
+        bloom_probe_ok = (
+            len(proven) >= 1
+            and len(kept_hit) == 1
+            and fut_pruned is not None
+            and fut_pruned.result() == 0
+            and fut_member.result() == 0
+        )
+    _pt.mark("bloom_probe+stage")
     # WRITE-AUDIT-PUBLISH leg: the %4==2 quarter lands in its own
     # staging snapshot table and is adopted by one zero-copy publish
     # commit (hard-linked files, staged stats reused); a keyed replay
     # must adopt nothing. The published rows are part of the final
     # hash-checked aggregate, so adoption correctness is content-pinned.
-    from ..ops.snapshot import snapshot_publish
-
-    stg = os.path.join(_tracked_mkdtemp(prefix="e02_snapstg_"), "stg")
-    pub_slice = orders.where(F.col("o_orderkey") % 4 == 2)
-    n_pub = pub_slice.count()
-    snapshot_write(
-        pub_slice, stg, mode="overwrite", n_files=2,
-        cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
-    )
     pub = snapshot_publish(
         spark, stg, table, idempotency_key="q114-publish"
     )
@@ -652,6 +706,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and pub_replay["files_adopted"] == 0
         and pub_replay["version"] == pub["version"]
     )
+    _pt.mark("publish")
     # BRANCH leg (round 11, writable refs): a NET-IDENTITY mutation
     # rides a branch — MoR-delete a slice, re-append the identical rows,
     # audit on the branch, FAST-FORWARD main as one atomic commit, fold.
@@ -700,8 +755,11 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and snapshot_rows(table) == rows_at_branch
     )
     snapshot_branch_drop(table, "wip")
+    _pt.mark("branch_leg")
     snapshot_rewrite_deletes(spark, table)  # fold the adopted DV files
+    _pt.mark("rewrite_deletes")
     feed = _stage_orders_feed(spark, sf_dir)
+    _pt.mark("stage_feed")
 
     def run_stream() -> None:
         ckpt = _tracked_mkdtemp(prefix="e02_snapckpt_")
@@ -718,13 +776,16 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             _await(q)
 
     run_stream()
+    _pt.mark("stream1")
     rows_v1, ver_v1 = snapshot_rows(table), snapshot_versions(table)[-1]
     run_stream()  # fresh checkpoint -> batches 0..1 replay -> all no-ops
+    _pt.mark("stream2")
     replay_noop = (
         snapshot_rows(table) == rows_v1
         and snapshot_versions(table)[-1] == ver_v1
     )
-    meta_rows_match = snapshot_rows(table) == orders.count()
+    meta_rows_match = snapshot_rows(table) == n_orders_total
+    _pt.mark("orders_count")
     # O(metadata) rollback + DESCRIBE-HISTORY provenance, then roll
     # forward again: content at every step answered from manifests alone
     snapshot_rollback(table, ver_v1 - 1)
@@ -765,6 +826,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-checked, then dropped so the GC leg stays exact.
     from ..ops.snapshot import snapshot_drop_tag, snapshot_tag
 
+    _pt.mark("rollback+asof")
     snapshot_tag(table, "audit-cut", ver_v1 - 1)
     tag_ok = (
         snapshot_read(spark, table, tag="audit-cut").count()
@@ -776,6 +838,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the now-unreferenced pre-compact data files; the final
     # hash-checked aggregate below reads the POST-GC table, so the
     # content pin proves GC deleted nothing live.
+    _pt.mark("tag")
     n_before = len(snapshot_versions(table))
     # GC-respect leg: a live branch pins its branch point against the
     # aggressive expire below (the ref-retention rule for writable
@@ -802,6 +865,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and len(snapshot_versions(table)) == 1
         and snapshot_rows(table) == rows_v1
     )
+    _pt.mark("compact+expire")
     # METADATA-TABLE leg (round 11), on the post-GC table: the
     # queryable metadata tables must agree exactly with the manifest
     # they derive from, and the blooms declared on commit 1 must still
@@ -823,6 +887,7 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and sum(r["rows"] for r in fm) == rows_v1
         and [r["version"] for r in hm] == snapshot_versions(table)
     )
+    _pt.mark("meta_tables")
     # DELTA EXPORT leg (round 12): the post-GC table (4 files, no
     # deletes, no rename history) exports ZERO-COPY as a genuine Delta
     # Lake table, and a THIRD-PARTY reader reconstructs it — the log is
@@ -905,6 +970,8 @@ def q114_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         and imp_r["files_adopted"] == 4
         and _srows(back) == rows_v1
     )
+    _pt.mark("delta_export+import")
+    _pt.dump()
     # stats-pruned read: manifest [min,max] drops upper-half files before
     # Spark ever lists them; values prove the prune kept every needed row
     mid = _orders_max_key(spark, sf_dir) // 2
@@ -1957,6 +2024,7 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this part runs on a private CLONE_SESSION: its state folds and
     # micro-batches are tiny, so a narrow shuffle beats the default
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    _pt = _ProfT("q122")
     orders = load_table(spark, sf_dir, "orders")
     # an EIGHTH of orders (round 13, down from the quarter): every pin
     # here — IVM-vs-recompute equality, maintenance silence, exact feed
@@ -1982,14 +2050,17 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_upd"),
     ).first()
+    _pt.mark("src_agg")
     mid = st["mx"] // 2
     snapshot_write(
         sl.where(F.col("o_orderkey") <= mid), tbl, mode="overwrite",
         n_files=2, cluster_by=["o_orderkey"], stats_cols=["o_orderkey"],
     )
+    _pt.mark("base_write")
     state = materialize_agg(
         snapshot_read(spark, tbl).limit(0), keys, sums
     ).localCheckpoint()
+    _pt.mark("state_init")
 
     # ONE live query observes both phases: micro-batches are parked
     # (localCheckpoint pins each batch's content past its micro-batch
@@ -2028,7 +2099,9 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sum(counts)
 
     rows_lo = snapshot_rows(tbl)
+    _pt.mark("stream_start")
     n1 = wait_rows(rows_lo)  # phase 1: the initial load as inserts
+    _pt.mark("phase1_drain")
     snapshot_write(
         sl.where(F.col("o_orderkey") > mid), tbl, mode="append", n_files=1
     )
@@ -2049,7 +2122,9 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                    strategy="mor")
     # content-preserving maintenance ALSO flows through the open stream —
     # its data_change=false steps must contribute exactly zero feed rows
+    _pt.mark("mutations")
     snapshot_rewrite_deletes(spark, tbl, n_files_new=2)
+    _pt.mark("rewrite")
     # the silence pin needs the stream CONSUMED THROUGH the final
     # version before we stop — row-count waits alone would stop early
     # and miss rows a broken maintenance step emitted at the tail
@@ -2072,8 +2147,10 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError(f"CDF stream never reached v{final_v}")
         time.sleep(0.05)
     n2 = sum(counts) - n1
+    _pt.mark("final_drain")
     q.stop()
     q.awaitTermination(60)
+    _pt.mark("stop")
     # count/sum deltas are purely additive, so ONE fold over the union
     # of every micro-batch equals folding them in sequence — one join
     # against the state instead of one per batch
@@ -2116,6 +2193,8 @@ def q122_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_m = ex.submit(_matches_leg)
         out = fut_out.result()
         matches = fut_m.result()
+    _pt.mark("fold+verify")
+    _pt.dump()
     return (
         out.withColumn("ivm_matches_recompute", F.lit(bool(matches)))
         .withColumn("maintenance_silent", F.lit(bool(maintenance_silent)))

@@ -621,38 +621,53 @@ def incremental_corpus_dedup(
         )
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
+        import time as _t
+
+        _prof = os.environ.get("E02_PROF") == "1"
+        _marks: list[tuple[str, float]] = [("start", _t.perf_counter())]
+
+        def _mark(name: str) -> None:
+            if _prof:
+                _marks.append((name, _t.perf_counter()))
+
         spark = batch.sparkSession
         sizes_old = _read_sizes_state(spark, batch_id)
+        _mark("sizes_state_read")
         # Ingest-order watermark = max doc_id already in the doc_sizes
         # state (no separate watermark table — one tiny agg over the
         # per-doc state, not a per-batch single-row write, which profiled
         # at ~4 s/batch of pure job overhead). Shingle-less docs are
         # absent from doc_sizes, which only weakens detection for docs
         # that cannot produce pairs anyway.
-        bounds = batch.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).first()
-        lo = bounds["lo"]
-        if lo is None:
-            return  # empty micro-batch: nothing to probe, no state to write
-        prev_max = _wm["max"]
-        if prev_max is None:
-            from e02_spark.ops.snapshot import snapshot_versions
+        #
+        # The bounds agg and the (first-batch) watermark lookup are
+        # independent of the candidate build below, so their fixed job
+        # latencies run on a WORKER THREAD and overlap the candidate
+        # materialization instead of preceding it serially. The contract
+        # check happens at the join point — still strictly before any
+        # state write, which is all the ordering the replay/abort
+        # semantics need (an aborted batch must write nothing).
+        def _bounds_and_wm():
+            bounds = batch.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).first()
+            prev_max = _wm["max"]
+            if bounds["lo"] is not None and prev_max is None:
+                from e02_spark.ops.snapshot import snapshot_versions
 
-            # a FRESH state dir (no committed doc_sizes snapshot) has no
-            # watermark by construction — the versions() file listing
-            # answers that without scheduling a Spark job over an empty
-            # frame (profiled ~0.4 s of pure batch-0 machinery)
-            if snapshot_versions(sizes_tbl):
-                prev_max = sizes_old.agg(F.max("doc_id")).first()[0]
-        if prev_max is not None and lo <= prev_max:
-            raise ValueError(
-                "incremental_corpus_dedup ingest-order contract violated: "
-                f"batch {batch_id} contains doc_id {lo} <= previously "
-                "ingested max "
-                f"{prev_max}; 'earlier doc == smaller id' no longer "
-                "holds, (old>new) pairs would be silently dropped"
-            )
+                # a FRESH state dir (no committed doc_sizes snapshot)
+                # has no watermark by construction — the versions() file
+                # listing answers that without scheduling a Spark job
+                # over an empty frame (~0.4 s of batch-0 machinery)
+                if snapshot_versions(sizes_tbl):
+                    prev_max = sizes_old.agg(F.max("doc_id")).first()[0]
+            return bounds, prev_max
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        _bw_pool = ThreadPoolExecutor(max_workers=1)
+        bw_fut = _bw_pool.submit(_bounds_and_wm)
+        _bw_pool.shutdown(wait=False)
         # persisted (not eagerly checkpointed — the eager job was pure
         # scheduling overhead; lineage never leaves this batch closure):
         # computed once on first use, reused by sizes_new, keys_new, the
@@ -718,6 +733,26 @@ def incremental_corpus_dedup(
         # reuses); past the limit the joins fall back to shuffles, which
         # is the right plan at that size.
         n_cand = cand.count()
+        _mark("cand_count")
+        # join point for the overlapped bounds/watermark job: enforce the
+        # ingest-order contract (and the empty-batch no-op) BEFORE any
+        # state write, exactly as the serial form did
+        bounds, prev_max = bw_fut.result()
+        _mark("bounds_join")
+        lo = bounds["lo"]
+        if lo is None:
+            # empty micro-batch: nothing to probe, no state to write
+            for df_ in (keys_new, sizes_new, sh_new, cand):
+                df_.unpersist()
+            return
+        if prev_max is not None and lo <= prev_max:
+            raise ValueError(
+                "incremental_corpus_dedup ingest-order contract violated: "
+                f"batch {batch_id} contains doc_id {lo} <= previously "
+                "ingested max "
+                f"{prev_max}; 'earlier doc == smaller id' no longer "
+                "holds, (old>new) pairs would be silently dropped"
+            )
         maybe_bc = F.broadcast if n_cand <= broadcast_pair_limit else (lambda d: d)
         # Exact-verify touches ONLY colliding docs: (broadcast-)semi-join
         # the corpus to the candidate id set before the intersection
@@ -813,7 +848,12 @@ def incremental_corpus_dedup(
             )
 
         writes = [
-            lambda: jac.write.mode("overwrite").parquet(_bdir(out_dir)),
+            # verdicts are O(surviving pairs) — one task/file instead of
+            # shuffle-width files of a handful of rows each (the map side
+            # keeps its parallelism; coalesce only narrows the tail stage)
+            lambda: jac.coalesce(1).write.mode("overwrite").parquet(
+                _bdir(out_dir)
+            ),
             _write_index,
             lambda: sh_new.coalesce(state_writers)
             .write.mode("overwrite")
@@ -823,6 +863,7 @@ def incremental_corpus_dedup(
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             for f in [pool.submit(w) for w in writes]:
                 f.result()  # re-raise the first failure
+        _mark("writes")
         keys_new.unpersist()
         sizes_new.unpersist()
         sizes.unpersist()
@@ -830,6 +871,14 @@ def incremental_corpus_dedup(
         cand.unpersist()
         corpus.unpersist()
         _wm["max"] = int(bounds["hi"])
+        if _prof:
+            import sys as _sys
+            prev = _marks[0][1]
+            out = []
+            for n, t in _marks[1:]:
+                out.append(f"{n}={t-prev:.2f}")
+                prev = t
+            print(f"PROF batch {batch_id}: " + " ".join(out), file=_sys.stderr)
 
     writer = docs_stream.writeStream.foreachBatch(_batch).trigger(
         availableNow=True
