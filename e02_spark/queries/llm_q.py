@@ -198,6 +198,14 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 # --------------------------------------------------------------------------
 _CI_MEMO: dict[tuple[str, str], DataFrame] = {}
 _SH_MEMO: dict[tuple[str, str], DataFrame] = {}
+# Builders are LOCKED: q92/q108 (and the q27 family) run concurrently
+# inside PARALLEL_GROUPS, and an unsynchronized check-then-build let two
+# threads construct and persist the SAME pipeline twice — double compute
+# on first materialization plus a leaked orphan persist (the loser's
+# entry is overwritten in the memo and never unpersisted). Construction
+# under the lock is lazy (no job), so the hold time is milliseconds.
+_SH_LOCK = __import__("threading").Lock()
+_CI_LOCK = __import__("threading").Lock()
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,12 +218,13 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.text import shingles
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    sh = _SH_MEMO.get(key)
-    if sh is None:
-        d = _t(spark, sf_dir, "documents")
-        sh = shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
-        _SH_MEMO[key] = sh
-    return sh
+    with _SH_LOCK:
+        sh = _SH_MEMO.get(key)
+        if sh is None:
+            d = _t(spark, sf_dir, "documents")
+            sh = shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
+            _SH_MEMO[key] = sh
+        return sh
 
 
 def _shared_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,14 +233,15 @@ def _shared_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.dedup import _candidate_intersections
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    ci = _CI_MEMO.get(key)
-    if ci is None:
-        d = _t(spark, sf_dir, "documents")
-        ci = _candidate_intersections(
-            d, k=4, bands=2, sh=_shared_shingles(spark, sf_dir)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        _CI_MEMO[key] = ci
-    return ci
+    with _CI_LOCK:
+        ci = _CI_MEMO.get(key)
+        if ci is None:
+            d = _t(spark, sf_dir, "documents")
+            ci = _candidate_intersections(
+                d, k=4, bands=2, sh=_shared_shingles(spark, sf_dir)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            _CI_MEMO[key] = ci
+        return ci
 
 
 # --------------------------------------------------------------------------

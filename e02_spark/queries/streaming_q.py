@@ -1198,6 +1198,8 @@ def _small_chain_merges(
     from ..io import load_table
     from ..ops.snapshot import snapshot_merge
 
+    _pt = _ProfT("small_chain")
+
     orders = load_table(spark, sf_dir, "orders").where(
         F.expr(_SMALL_WHERE.removeprefix("WHERE "))
     )
@@ -1209,6 +1211,7 @@ def _small_chain_merges(
         spark, table, dels, on=["o_orderkey"],
         when_matched="delete", insert_not_matched=False,
     )
+    _pt.mark("m1_delete")
     upd = orders.where(
         (F.col("o_orderkey") % 7 == 0)
         & (F.col("o_orderkey") >= q)
@@ -1224,6 +1227,8 @@ def _small_chain_merges(
         when_matched="update", insert_not_matched=True,
         n_files_new=2, cluster_by=["o_orderkey"],
     )
+    _pt.mark("m2_upsert")
+    _pt.dump()
     hit = {
         "table": table, "v1": 1, "v2": m1["version"],
         "v3": m2["version"], "m1": m1, "m2": m2,
@@ -1702,6 +1707,7 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v1 — run them CONCURRENTLY with the chain's merge builds instead
     # of serially after them (they read version=1, immutable under the
     # concurrent commits)
+    _pt = _ProfT("q119")
     st_ch = _small_chain_start(spark, sf_dir)
     mv = os.path.join(_tracked_mkdtemp(prefix="e02_mvtbl_"), "mv")
     mv2 = os.path.join(_tracked_mkdtemp(prefix="e02_mvstream_"), "mv")
@@ -1724,6 +1730,7 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = fut_state.result()
         fut_mv.result()
         fut_mv2.result()
+    _pt.mark("prep+chain")
     delta = snapshot_changes(spark, ch["table"], ch["v1"], ch["v3"])
     # the chain's delete merge RETRACTS rows, so the maintained MIN/MAX
     # exercise recompute-on-retract: only dirty groups re-scan the base
@@ -1731,6 +1738,7 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained = apply_agg_delta(
         state, delta, keys, sums, minmax=minmax, base=v3
     ).persist()
+    _pt.mark("apply_delta")
     try:
         # three independent verification legs run CONCURRENTLY
         # (independent tables/jobs; Spark schedules them in one session
@@ -1799,6 +1807,8 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             matches = fut_m.result()
             persisted_mv_matches = fut_b.result()
             streamed_mv_matches = fut_s.result()
+        _pt.mark("four_legs")
+        _pt.dump()
         return (
             out.withColumn("ivm_matches_recompute", F.lit(bool(matches)))
             .withColumn(
@@ -2429,7 +2439,9 @@ def q124_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_versions,
     )
 
+    _pt = _ProfT("q124")
     ch = _small_chain(spark, sf_dir)
+    _pt.mark("chain_wait")
     base = _tracked_mkdtemp(prefix="e02_repl_")
     mirror = os.path.join(base, "mirror")
     ck = os.path.join(base, "ck")
@@ -2437,6 +2449,7 @@ def q124_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ch["table"], mirror, on=["o_orderkey"], checkpoint_dir=ck,
     )
     q.awaitTermination(300)
+    _pt.mark("replicate_stream")
     # incremental/exactly-once bookkeeping, from the checkpoint itself:
     # the offset log must be fully caught up to the source's last
     # version and every planned batch committed — the state from which
@@ -2468,6 +2481,8 @@ def q124_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold the CDC legs' eq-delete files, then the metadata COUNT is
     # derivable again and must equal the source chain's
     snapshot_rewrite_deletes(spark, mirror, n_files_new=2)
+    _pt.mark("rewrite+meta")
+    _pt.dump()
     rows_ok = snapshot_rows(mirror) == snapshot_rows(ch["table"])
     return (
         snapshot_read(spark, mirror)
