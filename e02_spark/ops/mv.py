@@ -241,14 +241,18 @@ def mv_stream(
     )
 
     def _fold(batch, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         b = batch.persist()
         try:
+            # one job answers emptiness AND the version range (and its
+            # scan materializes the persist the fold reuses) — the
+            # former isEmpty()-then-agg pair scheduled two jobs per
+            # micro-batch; MIN/MAX are NULL on an empty frame
             rng = b.agg(
                 F.min("_commit_version").alias("lo"),
                 F.max("_commit_version").alias("hi"),
             ).first()
+            if rng["lo"] is None:
+                return
             lo, hi = int(rng["lo"]), int(rng["hi"])
             for _ in range(3):
                 mv_v = snapshot_versions(mv_table)[-1]

@@ -2032,8 +2032,6 @@ def snapshot_cdc_sink(
         raw = batch.persist()  # keep the handle: unpersist must target
         batch = raw            # the CACHED frame, not a derived plan
         try:
-            if batch.isEmpty():
-                return
             order_cols = (
                 [dedup_by] if isinstance(dedup_by, str) else list(dedup_by or [])
             )
@@ -2058,7 +2056,23 @@ def snapshot_cdc_sink(
                     *meta
                 )
             else:
+                is_del = F.lit(False)
                 dels, ups = None, batch.drop(*meta)
+            # ONE job decides all three emptiness branches (empty batch,
+            # empty delete leg, empty upsert leg) — the former
+            # isEmpty()/isEmpty()/isEmpty() triple scheduled three jobs
+            # per micro-batch for the same information. The agg runs on
+            # the compacted frame (n_keys == 0 iff the raw batch was
+            # empty: compaction keeps one row per key) and its scan also
+            # materializes the persist the merge legs reuse.
+            leg_counts = batch.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(is_del, 1).otherwise(0)).alias("n_del"),
+            ).first()
+            n_keys = leg_counts["n_keys"]
+            n_del = int(leg_counts["n_del"] or 0)
+            if n_keys == 0:
+                return
             # first-batch bootstrap: if the table doesn't exist yet,
             # create it EMPTY so the delete leg runs (and records its
             # key) rather than being skipped — a skip decided by
@@ -2072,13 +2086,13 @@ def snapshot_cdc_sink(
                     stats_cols=stats_cols,
                 )
             # deletes first: a key in both legs nets to its upsert
-            if dels is not None and not dels.isEmpty():
+            if dels is not None and n_del > 0:
                 snapshot_merge(
                     spark, table, dels, on=on, when_matched="delete",
                     insert_not_matched=False, strategy=strategy,
                     commit_key=f"{kp}{batch_id}-d",
                 )
-            if not ups.isEmpty():
+            if n_keys - n_del > 0:
                 snapshot_merge(
                     spark, table, ups, on=on, when_matched="update",
                     insert_not_matched=True, strategy=strategy,
