@@ -349,6 +349,39 @@ def test_cdc_sink_delete_only_batch_and_first_batch_deletes(spark, tmp_path):
     assert _rows(spark, table) == {(2, 4)}
 
 
+def test_cdc_sink_null_op_rows_net_to_upserts(spark, tmp_path):
+    """Rows whose op column is NULL classify as upserts (coalesce
+    semantics), including through the single-aggregate leg decision
+    that replaced the per-leg isEmpty() jobs: a batch mixing NULL-op
+    rows with deletes must run BOTH legs, and a batch of only NULL-op
+    rows must skip the delete leg entirely (no empty delete-leg
+    commit)."""
+    b0 = spark.createDataFrame(
+        [(1, 2, None, 1), (2, 4, None, 2), (3, 6, "insert", 3)],
+        CDC_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [(2, 0, "delete", 10), (4, 8, None, 11)], CDC_SCHEMA
+    )
+    feed = _feed(spark, tmp_path, [b0, b1])
+    table = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = snapshot_cdc_sink(
+        stream, table, on=["id"], op_col="op", dedup_by="lsn",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert q.awaitTermination(300)
+    assert _rows(spark, table) == {(1, 2), (3, 6), (4, 8)}
+    # batch 0 (NULL-op + insert rows, no deletes): bootstrap overwrite +
+    # ONE upsert commit; batch 1: delete leg + upsert leg — 4 versions
+    # total, i.e. the all-null batch committed no empty delete leg
+    assert len(snapshot_versions(table)) == 4
+
+
 # -------------------------------------------------------------- replication
 
 
