@@ -1524,18 +1524,40 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_write(high, table, mode="append", n_files=4,
                    cluster_by=["o_orderkey"], stats_cols=["o_orderkey"])
     cur = snapshot_read(spark, table)
+    # Three independent reads of immutable inputs — the orders COUNT(*)
+    # (needed again by the CHECK leg below: computed ONCE now, it was
+    # two identical jobs), the probe-row lookup, and the SPJ leg's
+    # second-table write (a DIFFERENT table in its own tmpdir, zero
+    # interaction with anything the CHECK leg commits to `table`) — run
+    # CONCURRENTLY instead of as three serial fixed job latencies
+    # (guide §2.6). Commit order on `table` itself is unchanged.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    from ..io import load_table as _lt
+
+    cust_tbl = os.path.join(_tracked_mkdtemp(prefix="e02_spjcust_"), "tbl")
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pool = _TPE(max_workers=3)
+    fut_n_orders = pool.submit(orders.count)
+    fut_p0 = pool.submit(
+        orders.select("o_custkey", "o_orderkey", "o_orderpriority").first
+    )
+    fut_cust = pool.submit(
+        snapshot_write, cust, cust_tbl, mode="overwrite", n_files=4,
+        partition_spec=[("bucket", "c_custkey", 16)],
+    )
+    pool.shutdown(wait=False)
+    n_orders_total = fut_n_orders.result()
     schema_stable = (
         snapshot_read(spark, table, version=v1).columns
         == orders.columns
         and cur.columns == orders.columns + ["band"]
-        and snapshot_rows(table) == orders.count()
+        and snapshot_rows(table) == n_orders_total
     )
     # hidden-partition point lookup: the probe names the SOURCE column,
     # the spec resolves to the derived bucket, the plan keeps a strict
     # file subset, and the pruned read still returns every matching row
-    _p0 = orders.select(
-        "o_custkey", "o_orderkey", "o_orderpriority"
-    ).first()
+    _p0 = fut_p0.result()
     probe = _p0["o_custkey"]
     probe_key, probe_comment = _p0["o_orderkey"], _p0["o_orderpriority"]
     all_files, _ = _plan_files(table, None, None)
@@ -1544,9 +1566,15 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("o_custkey") == probe)
     full = cur.where(F.col("o_custkey") == probe)
     n_kept = len(pruned.inputFiles())
+    # the two point-probe counts are independent read-only jobs over
+    # version-pinned frames — one pool overlaps their fixed latencies
+    with _TPE(max_workers=2) as _pp:
+        _f_pruned = _pp.submit(pruned.count)
+        _f_full = _pp.submit(full.count)
+        n_pruned, n_full = _f_pruned.result(), _f_full.result()
     hidden_prune_ok = (
         0 < n_kept < len(all_files)
-        and pruned.count() == full.count() > 0
+        and n_pruned == n_full > 0
     )
     # CHECK constraint on the EVOLVED column (snapshot_set_check):
     # ADD CONSTRAINT validates existing content — v1's NULL-backfilled
@@ -1572,7 +1600,7 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     check_enforced = (
         rejected
         and snapshot_versions(table)[-1] == v_chk
-        and snapshot_rows(table) == orders.count()
+        and snapshot_rows(table) == n_orders_total
     )
     # STORAGE-PARTITIONED JOIN (round 10): a second snapshot table
     # bucket-partitioned by the SAME transform (bucket(16, custkey))
@@ -1580,24 +1608,25 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-bucket co-located scans, broadcast bucket-locally, unioned
     # (ops/bucketing.snapshot_colocated_join; plan additionally pinned
     # by tests/test_plans.py). The boolean pins plan shape AND row
-    # parity against the naive join.
-    from ..io import load_table as _lt
+    # parity against the naive join. The cust table's write was
+    # submitted up top (independent of the CHECK leg) — join it here.
     from ..ops.bucketing import snapshot_colocated_join
 
-    cust_tbl = os.path.join(_tracked_mkdtemp(prefix="e02_spjcust_"), "tbl")
-    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    snapshot_write(
-        cust, cust_tbl, mode="overwrite", n_files=4,
-        partition_spec=[("bucket", "c_custkey", 16)],
-    )
+    fut_cust.result()
     spj = snapshot_colocated_join(
         spark, table, cust_tbl, "o_custkey", "c_custkey"
     )
     spj_plan = spj._jdf.queryExecution().executedPlan().toString()
+    # plan-parity counts: two independent read-only jobs, one pool
+    with _TPE(max_workers=2) as _sp:
+        _f_spj = _sp.submit(spj.count)
+        _f_naive = _sp.submit(
+            cur.join(cust, cur.o_custkey == cust.c_custkey).count
+        )
+        n_spj, n_naive = _f_spj.result(), _f_naive.result()
     spj_ok = (
         "Exchange hashpartitioning" not in spj_plan
-        and spj.count()
-        == cur.join(cust, cur.o_custkey == cust.c_custkey).count()
+        and n_spj == n_naive
     )
     # PARTITION-SPEC EVOLUTION (round 10): one metadata-only commit
     # changes bucket(16) -> bucket(8); a post-evolution append lays out
@@ -1619,13 +1648,18 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("o_custkey") == probe)
     full2 = snapshot_read(spark, table).where(F.col("o_custkey") == probe)
     all2, _ = _plan_files(table, None, None)
+    # same shape as the first probe pair: overlap the two counts
+    with _TPE(max_workers=2) as _pp2:
+        _f_pruned2 = _pp2.submit(pruned2.count)
+        _f_full2 = _pp2.submit(full2.count)
+        n_pruned2, n_full2 = _f_pruned2.result(), _f_full2.result()
     spec_evolution_ok = (
         v_spec == v_chk + 1
         and len(
             _read_manifest(table, v_spec).get("partition_specs") or []
         ) == 2
         and 0 < len(pruned2.inputFiles()) < len(all2)
-        and pruned2.count() == full2.count() > 0
+        and n_pruned2 == n_full2 > 0
     )
     # COLUMN RENAME/DROP (round 11): one metadata-only commit renames
     # o_orderpriority -> o_prio (zero files rewritten — the entry set
