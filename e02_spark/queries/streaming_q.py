@@ -1968,17 +1968,33 @@ def _mor_chain_build(spark: SparkSession, sf_dir: str, key) -> dict:
     )
     rows_v3 = snapshot_rows(table)
     # the CDF between the two MoR versions BEFORE the rewrite: deletes
-    # surface from tombstone deltas alone (no data file was removed)
+    # surface from tombstone deltas alone (no data file was removed).
+    # The CDF count reads IMMUTABLE older versions, so it runs
+    # CONCURRENTLY with the rewrite-deletes fold (which only commits a
+    # NEWER version) — the same overlap the EQ chain (q123) pins; the
+    # binpack below stays serial (it packs the rewrite's output layout).
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..ops.snapshot import snapshot_changes
 
-    cdf = {
-        r["_change_type"]: r["n"]
-        for r in snapshot_changes(spark, table, m1["version"], m2["version"])
-        .groupBy("_change_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    rw = snapshot_rewrite_deletes(spark, table, n_files_new=2)
+    def _cdf_leg() -> dict:
+        return {
+            r["_change_type"]: r["n"]
+            for r in snapshot_changes(
+                spark, table, m1["version"], m2["version"]
+            )
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fut_cdf = _ex.submit(_cdf_leg)
+        _fut_rw = _ex.submit(
+            snapshot_rewrite_deletes, spark, table, n_files_new=2
+        )
+        cdf = _fut_cdf.result()
+        rw = _fut_rw.result()
     # maintenance pass: binpack coalesces m2's two small appended files
     # (the chain's simulated ingest sprawl) and leaves the bulk alone;
     # the table's content hash downstream pins that it changed nothing
