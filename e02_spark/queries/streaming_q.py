@@ -1533,86 +1533,91 @@ def q120_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.6). Commit order on `table` itself is unchanged.
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    from ..io import load_table as _lt
-
     cust_tbl = os.path.join(_tracked_mkdtemp(prefix="e02_spjcust_"), "tbl")
-    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     pool = _TPE(max_workers=3)
-    fut_n_orders = pool.submit(orders.count)
-    fut_p0 = pool.submit(
-        orders.select("o_custkey", "o_orderkey", "o_orderpriority").first
-    )
-    fut_cust = pool.submit(
-        snapshot_write, cust, cust_tbl, mode="overwrite", n_files=4,
-        partition_spec=[("bucket", "c_custkey", 16)],
-    )
-    pool.shutdown(wait=False)
-    n_orders_total = fut_n_orders.result()
-    schema_stable = (
-        snapshot_read(spark, table, version=v1).columns
-        == orders.columns
-        and cur.columns == orders.columns + ["band"]
-        and snapshot_rows(table) == n_orders_total
-    )
-    # hidden-partition point lookup: the probe names the SOURCE column,
-    # the spec resolves to the derived bucket, the plan keeps a strict
-    # file subset, and the pruned read still returns every matching row
-    _p0 = fut_p0.result()
-    probe = _p0["o_custkey"]
-    probe_key, probe_comment = _p0["o_orderkey"], _p0["o_orderpriority"]
-    all_files, _ = _plan_files(table, None, None)
-    pruned = snapshot_read(
-        spark, table, partition_prune={"o_custkey": probe}
-    ).where(F.col("o_custkey") == probe)
-    full = cur.where(F.col("o_custkey") == probe)
-    n_kept = len(pruned.inputFiles())
-    # the two point-probe counts are independent read-only jobs over
-    # version-pinned frames — one pool overlaps their fixed latencies
-    with _TPE(max_workers=2) as _pp:
-        _f_pruned = _pp.submit(pruned.count)
-        _f_full = _pp.submit(full.count)
-        n_pruned, n_full = _f_pruned.result(), _f_full.result()
-    hidden_prune_ok = (
-        0 < n_kept < len(all_files)
-        and n_pruned == n_full > 0
-    )
-    # CHECK constraint on the EVOLVED column (snapshot_set_check):
-    # ADD CONSTRAINT validates existing content — v1's NULL-backfilled
-    # band passes (SQL CHECK semantics) — then a violating append must
-    # raise pre-commit, leaving version and row count untouched
-    from ..ops.snapshot import (
-        CheckViolation,
-        snapshot_set_check,
-        snapshot_versions,
-    )
-
-    v_chk = snapshot_set_check(
-        spark, table, "band_domain", "band IN ('0', '1', '2')"
-    )
-    rejected = False
+    # failures anywhere in this span must JOIN all three legs
+    # (ADVICE r14): an exception between the submits and the last
+    # .result() otherwise leaves an in-flight snapshot_write thread
+    # orphaned and its error unobserved
     try:
-        snapshot_write(
-            high.limit(5).withColumn("band", F.lit("XXX")),
-            table, mode="append", n_files=1,
+        fut_n_orders = pool.submit(orders.count)
+        fut_p0 = pool.submit(
+            orders.select("o_custkey", "o_orderkey", "o_orderpriority").first
         )
-    except CheckViolation:
-        rejected = True
-    check_enforced = (
-        rejected
-        and snapshot_versions(table)[-1] == v_chk
-        and snapshot_rows(table) == n_orders_total
-    )
-    # STORAGE-PARTITIONED JOIN (round 10): a second snapshot table
-    # bucket-partitioned by the SAME transform (bucket(16, custkey))
-    # joins this one with ZERO shuffle exchange in the join subtree —
-    # per-bucket co-located scans, broadcast bucket-locally, unioned
-    # (ops/bucketing.snapshot_colocated_join; plan additionally pinned
-    # by tests/test_plans.py). The boolean pins plan shape AND row
-    # parity against the naive join. The cust table's write was
-    # submitted up top (independent of the CHECK leg) — join it here.
-    from ..ops.bucketing import snapshot_colocated_join
+        fut_cust = pool.submit(
+            snapshot_write, cust, cust_tbl, mode="overwrite", n_files=4,
+            partition_spec=[("bucket", "c_custkey", 16)],
+        )
+        pool.shutdown(wait=False)
+        n_orders_total = fut_n_orders.result()
+        schema_stable = (
+            snapshot_read(spark, table, version=v1).columns
+            == orders.columns
+            and cur.columns == orders.columns + ["band"]
+            and snapshot_rows(table) == n_orders_total
+        )
+        # hidden-partition point lookup: the probe names the SOURCE column,
+        # the spec resolves to the derived bucket, the plan keeps a strict
+        # file subset, and the pruned read still returns every matching row
+        _p0 = fut_p0.result()
+        probe = _p0["o_custkey"]
+        probe_key, probe_comment = _p0["o_orderkey"], _p0["o_orderpriority"]
+        all_files, _ = _plan_files(table, None, None)
+        pruned = snapshot_read(
+            spark, table, partition_prune={"o_custkey": probe}
+        ).where(F.col("o_custkey") == probe)
+        full = cur.where(F.col("o_custkey") == probe)
+        n_kept = len(pruned.inputFiles())
+        # the two point-probe counts are independent read-only jobs over
+        # version-pinned frames — one pool overlaps their fixed latencies
+        with _TPE(max_workers=2) as _pp:
+            _f_pruned = _pp.submit(pruned.count)
+            _f_full = _pp.submit(full.count)
+            n_pruned, n_full = _f_pruned.result(), _f_full.result()
+        hidden_prune_ok = (
+            0 < n_kept < len(all_files)
+            and n_pruned == n_full > 0
+        )
+        # CHECK constraint on the EVOLVED column (snapshot_set_check):
+        # ADD CONSTRAINT validates existing content — v1's NULL-backfilled
+        # band passes (SQL CHECK semantics) — then a violating append must
+        # raise pre-commit, leaving version and row count untouched
+        from ..ops.snapshot import (
+            CheckViolation,
+            snapshot_set_check,
+            snapshot_versions,
+        )
 
-    fut_cust.result()
+        v_chk = snapshot_set_check(
+            spark, table, "band_domain", "band IN ('0', '1', '2')"
+        )
+        rejected = False
+        try:
+            snapshot_write(
+                high.limit(5).withColumn("band", F.lit("XXX")),
+                table, mode="append", n_files=1,
+            )
+        except CheckViolation:
+            rejected = True
+        check_enforced = (
+            rejected
+            and snapshot_versions(table)[-1] == v_chk
+            and snapshot_rows(table) == n_orders_total
+        )
+        # STORAGE-PARTITIONED JOIN (round 10): a second snapshot table
+        # bucket-partitioned by the SAME transform (bucket(16, custkey))
+        # joins this one with ZERO shuffle exchange in the join subtree —
+        # per-bucket co-located scans, broadcast bucket-locally, unioned
+        # (ops/bucketing.snapshot_colocated_join; plan additionally pinned
+        # by tests/test_plans.py). The boolean pins plan shape AND row
+        # parity against the naive join. The cust table's write was
+        # submitted up top (independent of the CHECK leg) — join it here.
+        from ..ops.bucketing import snapshot_colocated_join
+
+        fut_cust.result()
+    finally:
+        pool.shutdown(wait=True)
     spj = snapshot_colocated_join(
         spark, table, cust_tbl, "o_custkey", "c_custkey"
     )
