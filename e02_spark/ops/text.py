@@ -24,13 +24,105 @@ def tokens(documents: DataFrame) -> DataFrame:
     )
 
 
+def _grams_arrow(
+    documents: DataFrame,
+    n: int,
+    keep_cols: tuple[str, ...],
+    distinct_per_doc: bool,
+    out_col: str,
+) -> DataFrame:
+    """Zero-exchange word n-grams via ONE narrow mapInArrow crossing.
+
+    Grams are a strictly per-row (per-document) function of `text`, so no
+    shuffle is fundamentally required to produce them — yet the previous
+    posexplode+lead window form shuffled and sorted EVERY TOKEN OCCURRENCE
+    by doc_id just to line tokens up for lead() (its one exchange was the
+    single hottest data-path stage at 10x sf0.1: ~26 s of the near-dup
+    pipelines' wall, guide §2.4/§8). Here each Arrow batch is processed
+    where it sits: split on the same literal-space rule as F.split(text,
+    " ") (Java regex " " with limit -1 == str.split(' '), trailing/
+    leading/consecutive-space empties preserved), grams exist only where
+    all n tokens exist (sub-n-token and NULL-text docs yield 0 grams),
+    and per-doc dedup — when asked — is a first-occurrence-ordered set,
+    byte-identical to the old distinct() because (doc_id, shingle)
+    dedup never crosses documents. Downstream per-doc aggregations
+    (minhash/simhash/tf) still partial-aggregate map-side, so the
+    exchange they pay is O(docs), not O(gram occurrences) — strictly
+    fewer bytes than before at every scale. Bit-equality with the JVM
+    reference form is pinned by tests/test_text_arrow.py over
+    adversarial token shapes.
+
+    The per-gram work is a Python loop, but it replaces a JVM sort
+    shuffle, not codegen arithmetic: ' '.join over list slices runs at
+    C speed and the whole crossing ships exactly (doc_id, *keep_cols,
+    text) in and compact gram rows out (guide §4.2)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = documents.select("doc_id", *keep_cols, "text")
+    out_schema = StructType(
+        [src.schema["doc_id"]]
+        + [src.schema[c] for c in keep_cols]
+        # non-nullable, matching the JVM reference (concat_ws never
+        # yields NULL); the kernel never emits a null gram
+        + [StructField(out_col, StringType(), False)]
+    )
+    a_schema = to_arrow_schema(out_schema)
+    nn, n_keys, dd = n, 1 + len(keep_cols), distinct_per_doc
+
+    def _gen(batches):
+        for batch in batches:
+            keys = [batch.column(i).to_pylist() for i in range(n_keys)]
+            texts = batch.column(n_keys).to_pylist()
+            out_keys: list[list] = [[] for _ in range(n_keys)]
+            grams: list[str] = []
+            for ri, txt in enumerate(texts):
+                if txt is None:
+                    continue
+                toks = txt.split(" ")
+                m = len(toks) - nn + 1
+                if m <= 0:
+                    continue
+                gs = [" ".join(toks[i : i + nn]) for i in range(m)]
+                if dd:
+                    # first-occurrence order: deterministic output (a
+                    # set's iteration order varies per process hash seed)
+                    gs = list(dict.fromkeys(gs))
+                grams.extend(gs)
+                for ki in range(n_keys):
+                    out_keys[ki].extend([keys[ki][ri]] * len(gs))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_keys[i], type=a_schema.field(i).type)
+                    for i in range(n_keys)
+                ]
+                + [pa.array(grams, type=pa.string())],
+                schema=a_schema,
+            )
+
+    return src.mapInArrow(_gen, out_schema)
+
+
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — DISTINCT word n-grams per document.
+    """(doc_id, shingle) — DISTINCT word n-grams per document, computed
+    row-locally with zero exchanges (see _grams_arrow). `shingles_jvm`
+    is the pure-JVM reference implementation the equivalence test pins
+    against; round-15 swapped the default after a 10x-scale profile put
+    the window form's token-occurrence exchange at the top of every
+    near-dup pipeline's data-path cost."""
+    return _grams_arrow(documents, n, (), True, "shingle")
+
+
+def shingles_jvm(documents: DataFrame, n: int = 3) -> DataFrame:
+    """REFERENCE (kept for the arrow-equivalence pin): posexplode +
+    lead() window form of `shingles`.
 
     posexplode + lead() window, NOT a transform() lambda: higher-order
     function lambdas run interpreted (outside whole-stage codegen), and
     the slice+concat per gram made shingling the single hottest step of
-    every near-dup pipeline (~2.8s of q31's 3.5s at sf0.1; this form cuts
+    every near-dup pipeline (~2.8s of q31's 3.5s at sf0.1; this form cut
     it ~4x). A gram exists only where all n tokens exist (lead(n-1) not
     null) — exactly the oracle's generate_series(1, len-2) semantics,
     including 0 grams for sub-n-token documents.
@@ -44,9 +136,9 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     and the extra downstream doc_id exchange it saved moves only
     compact per-doc PARTIAL-aggregate rows (the minhash/simhash aggs all
     partial-aggregate map-side), so the one-exchange form lost end to
-    end: q34 3.8→1.8 s, q31 1.8→1.4 s cold. At 100 TB the same argument
-    holds — dedup wants the codegen agg; partial aggregation keeps the
-    second exchange O(docs), not O(shingles)."""
+    end: q34 3.8→1.8 s, q31 1.8→1.4 s cold. Round 15 retired even this
+    form's one exchange: grams are per-row functions, so the Arrow form
+    (`shingles`) produces them with no exchange at all."""
     from pyspark.sql import Window
 
     toks = documents.select(
@@ -69,7 +161,15 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 def ngram_occurrences(documents: DataFrame, n: int, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, *keep_cols, gram) — one row PER OCCURRENCE of each word
     n-gram (unlike `shingles`, which is the distinct set). Same
-    posexplode+lead shape: one shuffle on doc_id, stays in codegen.
+    zero-exchange Arrow kernel as `shingles` (occurrence order within a
+    doc is source order); `ngram_occurrences_jvm` is the pinned
+    reference form."""
+    return _grams_arrow(documents, n, tuple(keep_cols), False, "gram")
+
+
+def ngram_occurrences_jvm(documents: DataFrame, n: int, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """REFERENCE (kept for the arrow-equivalence pin): posexplode+lead
+    form of ngram_occurrences — one shuffle on doc_id, stays in codegen.
     concat_ws skips NULLs, so gram existence is gated on the last lead
     explicitly — a doc with < n tokens yields 0 grams."""
     from pyspark.sql import Window
