@@ -1793,15 +1793,33 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_mv.result()
         fut_mv2.result()
     _pt.mark("prep+chain")
-    delta = snapshot_changes(spark, ch["table"], ch["v1"], ch["v3"])
-    # the chain's delete merge RETRACTS rows, so the maintained MIN/MAX
-    # exercise recompute-on-retract: only dirty groups re-scan the base
-    v3 = snapshot_read(spark, ch["table"], version=ch["v3"])
-    maintained = apply_agg_delta(
-        state, delta, keys, sums, minmax=minmax, base=v3
-    ).persist()
-    _pt.mark("apply_delta")
+    # The two persisted-MV maintenance DRAINS depend only on the FINAL
+    # chain (committed above) and their own tables — kick them off now
+    # so their fixed machinery (one exactly-once refresh; the CDF
+    # stream's Python-runner spawn + micro-batch fold) overlaps the
+    # delta computation below instead of following it serially (guide
+    # §2.6). Their maintained-state DIFFS still run in the verification
+    # pool — those do depend on `maintained`.
+    from ..ops.mv import mv_refresh, mv_stream
+
+    drains = ThreadPoolExecutor(max_workers=2)
     try:
+        fut_refresh = drains.submit(mv_refresh, spark, ch["table"], mv)
+        fut_drain = drains.submit(
+            lambda: _await(mv_stream(
+                spark, ch["table"], mv2,
+                _tracked_mkdtemp(prefix="e02_mvstreamck_"),
+            ))
+        )
+        delta = snapshot_changes(spark, ch["table"], ch["v1"], ch["v3"])
+        # the chain's delete merge RETRACTS rows, so the maintained
+        # MIN/MAX exercise recompute-on-retract: only dirty groups
+        # re-scan the base
+        v3 = snapshot_read(spark, ch["table"], version=ch["v3"])
+        maintained = apply_agg_delta(
+            state, delta, keys, sums, minmax=minmax, base=v3
+        ).persist()
+        _pt.mark("apply_delta")
         # three independent verification legs run CONCURRENTLY
         # (independent tables/jobs; Spark schedules them in one session
         # — sequential order would pay sum-of-walls for fixed
@@ -1810,15 +1828,16 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         #     maintained state vs a full v3 recompute, in ONE job.
         #   * BATCH (ops/mv.mv_refresh): state in its own snapshot
         #     table, cursor riding the commit, one exactly-once refresh
-        #     rolls v1 -> v3; a second refresh is a cursor no-op.
+        #     rolls v1 -> v3 (drained above, overlapped with the delta);
+        #     a second refresh is a cursor no-op.
         #   * CONTINUOUS (round 10, ops/mv.mv_stream): the chain's CDF
         #     STREAM feeds a foreachBatch fold committing state+cursor
-        #     exactly-once per micro-batch (the DLT shape).
+        #     exactly-once per micro-batch (the DLT shape; drained
+        #     above, overlapped with the delta).
         # Both stored states must equal the in-memory maintained state
         # bit-for-bit.
         from concurrent.futures import ThreadPoolExecutor
 
-        from ..ops.mv import mv_refresh, mv_stream
         from ..ops.snapshot import snapshot_read as _sread
 
         def _diff_empty(df) -> bool:
@@ -1834,8 +1853,9 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _diff_empty(materialize_agg(v3, keys, sums, minmax=minmax))
 
         def _batch_leg() -> bool:
-            # mv was created at v1 up in the prefetch block
-            r1 = mv_refresh(spark, ch["table"], mv)
+            # mv was created at v1 in the prefetch block and refreshed
+            # by the overlapped drain above — join it, then verify
+            r1 = fut_refresh.result()
             return (
                 r1["refreshed_to"] == ch["v3"]
                 and _diff_empty(_sread(spark, mv))
@@ -1843,11 +1863,9 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def _stream_leg() -> bool:
-            # mv2 was created at v1 up in the prefetch block
-            _await(mv_stream(
-                spark, ch["table"], mv2,
-                _tracked_mkdtemp(prefix="e02_mvstreamck_"),
-            ))
+            # mv2 was created at v1 in the prefetch block and drained by
+            # the overlapped CDF stream above — join it, then verify
+            fut_drain.result()
             return _diff_empty(_sread(spark, mv2))
 
         def _finish_leg():
@@ -1881,7 +1899,13 @@ def q119_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     finally:
-        maintained.unpersist()
+        # join both drains even on failure (their errors must surface,
+        # and no in-flight refresh/stream may outlive the entry)
+        drains.shutdown(wait=True)
+        try:
+            maintained.unpersist()
+        except NameError:
+            pass  # failed before apply_agg_delta assigned it
 
 
 _Q119_SQL = f"""
