@@ -111,6 +111,11 @@ def reset_shared_state(spark: SparkSession) -> None:
             except Exception:
                 pass
         memo.clear()
+    # the PQ codebooks are COMPUTED from the embeddings fixture (a
+    # first-N collect job) — a compute memo, not input staging; leaving
+    # it warm would hide that job from every bench pass after the first
+    # (the same class of leak as the round-14 _SMALL_START fix)
+    llm_q._PQ_BOOK_CACHE.clear()
     # localCheckpoint blocks are owned by the checkpointed RDD; dropping
     # the reference lets the ContextCleaner reclaim them (bench gc.collect()
     # runs right after) and the next access re-scans from source.
