@@ -4,7 +4,8 @@ Usage:
     python scripts/capture_plans.py before            # all declared queries
     python scripts/capture_plans.py after q27 q34     # subset by prefix
 
-Writes plans/r14/<query>_<tag>.txt. Building the plan is lazy (no
+Writes plans/$E02_PLANS_ROUND/<query>_<tag>.txt (round dir defaults to
+r15). Building the plan is lazy (no
 execution) except for entries whose construction is eager (streaming
 composites execute jobs at build time); those are captured too — the
 formatted plan of the final returned DataFrame — but their cost is in
@@ -27,7 +28,9 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     prefixes = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(here, "plans", "r14")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("E02_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("e02-capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
