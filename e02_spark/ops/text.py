@@ -218,14 +218,84 @@ def repetition_metrics(documents: DataFrame) -> DataFrame:
       top2_frac — fraction of 2-gram occurrences taken by the single most
                   frequent 2-gram.
     Both are single IEEE divisions over exact integers (deterministic
-    cross-engine). Two gram explosions -> two doc_id aggregations; each is
-    one shuffle keyed by doc_id, linear in corpus size."""
-    g3 = ngram_occurrences(documents, 3)
+    cross-engine: Python float division IS IEEE-754 double division,
+    the same op Spark's double `/` compiles to, and every operand is an
+    exact small integer).
+
+    Every signal is a strictly per-document function of `text`, so the
+    whole computation happens in ONE narrow mapInArrow crossing with
+    ZERO exchanges and ZERO gram rows shipped (guide §2.4/§4.2): no
+    3-gram explosion, no 2-gram explosion, no two doc_id aggregations,
+    no m3-m2 join — the round-14 form paid all five. Docs with < 3
+    tokens yield no row (the old inner join dropped them: a doc with
+    trigrams always has bigrams, never vice versa). Token tuples key
+    the per-doc dedup/counts — equivalent to the joined-gram strings
+    because tokens cannot contain the separator. Bit-equality with the
+    pure-JVM composed form (`repetition_metrics_jvm`) is pinned by
+    tests/test_text_arrow.py."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    src = documents.select("doc_id", "text")
+    out_schema = StructType(
+        [
+            src.schema["doc_id"],
+            StructField("n3", LongType(), False),
+            StructField("dup3_frac", DoubleType(), True),
+            StructField("top2_frac", DoubleType(), True),
+        ]
+    )
+    a_schema = to_arrow_schema(out_schema)
+
+    def _gen(batches):
+        from collections import Counter
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id: list = []
+            o_n3: list[int] = []
+            o_d3: list[float] = []
+            o_t2: list[float] = []
+            for ri, txt in enumerate(texts):
+                if txt is None:
+                    continue
+                toks = txt.split(" ")
+                n3 = len(toks) - 2
+                if n3 <= 0:
+                    continue
+                d3 = len(set(zip(toks, toks[1:], toks[2:])))
+                c2 = Counter(zip(toks, toks[1:]))
+                n2 = len(toks) - 1
+                o_id.append(ids[ri])
+                o_n3.append(n3)
+                o_d3.append((n3 - d3) / n3)
+                o_t2.append(max(c2.values()) / n2)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=a_schema.field(0).type),
+                    pa.array(o_n3, type=pa.int64()),
+                    pa.array(o_d3, type=pa.float64()),
+                    pa.array(o_t2, type=pa.float64()),
+                ],
+                schema=a_schema,
+            )
+
+    return src.mapInArrow(_gen, out_schema)
+
+
+def repetition_metrics_jvm(documents: DataFrame) -> DataFrame:
+    """REFERENCE (kept for the arrow-equivalence pin): the composed
+    pure-JVM form of repetition_metrics — two gram explosions
+    (ngram_occurrences_jvm), two doc_id aggregations, one join."""
+    g3 = ngram_occurrences_jvm(documents, 3)
     m3 = g3.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n3"),
         F.countDistinct("gram").alias("d3"),
     )
-    g2 = ngram_occurrences(documents, 2)
+    g2 = ngram_occurrences_jvm(documents, 2)
     c2 = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     m2 = c2.groupBy("doc_id").agg(
         F.max("c").alias("top2"), F.sum("c").cast("bigint").alias("n2")

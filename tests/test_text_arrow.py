@@ -28,6 +28,8 @@ from pyspark.sql.types import (
 from e02_spark.ops.text import (
     ngram_occurrences,
     ngram_occurrences_jvm,
+    repetition_metrics,
+    repetition_metrics_jvm,
     shingles,
     shingles_jvm,
 )
@@ -128,6 +130,30 @@ def test_ngram_occurrences_matches_jvm_on_fixture(spark):
         ra, rj = _rows(a), _rows(j)
         assert len(ra) > 0
         assert ra == rj
+
+
+def test_repetition_metrics_matches_jvm_adversarial(spark):
+    d = _adv_df(spark)
+    a, j = repetition_metrics(d), repetition_metrics_jvm(d)
+    assert a.schema == j.schema
+    ra, rj = _rows(a), _rows(j)
+    # sub-3-token and NULL docs are absent in BOTH (the composed form's
+    # inner join dropped them); doubles must be BIT-identical (same
+    # IEEE division over the same exact integers)
+    assert {r[0] for r in ra} == {i for i, t in ADVERSARIAL
+                                  if t is not None and len(t.split(" ")) >= 3}
+    assert ra == rj
+
+
+def test_repetition_metrics_matches_jvm_on_fixture(spark):
+    from e02_spark.io import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    a, j = repetition_metrics(d), repetition_metrics_jvm(d)
+    assert a.schema == j.schema
+    ra, rj = _rows(a), _rows(j)
+    assert len(ra) > 0
+    assert ra == rj
 
 
 def test_shingles_per_doc_dedup_and_gating(spark):
